@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * The reference (bekiekB1/serverless-etl-aws) delegates all execution to
+  * Glue 5.0 Spark with stock settings (reference terraform/main.tf:496-498);
+  * here the session is configured explicitly for analytic workloads:
+  *   - AQE on (runtime re-plan: coalesce shuffle partitions, skew-join split,
+  *     dynamic broadcast demotion) — the scale posture for 100 TB.
+  *   - UTC session time zone so results are oracle-comparable and
+  *     deterministic regardless of host TZ.
+  *   - shuffle.partitions sized to the local core count for tests; on a real
+  *     cluster this is overridden by spark-submit conf (AQE coalescing makes
+  *     the initial number forgiving).
+  */
+object GraftSession {
+
+  /** Default parallelism knob: driver sets SPARK_GRAFT_CPUS; local dev uses
+    * the machine's cores.
+    */
+  def defaultCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+
+  def builder(master: Option[String] = None): SparkSession.Builder = {
+    val cpus = defaultCpus
+    val b = SparkSession
+      .builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // The events fixture stores INT64 TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects outright; read as long and convert in
+      // Tables.load (values are µs-precision, so the ns→µs cast is lossless).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write INT64 µs timestamps (not INT96) so external readers (the
+      // DuckDB oracle) see the same logical type we read.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    master.orElse(Some(s"local[$cpus]")).foreach(b.master)
+    b
+  }
+
+  /** Local session for tests/tools. getOrCreate reuses an existing session
+    * (one JVM-wide session per test run).
+    */
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+/** All declared queries, one per implemented operator (SURVEY.md §2).
+  * Domain objects register here; SparkEntry exposes the flattened maps.
+  */
+object Registry {
+  def all: Seq[QuerySpec] = Relational.all
+
+  def byName(name: String): QuerySpec =
+    all.find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"query: $name"))
+}
