@@ -4,7 +4,8 @@ package graft.queries
   * Domain objects register here; SparkEntry exposes the flattened maps.
   */
 object Registry {
-  def all: Seq[QuerySpec] = Relational.all
+  def all: Seq[QuerySpec] =
+    Relational.all ++ Temporal.all ++ TextAnalysis.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

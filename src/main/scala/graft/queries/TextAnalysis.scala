@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` fixture (mandated extension;
+  * SURVEY §2.B "Text analysis"): token/char stats + quality scoring,
+  * language-ID heuristic, BPE-ish regex token counting, and document
+  * fingerprinting (content hash, normalized bag-of-words hash, and a
+  * rolling chained hash).
+  *
+  * Everything is built from codegen'd built-ins and higher-order array
+  * functions — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and scales embarrassingly parallel (per-row only, no shuffle
+  * except the final term-stats aggregation).
+  *
+  * Determinism: token arithmetic is integer-exact; ratio/score columns are
+  * double expressions written identically in the DuckDB oracle (IEEE ops in
+  * the same order ⇒ bit-identical).
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Stopword list shared by the stats + language-ID queries. */
+  private val Stop = Seq("the", "a", "of", "and", "to", "in")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def sparkList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
+
+  /** Per-language marker tokens for the n-gram/heuristic language ID. */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "les", "des", "une"))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- token/char stats + quality score ---------------------------------
+    QuerySpec(
+      "q30_text_stats",
+      Some(s"""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+          AS n_uniq,
+        CAST(list_sum([length(x) for x in string_split(lower(text), ' ')])
+          AS DOUBLE) / len(string_split(lower(text), ' ')) AS avg_token_len,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(${sqlList(Stop)}, x))) AS DOUBLE)
+          / len(string_split(lower(text), ' ')) AS stop_ratio,
+        least(CAST(1 AS DOUBLE),
+            len(string_split(lower(text), ' ')) / CAST(50 AS DOUBLE))
+          * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             / len(string_split(lower(text), ' '))) AS quality
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("bigint").as("n_chars_m"),
+            size(col("toks")).cast("bigint").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("bigint").as("n_uniq"),
+            (expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+              .cast("double") / size(col("toks"))).as("avg_token_len"),
+            (expr(s"size(filter(toks, x -> array_contains(${sparkList(Stop)}, x)))")
+              .cast("double") / size(col("toks"))).as("stop_ratio"),
+            (least(lit(1.0), size(col("toks")) / lit(50.0))
+              * (size(array_distinct(col("toks"))).cast("double")
+                / size(col("toks")))).as("quality"))),
+
+    // ---- language-ID heuristic (marker-token voting) -----------------------
+    QuerySpec(
+      "q31_lang_id", {
+        val scores = Markers.map { case (l, ms) =>
+          s"len(list_filter(string_split(lower(text), ' '), x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+        }.mkString(", ")
+        Some(s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+          SELECT doc_id, lang,
+            CASE
+              WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_guess,
+            CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+            CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr
+          FROM scored""")
+      },
+      (s, d) => {
+        val withScores = Markers.foldLeft(
+          t(s, d, "documents")
+            .withColumn("toks", split(lower(col("text")), " "))) {
+          case (df, (l, ms)) =>
+            df.withColumn(s"s_$l",
+              expr(s"size(filter(toks, x -> array_contains(${sparkList(ms)}, x)))")
+                .cast("bigint"))
+        }
+        withScores.select(
+          col("doc_id"), col("lang"),
+          when(col("s_en") > 0 && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") > 0 && col("s_de") >= col("s_es")
+              && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") > 0 && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und").as("lang_guess"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+      }),
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation ----------
+    QuerySpec(
+      "q32_token_count",
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+          AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS DOUBLE)
+          / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+          AS chars_per_token
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("bigint").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .cast("bigint").as("bpe_tokens"),
+          (length(col("text")).cast("double")
+            / regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+            .as("chars_per_token"))),
+
+    // ---- document fingerprinting: content / normalized / rolling hash ------
+    QuerySpec(
+      "q33_fingerprint",
+      Some("""SELECT doc_id,
+        md5(text) AS fp_content,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+          AS fp_normalized,
+        list_reduce(list_concat([''], string_split(lower(text), ' ')),
+          (acc, x) -> md5(concat(acc, x))) AS fp_rolling
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          md5(col("text")).as("fp_content"),
+          md5(array_join(
+            array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+            .as("fp_normalized"),
+          expr("aggregate(split(lower(text), ' '), '', " +
+            "(acc, x) -> md5(concat(acc, x)))").as("fp_rolling"))),
+
+    // ---- term stats: explode + aggregate + top-k terms per language --------
+    QuerySpec(
+      "q34_term_stats",
+      Some("""WITH toks AS (
+          SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        counts AS (
+          SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token)
+        SELECT lang, token, n, CAST(rk AS INT) AS rk FROM (
+          SELECT lang, token, n, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, token) AS rk FROM counts) z
+        WHERE rk <= 5"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("n").desc, col("token"))))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("token"), col("n"), col("rk")))
+  )
+}
