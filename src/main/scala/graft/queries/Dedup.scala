@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface (mandated extension; SURVEY §2.B "Dedup"):
+  * exact content dedup, MinHash+LSH near-dup, SimHash near-dup, inverted
+  * index n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * The reference's only dedup notions are control-plane (a month-string
+  * ledger gate, reference src/lambda_functions/fetch_raw_data.py:135, and
+  * per-file Processed tags, s3_operations.py:33); the data-plane dedup
+  * family here is the LLM-pipeline surface the driver mandates.
+  *
+  * Oracle parity strategy: every hash is *portable* — derived from md5 hex
+  * (identical in Spark and DuckDB) via `CAST(hex-prefix AS BIGINT)`, so the
+  * whole MinHash/SimHash/banding pipeline produces bit-identical candidates
+  * in both engines and the t2 compare is exact, not statistical.
+  *
+  * Scale posture (100 TB):
+  *  - No all-pairs join anywhere on the Spark side: MinHash pairs come from
+  *    band-bucket self-joins (shuffle on band key), SimHash pairs from
+  *    8-bit band buckets (exact for hamming<=1 by pigeonhole), n-gram pairs
+  *    from a doc-frequency-capped inverted index (the cap bounds bucket
+  *    fan-out, so candidate count stays ~linear in corpus size), and cosine
+  *    pairs are blocked on the label key (LSH variant in Similarity.scala).
+  *  - All pipelines are groupBy/join over derived keys — partial aggregation
+  *    and AQE skew handling apply; nothing collects to the driver.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---- portable hash primitives -------------------------------------------
+
+  /** 60-bit positive hash from the md5 hex prefix — identical in both
+    * engines. Spark side.
+    */
+  private def h64Spark(e: String): String =
+    s"cast(conv(substring(md5($e),1,15),16,10) as bigint)"
+
+  /** DuckDB mirror of [[h64Spark]]. */
+  private def h64Duck(e: String): String =
+    s"CAST('0x' || substring(md5($e),1,15) AS BIGINT)"
+
+  /** Universal-hash family h_k(x) = (a_k * (x mod P) + b_k) mod P over the
+    * Mersenne prime P=2^31-1. Constants are fixed (seed 42) and interpolated
+    * into BOTH engines' SQL, so the family is identical on both sides.
+    * a*(x%P)+b <= (P-1)^2 + P < 2^63: no 64-bit overflow in either engine.
+    */
+  private val P = 2147483647L
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+  private val perms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumHashes)((1L + rng.nextLong(P - 1), rng.nextLong(P)))
+  }
+
+  // ---- shingling ----------------------------------------------------------
+
+  /** Word 3-gram shingle set. Spark arrays are 0-indexed. */
+  private val shinglesSpark =
+    "array_distinct(transform(sequence(0, size(toks)-3), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+
+  /** DuckDB mirror (1-indexed lists; range(a,b) = [a, b)). */
+  private val shinglesDuck =
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "for i in range(1, len(toks)-1)])"
+
+  private def minhashSpark(k: Int): String = {
+    val (a, b) = perms(k)
+    s"array_min(transform(shingles, s -> (${a}L * (${h64Spark("s")} % $P) + ${b}L) % $P))"
+  }
+
+  private def minhashDuck(k: Int): String = {
+    val (a, b) = perms(k)
+    s"list_min([($a * (${h64Duck("s")} % $P) + $b) % $P for s in shingles])"
+  }
+
+  /** Band key j = md5 of its RowsPerBand minhash values. */
+  private def bandKeySpark(j: Int): String = {
+    val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
+      .map(k => s"cast(mh$k as string)").mkString(", ")
+    s"md5(concat_ws(',', $cols))"
+  }
+
+  private def bandKeyDuck(j: Int): String = {
+    val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
+      .map(k => s"CAST(mh$k AS VARCHAR)").mkString(", ")
+    s"md5(concat_ws(',', $cols))"
+  }
+
+  private val jaccardSpark =
+    "cast(size(array_intersect(sh_a, sh_b)) as double) / " +
+      "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+
+  private val jaccardDuck =
+    "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / " +
+      "(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+
+  /** documents → (doc_id, shingles) with the token/shingle prep shared by
+    * the near-dup queries.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(shinglesSpark))
+
+  private val shingledDuckCte =
+    s"""docs AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id, $shinglesDuck AS shingles
+         FROM docs WHERE len(toks) >= 3)"""
+
+  // ---- exact-Jaccard verification of a candidate-pair frame ---------------
+
+  private def verifyJaccard(
+      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", expr(jaccardSpark))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- exact dedup by normalized content fingerprint --------------------
+    // Hash-groupBy dedup: docs that are token-set permutations of each other
+    // collapse to one representative (min doc_id). Pure partial-agg-friendly
+    // groupBy — the 100 TB plan is a single shuffle on the fingerprint.
+    QuerySpec(
+      "q40_dedup_exact",
+      Some("""SELECT md5(array_to_string(
+            list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+            AS fp_norm,
+          MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(array_join(
+            array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+            .as("fp_norm"))
+          .agg(min(col("doc_id")).as("rep_doc"),
+            count(lit(1)).as("n_docs"))),
+
+    // ---- MinHash + LSH banding near-dup -----------------------------------
+    // shingle → 16 portable minhashes → 4 bands of 4 → band-bucket self-join
+    // → exact-Jaccard verify at 0.8. Candidates are identical in both
+    // engines because the hash family is.
+    QuerySpec(
+      "q41_minhash_lsh", {
+        val mhs = (0 until NumHashes)
+          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
+        val bks = (0 until Bands)
+          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
+        val bkCase = (0 until Bands - 1)
+          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
+        Some(s"""WITH $shingledDuckCte,
+          mh AS (SELECT doc_id, $mhs FROM sh),
+          bands AS (SELECT doc_id, $bks FROM mh),
+          bl AS (SELECT doc_id, j,
+              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
+            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bl a JOIN bl b
+              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          pairs AS (SELECT doc_a, doc_b,
+              x.shingles AS sh_a, y.shingles AS sh_b
+            FROM cand JOIN sh x ON x.doc_id = doc_a
+                      JOIN sh y ON y.doc_id = doc_b)
+          SELECT doc_a, doc_b, $jaccardDuck AS jaccard
+          FROM pairs WHERE $jaccardDuck >= 0.8""")
+      },
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"mh$k", expr(minhashSpark(k)))
+        }
+        val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+        val bl = mh
+          .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bl.as("x").join(bl.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(sh, cand, 0.8)
+      }),
+
+    // ---- SimHash near-dup --------------------------------------------------
+    // 32-bit weighted simhash over the token multiset; candidates from
+    // 8-bit band buckets — exact for hamming<=1 (a 1-bit difference leaves
+    // >=3 of 4 bands identical), so no recall caveat at this threshold.
+    QuerySpec(
+      "q42_simhash",
+      Some(s"""WITH docs AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+        ths AS (SELECT doc_id,
+            [${h64Duck("t")} for t in toks] AS ths FROM docs),
+        sim AS (SELECT doc_id,
+            list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
+                  THEN 1 ELSE -1 END for h in ths]) >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 32)]) AS sh32
+          FROM ths),
+        bl AS (SELECT doc_id, j, (sh32 >> (8*j)) & 255 AS band
+          FROM sim, (SELECT unnest(range(0, 4)) AS j) z),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bl a JOIN bl b ON a.j = b.j AND a.band = b.band
+            AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(x.sh32, y.sh32)) AS INT) AS hamming
+        FROM cand JOIN sim x ON x.doc_id = doc_a
+                  JOIN sim y ON y.doc_id = doc_b
+        WHERE bit_count(xor(x.sh32, y.sh32)) <= 1"""),
+      (s, d) => {
+        val sim = t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("ths", expr(s"transform(toks, t -> ${h64Spark("t")})"))
+          .withColumn("sh32", expr(
+            """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+              IF(aggregate(ths, 0L, (a, h) -> a +
+                   IF((shiftright(h, i) & 1) = 1, 1L, -1L)) >= 0,
+                 shiftleft(1L, i), 0L))"""))
+          .select(col("doc_id"), col("sh32"))
+        val bl = sim.select(col("doc_id"), col("sh32"),
+            posexplode(expr(
+              "transform(sequence(0, 3), j -> (shiftright(sh32, 8*j) & 255))")))
+          .toDF("doc_id", "sh32", "band_j", "band")
+        val cand = bl.as("x").join(bl.as("y"),
+            col("x.band_j") === col("y.band_j")
+              && col("x.band") === col("y.band")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val xa = sim.select(col("doc_id").as("doc_a"), col("sh32").as("sa"))
+        val xb = sim.select(col("doc_id").as("doc_b"), col("sh32").as("sb"))
+        cand.join(xa, "doc_a").join(xb, "doc_b")
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+          .filter(col("hamming") <= 1)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+      }),
+
+    // ---- n-gram Jaccard similarity join (inverted index) -------------------
+    // Candidates from an inverted index over shingles, with a doc-frequency
+    // cap (<=20) that bounds per-shingle fan-out — the standard guard that
+    // keeps the candidate set ~linear in corpus size at 100 TB.
+    QuerySpec(
+      "q43_ngram_jaccard",
+      Some(s"""WITH $shingledDuckCte,
+        inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        rare AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 20),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE a.s IN (SELECT s FROM rare)),
+        pairs AS (SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
+          FROM cand JOIN sh x ON x.doc_id = doc_a
+                    JOIN sh y ON y.doc_id = doc_b)
+        SELECT doc_a, doc_b, $jaccardDuck AS jaccard
+        FROM pairs WHERE $jaccardDuck >= 0.7"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+        val inv = sh.select(col("doc_id"),
+          explode(col("shingles")).as("s"))
+        val rare = inv.groupBy(col("s")).count()
+          .filter(col("count") <= 20).select(col("s"))
+        val rareInv = inv.join(rare, "s")
+        val cand = rareInv.as("x").join(rareInv.as("y"),
+            col("x.s") === col("y.s")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(sh, cand, 0.7)
+      }),
+
+    // ---- embedding-cosine near-dup (label-blocked exact pass) --------------
+    // Dot/norm sums go through DECIMAL(27,10) so they are order-independent
+    // and identical across engines (float*float→double is exact; see
+    // graft.functions.Exact). Pairs are blocked on the label key — the
+    // unblocked scale path is the hyperplane-LSH variant in Similarity.
+    QuerySpec(
+      "q44_cosine_neardup",
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+          CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE)
+              * CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))
+            for i in range(1, 65)]) AS DOUBLE) AS nsq
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE)
+              * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(27,10))
+            for i in range(1, 65)]) AS DOUBLE)
+            / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE)
+              * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(27,10))
+            for i in range(1, 65)]) AS DOUBLE)
+            / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4"""),
+      (s, d) => {
+        val nsqExpr =
+          """cast(aggregate(embedding,
+               cast(0 as decimal(27,10)),
+               (acc, x) -> cast(acc + cast(cast(x as double) * cast(x as double)
+                 as decimal(27,10)) as decimal(27,10))) as double)"""
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            expr(nsqExpr).as("nsq"))
+        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          col("label").as("label_b"),
+          col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+        a.join(b, col("label") === col("label_b")
+            && col("vec_a") < col("vec_b"))
+          .withColumn("cosine", expr(
+            """cast(aggregate(zip_with(emb_a, emb_b,
+                 (x, y) -> cast(x as double) * cast(y as double)),
+               cast(0 as decimal(27,10)),
+               (acc, v) -> cast(acc + cast(v as decimal(27,10))
+                 as decimal(27,10))) as double)""")
+            / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+      })
+  )
+}

@@ -5,7 +5,7 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QuerySpec] =
-    Relational.all ++ Temporal.all ++ TextAnalysis.all
+    Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)
