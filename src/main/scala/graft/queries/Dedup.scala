@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Portable.{h64Spark, h64Duck, P}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,24 +33,13 @@ object Dedup {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  // ---- portable hash primitives -------------------------------------------
-
-  /** 60-bit positive hash from the md5 hex prefix — identical in both
-    * engines. Spark side.
-    */
-  private def h64Spark(e: String): String =
-    s"cast(conv(substring(md5($e),1,15),16,10) as bigint)"
-
-  /** DuckDB mirror of [[h64Spark]]. */
-  private def h64Duck(e: String): String =
-    s"CAST('0x' || substring(md5($e),1,15) AS BIGINT)"
+  // ---- portable hash primitives (graft.functions.Portable) ----------------
 
   /** Universal-hash family h_k(x) = (a_k * (x mod P) + b_k) mod P over the
     * Mersenne prime P=2^31-1. Constants are fixed (seed 42) and interpolated
     * into BOTH engines' SQL, so the family is identical on both sides.
     * a*(x%P)+b <= (P-1)^2 + P < 2^63: no 64-bit overflow in either engine.
     */
-  private val P = 2147483647L
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands

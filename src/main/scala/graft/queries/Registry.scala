@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QuerySpec] =
-    Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all
+    Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)
