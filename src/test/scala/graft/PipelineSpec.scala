@@ -1,0 +1,157 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Pipeline semantics the reference gets wrong or leaves implicit:
+  * incremental discovery, schema-drift normalization, month-gate string
+  * compare, and — the §3.2 hazard — crash-between-write-and-ledger reruns
+  * converging to exactly-once output.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val clock =
+    FixedClock(java.time.Instant.parse("2024-03-15T11:00:00Z"))
+
+  /** Write a tiny taxi-like parquet file; `driftDouble` emits
+    * passenger_count as double (TLC vintage drift, SURVEY §1.2).
+    */
+  private def writeTrips(dir: String, name: String, rows: Seq[(Int, Long, Double)],
+      driftDouble: Boolean = false): String = {
+    val schema = StructType(Seq(
+      StructField("VendorID", IntegerType),
+      StructField("tpep_pickup_datetime", TimestampType),
+      StructField("tpep_dropoff_datetime", TimestampType),
+      StructField("passenger_count",
+        if (driftDouble) DoubleType else LongType),
+      StructField("payment_type", LongType),
+      StructField("fare_amount", DoubleType)))
+    val data = rows.map { case (v, pt, fare) =>
+      Row(v,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+        if (driftDouble) 1.0 else 1L,
+        pt, fare)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+    val path = s"$dir/$name"
+    df.write.mode("overwrite").parquet(path)
+    // Spark writes a directory; promote lists the part files inside.
+    path
+  }
+
+  private def freshPipeline(): (ZoneCatalog, ProcessedLog, Promote) = {
+    val cat = ZoneCatalog(tmpDir("graft-pipe"))
+    val log = new ProcessedLog(spark, s"${cat.state}/processed_log", clock)
+    (cat, log, new Promote(spark, cat, log))
+  }
+
+  test("promote: schema drift normalizes to canonical types") {
+    val (cat, _, promote) = freshPipeline()
+    writeTrips(s"${cat.bronze}/nyc_taxi", "a.parquet", Seq((1, 1L, 10.0)))
+    writeTrips(s"${cat.bronze}/nyc_taxi", "b.parquet", Seq((2, 2L, 20.0)),
+      driftDouble = true)
+    promote.run()
+    val silver = promote.readSilver()
+    assert(silver.schema("passenger_count").dataType == LongType)
+    assert(silver.count() == 2)
+  }
+
+  test("promote: incremental — second run processes only new files") {
+    val (cat, log, promote) = freshPipeline()
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m1.parquet", Seq((1, 1L, 10.0)))
+    val first = promote.run()
+    assert(first.nonEmpty)
+    assert(promote.run().isEmpty, "no new files → nothing processed")
+
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m2.parquet", Seq((1, 2L, 30.0)))
+    val second = promote.run()
+    assert(second.forall(_.contains("m2.parquet")))
+    assert(promote.readSilver().count() == 2)
+  }
+
+  test("promote: crash between write and ledger commit does not duplicate") {
+    val (cat, log, promote) = freshPipeline()
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m1.parquet", Seq((1, 1L, 10.0), (1, 2L, 15.0)))
+
+    // Simulate the reference's §3.2 hazard: the silver write succeeds but
+    // the process dies before log.mark — i.e. run the write only.
+    val todo = promote.listBronze()
+    val cleaned = promote.clean(TaxiSchema.read(spark, todo))
+    cleaned
+      .withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(promote.batchId(todo)))
+      .write.mode("overwrite").partitionBy("batch_id", "payment_type")
+      .parquet(promote.silverTable)
+    assert(promote.readSilver().count() == 2)
+
+    // Recovery run: same batch id → overwrites its own partitions.
+    promote.run()
+    assert(promote.readSilver().count() == 2,
+      "rerun after crash must not append duplicates (unlike bronze_to_silver.py:85-89)")
+  }
+
+  test("promote: clean drops invalid rows") {
+    val (cat, _, promote) = freshPipeline()
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m.parquet",
+      Seq((1, 1L, 10.0), (1, 1L, -5.0))) // negative fare dropped
+    promote.run()
+    assert(promote.readSilver().count() == 1)
+  }
+
+  test("month ledger: lexicographic string >= gate (fetch_raw_data.py:135)") {
+    val cat = ZoneCatalog(tmpDir("graft-ledger"))
+    val ledger = new MonthLedger(spark, s"${cat.state}/month_ledger", clock)
+    assert(!ledger.shouldSkip("2024-01"), "empty ledger skips nothing")
+    ledger.markProcessed("2024-01")
+    assert(ledger.shouldSkip("2024-01"), "same month skipped")
+    assert(ledger.shouldSkip("2023-12"), "older month skipped")
+    assert(!ledger.shouldSkip("2024-02"), "newer month processed")
+    assert(ledger.lastProcessed().contains("2024-01"))
+  }
+
+  test("orchestrator: probe window, gate, ingest key layout") {
+    val cat = ZoneCatalog(tmpDir("graft-orch"))
+    val ledger = new MonthLedger(spark, s"${cat.state}/month_ledger", clock)
+    val ingest = new Ingest(cat, clock)
+    val src = tmpDir("graft-src") + "/src.parquet"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src), "x")
+
+    // Clock is 2024-03-15; probe accepts only 2024-01 (2 months back).
+    val orch = new Orchestrator(ingest, ledger)
+    val key = orch.runOnce(_ == "2024-01", _ => src)
+    assert(key.exists(_.endsWith(
+      "nyc_taxi/yellow_taxi_2024-01_20240315_110000.parquet")),
+      s"key layout mismatch: $key")
+    assert(orch.runOnce(_ == "2024-01", _ => src).isEmpty,
+      "second run gated by ledger")
+  }
+
+  test("ingest: archive moves to dated layout (s3_operations.py:68-69)") {
+    val cat = ZoneCatalog(tmpDir("graft-arch"))
+    val ingest = new Ingest(cat, clock)
+    val src = tmpDir("graft-src2") + "/f.parquet"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src), "x")
+    val key = ingest.ingestFile(src, "2024-01")
+    val archived = ingest.archiveFile(key)
+    assert(archived.endsWith("archive/2024/03/15/yellow_taxi_2024-01_20240315_110000.parquet"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(key)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(archived)))
+  }
+
+  test("processed log: latest status wins, errors truncated to 250") {
+    val cat = ZoneCatalog(tmpDir("graft-log"))
+    val log = new ProcessedLog(spark, s"${cat.state}/plog", clock)
+    log.mark(Seq("/a"), ProcessedLog.Failed, Some("x" * 500))
+    val err = log.currentStatus().filter(org.apache.spark.sql.functions
+      .col("path") === "/a").select("error").head().getString(0)
+    assert(err.length == 250)
+    log.mark(Seq("/a"), ProcessedLog.Processed)
+    import spark.implicits._
+    val un = log.unprocessed(Seq("/a", "/b").toDF("path"))
+      .as[String].collect().toSet
+    assert(un == Set("/b"))
+  }
+}
