@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.pipeline.{Promote, ZoneCatalog}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming bronze→silver: the idiomatic Spark replacement for the
+  * reference's whole event plumbing (CloudTrail trail + EventBridge rule +
+  * Glue EVENT trigger + per-file tags, reference terraform/main.tf:524-568,
+  * src/lambda_functions/s3_operations.py:13-38).
+  *
+  * The file source's checkpoint IS the processed-file ledger — each file is
+  * processed exactly once across restarts with no tag RPCs and no
+  * write-vs-mark crash window (the §3.2 hazard disappears: offsets commit
+  * atomically with the sink's transaction log).
+  *
+  * `Trigger.AvailableNow` = the reference's batched EVENT trigger (drain
+  * everything pending, then stop); a processing-time trigger would be the
+  * long-running daemon form.
+  */
+final class StreamingPromote(
+    spark: SparkSession,
+    catalog: ZoneCatalog,
+    checkpoint: String) {
+
+  def bronzePrefix: String = s"${catalog.bronze}/nyc_taxi"
+  def silverTable: String = s"${catalog.silver}/cleaned_stream"
+
+  /** Drain all pending bronze files into silver, exactly once. */
+  def runAvailableNow(maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+      .schema(graft.pipeline.TaxiSchema.schema)
+    val withOpts = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val cleaned = withOpts
+      .parquet(bronzePrefix)
+      .filter(col("payment_type").isNotNull
+        && col("fare_amount") >= 0
+        && col("tpep_pickup_datetime") < col("tpep_dropoff_datetime"))
+    val q = cleaned.writeStream
+      .format("parquet")
+      .option("path", silverTable)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("payment_type")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics: batch-equivalence of watermarked window aggregates
+  * (the validation strategy SURVEY §2.B prescribes, since watermarks have
+  * no DuckDB analog), exactly-once file-source promotion, cross-batch
+  * dedup, and custom keyed state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** The file stream source wants a directory; the fixture is a single
+    * file — stage a copy (this also matches production layout, where
+    * Ingest lands plain files under a prefix).
+    */
+  private lazy val eventsDir: String = {
+    val d = tmpDir("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  /** Run a streaming DF to a memory sink until exhausted; return the table. */
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("tumbling window: streaming append == batch, up to the watermark") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    val got = drain(EventStreams.tumbling(stream, "1 hour", "0 seconds"),
+      "t_tumbling")
+
+    val batchEvents = EventStreams.fromParquetBatch(spark, eventsPath)
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    // Append mode emits only windows closed by the final watermark (= max
+    // event time with a 0 s delay): the trailing open window stays in state.
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .filter(col("window.end") <= lit(maxTs))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ws"), col("event_type"), col("n"),
+        round(col("total_value"), 6).as("tv")).collect().toSet
+    assert(got.count() > 0)
+    assert(canon(got) == canon(expected))
+  }
+
+  test("session window: streaming append == batch, up to the watermark") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    val got = drain(EventStreams.sessions(stream, "30 minutes", "0 seconds"),
+      "t_sessions")
+
+    val batchEvents = EventStreams.fromParquetBatch(spark, eventsPath)
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    val expected = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .filter(col("session_window.end") <= lit(maxTs))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("tv"))
+        .collect().toSet
+    assert(got.count() > 0)
+    assert(canon(got) == canon(expected))
+  }
+
+  test("dropDuplicatesWithinWatermark: cross-batch dedup by event_id") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserState.Event]
+    def ev(id: Long, minute: Int) = UserState.Event(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      7L, "click", 1.0)
+
+    val deduped = EventStreams.dedupWithinWatermark(mem.toDF(), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    mem.addData(ev(1, 0), ev(2, 5))
+    q.processAllAvailable()
+    mem.addData(ev(1, 10), ev(3, 15)) // id=1 again, within the watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"dup survived: $ids")
+  }
+
+  test("mapGroupsWithState: running per-user profiles across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserState.Event]
+    def ev(id: Long, user: Long, v: Double) = UserState.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), user, "x", v)
+
+    val q = UserState.profiles(spark, mem.toDS()).writeStream
+      .format("memory").queryName("t_profiles")
+      .outputMode(UserState.outputMode).start()
+    mem.addData(ev(1, 1, 2.0), ev(2, 1, 3.0), ev(3, 2, 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t_profiles")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n"),
+        max(col("total_value")).as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(last(1L) == ((3L, 15.0)))
+    assert(last(2L) == ((1L, 5.0)))
+  }
+
+  test("streaming promote: checkpoint processes each file exactly once") {
+    import org.apache.spark.sql.{Row, types => T}
+    val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-spromote"))
+    val sp = new StreamingPromote(spark, cat, tmpDir("graft-ckpt"))
+
+    // Production bronze layout is flat parquet FILES (Ingest.ingestFile
+    // copies single objects): stage a Spark write, then move its part file.
+    def writeTrips(name: String, n: Int): Unit = {
+      val rows = (1 to n).map { i =>
+        Row(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+          1L, 0.0, 1L, "N", 1, 1, (i % 3 + 1).toLong,
+          10.0, 0.0, 0.5, 1.0, 0.0, 0.3, 11.8, 2.5, 0.0)
+      }
+      val staging = tmpDir("graft-staging")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        graft.pipeline.TaxiSchema.schema)
+        .write.mode("overwrite").parquet(s"$staging/out")
+      val part = new java.io.File(s"$staging/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"${cat.bronze}/nyc_taxi/$name")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+    }
+
+    writeTrips("f1.parquet", 4)
+    sp.runAvailableNow()
+    assert(spark.read.parquet(sp.silverTable).count() == 4)
+
+    writeTrips("f2.parquet", 3)
+    sp.runAvailableNow() // same checkpoint: f1 must not be reprocessed
+    assert(spark.read.parquet(sp.silverTable).count() == 7,
+      "file-source checkpoint must process each file exactly once")
+  }
+}
