@@ -1,0 +1,166 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (mandated extension): image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode / resize /
+  * frame-sample / feature-extract stages whose Spark-side shape —
+  * schema, partitioning, per-partition batch processing — is real and
+  * tested, while the codec itself is stubbed (no media libraries exist in
+  * this environment).
+  *
+  * ==== STUB BOUNDARY ====
+  * [[MediaCodec.decode]] is a DETERMINISTIC FAKE: it expands bytes into a
+  * float grid instead of invoking a real JPEG/PCM/H.264 decoder. Everything
+  * downstream of it (resize index math, mean-pool features, frame
+  * sampling, batch iteration) is real logic over that grid and would be
+  * unchanged if a real codec were dropped in.
+  *
+  * Scale posture: media rows are processed with `mapPartitions` over a
+  * typed Dataset — one iterator pass per partition (the Scala analog of
+  * mapInPandas batch processing), no per-row task dispatch, no driver
+  * collect; binary payloads stay columnar in parquet and are never
+  * shuffled unless a downstream op asks for it.
+  */
+object Media {
+
+  /** Typed metadata carried beside the opaque payload. */
+  final case class MediaMeta(
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Long, codec: String)
+
+  final case class MediaRow(
+      media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeature(
+      media_id: Long, kind: String, n_bytes: Long, feature: Array[Float])
+
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false))),
+      nullable = false)))
+
+  /** Derive a deterministic media table from the `documents` fixture: the
+    * payload is the document's UTF-8 bytes (a stand-in blob with a stable
+    * hash), kind cycles image/audio/video, metadata is derived from
+    * n_chars. This keeps multimodal tests on driver-provided data.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(
+          (col("n_chars") % 64 + 1).cast("int").as("width"),
+          (col("n_chars") % 48 + 1).cast("int").as("height"),
+          lit(3).as("channels"),
+          lit(16000).as("sample_rate"),
+          (col("n_chars") * 10).cast("long").as("duration_ms"),
+          lit("fake/v1").as("codec")).as("meta"))
+
+  /** Write the media table hive-partitioned by kind — modality-level
+    * partition pruning for downstream readers.
+    */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("kind").parquet(path)
+
+  /** Decode + feature-extract over partitions of a typed Dataset — one
+    * batch pass per partition; buffers are reused across rows within a
+    * partition (allocation is per-partition, not per-row).
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      featureDim: Int = 8): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val pool = new Array[Float](featureDim) // reused per partition
+      rows.map { r =>
+        val grid = MediaCodec.decode(r.content, r.meta)
+        java.util.Arrays.fill(pool, 0.0f)
+        MediaFeature(r.media_id, r.kind, r.content.length.toLong,
+          MediaCodec.meanPool(grid, featureDim, pool).clone())
+      }
+    }
+  }
+}
+
+/** The codec stub + the real post-decode math. */
+object MediaCodec {
+
+  /** ==== STUB ==== Deterministic fake decode: byte i of the payload
+    * becomes float (b & 0xFF)/255 at grid position i, tiled to
+    * width*height*channels. A real implementation would dispatch on
+    * meta.codec to an image/audio/video library; the signature
+    * (bytes + typed meta → float grid) is the real contract.
+    */
+  def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
+    val n = math.max(1, meta.width * meta.height * meta.channels)
+    val out = new Array[Float](n)
+    if (content.isEmpty) return out
+    var i = 0
+    while (i < n) {
+      out(i) = (content(i % content.length) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize on a decoded single-channel-major grid —
+    * real index math, codec-independent.
+    */
+  def resize(grid: Array[Float], w: Int, h: Int, c: Int,
+      newW: Int, newH: Int): Array[Float] = {
+    val out = new Array[Float](newW * newH * c)
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * w / newW
+        var ch = 0
+        while (ch < c) {
+          out((y * newW + x) * c + ch) = grid((sy * w + sx) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Uniform frame sampling: n equally spaced frame indices over a
+    * duration — the video-path contract (offsets into the decoded stream).
+    */
+  def frameOffsets(durationMs: Long, n: Int): Array[Long] =
+    Array.tabulate(n)(i => durationMs * i / math.max(1, n))
+
+  /** Mean-pool a grid into `dim` buckets (into a caller-owned buffer). */
+  def meanPool(grid: Array[Float], dim: Int, buf: Array[Float]): Array[Float] = {
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < grid.length) {
+      val b = i * dim / grid.length
+      buf(b) += grid(i)
+      counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) {
+      if (counts(b) > 0) buf(b) /= counts(b)
+      b += 1
+    }
+    buf
+  }
+}

@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   def all: Seq[QuerySpec] =
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ PipelineQueries.all
+      Similarity.all ++ PipelineQueries.all ++ Multimodal.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

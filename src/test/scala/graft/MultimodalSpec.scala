@@ -1,0 +1,75 @@
+package graft
+
+import graft.multimodal.{Media, MediaCodec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing: schema round-trip, modality partitioning, stub
+  * decode determinism, real resize/frame/pool math, and per-partition
+  * batch processing shape.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("media table: schema, parquet round-trip, partition pruning by kind") {
+    val media = Media.fromDocuments(spark, sfDir)
+    assert(media.schema("content").dataType == BinaryType)
+    assert(media.schema("meta").dataType.isInstanceOf[StructType])
+
+    val out = tmpDir("graft-media")
+    Media.writePartitioned(media, out)
+    // hive layout: one dir per modality
+    val kinds = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(kinds == Set("kind=image", "kind=audio", "kind=video"))
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == media.count())
+    // payload bytes survive the round-trip exactly
+    val origSum = media.agg(sum(length(col("content")))).head().getLong(0)
+    val backSum = back.agg(sum(length(col("content")))).head().getLong(0)
+    assert(origSum == backSum)
+  }
+
+  test("stub decode is deterministic and honors metadata dims") {
+    val meta = Media.MediaMeta(4, 3, 3, 16000, 1000L, "fake/v1")
+    val bytes = "abcdef".getBytes("UTF-8")
+    val g1 = MediaCodec.decode(bytes, meta)
+    val g2 = MediaCodec.decode(bytes, meta)
+    assert(g1.toSeq == g2.toSeq, "decode must be deterministic")
+    assert(g1.length == 4 * 3 * 3)
+    assert(g1.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("resize: nearest-neighbor index math") {
+    // 2x2x1 grid -> 4x4: each source pixel becomes a 2x2 block
+    val grid = Array(1f, 2f, 3f, 4f)
+    val up = MediaCodec.resize(grid, 2, 2, 1, 4, 4)
+    assert(up.length == 16)
+    assert(up(0) == 1f && up(3) == 2f && up(12) == 3f && up(15) == 4f)
+    val down = MediaCodec.resize(up, 4, 4, 1, 2, 2)
+    assert(down.toSeq == grid.toSeq, "resize up then down is identity here")
+  }
+
+  test("frame sampling: uniform offsets") {
+    assert(MediaCodec.frameOffsets(1000L, 4).toSeq == Seq(0L, 250L, 500L, 750L))
+    assert(MediaCodec.frameOffsets(1000L, 1).toSeq == Seq(0L))
+  }
+
+  test("extractFeatures: mapPartitions batch shape and feature contract") {
+    import spark.implicits._
+    val media = Media.fromDocuments(spark, sfDir)
+      .as[Media.MediaRow]
+      .repartition(4) // several partitions -> several batch passes
+    val feats = Media.extractFeatures(spark, media, featureDim = 8)
+    val rows = feats.collect()
+    assert(rows.length == media.count().toInt)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(_.n_bytes > 0))
+    // deterministic across runs (stub decode + pooling are pure)
+    val again = Media.extractFeatures(spark, media, featureDim = 8)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(rows.forall(f => again(f.media_id) == f.feature.toSeq))
+  }
+}
