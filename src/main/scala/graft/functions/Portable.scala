@@ -40,23 +40,40 @@ object Portable {
         (acc, x) -> cast(acc + cast($body as decimal(27,10))
           as decimal(27,10))) as double)"""
 
-  /** Deterministic squared-norm of a float-array column — Spark side. */
-  def nsqSpark(arr: String): String =
-    decSumSpark(arr, "cast(x as double) * cast(x as double)")
+  // ---- quantized vector math ----------------------------------------------
+  //
+  // Embedding reductions use integer quantization instead of decimal sums:
+  // each float maps to round(double(x) * 1000) as a 64-bit int (the
+  // float→double cast is exact; round-half-away-from-zero matches in both
+  // engines), and dots/norms become *integer* sums — exact, associative,
+  // order-independent, and cheap (long adds, not BigDecimal). Cosine is
+  // scale-invariant, so the 1000x factor cancels:
+  //   cos = dot_q / (sqrt(nsq_qa) * sqrt(nsq_qb)).
+  // Overflow headroom: |q| <= ~1e3-scale entries, dims O(1e2) → dots
+  // <= ~1e9, far below 2^63.
 
-  /** Deterministic dot product of two float-array columns — Spark side. */
-  def dotSpark(a: String, b: String): String =
-    decSumSpark(s"zip_with($a, $b, (p, q) -> cast(p as double) * cast(q as double))", "x")
+  /** Quantized int vector from a float-array column — Spark side. */
+  def qvecSpark(arr: String): String =
+    s"transform($arr, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
 
-  /** Deterministic squared-norm — DuckDB side (1-indexed, fixed dims). */
-  def nsqDuck(arr: String, dims: Int): String =
-    s"""CAST(list_sum([CAST(CAST($arr[i] AS DOUBLE)
-        * CAST($arr[i] AS DOUBLE) AS DECIMAL(27,10))
-      for i in range(1, ${dims + 1})]) AS DOUBLE)"""
+  /** Quantized int vector — DuckDB side (1-indexed, fixed dims). */
+  def qvecDuck(arr: String, dims: Int): String =
+    s"""[CAST(round(CAST($arr[i] AS DOUBLE) * 1000, 0) AS BIGINT)
+      for i in range(1, ${dims + 1})]"""
 
-  /** Deterministic dot product — DuckDB side (1-indexed, fixed dims). */
-  def dotDuck(a: String, b: String, dims: Int): String =
-    s"""CAST(list_sum([CAST(CAST($a[i] AS DOUBLE)
-        * CAST($b[i] AS DOUBLE) AS DECIMAL(27,10))
-      for i in range(1, ${dims + 1})]) AS DOUBLE)"""
+  /** Exact squared norm of a quantized vector — Spark side. */
+  def qnsqSpark(q: String): String =
+    s"aggregate($q, 0L, (a, v) -> a + v * v)"
+
+  /** Exact dot of two quantized vectors — Spark side. */
+  def qdotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0L, (a, v) -> a + v)"
+
+  /** Exact squared norm — DuckDB side. */
+  def qnsqDuck(q: String, dims: Int): String =
+    s"CAST(list_sum([$q[i] * $q[i] for i in range(1, ${dims + 1})]) AS BIGINT)"
+
+  /** Exact dot — DuckDB side. */
+  def qdotDuck(a: String, b: String, dims: Int): String =
+    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${dims + 1})]) AS BIGINT)"
 }

