@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed custom aggregation (SURVEY §2.B "UDF/UDAF/UDTF" row): an
+  * `Aggregator[IN, BUF, OUT]` registered through `functions.udaf` — the
+  * idiomatic Spark shape for custom aggregates (partial aggregation and
+  * codegen'd shuffle both apply; a row-at-a-time UDF cannot partial-agg).
+  *
+  * Determinism contract, same as [[Exact]]: inputs are rounded onto a
+  * 1e-4 grid as 64-bit integers inside `reduce`, so `merge` is exact
+  * integer addition — associative and commutative, hence identical across
+  * any partitioning, and mirrorable in the DuckDB oracle as
+  * SUM(CAST(ROUND(x*10000, 0) AS BIGINT)). Positive-domain note: grid
+  * rounding uses round-half-away-from-zero on the positive inputs here,
+  * matching both engines' ROUND.
+  */
+object Aggregators {
+
+  /** Weighted average: (Σ round(x*w*1e4)) / (Σ round(w*1e4)). */
+  object WeightedAvg
+      extends Aggregator[(Double, Double), (Long, Long), Double] {
+
+    private def grid(v: Double): Long = math.round(v * 1e4)
+
+    def zero: (Long, Long) = (0L, 0L)
+
+    def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
+      val (x, w) = in
+      (b._1 + grid(x * w), b._2 + grid(w))
+    }
+
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+
+    def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) Double.NaN else b._1.toDouble / b._2.toDouble
+
+    def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** DuckDB SQL mirroring [[WeightedAvg]]. */
+  def sqlWeightedAvg(x: String, w: String): String =
+    s"""(CAST(SUM(CAST(ROUND(($x) * ($w) * 10000, 0) AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(ROUND(($w) * 10000, 0) AS BIGINT)) AS DOUBLE))"""
+}

@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   def all: Seq[QuerySpec] =
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ PipelineQueries.all ++ Multimodal.all
+      Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
+      Sources.all ++ Sql.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

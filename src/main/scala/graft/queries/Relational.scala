@@ -465,6 +465,29 @@ object Relational {
           .filter(col("rn") === 1)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
+      }),
+
+    // ---- full outer join (unmatched rows survive on BOTH sides) -----------
+    QuerySpec(
+      "q29_full_outer",
+      Some("""WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1),
+        s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1)
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk"""),
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, d, "supplier")
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
       })
   )
 }
