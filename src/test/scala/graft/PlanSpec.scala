@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that decide whether these
+  * queries survive a 100x scale-up — filter pushdown into the parquet
+  * scan, column pruning, broadcast vs shuffle join selection, partial
+  * aggregation, and the absence of nested-loop joins. Locking them into
+  * tests means a plan regression fails CI instead of melting a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.byName(name).run(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      "range predicate must reach the scan:\n" + p)
+    assert(p.contains("GreaterThan(l_discount,0.02)"), p)
+  }
+
+  test("q02: unused columns are pruned from the scan") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator
+      .find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_tax"),
+      "l_tax is not referenced and must be pruned:\n" + readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03: dimension joins are broadcast hash joins") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "nation/region lookups must not shuffle the fact side:\n" + p)
+  }
+
+  test("q04: fact-fact join is an equi join, never nested-loop") {
+    val p = plan("q04_join_shuffle")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"expected partial+final HashAggregate, saw $hashAggs:\n" + p)
+    assert(p.contains("partial_sum"),
+      "map-side combine must appear in the aggregate functions:\n" + p)
+  }
+
+  test("q25: range join stays an equi join with residual predicate") {
+    val p = plan("q25_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride the custkey equi join, not a cross product:\n" + p)
+  }
+
+  test("q45: query set is broadcast against the corpus") {
+    val p = plan("q45_cosine_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q08: window is partitioned (no single-partition global sort)") {
+    val p = plan("q08_window_rank")
+    assert(p.contains("Window"), p)
+    // partitionBy o_custkey must appear in the window spec
+    assert(p.contains("o_custkey"), p)
+  }
+}
