@@ -29,6 +29,7 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName("graft")
+      .withExtensions(new graft.expressions.GraftExtensions())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

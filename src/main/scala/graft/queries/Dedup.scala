@@ -332,7 +332,8 @@ object Dedup {
         WHERE CAST(${graft.functions.Portable.qdotDuck("a.qv", "b.qv", 64)} AS DOUBLE)
             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4"""),
       (s, d) => {
-        import graft.functions.Portable.{qvecSpark, qnsqSpark, qdotSpark}
+        import graft.functions.Portable.{qvecSpark, qnsqSpark}
+        graft.expressions.GraftExtensions.ensureRegistered(s)
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             expr(qvecSpark("embedding")).as("qv"))
@@ -345,10 +346,7 @@ object Dedup {
           col("qv").as("qv_b"), col("nsq").as("nsq_b"))
         a.join(b, col("label") === col("label_b")
             && col("vec_a") < col("vec_b"))
-          .withColumn("cosine",
-            expr(s"cast(${qdotSpark("qv_a", "qv_b")} as double)")
-              / (sqrt(col("nsq_a").cast("double"))
-                * sqrt(col("nsq_b").cast("double"))))
+          .withColumn("cosine", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
           .filter(col("cosine") >= 0.4)
           .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
       })

@@ -75,6 +75,7 @@ object Similarity {
     */
   private def quantized(s: SparkSession, d: String,
       withSig: Boolean): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
     val base = t(s, d, "embeddings")
       .select(col("vec_id"), expr(qvecSpark("embedding")).as("qv"))
       .withColumn("nsq", expr(qnsqSpark("qv")))
@@ -86,9 +87,11 @@ object Similarity {
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${qnsqDuck("qv", Dims)} AS nsq FROM e)"""
 
+  /** Fused native expression (graft.expressions.QCosine): one codegen'd
+    * loop, same exact integer semantics as the Portable.qdot formulation.
+    */
   private def cosineCol: org.apache.spark.sql.Column =
-    expr(s"cast(${qdotSpark("q_qv", "qv")} as double)") /
-      (sqrt(col("q_nsq").cast("double")) * sqrt(col("nsq").cast("double")))
+    expr("qcosine(q_qv, qv, q_nsq, nsq)")
 
   /** Exact cosine + per-query top-k over a pair frame with columns
     * q_id/q_qv/q_nsq/vec_id/qv/nsq.
