@@ -49,36 +49,35 @@ object Dedup {
   }
 
   // ---- shingling ----------------------------------------------------------
+  //
+  // Shingles are materialized as HASH SETS (array<bigint>), never as
+  // string arrays: the 60-bit portable hash is computed once per shingle
+  // at shingling time, and every downstream join key, band bucket, and
+  // set intersection operates on longs — string payloads are never
+  // shuffled or re-hashed. Hash collisions (~260k shingles vs 2^60) are
+  // negligible, and the oracle hashes identically, so candidate sets and
+  // Jaccard values still match exactly.
 
-  /** Word 3-gram shingle set. Spark arrays are 0-indexed. */
+  /** Word 3-gram shingle hash set. Spark arrays are 0-indexed. */
   private val shinglesSpark =
     "array_distinct(transform(sequence(0, size(toks)-3), " +
-      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+      s"i -> ${h64Spark("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")}))"
 
   /** DuckDB mirror (1-indexed lists; range(a,b) = [a, b)). */
   private val shinglesDuck =
-    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+    s"list_distinct([${h64Duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} " +
       "for i in range(1, len(toks)-1)])"
 
-  /** Minhash k over a precomputed base-hash array column `hs` — the
-    * md5-derived base hash is computed ONCE per shingle (see q41: a 16x
-    * md5 saving vs hashing inside every permutation), and each permutation
-    * is pure integer arithmetic over it.
-    */
+  /** Minhash k over the shingle hash set: pure integer arithmetic. */
   private def minhashSpark(k: Int): String = {
     val (a, b) = perms(k)
-    s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % $P))"
+    s"array_min(transform(shingles, h -> (${a}L * (h % $P) + ${b}L) % $P))"
   }
 
   private def minhashDuck(k: Int): String = {
     val (a, b) = perms(k)
-    s"list_min([($a * h + $b) % $P for h in hs])"
+    s"list_min([($a * (h % $P) + $b) % $P for h in shingles])"
   }
-
-  private val baseHashSpark =
-    s"transform(shingles, s -> ${h64Spark("s")} % $P)"
-  private val baseHashDuck =
-    s"[${h64Duck("s")} % $P for s in shingles]"
 
   /** Band key j = md5 of its RowsPerBand minhash values. */
   private def bandKeySpark(j: Int): String = {
@@ -93,13 +92,22 @@ object Dedup {
     s"md5(concat_ws(',', $cols))"
   }
 
-  private val jaccardSpark =
-    "cast(size(array_intersect(sh_a, sh_b)) as double) / " +
-      "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
-
-  private val jaccardDuck =
-    "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / " +
-      "(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+  /** Exact-verify tail shared by the near-dup oracles: length prefilter
+    * (J >= t forces min(|a|,|b|) >= t * max(|a|,|b|) — a necessary
+    * condition, so filtering on it loses nothing), then ONE set
+    * intersection per surviving pair. `pairsCte` must expose
+    * doc_a/doc_b/sh_a/sh_b.
+    */
+  private def verifyDuck(threshold: Double): String =
+    s"""sized AS (SELECT doc_a, doc_b, sh_a, sh_b,
+          len(sh_a) AS la, len(sh_b) AS lb FROM pairs
+        WHERE least(len(sh_a), len(sh_b))
+          >= $threshold * greatest(len(sh_a), len(sh_b))),
+      inter AS (SELECT doc_a, doc_b, la, lb,
+          len(list_intersect(sh_a, sh_b)) AS i FROM sized)
+      SELECT doc_a, doc_b,
+        CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+      FROM inter WHERE CAST(i AS DOUBLE) / (la + lb - i) >= $threshold"""
 
   /** documents → (doc_id, shingles) with the token/shingle prep shared by
     * the near-dup queries.
@@ -125,7 +133,15 @@ object Dedup {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard", expr(jaccardSpark))
+      .withColumn("la", size(col("sh_a")))
+      .withColumn("lb", size(col("sh_b")))
+      // length prefilter: necessary for J >= t, so exactness is preserved
+      // while most candidates skip the O(|a|+|b|) intersection entirely
+      .filter(least(col("la"), col("lb"))
+        >= lit(threshold) * greatest(col("la"), col("lb")))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("la") + col("lb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -164,8 +180,7 @@ object Dedup {
         val bkCase = (0 until Bands - 1)
           .map(j => s"WHEN $j THEN bk$j").mkString(" ")
         Some(s"""WITH $shingledDuckCte,
-          hsh AS (SELECT doc_id, $baseHashDuck AS hs FROM sh),
-          mh AS (SELECT doc_id, $mhs FROM hsh),
+          mh AS (SELECT doc_id, $mhs FROM sh),
           bands AS (SELECT doc_id, $bks FROM mh),
           bl AS (SELECT doc_id, j,
               CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
@@ -176,17 +191,15 @@ object Dedup {
           pairs AS (SELECT doc_a, doc_b,
               x.shingles AS sh_a, y.shingles AS sh_b
             FROM cand JOIN sh x ON x.doc_id = doc_a
-                      JOIN sh y ON y.doc_id = doc_b)
-          SELECT doc_a, doc_b, $jaccardDuck AS jaccard
-          FROM pairs WHERE $jaccardDuck >= 0.8""")
+                      JOIN sh y ON y.doc_id = doc_b),
+          ${verifyDuck(0.8)}""")
       },
       (s, d) => {
         // Cached: the shingle table feeds the minhash branch AND both
         // sides of the verify join — without it the md5-heavy shingling
         // subtree is recomputed three times.
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
-        val hsh = sh.withColumn("hs", expr(baseHashSpark))
-        val mh = (0 until NumHashes).foldLeft(hsh) { (df, k) =>
+        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
           df.withColumn(s"mh$k", expr(minhashSpark(k)))
         }
         val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
@@ -284,21 +297,20 @@ object Dedup {
       "q43_ngram_jaccard",
       Some(s"""WITH $shingledDuckCte,
         inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        samp AS (SELECT doc_id, s FROM inv WHERE ${h64Duck("s")} % 8 = 0),
+        samp AS (SELECT doc_id, s FROM inv WHERE s % 8 = 0),
         rare AS (SELECT s FROM samp GROUP BY s HAVING COUNT(*) <= 20),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM samp a JOIN samp b ON a.s = b.s AND a.doc_id < b.doc_id
           WHERE a.s IN (SELECT s FROM rare)),
         pairs AS (SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
           FROM cand JOIN sh x ON x.doc_id = doc_a
-                    JOIN sh y ON y.doc_id = doc_b)
-        SELECT doc_a, doc_b, $jaccardDuck AS jaccard
-        FROM pairs WHERE $jaccardDuck >= 0.7"""),
+                    JOIN sh y ON y.doc_id = doc_b),
+        ${verifyDuck(0.7)}"""),
       (s, d) => {
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
         val samp = sh.select(col("doc_id"),
             explode(col("shingles")).as("s"))
-          .filter(expr(s"${h64Spark("s")} % 8 = 0"))
+          .filter(col("s") % 8 === 0)
         val rare = samp.groupBy(col("s")).count()
           .filter(col("count") <= 20).select(col("s"))
         val rareInv = samp.join(rare, "s")
