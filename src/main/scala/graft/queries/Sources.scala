@@ -67,6 +67,32 @@ object Sources {
         s.read.schema(schema).json(out)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      }),
+
+    // ---- multi-file parquet scan (reference op #1) -------------------------
+    // The reference's only real data-plane operator: N bronze files read as
+    // one frame (spark.read.parquet(paths: _*), reference
+    // src/glue_scripts/bronze_to_silver.py:44-45). Split the fixture three
+    // ways, scan the splits as one table, and prove the union is lossless
+    // against the unsplit source.
+    QuerySpec(
+      "q54_multifile_scan",
+      Some(s"""SELECT l_linestatus, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_linestatus"""),
+      (s: SparkSession, d: String) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-multi").toString
+        val li = Tables.load(s, d, "lineitem")
+        val paths = (0 until 3).map { i =>
+          val p = s"$base/part$i"
+          li.filter(col("l_orderkey") % 3 === i)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        s.read.parquet(paths: _*)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       })
   )
 }
