@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.Exact
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck algebraic laws (SURVEY §5): dedup idempotence, multi-file
+  * union commutativity, partition-layout invariance of exact sums, and
+  * parquet round-trip fidelity — each over arbitrary generated inputs,
+  * not fixtures.
+  */
+object LawsCheck extends Properties("graft.laws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case spins Spark jobs; keep it tight
+
+  private lazy val spark = GraftSession.local()
+  import spark.implicits._
+
+  private val rows: Gen[List[(Int, Int)]] =
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 3)))
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  property("dropDuplicates is idempotent") = Prop.forAll(rows) { xs =>
+    val df = xs.toDF("k", "v")
+    val once = df.dropDuplicates("k", "v")
+    multiset(once.dropDuplicates("k", "v")) == multiset(once)
+  }
+
+  property("multi-file scan is union-commutative") = Prop.forAll(rows) { xs =>
+    val (l, r) = xs.splitAt(xs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("laws-union").toString
+    l.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/a")
+    r.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/b")
+    val ab = spark.read.parquet(s"$dir/a", s"$dir/b")
+    val ba = spark.read.parquet(s"$dir/b", s"$dir/a")
+    multiset(ab) == multiset(ba)
+  }
+
+  property("dsum is partition-layout invariant") =
+    Prop.forAll(Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6)),
+        Gen.chooseNum(1, 24)) { (xs, parts) =>
+      val df = xs.toDF("x")
+      def total(p: Int) = df.repartition(p)
+        .agg(Exact.dsum(col("x"))).head().getDouble(0)
+      total(1) == total(parts)
+    }
+
+  property("parquet round-trip preserves the row multiset") =
+    Prop.forAll(rows) { xs =>
+      val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString
+      val df = xs.toDF("k", "v")
+      df.write.mode("overwrite").parquet(s"$dir/t")
+      multiset(spark.read.parquet(s"$dir/t")) == multiset(df)
+    }
+}

@@ -101,6 +101,23 @@ class PipelineSpec extends SparkSpec {
     assert(promote.readSilver().count() == 1)
   }
 
+  test("gold: summaries build from silver and rebuild idempotently") {
+    val (cat, _, promote) = freshPipeline()
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m.parquet",
+      Seq((1, 1L, 10.0), (1, 1L, 20.0), (1, 2L, 5.0)))
+    promote.run()
+    val gold = new Gold(spark, cat)
+    val rev = gold.buildRevenueSummary()
+    // rollup: (pt, month) rows + per-pt subtotals + grand total
+    val grand = rev.filter(org.apache.spark.sql.functions.col("payment_type")
+      .isNull).select("total_fare").head().getDouble(0)
+    assert(grand == 35.0)
+    val revCount = rev.count() // materialize before overwrite invalidates it
+    assert(gold.buildZoneSummary().count() == 1)
+    // idempotent rebuild (full overwrite)
+    assert(gold.buildRevenueSummary().count() == revCount)
+  }
+
   test("month ledger: lexicographic string >= gate (fetch_raw_data.py:135)") {
     val cat = ZoneCatalog(tmpDir("graft-ledger"))
     val ledger = new MonthLedger(spark, s"${cat.state}/month_ledger", clock)
