@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Layout operators: bucketed joins must eliminate the shuffle entirely
+  * (asserted on the physical plan), salted joins must be result-identical
+  * to plain joins while spreading hot keys.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join with no Exchange in the plan") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      Layout.writeBucketed(orders.withColumnRenamed("o_orderkey", "key"),
+        "b_orders", "key", 8)
+      Layout.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "key"),
+        "b_lineitem", "key", 8)
+
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "same-bucket equi-join must be shuffle-free:\n" + plan)
+
+      // and the result matches the plain (shuffled) join
+      val expected = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L << 20).toString)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 90% of the big side hits one key — the classic skew shape.
+    val big = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i % 7 else 1L, i.toLong)).toDF("key", "payload")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e"), (5L, "f"), (6L, "g")).toDF("key", "name")
+
+    val plain = big.join(small, "key")
+    val salted = Layout.saltedJoin(big, small, "key", "payload", 8)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "payload", "name").collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(canon(salted) == canon(plain))
+
+    // the hot key's rows really do spread across salt values
+    val spread = big.withColumn("__salt",
+        pmod(hash(col("payload")), lit(8)))
+      .filter(col("key") === 1L)
+      .select("__salt").distinct().count()
+    assert(spread > 1, "hot key must occupy multiple salt partitions")
+  }
+}
