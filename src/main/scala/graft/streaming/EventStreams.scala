@@ -86,4 +86,26 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same user within `[0, window]` after it. Watermarks on both
+    * sides + the time-range condition bound the join state (Spark evicts
+    * rows older than watermark+window) — the property that keeps a
+    * stream-stream join runnable forever at 100 TB/day.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String, window: String): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_id").as("r_id"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user")
+        && col("r_ts") >= col("l_ts")
+        && col("r_ts") < col("l_ts") + expr(s"INTERVAL $window")
+        && col("l_id") =!= col("r_id"))
+  }
 }

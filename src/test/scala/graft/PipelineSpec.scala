@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
     assert(promote.readSilver().count() == 1)
   }
 
+  test("promote: failure marks files Failed and rethrows") {
+    val (cat, log, promote) = freshPipeline()
+    // a corrupt "parquet" file → TaxiSchema.read throws
+    val dir = java.nio.file.Paths.get(s"${cat.bronze}/nyc_taxi")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("bad.parquet"), "not parquet")
+    intercept[Exception](promote.run())
+    val status = log.currentStatus()
+      .select("status").head().getString(0)
+    assert(status == ProcessedLog.Failed)
+    // the failed file stays discoverable for retry
+    import spark.implicits._
+    assert(log.unprocessed(promote.listBronze().toDF("path")).count() == 1)
+  }
+
   test("gold: summaries build from silver and rebuild idempotently") {
     val (cat, _, promote) = freshPipeline()
     writeTrips(s"${cat.bronze}/nyc_taxi", "m.parquet",

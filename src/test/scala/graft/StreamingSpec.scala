@@ -80,6 +80,46 @@ class StreamingSpec extends SparkSpec {
     assert(canon(got) == canon(expected))
   }
 
+  test("sliding window: streaming append == batch, up to the watermark") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    val got = drain(
+      EventStreams.sliding(stream, "1 hour", "30 minutes", "0 seconds"),
+      "t_sliding")
+    val batchEvents = EventStreams.fromParquetBatch(spark, eventsPath)
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") <= lit(maxTs))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ws"), col("event_type"), col("n")).collect().toSet
+    assert(got.count() > 0)
+    assert(canon(got) == canon(expected))
+  }
+
+  test("stream-stream interval join: bounded state, batch-equivalent result") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserState.Event]
+    def ev(id: Long, user: Long, minute: Int) = UserState.Event(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      user, "click", minute.toDouble)
+
+    val joined = EventStreams.intervalJoin(mem.toDF(), mem.toDF(),
+      "10 minutes", "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("t_interval")
+      .outputMode("append").start()
+    mem.addData(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 20), ev(4, 9, 5))
+    q.processAllAvailable()
+    q.stop()
+    // pairs (l,r) same user, 0 <= r-l < 15min, l != r:
+    // (1,2): 10min ok; (2,3): 10min ok; (1,3): 20min too far; user 9 alone.
+    val pairs = spark.table("t_interval")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"got $pairs")
+  }
+
   test("dropDuplicatesWithinWatermark: cross-batch dedup by event_id") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
