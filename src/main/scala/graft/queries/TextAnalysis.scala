@@ -156,6 +156,32 @@ object TextAnalysis {
           expr("aggregate(split(lower(text), ' '), '', " +
             "(acc, x) -> md5(concat(acc, x)))").as("fp_rolling"))),
 
+    // ---- array scalar functions over token arrays --------------------------
+    QuerySpec(
+      "q35_array_fns",
+      Some("""SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS INT) AS n_toks,
+        list_contains(string_split(lower(text), ' '), 'data') AS has_data,
+        CAST(list_position(string_split(lower(text), ' '), 'data') AS INT)
+          AS data_pos,
+        string_split(lower(text), ' ')[2:4] AS toks_2_4,
+        list_sort(list_distinct(string_split(lower(text), ' ')))[1]
+          AS first_sorted,
+        array_to_string(string_split(lower(text), ' ')[1:3], '|') AS head3
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_toks"),
+            array_contains(col("toks"), "data").as("has_data"),
+            array_position(col("toks"), "data").cast("int").as("data_pos"),
+            slice(col("toks"), 2, 3).as("toks_2_4"),
+            element_at(array_sort(array_distinct(col("toks"))), 1)
+              .as("first_sorted"),
+            array_join(slice(col("toks"), 1, 3), "|").as("head3"))),
+
     // ---- term stats: explode + aggregate + top-k terms per language --------
     QuerySpec(
       "q34_term_stats",
