@@ -30,15 +30,61 @@ object Sql {
       ORDER BY revenue DESC, o_orderkey
       LIMIT 10"""
 
+  /** TPC-H Q5-shaped: six-way join with regional filter. */
+  private val q5Sql =
+    s"""SELECT n_name,
+        ${sqlDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name"""
+
+  /** TPC-H Q10-shaped: returned-item revenue per customer, top 20. */
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name,
+        ${sqlDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
+        n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND l_returnflag = 'R'
+        AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""
+
+  /** TPC-H Q12-shaped: CASE-aggregated shipping priority by status. */
+  private val q12Sql =
+    """SELECT l_linestatus,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+              OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+          AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+              AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+          AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_linestatus"""
+
+  private def passthrough(name: String, sql: String): QuerySpec =
+    QuerySpec(name, Some(sql), (s: SparkSession, d: String) => {
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    })
+
   val all: Seq[QuerySpec] = Seq(
 
-    QuerySpec(
-      "q90_sql_passthrough",
-      Some(q3Sql),
-      (s: SparkSession, d: String) => {
-        Tables.registerAll(s, d)
-        s.sql(q3Sql)
-      }),
+    passthrough("q90_sql_passthrough", q3Sql),
+    passthrough("q92_sql_q5_shape", q5Sql),
+    passthrough("q93_sql_q10_shape", q10Sql),
+    passthrough("q94_sql_q12_shape", q12Sql),
 
     // ---- explicit GROUPING SETS (beyond rollup/cube) -----------------------
     QuerySpec(

@@ -182,6 +182,27 @@ object TextAnalysis {
               .as("first_sorted"),
             array_join(slice(col("toks"), 1, 3), "|").as("head3"))),
 
+    // ---- map type: token-count maps (rows-only: DuckDB MAP vs Spark map
+    //      parquet representations don't hash-compare) ------------------------
+    QuerySpec(
+      "q36_map_fns",
+      None,
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .select(col("doc_id"),
+            expr("""map_from_entries(transform(
+                array_distinct(toks),
+                t -> struct(t AS key, size(filter(toks, x -> x = t)) AS value)))
+              """).as("tok_counts"))
+          .select(
+            col("doc_id"),
+            size(col("tok_counts")).as("n_keys"),
+            element_at(col("tok_counts"), "data").as("data_count"),
+            expr("cardinality(map_filter(tok_counts, (k, v) -> v >= 3))")
+              .as("n_frequent"),
+            expr("array_max(map_values(tok_counts))").as("max_count"))),
+
     // ---- term stats: explode + aggregate + top-k terms per language --------
     QuerySpec(
       "q34_term_stats",

@@ -200,4 +200,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sp.silverTable).count() == 7,
       "file-source checkpoint must process each file exactly once")
   }
+
+  test("streaming promote: maxFilesPerTrigger batches files (debounce analog)") {
+    import org.apache.spark.sql.Row
+    val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-sbatch"))
+    val ckpt = tmpDir("graft-sbatch-ckpt")
+    val sp = new StreamingPromote(spark, cat, ckpt)
+    def oneTrip(name: String): Unit = {
+      val staging = tmpDir("graft-sbatch-stage")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+          1L, 0.0, 1L, "N", 1, 1, 1L,
+          10.0, 0.0, 0.5, 1.0, 0.0, 0.3, 11.8, 2.5, 0.0)), 1),
+        graft.pipeline.TaxiSchema.schema)
+        .write.mode("overwrite").parquet(s"$staging/out")
+      val part = new java.io.File(s"$staging/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"${cat.bronze}/nyc_taxi/$name")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+    }
+    oneTrip("a.parquet"); oneTrip("b.parquet"); oneTrip("c.parquet")
+    sp.runAvailableNow(maxFilesPerTrigger = Some(1))
+    assert(spark.read.parquet(sp.silverTable).count() == 3)
+    // one committed offset file per micro-batch → 3 batches of 1 file
+    val batches = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches == 3, s"expected 3 one-file micro-batches, got $batches")
+  }
 }
