@@ -172,6 +172,52 @@ object Similarity {
         topkCosine(cand
           .join(e, "vec_id")
           .join(broadcast(qe), "q_id"))
+      }),
+
+    // ---- ANN: IVF (k-means coarse quantizer) + probed exact re-rank --------
+    // The other scale path the extension mandates: partition the corpus by
+    // nearest centroid (seeded k-means — deterministic per Spark version
+    // but not mirrorable in SQL, hence rows-only), probe each query's 2
+    // nearest centroids, re-rank exactly inside the probed cells. At
+    // 100 TB the corpus is written partitioned by cell, so a probe reads
+    // ~2/k of the data (partition pruning), vs the LSH variant's
+    // band-bucket shuffle.
+    QuerySpec(
+      "q47_ann_ivf",
+      None,
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = quantized(s, d, withSig = false)
+        val feat = t(s, d, "embeddings")
+          .select(col("vec_id"), array_to_vector(col("embedding"))
+            .as("features"))
+        val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+          .fit(feat)
+        val assigned = model.transform(feat)
+          .select(col("vec_id"), col("prediction").as("cell"))
+        val corpus = e.join(assigned, "vec_id").cache()
+        // Probe list: 2 nearest centroids per query vector. The query set
+        // is tiny and fixed, so probe selection is driver-side — it is
+        // part of planning the query, not data processing.
+        import s.implicits._
+        val centroids = model.clusterCenters.zipWithIndex
+        val probes = feat.filter(col("vec_id") < NumQueries).collect()
+          .flatMap { r =>
+            val qid = r.getLong(0)
+            val v = r.getAs[org.apache.spark.ml.linalg.Vector](1)
+            centroids
+              .map { case (c, i) =>
+                (i, org.apache.spark.ml.linalg.Vectors.sqdist(v, c))
+              }
+              .sortBy(_._2).take(2).map { case (i, _) => (qid, i) }
+          }.toSeq.toDF("q_id", "cell")
+        val qe = corpus.select(col("vec_id").as("q_id"),
+          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+        val cand = corpus.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("qv"), col("nsq"))
+        topkCosine(cand.join(broadcast(qe), "q_id"))
       })
   )
 }
