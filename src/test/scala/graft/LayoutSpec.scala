@@ -38,6 +38,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("sortWithinPartitions orders locally without a shuffle") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartition(4, col("l_returnflag"))
+    val sorted = li.sortWithinPartitions(col("l_extendedprice"))
+    assert(!sorted.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning"),
+      "local sort must not add a range-shuffle")
+    assert(sorted.rdd.getNumPartitions == 4)
+    // each partition is internally ordered
+    val ok = sorted.select("l_extendedprice").rdd
+      .mapPartitions { it =>
+        val xs = it.map(_.getDouble(0)).toSeq
+        Iterator(xs == xs.sorted)
+      }.collect()
+    assert(ok.forall(identity))
+  }
+
+  test("repartitionByRange produces range-disjoint partitions") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartitionByRange(4, col("l_extendedprice"))
+    val ranges = li.select("l_extendedprice").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val xs = it.map(_.getDouble(0)).toSeq
+        if (xs.isEmpty) Iterator.empty
+        else Iterator((i, xs.min, xs.max))
+      }.collect().sortBy(_._1)
+    assert(ranges.nonEmpty)
+    // partition i's max <= partition i+1's min
+    assert(ranges.sliding(2).forall {
+      case Array((_, _, hi), (_, lo, _)) => hi <= lo
+      case _ => true
+    })
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one key — the classic skew shape.
