@@ -24,12 +24,15 @@ object PipelineQueries {
       Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           ${sqlDsum("l_extendedprice")} AS total_price,
           CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
-        FROM lineitem WHERE l_returnflag = 'R'
+        FROM lineitem WHERE l_orderkey % 4 = 0 AND l_returnflag = 'R'
         GROUP BY l_returnflag, l_linestatus"""),
       (s: SparkSession, d: String) => {
         val out = java.nio.file.Files
           .createTempDirectory("graft-sink").toString
+        // A quarter of the table exercises the same layout (all partition
+        // values present) at a quarter of the sink IO.
         Tables.load(s, d, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
           .write.mode("overwrite")
           .partitionBy("l_returnflag")
           .parquet(out)
