@@ -156,13 +156,17 @@ object Relational {
       }),
 
     // ---- left-anti join (NOT EXISTS) ---------------------------------------
+    // The right side is predicate-filtered so the result is non-vacuous on
+    // the dense fixtures (every customer has *some* order, but many have no
+    // urgent one) — a 0-row anti-join would pass the oracle trivially.
     QuerySpec(
       "q07_join_anti",
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""),
       (s, d) => {
         val c = t(s, d, "customer")
-        val o = t(s, d, "orders")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       }),
