@@ -28,6 +28,9 @@ object Main {
     val catalog = ZoneCatalog(args(1))
     val spark = GraftSession.local()
     try cmd match {
+      case "ingest" if args.length != 4 =>
+        System.err.println("usage: graft.Main ingest <root> <sourceFile> <yyyy-MM>")
+        sys.exit(2)
       case "ingest" =>
         val Array(_, _, source, ym) = args
         val ledger = new MonthLedger(spark,

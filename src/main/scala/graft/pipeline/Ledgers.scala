@@ -20,8 +20,7 @@ import org.apache.spark.sql.functions._
   */
 final class MonthLedger(spark: SparkSession, path: String, clock: Clock) {
 
-  private def exists: Boolean =
-    new java.io.File(path).exists() || path.contains("://")
+  private def exists: Boolean = Ledgers.pathExists(spark, path)
 
   def lastProcessed(): Option[String] = {
     if (!exists) return None
@@ -38,10 +37,34 @@ final class MonthLedger(spark: SparkSession, path: String, clock: Clock) {
 
   def markProcessed(yearMonth: String): Unit = {
     import spark.implicits._
-    Seq((yearMonth, clock.now().toString))
+    Seq((yearMonth, Ledgers.stamp(clock)))
       .toDF("year_month", "updated_at")
       .write.mode(SaveMode.Append).parquet(path)
   }
+}
+
+object Ledgers {
+
+  /** Path existence via the Hadoop FS of the path's own scheme, so a fresh
+    * object-store deployment correctly reads as "no ledger yet" instead of
+    * failing the first parquet read.
+    */
+  private[pipeline] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fixed-width UTC timestamp (millisecond precision) — Instant.toString
+    * varies fractional digits, which breaks the lexicographic==chronological
+    * property the ledgers' latest-wins ordering relies on.
+    */
+  private[pipeline] val stampFmt =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSX")
+      .withZone(java.time.ZoneOffset.UTC)
+
+  private[pipeline] def stamp(clock: Clock): String =
+    stampFmt.format(clock.now())
 }
 
 /** Per-file processing log.
@@ -60,8 +83,7 @@ final class MonthLedger(spark: SparkSession, path: String, clock: Clock) {
 final class ProcessedLog(spark: SparkSession, path: String, clock: Clock) {
   import ProcessedLog._
 
-  private def exists: Boolean =
-    new java.io.File(path).exists() || path.contains("://")
+  private def exists: Boolean = Ledgers.pathExists(spark, path)
 
   def read(): DataFrame =
     if (exists) spark.read.parquet(path)
@@ -95,7 +117,7 @@ final class ProcessedLog(spark: SparkSession, path: String, clock: Clock) {
   def mark(paths: Seq[String], status: String,
       error: Option[String] = None): Unit = {
     import spark.implicits._
-    val at = clock.now().toString
+    val at = Ledgers.stamp(clock)
     paths.map(p => (p, status, at, error.map(_.take(250)).orNull))
       .toDF("path", "status", "logged_at", "error")
       .write.mode(SaveMode.Append).parquet(path)

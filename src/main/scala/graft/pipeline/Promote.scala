@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The reference appends to silver and only afterwards tags each input file
   * Processed; a crash between the write (line 85) and the tagging (line 89)
   * reprocesses every file next trigger and appends duplicates (SURVEY §3.2).
-  * Here the output is written under a *deterministic batch partition*
-  * (`batch_id` = md5 of the sorted input-file list) with dynamic partition
-  * overwrite: a rerun of the same batch overwrites its own partitions
-  * instead of appending, so write→crash→rerun converges to exactly-once
-  * output regardless of where the ledger commit landed.
+  * Here every row is written under a *deterministic per-file partition*
+  * (`src_id` = md5 of the source file path) with dynamic partition
+  * overwrite: reprocessing a file overwrites exactly that file's
+  * partitions, so write→crash→rerun converges to exactly-once output
+  * regardless of where the ledger commit landed — even when the retry
+  * batch contains a different file set than the crashed run (a batch-level
+  * id would orphan the crashed batch's partitions in that case).
   *
   * Scale posture: the only driver-side collect is the *file listing*
   * (bounded by file count, as in any table-format commit protocol — never
@@ -30,7 +32,9 @@ final class Promote(
   def bronzePrefix: String = s"${catalog.bronze}/nyc_taxi"
   def silverTable: String = s"${catalog.silver}/cleaned"
 
-  /** List bronze parquet files (Hadoop FS — works for file:// and s3a://). */
+  /** List bronze parquet files (Hadoop FS — works for file:// and s3a://;
+    * full URIs are preserved so object-store paths resolve correctly).
+    */
   def listBronze(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(bronzePrefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -40,7 +44,7 @@ final class Promote(
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet"))
-        buf += f.getPath.toUri.getPath
+        buf += f.getPath.toString
     }
     buf.toSeq.sorted
   }
@@ -54,12 +58,6 @@ final class Promote(
         && col("fare_amount") >= 0
         && col("tpep_pickup_datetime") < col("tpep_dropoff_datetime"))
 
-  /** Deterministic batch identity: same input set → same partitions. */
-  def batchId(files: Seq[String]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-
   /** One promote cycle. Returns the files processed this run. */
   def run(): Seq[String] = {
     import spark.implicits._
@@ -67,24 +65,22 @@ final class Promote(
     val todo = log.unprocessed(listing).as[String].collect().toSeq.sorted
     if (todo.isEmpty) return Seq.empty
 
-    val id = batchId(todo)
     try {
-      val cleaned = clean(TaxiSchema.read(spark, todo))
+      val cleaned = clean(TaxiSchema.readTagged(spark, todo))
       cleaned
-        .withColumn("batch_id", lit(id))
         .write
-        .mode(SaveMode.Overwrite) // dynamic: replaces only this batch's parts
-        .partitionBy("batch_id", "payment_type")
+        .mode(SaveMode.Overwrite) // dynamic: replaces only these files' parts
+        .partitionBy("src_id", "payment_type")
         .parquet(silverTable)
       // Ledger commit AFTER the (idempotent) write: a crash before this
-      // line just reruns the same overwrite next cycle.
+      // line just reruns per-file overwrites next cycle.
       log.mark(todo, ProcessedLog.Processed)
-      notifier.info("promote", s"batch $id: ${todo.size} file(s) promoted")
+      notifier.info("promote", s"${todo.size} file(s) promoted")
       todo
     } catch {
       case e: Exception =>
         log.mark(todo, ProcessedLog.Failed, Some(e.getMessage))
-        notifier.error("promote", s"batch $id failed: ${e.getMessage}")
+        notifier.error("promote", s"promote failed: ${e.getMessage}")
         throw e
     }
   }

@@ -56,4 +56,16 @@ object TaxiSchema {
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame =
     paths.map(p => normalize(spark.read.parquet(p))).reduce(_.unionByName(_))
+
+  /** Like [[read]], but tags every row with a deterministic id of its
+    * source file — the per-file partition key the promote commit protocol
+    * overwrites by.
+    */
+  def readTagged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map { p =>
+      normalize(spark.read.parquet(p))
+        .withColumn("src_id",
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.lit(p)))
+    }.reduce(_.unionByName(_))
 }

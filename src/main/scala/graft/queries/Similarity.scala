@@ -167,8 +167,9 @@ object Similarity {
         val cand = bl.join(broadcast(qb), Seq("band_j", "band"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")).distinct()
-        val qe = e.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-          col("nsq").as("q_nsq"))
+        val qe = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
         topkCosine(cand
           .join(e, "vec_id")
           .join(broadcast(qe), "q_id"))
@@ -212,8 +213,9 @@ object Similarity {
               }
               .sortBy(_._2).take(2).map { case (i, _) => (qid, i) }
           }.toSeq.toDF("q_id", "cell")
-        val qe = corpus.select(col("vec_id").as("q_id"),
-          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+        val qe = corpus.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"),
+            col("qv").as("q_qv"), col("nsq").as("q_nsq"))
         val cand = corpus.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), col("qv"), col("nsq"))

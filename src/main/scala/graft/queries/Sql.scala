@@ -87,21 +87,11 @@ object Sql {
     passthrough("q94_sql_q12_shape", q12Sql),
 
     // ---- explicit GROUPING SETS (beyond rollup/cube) -----------------------
-    QuerySpec(
-      "q91_grouping_sets", {
-        val sql = s"""SELECT l_returnflag, l_linestatus,
-            COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS total
-          FROM lineitem
-          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
-        Some(sql)
-      },
-      (s: SparkSession, d: String) => {
-        Tables.registerAll(s, d)
-        s.sql(s"""SELECT l_returnflag, l_linestatus,
-            COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS total
-          FROM lineitem
-          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
-      }),
+    passthrough("q91_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+          COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
 
     // ---- typed UDAF (Aggregator via functions.udaf) ------------------------
     QuerySpec(

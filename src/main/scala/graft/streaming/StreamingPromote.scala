@@ -18,6 +18,12 @@ import org.apache.spark.sql.streaming.Trigger
   * `Trigger.AvailableNow` = the reference's batched EVENT trigger (drain
   * everything pending, then stop); a processing-time trigger would be the
   * long-running daemon form.
+  *
+  * Schema note: a streaming file source reads with ONE declared schema —
+  * per-file cast-on-read is a batch-only capability. Bronze vintages whose
+  * physical types drift from [[graft.pipeline.TaxiSchema.schema]] (e.g.
+  * passenger_count stored as double) must go through the batch path
+  * (`Promote`), or be normalized at ingest, before this stream sees them.
   */
 final class StreamingPromote(
     spark: SparkSession,

@@ -79,18 +79,19 @@ class PipelineSpec extends SparkSpec {
     // Simulate the reference's §3.2 hazard: the silver write succeeds but
     // the process dies before log.mark — i.e. run the write only.
     val todo = promote.listBronze()
-    val cleaned = promote.clean(TaxiSchema.read(spark, todo))
-    cleaned
-      .withColumn("batch_id",
-        org.apache.spark.sql.functions.lit(promote.batchId(todo)))
-      .write.mode("overwrite").partitionBy("batch_id", "payment_type")
+    promote.clean(TaxiSchema.readTagged(spark, todo))
+      .write.mode("overwrite").partitionBy("src_id", "payment_type")
       .parquet(promote.silverTable)
     assert(promote.readSilver().count() == 2)
 
-    // Recovery run: same batch id → overwrites its own partitions.
+    // Harder than a plain retry: a NEW file arrives before the recovery
+    // run, so the retry batch differs from the crashed one. Per-file
+    // src_id partitions make the rerun overwrite exactly m1's output.
+    writeTrips(s"${cat.bronze}/nyc_taxi", "m2.parquet", Seq((1, 3L, 30.0)))
     promote.run()
-    assert(promote.readSilver().count() == 2,
-      "rerun after crash must not append duplicates (unlike bronze_to_silver.py:85-89)")
+    assert(promote.readSilver().count() == 3,
+      "rerun after crash must not duplicate the crashed batch's rows " +
+        "(unlike bronze_to_silver.py:85-89), even when the retry set differs")
   }
 
   test("promote: clean drops invalid rows") {
