@@ -273,7 +273,9 @@ object Relational {
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
           .distinct()),
 
-    // ---- approximate count-distinct (HLL) — impl-specific, rows-only check ---
+    // ---- approximate sketches (HLL distinct, approx percentile) ------------
+    // Sketch values are impl-specific → rows-only check; the exact columns
+    // beside them let the spec sanity-check sketch error locally.
     QuerySpec(
       "q15_approx_distinct",
       None,
@@ -281,7 +283,10 @@ object Relational {
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts"))),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+              .as("approx_p90"),
+            expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))),
 
     // ---- exact percentiles (continuous interpolation) -------------------------
     QuerySpec(
@@ -469,6 +474,21 @@ object Relational {
           .filter(col("rn") === 1)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
+      }),
+
+    // ---- pure theta join (no equi component) -------------------------------
+    // BroadcastNestedLoop is the right plan exactly when both sides are
+    // tiny (here: region x region, 5x5); any data-sized theta join in this
+    // engine carries an equi key with the inequality as residual (q25).
+    QuerySpec(
+      "q55_theta_join",
+      Some("""SELECT a.r_name AS name_a, b.r_name AS name_b
+        FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey"""),
+      (s, d) => {
+        val a = t(s, d, "region").as("a")
+        val b = t(s, d, "region").as("b")
+        a.join(b, col("a.r_regionkey") < col("b.r_regionkey"))
+          .select(col("a.r_name").as("name_a"), col("b.r_name").as("name_b"))
       }),
 
     // ---- full outer join (unmatched rows survive on BOTH sides) -----------
