@@ -11,28 +11,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and `spark.sql` can call them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.qcosineDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[expressions] val qcosineDescriptor =
+  private type Descriptor = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  private[expressions] val descriptors: Seq[Descriptor] = Seq(
     (new FunctionIdentifier("qcosine"),
       new ExpressionInfo(classOf[QCosine].getName, "qcosine"),
       (args: Seq[Expression]) => {
         require(args.length == 4, "qcosine(qa, qb, nsqa, nsqb)")
         QCosine(args(0), args(1), args(2), args(3))
-      })
+      }),
+    (new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(args(0), args(1))
+      }))
 
   /** Late registration for sessions not built with the extension (e.g. a
     * vanilla test session): idempotent, so queries can call it eagerly.
     */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (ident, info, builder) = qcosineDescriptor
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
-    val _ = info // ExpressionInfo only matters for DESCRIBE FUNCTION
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
 }

@@ -58,10 +58,14 @@ object Dedup {
   // negligible, and the oracle hashes identically, so candidate sets and
   // Jaccard values still match exactly.
 
-  /** Word 3-gram shingle hash set. Spark arrays are 0-indexed. */
+  /** Word 3-gram shingle hash set, SORTED ascending — order is invisible
+    * to minhash/bands/set-cardinality but lets the verify intersection run
+    * as a fused merge scan (expressions.SortedIntersectCount). Spark
+    * arrays are 0-indexed.
+    */
   private val shinglesSpark =
-    "array_distinct(transform(sequence(0, size(toks)-3), " +
-      s"i -> ${h64Spark("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")}))"
+    "array_sort(array_distinct(transform(sequence(0, size(toks)-3), " +
+      s"i -> ${h64Spark("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")})))"
 
   /** DuckDB mirror (1-indexed lists; range(a,b) = [a, b)). */
   private val shinglesDuck =
@@ -112,11 +116,13 @@ object Dedup {
   /** documents → (doc_id, shingles) with the token/shingle prep shared by
     * the near-dup queries.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
     t(s, d, "documents")
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(shinglesSpark))
+  }
 
   private val shingledDuckCte =
     s"""docs AS (
@@ -139,7 +145,8 @@ object Dedup {
       // while most candidates skip the O(|a|+|b|) intersection entirely
       .filter(least(col("la"), col("lb"))
         >= lit(threshold) * greatest(col("la"), col("lb")))
-      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // fused merge-scan intersect (arrays are sorted by construction)
+      .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("la") + col("lb") - col("i")))
       .filter(col("jaccard") >= threshold)

@@ -41,6 +41,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted sets") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(300)((
+      rng.shuffle((1L to 60L).toList).take(rng.nextInt(40) + 1).sorted,
+      rng.shuffle((1L to 60L).toList).take(rng.nextInt(40) + 1).sorted))
+    val df = rows.toDF("a", "b")
+    val diff = df
+      .withColumn("fused", expr("sorted_intersect_count(a, b)"))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
+      .filter(col("fused") =!= col("builtin"))
+    assert(diff.count() == 0)
+    // null-safety + empties
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS x,
+         sorted_intersect_count(array(1L), CAST(array() AS ARRAY<BIGINT>)) AS e,
+         sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n
+      """).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.isNullAt(2))
+  }
+
   test("sessions built by GraftSession have qcosine via extensions") {
     // GraftSession.local() used by this spec already carries the extension.
     assert(spark.sql("SELECT qcosine(array(2L), array(3L), 4L, 9L) AS c")
