@@ -476,6 +476,30 @@ object Relational {
             col("event_type"), col("value"), col("props"))
       }),
 
+    // ---- arg-extremum aggregates (max_by/min_by) ---------------------------
+    // Tiebreak: the ordering value embeds the key (price scaled + key), so
+    // the arg-extremum is unique and both engines agree deterministically.
+    QuerySpec(
+      "q37_argmax",
+      Some("""SELECT l_returnflag,
+          arg_max(l_partkey, l_extendedprice * 16384 + l_partkey)
+            AS top_part,
+          arg_min(l_partkey, l_extendedprice * 16384 + l_partkey)
+            AS bottom_part,
+          MAX(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max_by(col("l_partkey"),
+              col("l_extendedprice") * 16384 + col("l_partkey"))
+              .as("top_part"),
+            min_by(col("l_partkey"),
+              col("l_extendedprice") * 16384 + col("l_partkey"))
+              .as("bottom_part"),
+            max(col("l_extendedprice")).as("max_price"))),
+
     // ---- pure theta join (no equi component) -------------------------------
     // BroadcastNestedLoop is the right plan exactly when both sides are
     // tiny (here: region x region, 5x5); any data-sized theta join in this
