@@ -87,6 +87,18 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each event picks up its user's
+    * dimension attributes. The static side is broadcast per micro-batch —
+    * the streaming analog of the dim-lookup join (no stream-side shuffle,
+    * no state store; the static table is re-resolved each batch, so slowly
+    * changing dims are picked up automatically).
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim(dimKey), "left_outer")
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same user within `[0, window]` after it. Watermarks on both
     * sides + the time-range condition bound the join state (Spark evicts

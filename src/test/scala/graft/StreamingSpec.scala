@@ -98,6 +98,26 @@ class StreamingSpec extends SparkSpec {
     assert(canon(got) == canon(expected))
   }
 
+  test("stream-static enrichment join: broadcast dim, left outer semantics") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserState.Event]
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("cust_id", "tier")
+    val q = EventStreams.enrich(mem.toDF(), dim, "cust_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").start()
+    def ev(id: Long, user: Long) = UserState.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), user, "x", 1.0)
+    mem.addData(ev(1, 7), ev(2, 9)) // user 9 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_enrich")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(2L).isEmpty, "unmatched stream rows must survive (left outer)")
+  }
+
   test("stream-stream interval join: bounded state, batch-equivalent result") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
