@@ -49,23 +49,35 @@ object TaxiSchema {
     df.select(cols.toSeq: _*)
   }
 
-  /** Multi-file scan with cast-on-read: per-file inference + normalize +
-    * union-by-name. Plan size is O(files) — fine at the reference's monthly
-    * cadence; at higher file counts, batch files by identical footer schema
-    * first.
+  /** Group paths by their footer schema: files sharing a schema read as
+    * ONE multi-path scan, so the union plan is O(distinct schemas) — a
+    * handful across TLC vintages — instead of O(files). The per-file
+    * footer probe is a driver-side metadata read (the same footers the
+    * scan needs anyway).
+    */
+  private def groupBySchema(spark: SparkSession,
+      paths: Seq[String]): Seq[Seq[String]] =
+    paths.groupBy(p => spark.read.parquet(p).schema)
+      .values.map(_.toSeq).toSeq
+
+  /** Multi-file scan with cast-on-read: per-schema-group scan + normalize
+    * + union-by-name.
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame =
-    paths.map(p => normalize(spark.read.parquet(p))).reduce(_.unionByName(_))
+    groupBySchema(spark, paths)
+      .map(g => normalize(spark.read.parquet(g: _*)))
+      .reduce(_.unionByName(_))
 
   /** Like [[read]], but tags every row with a deterministic id of its
     * source file — the per-file partition key the promote commit protocol
-    * overwrites by.
+    * overwrites by. `input_file_name()` is stable per file across reruns,
+    * which is all the overwrite-by-src_id protocol needs.
     */
-  def readTagged(spark: SparkSession, paths: Seq[String]): DataFrame =
-    paths.map { p =>
-      normalize(spark.read.parquet(p))
-        .withColumn("src_id",
-          org.apache.spark.sql.functions.md5(
-            org.apache.spark.sql.functions.lit(p)))
-    }.reduce(_.unionByName(_))
+  def readTagged(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, md5}
+    groupBySchema(spark, paths)
+      .map(g => normalize(spark.read.parquet(g: _*))
+        .withColumn("src_id", md5(input_file_name())))
+      .reduce(_.unionByName(_))
+  }
 }

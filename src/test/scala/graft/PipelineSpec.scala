@@ -102,6 +102,24 @@ class PipelineSpec extends SparkSpec {
     assert(promote.readSilver().count() == 1)
   }
 
+  test("promote: many files with mixed schemas — plan groups by footer schema") {
+    val (cat, _, promote) = freshPipeline()
+    (1 to 6).foreach { i =>
+      writeTrips(s"${cat.bronze}/nyc_taxi", f"f$i%02d.parquet",
+        Seq((i, (i % 3 + 1).toLong, i * 10.0)), driftDouble = i % 2 == 0)
+    }
+    val df = TaxiSchema.readTagged(spark, promote.listBronze())
+    // 2 distinct footer schemas -> 2 scan branches, not 6
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 2, s"expected 2 schema-grouped scans, saw $scans")
+    promote.run()
+    val silver = promote.readSilver()
+    assert(silver.count() == 6)
+    assert(silver.select("src_id").distinct().count() == 6,
+      "every file keeps its own commit partition")
+  }
+
   test("promote: failure marks files Failed and rethrows") {
     val (cat, log, promote) = freshPipeline()
     // a corrupt "parquet" file → TaxiSchema.read throws
