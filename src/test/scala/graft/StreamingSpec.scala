@@ -185,6 +185,42 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 5.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer: in-batch close and timeout close") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserState.Event]
+    def ev(id: Long, user: Long, hhmm: String, v: Double) = UserState.Event(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, "x", v)
+
+    val q = Sessionizer
+      .closedSessions(spark, mem.toDS(), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("t_sessionizer")
+      .outputMode("append").start()
+
+    // user 7: two events 5 min apart (one session)
+    mem.addData(ev(1, 7, "10:00", 1.0), ev(2, 7, "10:05", 2.0))
+    q.processAllAvailable()
+    // user 7 again at 11:00 — 55 min gap → first session closes in-batch
+    mem.addData(ev(3, 7, "11:00", 4.0))
+    q.processAllAvailable()
+    // other user far in the future — watermark passes 11:00+30m →
+    // user 7's second session closes via event-time timeout
+    mem.addData(ev(9, 8, "13:00", 0.5))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark update
+    mem.addData(ev(10, 8, "13:01", 0.5))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_sessionizer")
+      .filter(col("user_id") === 7L)
+      .select("n_events", "total_value", "first_event", "last_event")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.contains((2, 3.0, 1L, 2L)), s"in-batch close missing: $rows")
+    assert(rows.contains((1, 4.0, 3L, 3L)), s"timeout close missing: $rows")
+  }
+
   test("streaming promote: checkpoint processes each file exactly once") {
     import org.apache.spark.sql.{Row, types => T}
     val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-spromote"))
