@@ -27,6 +27,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle): report count > 0, as the driver does
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracle or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows" + (" [EMPTY!]" if n == 0 else ""))
+        except Exception as e:
+            print(f"ROWS-ONLY {name}: unreadable: {e}")
     for name in sorted(oracle):
         sql = oracle[name]
         try:
