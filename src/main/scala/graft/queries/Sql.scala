@@ -73,6 +73,44 @@ object Sql {
         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY l_linestatus"""
 
+  /** TPC-H Q17-shaped: correlated scalar subquery (per-part average).
+    * The inner avg is exact in both engines — l_quantity is integer-valued,
+    * so the per-part sum is an exact double regardless of order.
+    */
+  private val q17Sql =
+    s"""SELECT ${sqlDsum("l_extendedprice")} / CAST(7 AS DOUBLE) AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#4'
+        AND l_quantity < (
+          SELECT CAST(0.5 AS DOUBLE) * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  /** TPC-H Q22-shaped: uncorrelated scalar subquery (deterministic via the
+    * shared decimal-avg fragment) + anti-join, grouped.
+    */
+  private val q22Sql =
+    s"""SELECT cntrycode, COUNT(*) AS numcust,
+        ${sqlDsum("c_acctbal")} AS totacctbal
+      FROM (
+        SELECT substring(c_name, length(c_name), 1) AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT ${sqlDavg("c_acctbal")} FROM customer
+            WHERE c_acctbal > CAST(0 AS DOUBLE))
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c.c_custkey
+              AND o_orderpriority = '1-URGENT')) z
+      GROUP BY cntrycode"""
+
+  /** TPC-H Q11-shaped: HAVING against an uncorrelated scalar subquery. */
+  private val q11Sql =
+    s"""SELECT s_nationkey, ${sqlDsum("s_acctbal")} AS value
+      FROM supplier GROUP BY s_nationkey
+      HAVING ${sqlDsum("s_acctbal")} > (
+        SELECT ${sqlDsum("s_acctbal")} * CAST(0.05 AS DOUBLE) FROM supplier)"""
+
   private def passthrough(name: String, sql: String): QuerySpec =
     QuerySpec(name, Some(sql), (s: SparkSession, d: String) => {
       Tables.registerAll(s, d)
@@ -85,6 +123,9 @@ object Sql {
     passthrough("q92_sql_q5_shape", q5Sql),
     passthrough("q93_sql_q10_shape", q10Sql),
     passthrough("q94_sql_q12_shape", q12Sql),
+    passthrough("q95_sql_q17_shape", q17Sql),
+    passthrough("q96_sql_q22_shape", q22Sql),
+    passthrough("q97_sql_q11_shape", q11Sql),
 
     // ---- explicit GROUPING SETS (beyond rollup/cube) -----------------------
     passthrough("q91_grouping_sets",
