@@ -476,6 +476,42 @@ object Relational {
             col("event_type"), col("value"), col("props"))
       }),
 
+    // ---- pivot (wide-format conditional aggregation) -----------------------
+    // pivot() compiles to CASE-conditional aggregates, which is exactly how
+    // the oracle expresses it — one hash aggregate either way.
+    QuerySpec(
+      "q38_pivot",
+      Some(s"""SELECT l_returnflag,
+          ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O",
+          ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F"
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(dsum(col("l_quantity")))),
+
+    // ---- multiset set operations (INTERSECT ALL / EXCEPT ALL) --------------
+    QuerySpec(
+      "q39_setops_all",
+      Some("""SELECT 'ia' AS tag, l_orderkey FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+          INTERSECT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25) a
+        UNION ALL
+        SELECT 'ea' AS tag, l_orderkey FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+          EXCEPT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25) b"""),
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val x = l.filter(col("l_linenumber") <= 2).select(col("l_orderkey"))
+        val y = l.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
+        x.intersectAll(y).withColumn("tag", lit("ia"))
+          .unionByName(x.exceptAll(y).withColumn("tag", lit("ea")))
+          .select(col("tag"), col("l_orderkey"))
+      }),
+
     // ---- arg-extremum aggregates (max_by/min_by) ---------------------------
     // Tiebreak: the ordering value embeds the key (price scaled + key), so
     // the arg-extremum is unique and both engines agree deterministically.
