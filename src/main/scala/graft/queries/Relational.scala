@@ -366,6 +366,8 @@ object Relational {
         CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
           AS days_since,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate)
+          - (1995 * 12 + 1) AS INT) AS months_since,
         strftime(o_orderdate, '%Y-%m') >= '1998-01' AS after_gate
         FROM orders"""),
       (s, d) =>
@@ -379,6 +381,8 @@ object Relational {
           add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
           datediff(to_date(col("o_orderdate")),
             lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+            - (1995 * 12 + 1)).as("months_since"),
           (date_format(col("o_orderdate"), "yyyy-MM") >= lit("1998-01"))
             .as("after_gate"))),
 

@@ -48,6 +48,18 @@ object LawsCheck extends Properties("graft.laws") {
       total(1) == total(parts)
     }
 
+  property("intersectAll + exceptAll partition the left multiset") =
+    Prop.forAll(rows, rows) { (xs, ys) =>
+      val x = xs.toDF("k", "v")
+      val y = ys.toDF("k", "v")
+      val inter = multiset(x.intersectAll(y))
+      val diff = multiset(x.exceptAll(y))
+      val merged = (inter.keySet ++ diff.keySet).map { k =>
+        k -> (inter.getOrElse(k, 0) + diff.getOrElse(k, 0))
+      }.toMap
+      merged == multiset(x)
+    }
+
   property("parquet round-trip preserves the row multiset") =
     Prop.forAll(rows) { xs =>
       val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString
