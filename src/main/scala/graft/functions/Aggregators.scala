@@ -12,9 +12,10 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * 1e-4 grid as 64-bit integers inside `reduce`, so `merge` is exact
   * integer addition — associative and commutative, hence identical across
   * any partitioning, and mirrorable in the DuckDB oracle as
-  * SUM(CAST(ROUND(x*10000, 0) AS BIGINT)). Positive-domain note: grid
-  * rounding uses round-half-away-from-zero on the positive inputs here,
-  * matching both engines' ROUND.
+  * SUM(CAST(ROUND(x*10000, 0) AS BIGINT)). Grid rounding is
+  * sign-symmetric (half-away-from-zero on either sign), matching both
+  * engines' ROUND on negative inputs (e.g. refunds) too — Scala's bare
+  * math.round is half-up toward +inf, which would diverge below zero.
   */
 object Aggregators {
 
@@ -22,7 +23,10 @@ object Aggregators {
   object WeightedAvg
       extends Aggregator[(Double, Double), (Long, Long), Double] {
 
-    private def grid(v: Double): Long = math.round(v * 1e4)
+    private def grid(v: Double): Long = {
+      val m = math.round(math.abs(v) * 1e4)
+      if (v < 0) -m else m
+    }
 
     def zero: (Long, Long) = (0L, 0L)
 

@@ -69,7 +69,12 @@ final class Promote(
       val cleaned = clean(TaxiSchema.readTagged(spark, todo))
       cleaned
         .write
-        .mode(SaveMode.Overwrite) // dynamic: replaces only these files' parts
+        .mode(SaveMode.Overwrite)
+        // Writer-level, NOT session-level: with a default-configured session
+        // (partitionOverwriteMode=static), Overwrite+partitionBy would
+        // truncate the whole silver table on an incremental run. Pinning the
+        // option here makes the class safe under any SparkSession.
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("src_id", "payment_type")
         .parquet(silverTable)
       // Ledger commit AFTER the (idempotent) write: a crash before this

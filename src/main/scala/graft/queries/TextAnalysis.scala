@@ -164,7 +164,7 @@ object TextAnalysis {
         list_contains(string_split(lower(text), ' '), 'data') AS has_data,
         CAST(list_position(string_split(lower(text), ' '), 'data') AS INT)
           AS data_pos,
-        string_split(lower(text), ' ')[2:4] AS toks_2_4,
+        array_to_string(string_split(lower(text), ' ')[2:4], '|') AS toks_2_4,
         list_sort(list_distinct(string_split(lower(text), ' ')))[1]
           AS first_sorted,
         array_to_string(string_split(lower(text), ' ')[1:3], '|') AS head3
@@ -177,16 +177,32 @@ object TextAnalysis {
             size(col("toks")).as("n_toks"),
             array_contains(col("toks"), "data").as("has_data"),
             array_position(col("toks"), "data").cast("int").as("data_pos"),
-            slice(col("toks"), 2, 3).as("toks_2_4"),
+            array_join(slice(col("toks"), 2, 3), "|").as("toks_2_4"),
             element_at(array_sort(array_distinct(col("toks"))), 1)
               .as("first_sorted"),
             array_join(slice(col("toks"), 1, 3), "|").as("head3"))),
 
-    // ---- map type: token-count maps (rows-only: DuckDB MAP vs Spark map
-    //      parquet representations don't hash-compare) ------------------------
+    // ---- map type: token-count maps. The map itself never leaves the
+    //      query (DuckDB MAP vs Spark map parquet representations don't
+    //      hash-compare); every output column is a scalar projection of it,
+    //      so the oracle recomputes the same scalars from the token list. --
     QuerySpec(
       "q36_map_fns",
-      None,
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(list_distinct(toks)) AS INT) AS n_keys,
+          CASE WHEN list_contains(toks, 'data')
+            THEN CAST(len(list_filter(toks, x -> x = 'data')) AS INT)
+            END AS data_count,
+          CAST(len(list_filter(list_distinct(toks),
+            t -> len(list_filter(toks, x -> x = t)) >= 3)) AS INT)
+            AS n_frequent,
+          CAST(list_max(
+            [len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)])
+            AS INT) AS max_count
+        FROM d"""),
       (s, d) =>
         t(s, d, "documents")
           .withColumn("toks", split(lower(col("text")), " "))

@@ -55,7 +55,11 @@ object Sessionizer {
           out += close(userId, s, gapMs)
           cur = Some(SessionState(t, t, 1, e.value, e.event_id, e.event_id))
         case Some(s) =>
+          // Out-of-order events inside the gap can both pre-date startMs and
+          // post-date lastMs; widen both bounds (matches session_window's
+          // merge semantics, where a session spans min..max event time).
           cur = Some(s.copy(
+            startMs = math.min(s.startMs, t),
             lastMs = math.max(s.lastMs, t), n = s.n + 1,
             totalValue = s.totalValue + e.value, lastEvent = e.event_id))
         case None =>

@@ -24,6 +24,18 @@ class ExactSpec extends SparkSpec {
       "dsum must be bit-identical across partition layouts")
   }
 
+  test("WeightedAvg grid is sign-symmetric (half-away-from-zero)") {
+    import graft.functions.Aggregators.WeightedAvg
+    // A half-grid negative value: -2.00005 * 1e4 = -20000.5. DuckDB's ROUND
+    // is half-away-from-zero (→ -20001); Scala's bare math.round is half-up
+    // toward +inf (→ -20000). Refund-style inputs must take the DuckDB path.
+    val neg = WeightedAvg.reduce(WeightedAvg.zero, (-2.00005, 1.0))
+    val pos = WeightedAvg.reduce(WeightedAvg.zero, (2.00005, 1.0))
+    assert(neg._1 == -20001L, s"got ${neg._1}")
+    assert(pos._1 == 20001L)
+    assert(neg._1 == -pos._1, "grid(-v) must equal -grid(v)")
+  }
+
   test("davg = dsum / count") {
     import spark.implicits._
     val df = (1 to 999).map(_.toDouble / 7).toDF("x")

@@ -94,6 +94,24 @@ class PipelineSpec extends SparkSpec {
         "(unlike bronze_to_silver.py:85-89), even when the retry set differs")
   }
 
+  test("promote: incremental run is safe under a static-overwrite session") {
+    // The writer pins partitionOverwriteMode=dynamic; under a session left
+    // at the Spark default (static), an incremental run must still only
+    // replace the new file's partitions — not truncate the silver table.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try {
+      val (cat, _, promote) = freshPipeline()
+      writeTrips(s"${cat.bronze}/nyc_taxi", "m1.parquet", Seq((1, 1L, 10.0)))
+      promote.run()
+      writeTrips(s"${cat.bronze}/nyc_taxi", "m2.parquet", Seq((1, 2L, 30.0)))
+      promote.run()
+      assert(promote.readSilver().count() == 2,
+        "static session conf must not let the second run truncate silver")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("promote: clean drops invalid rows") {
     val (cat, _, promote) = freshPipeline()
     writeTrips(s"${cat.bronze}/nyc_taxi", "m.parquet",

@@ -221,6 +221,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1, 4.0, 3L, 3L)), s"timeout close missing: $rows")
   }
 
+  test("sessionizer merge: late in-gap event widens session_start backwards") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gapMs = 30L * 60 * 1000
+    def ev(id: Long, hhmm: String) = UserState.Event(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 7L, "x", 1.0)
+
+    // Batch 1 seeds state at 10:10; batch 2 delivers a LATE event at 10:00
+    // (within the gap). The merged session must span 10:00..10:10.
+    val st = TestGroupState.create[Sessionizer.SessionState](
+      org.apache.spark.api.java.Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    Sessionizer.update(gapMs)(7L, Iterator(ev(1, "10:10")), st).toSeq
+    Sessionizer.update(gapMs)(7L, Iterator(ev(2, "10:00")), st).toSeq
+    val s = st.get
+    assert(s.startMs == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime,
+      s"late event did not lower startMs: $s")
+    assert(s.lastMs == java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime)
+    assert(s.n == 2)
+  }
+
   test("streaming promote: checkpoint processes each file exactly once") {
     import org.apache.spark.sql.{Row, types => T}
     val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-spromote"))
