@@ -7,7 +7,7 @@ object Registry {
   def all: Seq[QuerySpec] =
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
-      Sources.all ++ Sql.all
+      Sources.all ++ Sql.all ++ SqlTpch.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)
