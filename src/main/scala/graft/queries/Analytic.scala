@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact
+import graft.functions.Exact._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Analytic-operator breadth beyond the core window/agg queries
+  * (SURVEY §2.B "Window functions" / "Aggregation" rows): distribution
+  * functions (ntile / percent_rank / cume_dist), RANGE frames with
+  * first/last/nth_value, exact moment statistics (variance / stddev /
+  * covariance / correlation) rebuilt from decimal-grid components, sorted
+  * collect_list/collect_set, and unpivot (wide→long melt).
+  *
+  * Determinism: every window has a total order (unique key tiebreak);
+  * window sums go through the DECIMAL(27,10) grid (a segment-tree window
+  * evaluator may add frame members in any order); moment statistics are
+  * derived *expressions* over exact components (n, Σx, Σx², Σxy …), so the
+  * final IEEE arithmetic is the same sequence of ops in both engines.
+  *
+  * Scale posture: all windows partition before ordering (no global sort
+  * except q76's explicitly-global running frame, which at cluster scale
+  * would take a range-partitioned sort); moment stats are one partial+final
+  * hash agg — no second pass over the data for variance.
+  */
+object Analytic {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Decimal-grid window sum (order-independent within any frame). */
+  private def wsum(c: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec) =
+    round(sum(c.cast(Exact.SumDec)).over(w), 4).cast(DoubleType)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- ntile / percent_rank / cume_dist ---------------------------------
+    QuerySpec(
+      "q75_window_distribution",
+      Some("""SELECT c_custkey, c_mktsegment,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      }),
+
+    // ---- RANGE frame + first/last/nth_value over an unbounded frame -------
+    QuerySpec(
+      "q76_window_frames",
+      Some("""SELECT o_orderkey,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,10)))
+            OVER (ORDER BY o_orderkey
+              RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+            AS near_sum,
+          first_value(o_orderkey) OVER wp AS first_k,
+          last_value(o_orderkey) OVER wp AS last_k,
+          nth_value(o_orderkey, 3) OVER wp AS third_k
+        FROM orders
+        WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""),
+      (s, d) => {
+        val wRange = Window.orderBy(col("o_orderkey")).rangeBetween(-10, 0)
+        val wp = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          wsum(col("o_totalprice"), wRange).as("near_sum"),
+          first(col("o_orderkey")).over(wp).as("first_k"),
+          last(col("o_orderkey")).over(wp).as("last_k"),
+          nth_value(col("o_orderkey"), 3).over(wp).as("third_k"))
+      }),
+
+    // ---- exact moment statistics from decimal-grid components -------------
+    QuerySpec(
+      "q77_stats_agg", {
+        val sx = sqlDsum("l_extendedprice")
+        val sxx = sqlDsum("l_extendedprice * l_extendedprice")
+        val sy = sqlDsum("l_quantity")
+        val syy = sqlDsum("l_quantity * l_quantity")
+        val sxy = sqlDsum("l_extendedprice * l_quantity")
+        Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            ($sx / COUNT(*)) AS mean_price,
+            (($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1)) AS var_price,
+            sqrt(($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1))
+              AS stddev_price,
+            (($sxy - $sx * $sy / COUNT(*)) / (COUNT(*) - 1)) AS covar_pq,
+            ((COUNT(*) * $sxy - $sx * $sy)
+              / (sqrt(COUNT(*) * $sxx - $sx * $sx)
+                * sqrt(COUNT(*) * $syy - $sy * $sy))) AS corr_pq
+          FROM lineitem GROUP BY l_returnflag""")
+      },
+      (s, d) => {
+        val x = col("l_extendedprice"); val y = col("l_quantity")
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(x).as("sx"), dsum(x * x).as("sxx"),
+            dsum(y).as("sy"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sx") / col("n")).as("mean_price"),
+            ((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1)).as("var_price"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1)).as("stddev_price"),
+            ((col("sxy") - col("sx") * col("sy") / col("n"))
+              / (col("n") - 1)).as("covar_pq"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+                * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_pq"))
+      }),
+
+    // ---- collect_list / collect_set (order-canonicalized) ------------------
+    QuerySpec(
+      "q78_collect",
+      Some("""SELECT c_nationkey,
+          array_to_string(list_sort(list(c_mktsegment)), '|') AS segs_all,
+          array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+            AS segs_uniq,
+          COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey"""),
+      (s, d) =>
+        t(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            array_join(array_sort(collect_list(col("c_mktsegment"))), "|")
+              .as("segs_all"),
+            array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+              .as("segs_uniq"),
+            count(lit(1)).as("n"))),
+
+    // ---- unpivot (wide → long melt) ----------------------------------------
+    QuerySpec(
+      "q79_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber,
+            'l_quantity' AS metric, l_quantity AS val
+          FROM lineitem WHERE l_orderkey <= 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey <= 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey <= 1000"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val"))
+  )
+}

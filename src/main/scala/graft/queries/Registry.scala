@@ -7,7 +7,8 @@ object Registry {
   def all: Seq[QuerySpec] =
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
-      Sources.all ++ Sql.all ++ SqlTpch.all
+      Sources.all ++ Sql.all ++ SqlTpch.all ++ Analytic.all ++
+      TrainingPipeline.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

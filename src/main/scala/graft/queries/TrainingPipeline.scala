@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` corpus (the
+  * driver-mandated LLM-pipeline extensions, BASELINE.json `north_star`):
+  * deterministic train/val/test splitting, a composed quality+dedup corpus
+  * filter, bigram statistics (the counting pass a BPE/ngram-LM trainer
+  * needs), integer-exact TF-IDF, and positional explode variants.
+  *
+  * Scale posture (100 TB corpus):
+  *  - the split is a pure per-row hash — embarrassingly parallel, no
+  *    shuffle, stable under repartitioning and reruns (same doc_id → same
+  *    split, the property a training pipeline needs for reproducibility);
+  *  - corpus filtering shuffles once on the content fingerprint (the dedup
+  *    key) after all row-local gates have pruned the data;
+  *  - bigram/TF-IDF counts are partial-aggregated token streams — the
+  *    shuffle carries (token, count) pairs, never documents;
+  *  - TF-IDF's document-frequency side is tiny relative to the corpus and
+  *    broadcast-joined back onto term counts.
+  *
+  * Determinism: the split hash is the portable md5-prefix ([[Portable]]);
+  * TF-IDF avoids log() (libm last-ULP skew across engines) by scoring with
+  * the rational tf·N/df — same ordering as tf·log-smoothed idf for fixed
+  * tf, and exactly computable in both engines.
+  */
+object TrainingPipeline {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- posexplode_outer: positions + empty-array row preservation -------
+    QuerySpec(
+      "q80_explode_pos",
+      Some("""WITH d AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> length(x) > 8)
+              AS lt
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(lt) = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos,
+          u.x AS tok
+        FROM (SELECT doc_id, lt,
+            unnest(CASE WHEN len(lt) = 0
+              THEN [{'i': CAST(NULL AS INT), 'x': CAST(NULL AS VARCHAR)}]
+              ELSE list_transform(lt, (x, i) -> {'i': i, 'x': x}) END) AS u
+          FROM d) z"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("lt",
+            expr("filter(split(lower(text), ' '), x -> length(x) > 8)"))
+          .select(col("doc_id"), posexplode_outer(col("lt")))
+          .withColumnRenamed("col", "tok")),
+
+    // ---- deterministic hash-based train/val/test split ---------------------
+    QuerySpec(
+      "q81_train_split", {
+        val h = Portable.h64Duck("CAST(doc_id AS VARCHAR)")
+        Some(s"""SELECT split, lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_total
+          FROM (
+            SELECT lang, n_chars,
+              CASE WHEN $h % 10 <= 7 THEN 'train'
+                   WHEN $h % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents) z
+          GROUP BY split, lang""")
+      },
+      (s, d) => {
+        val h = expr(Portable.h64Spark("cast(doc_id as string)"))
+        t(s, d, "documents")
+          .withColumn("split",
+            when(h % 10 <= 7, "train")
+              .when(h % 10 === 8, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"))
+      }),
+
+    // ---- composed corpus filter: language + length gates, then dedup ------
+    QuerySpec(
+      "q82_corpus_filter",
+      Some("""WITH scored AS (
+          SELECT doc_id, lang, n_chars,
+            len(string_split(lower(text), ' ')) AS n_toks,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents),
+        keep AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+          FROM scored
+          WHERE lang = 'en' AND n_toks >= 20 AND n_chars <= 5000)
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, n_chars
+        FROM keep WHERE rk = 1"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(col("toks")).cast("bigint").as("n_toks"),
+            md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+              .as("fp"))
+          .filter(col("lang") === "en" && col("n_toks") >= 20
+            && col("n_chars") <= 5000)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("lang"), col("n_toks"), col("n_chars"))),
+
+    // ---- bigram counting (BPE/ngram-LM statistics pass) ---------------------
+    QuerySpec(
+      "q83_bigrams",
+      Some("""WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents),
+        bg AS (
+          SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+            AS bigram
+          FROM toks)
+        SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          // zip_with over two offset slices: yields [] for 1-token docs
+          // (sequence(1, size-1) would mis-step to [1,0] there).
+          .select(explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> concat(a, ' ', b))""")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)),
+
+    // ---- integer-exact TF-IDF, top-3 terms per document ---------------------
+    QuerySpec(
+      "q84_tfidf",
+      Some("""WITH tf AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        tfc AS (SELECT doc_id, tok, COUNT(*) AS tf
+          FROM tf GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id, tok FROM tf) z GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.tok, t.tf, df.df,
+            CAST(t.tf * n.n_docs AS DOUBLE) / df.df AS score
+          FROM tfc t, df, n WHERE t.tok = df.tok)
+        SELECT doc_id, tok, tf, df, score, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS rk FROM scored) z
+        WHERE rk <= 3"""),
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val tfc = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        tfc.join(df, "tok").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("tok"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            col("score"), col("rk"))
+      })
+  )
+}
