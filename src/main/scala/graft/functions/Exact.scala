@@ -26,12 +26,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * The final decimal→double conversion is NOT correctly rounded in every
   * engine (DuckDB converts the scaled int128 to double and then divides —
-  * two roundings), so the exact total is first rounded to scale 4: the
-  * scaled integer then fits in 2^53 for totals up to ~9e11, making the
-  * double conversion a single exact-integer division — bit-identical
-  * everywhere. ROUND(decimal) is HALF_UP (away from zero) in both Spark
-  * and DuckDB (verified on midpoints), and the input to the rounding is
-  * the same exact decimal on both sides, so the rounded value is too.
+  * two roundings, observed 1-ulp skew vs Spark once the scaled integer
+  * exceeds 2^53, e.g. sums of squares ~7e12 at scale 4). So the exact
+  * total is first rounded to scale 4 and then converted through an
+  * engine-portable SPLIT: integer part via BIGINT (int64→double is a
+  * single correctly-rounded op in both engines at any magnitude) plus the
+  * scale-4 fraction in [0,1) (unscaled ≤ 9999 → exact int, one correctly
+  * rounded division), combined with one IEEE add. Every step is the same
+  * single-rounding op on identical inputs in both engines, so the final
+  * double is bit-identical regardless of the total's magnitude.
+  * ROUND(decimal) is HALF_UP (away from zero) in both Spark and DuckDB
+  * (verified on midpoints), and the input to the rounding is the same
+  * exact decimal on both sides, so the rounded value is too.
   */
 object Exact {
 
@@ -40,7 +46,11 @@ object Exact {
   /** Order-independent sum of a double expression, deterministically
     * rounded to 4 decimal places (engine-portable double conversion).
     */
-  def dsum(e: Column): Column = round(sum(e.cast(SumDec)), 4).cast(DoubleType)
+  def dsum(e: Column): Column = {
+    val s = round(sum(e.cast(SumDec)), 4)
+    val ip = floor(s)
+    ip.cast("long").cast(DoubleType) + (s - ip).cast(DoubleType)
+  }
 
   /** Mean via deterministic sum / count — both operands identical across
     * engines, so the final double division is too.
@@ -48,8 +58,11 @@ object Exact {
   def davg(e: Column): Column = dsum(e) / count(e)
 
   /** DuckDB SQL fragment mirroring [[dsum]]. */
-  def sqlDsum(expr: String): String =
-    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 4) AS DOUBLE)"
+  def sqlDsum(expr: String): String = {
+    val s = s"ROUND(SUM(CAST(($expr) AS DECIMAL(27,10))), 4)"
+    s"(CAST(CAST(FLOOR($s) AS BIGINT) AS DOUBLE) " +
+      s"+ CAST($s - FLOOR($s) AS DOUBLE))"
+  }
 
   /** DuckDB SQL fragment mirroring [[davg]]. */
   def sqlDavg(expr: String): String =

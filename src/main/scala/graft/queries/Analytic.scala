@@ -91,19 +91,30 @@ object Analytic {
         val sy = sqlDsum("l_quantity")
         val syy = sqlDsum("l_quantity * l_quantity")
         val sxy = sqlDsum("l_extendedprice * l_quantity")
+        // Degenerate groups (n=1, zero variance) divide by zero: Spark's
+        // Divide yields NULL there while DuckDB yields Inf/NaN — guard
+        // BOTH engines symmetrically (NULLIF here, `when` in the DSL) so
+        // such groups produce NULL identically.
         Some(s"""SELECT l_returnflag, COUNT(*) AS n,
             ($sx / COUNT(*)) AS mean_price,
-            (($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1)) AS var_price,
-            sqrt(($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1))
+            (($sxx - $sx * $sx / COUNT(*)) / NULLIF(COUNT(*) - 1, 0))
+              AS var_price,
+            sqrt(($sxx - $sx * $sx / COUNT(*)) / NULLIF(COUNT(*) - 1, 0))
               AS stddev_price,
-            (($sxy - $sx * $sy / COUNT(*)) / (COUNT(*) - 1)) AS covar_pq,
+            (($sxy - $sx * $sy / COUNT(*)) / NULLIF(COUNT(*) - 1, 0))
+              AS covar_pq,
             ((COUNT(*) * $sxy - $sx * $sy)
-              / (sqrt(COUNT(*) * $sxx - $sx * $sx)
-                * sqrt(COUNT(*) * $syy - $sy * $sy))) AS corr_pq
+              / NULLIF(sqrt(COUNT(*) * $sxx - $sx * $sx)
+                * sqrt(COUNT(*) * $syy - $sy * $sy), 0)) AS corr_pq
           FROM lineitem GROUP BY l_returnflag""")
       },
       (s, d) => {
         val x = col("l_extendedprice"); val y = col("l_quantity")
+        // Mirror of the oracle's NULLIF guards: a NULL divisor makes
+        // Spark's Divide return NULL for singleton / zero-variance groups.
+        val nm1 = when(col("n") > 1, col("n") - 1)
+        val corrDen = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), dsum(x).as("sx"), dsum(x * x).as("sxx"),
@@ -111,15 +122,13 @@ object Analytic {
           .select(col("l_returnflag"), col("n"),
             (col("sx") / col("n")).as("mean_price"),
             ((col("sxx") - col("sx") * col("sx") / col("n"))
-              / (col("n") - 1)).as("var_price"),
+              / nm1).as("var_price"),
             sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-              / (col("n") - 1)).as("stddev_price"),
+              / nm1).as("stddev_price"),
             ((col("sxy") - col("sx") * col("sy") / col("n"))
-              / (col("n") - 1)).as("covar_pq"),
+              / nm1).as("covar_pq"),
             ((col("n") * col("sxy") - col("sx") * col("sy"))
-              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-                * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
-              .as("corr_pq"))
+              / when(corrDen =!= 0, corrDen)).as("corr_pq"))
       }),
 
     // ---- collect_list / collect_set (order-canonicalized) ------------------

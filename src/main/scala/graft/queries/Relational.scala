@@ -274,19 +274,32 @@ object Relational {
           .distinct()),
 
     // ---- approximate sketches (HLL distinct, approx percentile) ------------
-    // Sketch values are impl-specific → rows-only check; the exact columns
-    // beside them let the spec sanity-check sketch error locally.
+    // Sketch VALUES are impl-specific (Spark HLL++ vs any oracle), so the
+    // result is made self-asserting instead: emit the exact columns plus
+    // error-bound BOOLEANS computed Spark-side (|approx-exact| <= 5%·exact);
+    // the oracle computes the identical exact columns and literal TRUE, so
+    // the full row — including the sketch-accuracy claim — hash-checks.
     QuerySpec(
       "q15_approx_distinct",
-      None,
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+          TRUE AS parts_within_5pct, TRUE AS p90_within_5pct
+        FROM lineitem GROUP BY l_returnflag"""),
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          .agg(approx_count_distinct(col("l_partkey"), 0.02)
+              .as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"),
             percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
               .as("approx_p90"),
-            expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))),
+            expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_p90"),
+            (abs(col("approx_parts") - col("exact_parts"))
+              <= lit(0.05) * col("exact_parts")).as("parts_within_5pct"),
+            (abs(col("approx_p90") - col("exact_p90"))
+              <= lit(0.05) * col("exact_p90")).as("p90_within_5pct"))),
 
     // ---- exact percentiles (continuous interpolation) -------------------------
     QuerySpec(

@@ -50,25 +50,28 @@ object Similarity {
     Seq.fill(Planes, Dims)(rng.nextInt(2001) - 1000)
   }
 
-  /** Signature bit p = sign of the projection of the quantized vector. */
-  private def sigSpark: String = {
-    val bits = (0 until Planes).map { p =>
-      val w = planes(p).map(_.toLong + "L").mkString(", ")
-      s"""IF(aggregate(zip_with(qv, array($w), (e, w) -> e * w),
-            0L, (a, v) -> a + v) >= 0, shiftleft(1L, $p), 0L)"""
-    }
-    bits.mkString(" + ")
+  /** Exact integer projection of the quantized vector onto plane p. */
+  private def projSpark(p: Int): String = {
+    val w = planes(p).map(_.toLong + "L").mkString(", ")
+    s"aggregate(zip_with(qv, array($w), (e, w) -> e * w), 0L, (a, v) -> a + v)"
   }
 
-  private def sigDuck: String = {
-    val bits = (0 until Planes).map { p =>
-      val w = planes(p).mkString(", ")
-      s"""CASE WHEN list_sum([qv[i] * ([$w][i])
-            for i in range(1, ${Dims + 1})]) >= 0
-          THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END"""
-    }
-    bits.mkString(" + ")
+  private def projDuck(p: Int): String = {
+    val w = planes(p).mkString(", ")
+    s"list_sum([qv[i] * ([$w][i]) for i in range(1, ${Dims + 1})])"
   }
+
+  /** Signature bit p = sign of the projection of the quantized vector. */
+  private def sigSpark: String =
+    (0 until Planes)
+      .map(p => s"IF(${projSpark(p)} >= 0, shiftleft(1L, $p), 0L)")
+      .mkString(" + ")
+
+  private def sigDuck: String =
+    (0 until Planes)
+      .map(p => s"""CASE WHEN ${projDuck(p)} >= 0
+          THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""")
+      .mkString(" + ")
 
   /** Quantized projection of the embeddings table, optionally with the LSH
     * signature; cached — every downstream stage reuses it.
@@ -175,47 +178,78 @@ object Similarity {
           .join(broadcast(qe), "q_id"))
       }),
 
-    // ---- ANN: IVF (k-means coarse quantizer) + probed exact re-rank --------
-    // The other scale path the extension mandates: partition the corpus by
-    // nearest centroid (seeded k-means — deterministic per Spark version
-    // but not mirrorable in SQL, hence rows-only), probe each query's 2
-    // nearest centroids, re-rank exactly inside the probed cells. At
-    // 100 TB the corpus is written partitioned by cell, so a probe reads
-    // ~2/k of the data (partition pruning), vs the LSH variant's
-    // band-bucket shuffle.
+    // ---- ANN: IVF (coarse quantizer cells) + multi-probe exact re-rank -----
+    // The other scale path the extension mandates: assign every corpus
+    // vector to a coarse cell, probe each query's 2 most likely cells,
+    // re-rank exactly inside the probed cells. The coarse quantizer is a
+    // DETERMINISTIC 4-hyperplane sign code (16 cells) rather than k-means:
+    // identical exact-integer math runs in both engines, so cells — and
+    // therefore the candidate sets and the final top-k — hash-check
+    // against the oracle (k-means centroids are not SQL-mirrorable).
+    // Probe #2 is classic multi-probe: flip the bit of the LEAST-CONFIDENT
+    // hyperplane (smallest |projection|), i.e. the neighboring cell the
+    // query most plausibly belongs to.
+    // At 100 TB the corpus is WRITTEN partitioned by cell, so the
+    // cell-equality probe join prunes to ~2/16 of the data (partition
+    // pruning); probes and the query set broadcast — the big side never
+    // shuffles.
     QuerySpec(
       "q47_ann_ivf",
-      None,
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv, nsq,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv, nsq,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell,
+              CASE
+                WHEN abs(p0) <= abs(p1) AND abs(p0) <= abs(p2)
+                  AND abs(p0) <= abs(p3) THEN 0
+                WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
+                WHEN abs(p2) <= abs(p3) THEN 2
+                ELSE 3 END AS minj
+            FROM pr),
+          probes AS (SELECT vec_id AS q_id,
+              unnest([cell, xor(cell, 1 << minj)]) AS cell
+            FROM cells WHERE vec_id < $NumQueries),
+          cand AS (SELECT p.q_id, c.vec_id, c.qv, c.nsq
+            FROM probes p JOIN cells c ON c.cell = p.cell
+            WHERE c.vec_id <> p.q_id),
+          scored AS (SELECT c.q_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(${qdotDuck("q.qv", "c.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+                AS cosine
+            FROM cand c JOIN cells q ON q.vec_id = c.q_id)
+          SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rk FROM scored) z
+          WHERE rk <= $K"""),
       (s, d) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
         val e = quantized(s, d, withSig = false)
-        val feat = t(s, d, "embeddings")
-          .select(col("vec_id"), array_to_vector(col("embedding"))
-            .as("features"))
-        val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-          .fit(feat)
-        val assigned = model.transform(feat)
-          .select(col("vec_id"), col("prediction").as("cell"))
-        val corpus = e.join(assigned, "vec_id").cache()
-        // Probe list: 2 nearest centroids per query vector. The query set
-        // is tiny and fixed, so probe selection is driver-side — it is
-        // part of planning the query, not data processing.
-        import s.implicits._
-        val centroids = model.clusterCenters.zipWithIndex
-        val probes = feat.filter(col("vec_id") < NumQueries).collect()
-          .flatMap { r =>
-            val qid = r.getLong(0)
-            val v = r.getAs[org.apache.spark.ml.linalg.Vector](1)
-            centroids
-              .map { case (c, i) =>
-                (i, org.apache.spark.ml.linalg.Vectors.sqdist(v, c))
-              }
-              .sortBy(_._2).take(2).map { case (i, _) => (qid, i) }
-          }.toSeq.toDF("q_id", "cell")
-        val qe = corpus.filter(col("vec_id") < NumQueries)
+        val celled = e.select(col("vec_id"), col("qv"), col("nsq"),
+            expr(projSpark(0)).as("p0"), expr(projSpark(1)).as("p1"),
+            expr(projSpark(2)).as("p2"), expr(projSpark(3)).as("p3"))
+          .withColumn("cell", expr(
+            "IF(p0 >= 0, 1, 0) + IF(p1 >= 0, 2, 0) " +
+              "+ IF(p2 >= 0, 4, 0) + IF(p3 >= 0, 8, 0)"))
+          .withColumn("minj", expr("""CASE
+              WHEN abs(p0) <= abs(p1) AND abs(p0) <= abs(p2)
+                AND abs(p0) <= abs(p3) THEN 0
+              WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
+              WHEN abs(p2) <= abs(p3) THEN 2
+              ELSE 3 END"""))
+        val corpus = celled.select(col("vec_id"), col("qv"), col("nsq"),
+          col("cell"))
+        val queries = celled.filter(col("vec_id") < NumQueries)
+        val probes = queries
           .select(col("vec_id").as("q_id"),
-            col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+            explode(array(col("cell"),
+              expr("cell ^ shiftleft(1, minj)"))).as("cell"))
+        val qe = queries.select(col("vec_id").as("q_id"),
+          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
         val cand = corpus.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), col("qv"), col("nsq"))

@@ -43,10 +43,14 @@ object TrainingPipeline {
               AS lt
           FROM documents)
         SELECT doc_id,
-          CASE WHEN len(lt) = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos,
+          CASE WHEN lt IS NULL OR len(lt) = 0 THEN NULL
+            ELSE CAST(u.i - 1 AS INT) END AS pos,
           u.x AS tok
         FROM (SELECT doc_id, lt,
-            unnest(CASE WHEN len(lt) = 0
+            -- NULL arrays must keep their row (posexplode_outer semantics):
+            -- unnest(NULL) would emit zero rows, so map NULL → one-NULL-row
+            -- just like the empty-list case.
+            unnest(CASE WHEN lt IS NULL OR len(lt) = 0
               THEN [{'i': CAST(NULL AS INT), 'x': CAST(NULL AS VARCHAR)}]
               ELSE list_transform(lt, (x, i) -> {'i': i, 'x': x}) END) AS u
           FROM d) z"""),

@@ -58,10 +58,15 @@ object Sessionizer {
           // Out-of-order events inside the gap can both pre-date startMs and
           // post-date lastMs; widen both bounds (matches session_window's
           // merge semantics, where a session spans min..max event time).
+          // first/last event ids must track the widened bounds: a late
+          // event that extends the session backwards becomes first_event,
+          // and last_event only moves when event time actually advances.
           cur = Some(s.copy(
             startMs = math.min(s.startMs, t),
             lastMs = math.max(s.lastMs, t), n = s.n + 1,
-            totalValue = s.totalValue + e.value, lastEvent = e.event_id))
+            totalValue = s.totalValue + e.value,
+            firstEvent = if (t < s.startMs) e.event_id else s.firstEvent,
+            lastEvent = if (t >= s.lastMs) e.event_id else s.lastEvent))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value, e.event_id, e.event_id))
       }

@@ -240,6 +240,11 @@ class StreamingSpec extends SparkSpec {
       s"late event did not lower startMs: $s")
     assert(s.lastMs == java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime)
     assert(s.n == 2)
+    // first/last event ids must be consistent with the widened bounds:
+    // the late 10:00 event is now the FIRST event, and last_event must
+    // stay the 10:10 event (the late arrival doesn't advance lastMs).
+    assert(s.firstEvent == 2L, s"late event should become firstEvent: $s")
+    assert(s.lastEvent == 1L, s"lastEvent must not regress to the late event: $s")
   }
 
   test("streaming promote: checkpoint processes each file exactly once") {
