@@ -21,10 +21,10 @@ import org.apache.spark.sql.types.DoubleType
   * derived *expressions* over exact components (n, Σx, Σx², Σxy …), so the
   * final IEEE arithmetic is the same sequence of ops in both engines.
   *
-  * Scale posture: all windows partition before ordering (no global sort
-  * except q76's explicitly-global running frame, which at cluster scale
-  * would take a range-partitioned sort); moment stats are one partial+final
-  * hash agg — no second pass over the data for variance.
+  * Scale posture: all windows partition before ordering — including q76's
+  * globally-ordered trailing RANGE frame, which distributes via key-range
+  * blocking with boundary carry (see q76's comment); moment stats are one
+  * partial+final hash agg — no second pass over the data for variance.
   */
 object Analytic {
 
@@ -57,6 +57,14 @@ object Analytic {
       }),
 
     // ---- RANGE frame + first/last/nth_value over an unbounded frame -------
+    // The trailing RANGE frame is GLOBAL in key order, but the naive
+    // Window.orderBy(...) with no partitionBy moves the whole table to one
+    // task. Because the frame is BOUNDED (10 preceding), it distributes
+    // exactly: block the key space into ranges of 8192, carry each block's
+    // last-10-keys rows into the next block (the only rows a trailing
+    // frame can reach across the boundary), window PARTITIONED BY block,
+    // and drop the carried rows. One shuffle on the block key, ~0.1%
+    // duplication, bit-identical to the global window at any scale.
     QuerySpec(
       "q76_window_frames",
       Some("""SELECT o_orderkey,
@@ -71,16 +79,30 @@ object Analytic {
         WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""),
       (s, d) => {
-        val wRange = Window.orderBy(col("o_orderkey")).rangeBetween(-10, 0)
+        val block = 8192L
+        val o = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        val own = o
+          .withColumn("g", expr(s"o_orderkey div $block"))
+          .withColumn("carry", lit(false))
+        val carried = o
+          .filter(expr(s"o_orderkey % $block >= ${block - 10}"))
+          .withColumn("g", expr(s"o_orderkey div $block + 1"))
+          .withColumn("carry", lit(true))
+        val wRange = Window.partitionBy(col("g"))
+          .orderBy(col("o_orderkey")).rangeBetween(-10, 0)
         val wp = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        t(s, d, "orders").select(
-          col("o_orderkey"),
-          wsum(col("o_totalprice"), wRange).as("near_sum"),
-          first(col("o_orderkey")).over(wp).as("first_k"),
-          last(col("o_orderkey")).over(wp).as("last_k"),
-          nth_value(col("o_orderkey"), 3).over(wp).as("third_k"))
+        own.unionByName(carried)
+          .withColumn("near_sum", wsum(col("o_totalprice"), wRange))
+          .filter(!col("carry"))
+          .select(
+            col("o_orderkey"),
+            col("near_sum"),
+            first(col("o_orderkey")).over(wp).as("first_k"),
+            last(col("o_orderkey")).over(wp).as("last_k"),
+            nth_value(col("o_orderkey"), 3).over(wp).as("third_k"))
       }),
 
     // ---- exact moment statistics from decimal-grid components -------------

@@ -223,12 +223,25 @@ object Dedup {
       }),
 
     // ---- SimHash near-dup --------------------------------------------------
-    // 32-bit weighted simhash over the token multiset; candidates from
-    // 8-bit band buckets — exact for hamming<=1 (a 1-bit difference leaves
-    // >=3 of 4 bands identical), so no recall caveat at this threshold.
+    // 60-bit weighted simhash over the token multiset (60 = the portable
+    // md5-prefix hash width); candidates from 15-bit band buckets — exact
+    // for hamming<=3 by pigeonhole (<=3 differing bits leave >=1 of the 4
+    // bands identical), so no recall caveat at this threshold. The
+    // pigeonhole law is property-checked in LawsCheck.
     //
-    // Spark plan: explode token hashes and build all 32 sign-sums in ONE
-    // codegen'd hash aggregate (32 conditional SUM columns) — each token
+    // Bucket-occupancy bound (the 100 TB sizing argument): the band
+    // self-join costs Σ_b n_b² over bucket sizes n_b. 15-bit bands give
+    // 32,768 buckets per band, so at 1e9 docs a uniform band holds ~3e4
+    // docs/bucket → ~1e9·3e4 = 3e13 *worst-case* uniform pair bound, vs
+    // the 8-bit/256-bucket sizing this replaced, which was 128× worse per
+    // band. Real simhash buckets are non-uniform (near-dups cluster — that
+    // is the point), so the observed candidate count tracks the number of
+    // true near-dup pairs, not the uniform bound; beyond ~1e10 docs add a
+    // secondary in-bucket blocking key (e.g. length bucket), same as the
+    // LSH comment in Similarity.
+    //
+    // Spark plan: explode token hashes and build all 60 sign-sums in ONE
+    // codegen'd hash aggregate (60 conditional SUM columns) — each token
     // hashed once, one shuffle on doc_id; the interpreted-lambda
     // alternative (nested `aggregate` over bits x tokens) is ~an order of
     // magnitude slower and sits outside whole-stage codegen. The tiny
@@ -244,50 +257,50 @@ object Dedup {
             list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
                   THEN 1 ELSE -1 END for h in ths]) >= 0
                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
-              for i in range(0, 32)]) AS sh32
+              for i in range(0, 60)]) AS sig
           FROM ths),
-        bl AS (SELECT doc_id, j, (sh32 >> (8*j)) & 255 AS band
+        bl AS (SELECT doc_id, j, (sig >> (15*j)) & 32767 AS band
           FROM sim, (SELECT unnest(range(0, 4)) AS j) z),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bl a JOIN bl b ON a.j = b.j AND a.band = b.band
             AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
-          CAST(bit_count(xor(x.sh32, y.sh32)) AS INT) AS hamming
+          CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
         FROM cand JOIN sim x ON x.doc_id = doc_a
                   JOIN sim y ON y.doc_id = doc_b
-        WHERE bit_count(xor(x.sh32, y.sh32)) <= 1"""),
+        WHERE bit_count(xor(x.sig, y.sig)) <= 3"""),
       (s, d) => {
         val tokenHashes = t(s, d, "documents")
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("tok"))
           .select(col("doc_id"), expr(h64Spark("tok")).as("h"))
-        val bitSums = (0 until 32).map(i =>
+        val bitSums = (0 until 60).map(i =>
           sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L)
             .otherwise(-1L)).as(s"b$i"))
-        val sh32 = (0 until 32)
+        val sig = (0 until 60)
           .map(i => when(col(s"b$i") >= 0, 1L << i).otherwise(0L))
           .reduce(_ + _)
         val sim = tokenHashes
           .groupBy(col("doc_id"))
           .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), sh32.as("sh32"))
+          .select(col("doc_id"), sig.as("sig"))
           .cache()
-        val bl = sim.select(col("doc_id"), col("sh32"),
+        val bl = sim.select(col("doc_id"), col("sig"),
             posexplode(expr(
-              "transform(sequence(0, 3), j -> (shiftright(sh32, 8*j) & 255))")))
-          .toDF("doc_id", "sh32", "band_j", "band")
+              "transform(sequence(0, 3), j -> (shiftright(sig, 15*j) & 32767))")))
+          .toDF("doc_id", "sig", "band_j", "band")
         val cand = bl.as("x").join(bl.as("y"),
             col("x.band_j") === col("y.band_j")
               && col("x.band") === col("y.band")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val xa = sim.select(col("doc_id").as("doc_a"), col("sh32").as("sa"))
-        val xb = sim.select(col("doc_id").as("doc_b"), col("sh32").as("sb"))
+        val xa = sim.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+        val xb = sim.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
         cand.join(xa, "doc_a").join(xb, "doc_b")
           .withColumn("hamming",
             bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
-          .filter(col("hamming") <= 1)
+          .filter(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
       }),
 

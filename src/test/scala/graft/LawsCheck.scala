@@ -60,6 +60,19 @@ object LawsCheck extends Properties("graft.laws") {
       merged == multiset(x)
     }
 
+  // q42's recall guarantee: with 4 bands of 15 bits over a 60-bit simhash,
+  // any pair within hamming distance 3 shares at least one full band
+  // (pigeonhole: 3 flipped bits can touch at most 3 of the 4 bands). Pure
+  // bit math — no Spark job — so it runs at full ScalaCheck volume.
+  property("simhash 15-bit banding recalls every hamming<=3 pair") =
+    Prop.forAll(
+        Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_ & ((1L << 60) - 1)),
+        Gen.listOfN(3, Gen.chooseNum(0, 59))) { (a, flips) =>
+      val b = flips.distinct.foldLeft(a)((s, i) => s ^ (1L << i))
+      (0 until 4).exists(j => ((a >> (15 * j)) & 32767L) ==
+        ((b >> (15 * j)) & 32767L))
+    }
+
   property("parquet round-trip preserves the row multiset") =
     Prop.forAll(rows) { xs =>
       val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString

@@ -76,4 +76,20 @@ class PlanSpec extends SparkSpec {
     // partitionBy o_custkey must appear in the window spec
     assert(p.contains("o_custkey"), p)
   }
+
+  test("q76: no single-partition window over a data-sized input") {
+    // The trailing RANGE frame must run partitioned by the derived block
+    // key (windowspecdefinition lists its partition columns first); an
+    // empty partition spec would be the global-sort scale-killer.
+    val df = queries.Registry.byName("q76_window_frames").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val windowSpecs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windowSpecs.nonEmpty, optimized)
+    assert(windowSpecs.forall(l =>
+        l.contains("windowspecdefinition(g#") ||
+        l.contains("windowspecdefinition(o_orderpriority#")),
+      "every window must partition on g (block key) or o_orderpriority:\n"
+        + windowSpecs.mkString("\n"))
+  }
 }
