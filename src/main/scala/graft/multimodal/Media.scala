@@ -12,11 +12,16 @@ import org.apache.spark.sql.types._
   * this environment).
   *
   * ==== STUB BOUNDARY ====
-  * [[MediaCodec.decode]] is a DETERMINISTIC FAKE: it expands bytes into a
-  * float grid instead of invoking a real JPEG/PCM/H.264 decoder. Everything
-  * downstream of it (resize index math, mean-pool features, frame
-  * sampling, batch iteration) is real logic over that grid and would be
-  * unchanged if a real codec were dropped in.
+  * [[MediaCodec]] is the pluggable decode contract (bytes + typed meta →
+  * float grid); the only implementation here, [[FakeCodec]], is a
+  * DETERMINISTIC FAKE that expands bytes into a float grid instead of
+  * invoking a real JPEG/PCM/H.264 decoder. A real codec drops in as
+  * another [[MediaCodec]] instance without touching pipeline code
+  * ([[Media.extractFeatures]] takes the codec as a parameter). Everything
+  * downstream of decode (resize index math, mean-pool features, frame
+  * sampling, batch iteration) is real logic over that grid and is
+  * codec-independent; the fake's feature output is pinned by a golden
+  * check in MultimodalSpec so the stub can't silently drift.
   *
   * Scale posture: media rows are processed with `mapPartitions` over a
   * typed Dataset — one iterator pass per partition (the Scala analog of
@@ -78,15 +83,18 @@ object Media {
 
   /** Decode + feature-extract over partitions of a typed Dataset — one
     * batch pass per partition; buffers are reused across rows within a
-    * partition (allocation is per-partition, not per-row).
+    * partition (allocation is per-partition, not per-row). The codec is a
+    * constructor-style parameter: swapping the fake for a real decoder
+    * changes nothing else in the pipeline.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
-      featureDim: Int = 8): Dataset[MediaFeature] = {
+      featureDim: Int = 8,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeature] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       val pool = new Array[Float](featureDim) // reused per partition
       rows.map { r =>
-        val grid = MediaCodec.decode(r.content, r.meta)
+        val grid = codec.decode(r.content, r.meta)
         java.util.Arrays.fill(pool, 0.0f)
         MediaFeature(r.media_id, r.kind, r.content.length.toLong,
           MediaCodec.meanPool(grid, featureDim, pool).clone())
@@ -95,15 +103,22 @@ object Media {
   }
 }
 
-/** The codec stub + the real post-decode math. */
-object MediaCodec {
+/** The pluggable decode contract. Implementations ship to executors inside
+  * `mapPartitions` closures, hence Serializable. A real implementation
+  * would dispatch on `meta.codec` to an image/audio/video library; the
+  * signature (bytes + typed meta → float grid) is the contract the rest of
+  * the pipeline compiles against.
+  */
+trait MediaCodec extends Serializable {
+  def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float]
+}
 
-  /** ==== STUB ==== Deterministic fake decode: byte i of the payload
-    * becomes float (b & 0xFF)/255 at grid position i, tiled to
-    * width*height*channels. A real implementation would dispatch on
-    * meta.codec to an image/audio/video library; the signature
-    * (bytes + typed meta → float grid) is the real contract.
-    */
+/** ==== STUB ==== Deterministic fake decode: byte i of the payload becomes
+  * float (b & 0xFF)/255 at grid position i, tiled to
+  * width*height*channels. Stands in for a media library (none exists in
+  * this environment) as the test implementation of [[MediaCodec]].
+  */
+object FakeCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
     val n = math.max(1, meta.width * meta.height * meta.channels)
     val out = new Array[Float](n)
@@ -115,6 +130,10 @@ object MediaCodec {
     }
     out
   }
+}
+
+/** Codec-independent post-decode math. */
+object MediaCodec {
 
   /** Nearest-neighbor resize on a decoded single-channel-major grid —
     * real index math, codec-independent.

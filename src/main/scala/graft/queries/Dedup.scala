@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB):
   *  - No all-pairs join anywhere on the Spark side: MinHash pairs come from
   *    band-bucket self-joins (shuffle on band key), SimHash pairs from
-  *    8-bit band buckets (exact for hamming<=1 by pigeonhole), n-gram pairs
-  *    from a doc-frequency-capped inverted index (the cap bounds bucket
-  *    fan-out, so candidate count stays ~linear in corpus size), and cosine
-  *    pairs are blocked on the label key (LSH variant in Similarity.scala).
+  *    15-bit band buckets (exact for hamming<=3 by pigeonhole), n-gram
+  *    pairs from a doc-frequency-capped inverted index (the cap bounds
+  *    bucket fan-out, so candidate count stays ~linear in corpus size), and
+  *    cosine pairs are blocked on the label key (LSH variant in
+  *    Similarity.scala). ScaleSpec counts each pipeline's candidates at two
+  *    corpus sizes and fails on super-linear growth.
   *  - All pipelines are groupBy/join over derived keys — partial aggregation
   *    and AQE skew handling apply; nothing collects to the driver.
   */
@@ -116,7 +118,7 @@ object Dedup {
   /** documents → (doc_id, shingles) with the token/shingle prep shared by
     * the near-dup queries.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
     t(s, d, "documents")
       .withColumn("toks", split(lower(col("text")), " "))
@@ -131,6 +133,100 @@ object Dedup {
        sh AS (
          SELECT doc_id, $shinglesDuck AS shingles
          FROM docs WHERE len(toks) >= 3)"""
+
+  // ---- candidate generation (shared with ScaleSpec's sublinearity guard) --
+  //
+  // Each near-dup pipeline's scale hazard is its CANDIDATE stage — the
+  // verify tail only sees what these emit. Exposing them `private[graft]`
+  // lets ScaleSpec count candidates at two corpus sizes and fail on any
+  // silent all-pairs regression, without duplicating the logic here.
+
+  /** MinHash band-bucket candidate pairs (doc_a < doc_b). */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+      df.withColumn(s"mh$k", expr(minhashSpark(k)))
+    }
+    val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+    val bl = mh
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "bkey")
+    bl.as("x").join(bl.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** documents → (doc_id, sig): the 60-bit simhash signature table. */
+  private[graft] def simhashSignatures(s: SparkSession,
+      d: String): DataFrame = {
+    val tokenHashes = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), expr(h64Spark("tok")).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val sig = (0 until 60)
+      .map(i => when(col(s"b$i") >= 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    tokenHashes
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash band-bucket occupancy cap. Low-entropy corpora (template
+    * families — every synthetic fixture doc shares most common tokens)
+    * produce HOT band buckets: hundreds of moderately-similar docs agree
+    * on one 15-bit band, and the self-join inside such a bucket is
+    * quadratic in its size regardless of band width. Buckets over the cap
+    * are excluded from candidate generation — deterministically (occupancy
+    * is a function of the data) and mirrored in the oracle, so both
+    * engines still agree exactly. The recall trade is explicit: a
+    * hamming<=3 pair is missed only if EVERY band it agrees on is hot,
+    * and hot buckets are template families, which the exact-fingerprint
+    * pass (q40) collapses before near-dup runs in a full pipeline.
+    */
+  private[graft] val SimhashBucketCap = 64
+
+  /** SimHash 15-bit band-bucket candidate pairs (doc_a < doc_b), capped
+    * per bucket: Σ_b n_b² over surviving buckets is <= cap · Σ_b n_b,
+    * i.e. linear in corpus size by construction.
+    */
+  private[graft] def simhashCandidates(sim: DataFrame): DataFrame = {
+    val bl = sim.select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> (shiftright(sig, 15*j) & 32767))")))
+      .toDF("doc_id", "sig", "band_j", "band")
+    // Band-stats table: at most 4 * 2^15 rows — always broadcastable.
+    val cool = bl.groupBy(col("band_j"), col("band")).count()
+      .filter(col("count") <= SimhashBucketCap)
+      .select(col("band_j"), col("band"))
+    val blc = bl.join(broadcast(cool), Seq("band_j", "band"))
+    blc.as("x").join(blc.as("y"),
+        col("x.band_j") === col("y.band_j")
+          && col("x.band") === col("y.band")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Sampled, df-capped inverted-index candidate pairs (doc_a < doc_b). */
+  private[graft] def ngramCandidates(sh: DataFrame): DataFrame = {
+    val samp = sh.select(col("doc_id"),
+        explode(col("shingles")).as("s"))
+      .filter(col("s") % 8 === 0)
+    val rare = samp.groupBy(col("s")).count()
+      .filter(col("count") <= 20).select(col("s"))
+    val rareInv = samp.join(rare, "s")
+    rareInv.as("x").join(rareInv.as("y"),
+        col("x.s") === col("y.s")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   // ---- exact-Jaccard verification of a candidate-pair frame ---------------
 
@@ -206,39 +302,25 @@ object Dedup {
         // sides of the verify join — without it the md5-heavy shingling
         // subtree is recomputed three times.
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
-        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
-          df.withColumn(s"mh$k", expr(minhashSpark(k)))
-        }
-        val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
-        val bl = mh
-          .select(col("doc_id"), posexplode(array(bandKeys: _*)))
-          .toDF("doc_id", "band", "bkey")
-        val cand = bl.as("x").join(bl.as("y"),
-            col("x.band") === col("y.band")
-              && col("x.bkey") === col("y.bkey")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        verifyJaccard(sh, cand, 0.8)
+        verifyJaccard(sh, minhashCandidates(sh), 0.8)
       }),
 
     // ---- SimHash near-dup --------------------------------------------------
     // 60-bit weighted simhash over the token multiset (60 = the portable
     // md5-prefix hash width); candidates from 15-bit band buckets — exact
     // for hamming<=3 by pigeonhole (<=3 differing bits leave >=1 of the 4
-    // bands identical), so no recall caveat at this threshold. The
-    // pigeonhole law is property-checked in LawsCheck.
+    // bands identical; property-checked in LawsCheck) among docs whose
+    // shared bands are under the occupancy cap. The only recall caveat is
+    // the cap itself (see simhashCandidates — hot buckets are template
+    // families, q40's job).
     //
     // Bucket-occupancy bound (the 100 TB sizing argument): the band
     // self-join costs Σ_b n_b² over bucket sizes n_b. 15-bit bands give
-    // 32,768 buckets per band, so at 1e9 docs a uniform band holds ~3e4
-    // docs/bucket → ~1e9·3e4 = 3e13 *worst-case* uniform pair bound, vs
-    // the 8-bit/256-bucket sizing this replaced, which was 128× worse per
-    // band. Real simhash buckets are non-uniform (near-dups cluster — that
-    // is the point), so the observed candidate count tracks the number of
-    // true near-dup pairs, not the uniform bound; beyond ~1e10 docs add a
-    // secondary in-bucket blocking key (e.g. length bucket), same as the
-    // LSH comment in Similarity.
+    // 32,768 buckets per band (128× smaller expected buckets than the
+    // 8-bit sizing this replaced), and the occupancy cap (see
+    // simhashCandidates) bounds Σ_b n_b² <= cap · corpus — candidate
+    // count is LINEAR in corpus size by construction, verified by
+    // ScaleSpec's growth guard at two corpus sizes.
     //
     // Spark plan: explode token hashes and build all 60 sign-sums in ONE
     // codegen'd hash aggregate (60 conditional SUM columns) — each token
@@ -261,8 +343,12 @@ object Dedup {
           FROM ths),
         bl AS (SELECT doc_id, j, (sig >> (15*j)) & 32767 AS band
           FROM sim, (SELECT unnest(range(0, 4)) AS j) z),
+        cool AS (SELECT j, band FROM bl GROUP BY j, band
+          HAVING COUNT(*) <= $SimhashBucketCap),
+        blc AS (SELECT bl.doc_id, bl.j, bl.band
+          FROM bl JOIN cool ON cool.j = bl.j AND cool.band = bl.band),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bl a JOIN bl b ON a.j = b.j AND a.band = b.band
+          FROM blc a JOIN blc b ON a.j = b.j AND a.band = b.band
             AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
@@ -270,31 +356,8 @@ object Dedup {
                   JOIN sim y ON y.doc_id = doc_b
         WHERE bit_count(xor(x.sig, y.sig)) <= 3"""),
       (s, d) => {
-        val tokenHashes = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("tok"))
-          .select(col("doc_id"), expr(h64Spark("tok")).as("h"))
-        val bitSums = (0 until 60).map(i =>
-          sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L)
-            .otherwise(-1L)).as(s"b$i"))
-        val sig = (0 until 60)
-          .map(i => when(col(s"b$i") >= 0, 1L << i).otherwise(0L))
-          .reduce(_ + _)
-        val sim = tokenHashes
-          .groupBy(col("doc_id"))
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), sig.as("sig"))
-          .cache()
-        val bl = sim.select(col("doc_id"), col("sig"),
-            posexplode(expr(
-              "transform(sequence(0, 3), j -> (shiftright(sig, 15*j) & 32767))")))
-          .toDF("doc_id", "sig", "band_j", "band")
-        val cand = bl.as("x").join(bl.as("y"),
-            col("x.band_j") === col("y.band_j")
-              && col("x.band") === col("y.band")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val sim = simhashSignatures(s, d).cache()
+        val cand = simhashCandidates(sim)
         val xa = sim.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
         val xb = sim.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
         cand.join(xa, "doc_a").join(xb, "doc_b")
@@ -328,18 +391,7 @@ object Dedup {
         ${verifyDuck(0.7)}"""),
       (s, d) => {
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
-        val samp = sh.select(col("doc_id"),
-            explode(col("shingles")).as("s"))
-          .filter(col("s") % 8 === 0)
-        val rare = samp.groupBy(col("s")).count()
-          .filter(col("count") <= 20).select(col("s"))
-        val rareInv = samp.join(rare, "s")
-        val cand = rareInv.as("x").join(rareInv.as("y"),
-            col("x.s") === col("y.s")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        verifyJaccard(sh, cand, 0.7)
+        verifyJaccard(sh, ngramCandidates(sh), 0.7)
       }),
 
     // ---- embedding-cosine near-dup (label-blocked exact pass) --------------

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Media, MediaCodec}
+import graft.multimodal.{FakeCodec, Media, MediaCodec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,11 +35,37 @@ class MultimodalSpec extends SparkSpec {
   test("stub decode is deterministic and honors metadata dims") {
     val meta = Media.MediaMeta(4, 3, 3, 16000, 1000L, "fake/v1")
     val bytes = "abcdef".getBytes("UTF-8")
-    val g1 = MediaCodec.decode(bytes, meta)
-    val g2 = MediaCodec.decode(bytes, meta)
+    val g1 = FakeCodec.decode(bytes, meta)
+    val g2 = FakeCodec.decode(bytes, meta)
     assert(g1.toSeq == g2.toSeq, "decode must be deterministic")
     assert(g1.length == 4 * 3 * 3)
     assert(g1.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("golden check: fake codec feature output is pinned exactly") {
+    // Independent hand-derivation of decode+meanPool on a tiny payload:
+    // bytes [0, 255, 128, 64] on a 2x2x1 grid -> [0/255, 255/255, 128/255,
+    // 64/255]; meanPool to 2 buckets -> [(0+1)/2, (128/255 + 64/255)/2].
+    // Pinning the exact float values means the stub's semantics (unsigned
+    // byte, /255 scaling, contiguous bucketing) can't silently drift under
+    // a refactor — the spec-level analog of an oracle row.
+    val meta = Media.MediaMeta(2, 2, 1, 16000, 0L, "fake/v1")
+    val grid = FakeCodec.decode(Array[Byte](0, -1, -128, 64), meta)
+    assert(grid.toSeq == Seq(0f, 1f, 128 / 255.0f, 64 / 255.0f))
+    val buf = new Array[Float](2)
+    val feat = MediaCodec.meanPool(grid, 2, buf)
+    assert(feat(0) == (0f + 1f) / 2)
+    assert(feat(1) == (128 / 255.0f + 64 / 255.0f) / 2)
+  }
+
+  test("a custom codec drops in without touching pipeline code") {
+    import spark.implicits._
+    // Constant-grid codec: every feature bucket must then equal 0.5.
+    val media = Media.fromDocuments(spark, sfDir).as[Media.MediaRow].limit(10)
+    val feats = Media.extractFeatures(spark, media, featureDim = 4,
+      codec = MultimodalSpec.HalfCodec).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.feature.forall(_ == 0.5f)))
   }
 
   test("resize: nearest-neighbor index math") {
@@ -71,5 +97,13 @@ class MultimodalSpec extends SparkSpec {
     val again = Media.extractFeatures(spark, media, featureDim = 8)
       .collect().map(f => f.media_id -> f.feature.toSeq).toMap
     assert(rows.forall(f => again(f.media_id) == f.feature.toSeq))
+  }
+}
+
+object MultimodalSpec {
+  /** Companion-level (no outer capture → serializable) test codec. */
+  object HalfCodec extends MediaCodec {
+    def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
+      Array.fill(math.max(1, meta.width * meta.height * meta.channels))(0.5f)
   }
 }

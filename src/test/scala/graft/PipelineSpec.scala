@@ -198,6 +198,67 @@ class PipelineSpec extends SparkSpec {
       "second run gated by ledger")
   }
 
+  test("orchestrator: HTTP probe + streaming download end-to-end") {
+    // Loopback fixture server: only 2024-01 exists; everything else 404s.
+    // Exercises the real java.net.http hooks (HEAD probe, streamed GET)
+    // through the same Orchestrator path the local-file tests use.
+    val payload = Array.tabulate[Byte](1 << 16)(i => (i % 251).toByte)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/trip-data/", { exchange =>
+      val available = exchange.getRequestURI.getPath
+        .endsWith("yellow_tripdata_2024-01.parquet")
+      if (!available) {
+        exchange.sendResponseHeaders(404, -1)
+      } else if (exchange.getRequestMethod == "HEAD") {
+        exchange.sendResponseHeaders(200, -1)
+      } else {
+        exchange.sendResponseHeaders(200, payload.length.toLong)
+        exchange.getResponseBody.write(payload)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val http = new HttpSource(
+        ym => s"http://127.0.0.1:$port/trip-data/yellow_tripdata_$ym.parquet",
+        java.nio.file.Paths.get(tmpDir("graft-http-tmp")))
+      assert(http.probe("2024-01"), "published month must probe true")
+      assert(!http.probe("2024-02"), "unpublished month must probe false")
+
+      val cat = ZoneCatalog(tmpDir("graft-http"))
+      val ledger = new MonthLedger(spark, s"${cat.state}/month_ledger", clock)
+      val orch = new Orchestrator(new Ingest(cat, clock), ledger)
+      val key = orch.runOnce(http.probe, http.download)
+      assert(key.exists(_.endsWith(
+        "nyc_taxi/yellow_taxi_2024-01_20240315_110000.parquet")),
+        s"key layout mismatch: $key")
+      val got = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(key.get))
+      assert(java.util.Arrays.equals(got, payload),
+        "downloaded bytes must match the served payload")
+    } finally server.stop(0)
+  }
+
+  test("http download: non-2xx raises and leaves no partial file") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      exchange.sendResponseHeaders(503, -1); exchange.close()
+    })
+    server.start()
+    try {
+      val tmp = java.nio.file.Paths.get(tmpDir("graft-http-err"))
+      val http = new HttpSource(
+        ym => s"http://127.0.0.1:${server.getAddress.getPort}/$ym",
+        tmp)
+      intercept[java.io.IOException](http.download("2024-01"))
+      assert(!java.nio.file.Files.list(tmp).iterator().hasNext,
+        "failed download must clean up its temp file")
+    } finally server.stop(0)
+  }
+
   test("ingest: archive moves to dated layout (s3_operations.py:68-69)") {
     val cat = ZoneCatalog(tmpDir("graft-arch"))
     val ingest = new Ingest(cat, clock)

@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+
+/** Candidate-set sublinearity guard: the scale hazard in every near-dup
+  * pipeline is its candidate stage — a silent regression to all-pairs
+  * still passes correctness (the verify tail filters it down) but melts a
+  * cluster. These tests measure the actual candidate-pair count at two
+  * corpus sizes (sf0.001 → sf0.1: 500 → 5,000 documents — sf0.01 reuses
+  * the 500-doc corpus, so sf0.1 is the real 10x step) and fail if growth
+  * approaches quadratic (100x): the asserted ceiling of 35x leaves room
+  * for clustering effects (near-dup groups grow with the corpus) while
+  * catching any O(n²) blow-up outright.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private val small = "/root/testdata/sf0.001"
+  private val large = "/root/testdata/sf0.1"
+
+  private def growthOk(name: String, countAt: String => Long): Unit = {
+    val cSmall = countAt(small).max(1L)
+    val cLarge = countAt(large)
+    val growth = cLarge.toDouble / cSmall
+    info(f"$name: $cSmall candidates @sf0.001 -> $cLarge @sf0.1 " +
+      f"(${growth}%.1fx)")
+    assert(growth <= 35.0,
+      s"$name candidate growth ${growth}x over a ~10x corpus is " +
+        "super-linear — check the banding/blocking keys")
+  }
+
+  test("q41 minhash: band-bucket candidates grow sublinearly") {
+    growthOk("minhash", d =>
+      Dedup.minhashCandidates(
+        Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+        .count())
+  }
+
+  test("q42 simhash: candidates bounded by cap·bands·corpus/2") {
+    // Same transient-ramp caveat as the ngram test below: between the two
+    // fixture sizes, bucket occupancy ramps toward the cap, so the raw
+    // growth ratio overshoots linear while the cap-derived bound —
+    // Σ_b n_b(n_b-1)/2 <= (cap/2)·Σ_b n_b = (cap/2)·bands·corpus — is
+    // what actually holds at any scale. Assert it at both sizes.
+    for (d <- Seq(small, large)) {
+      val sim = Dedup.simhashSignatures(spark, d).cache()
+      val nDocs = sim.count().max(1L)
+      val cand = Dedup.simhashCandidates(sim).count()
+      val bound = (Dedup.SimhashBucketCap.toLong / 2) * 4 * nDocs
+      info(f"simhash @$d: $cand candidates over $nDocs docs " +
+        f"(${cand.toDouble / nDocs}%.1f per doc, bound $bound)")
+      assert(cand <= bound,
+        s"candidates $cand exceed the occupancy-cap bound $bound")
+      sim.unpersist()
+    }
+  }
+
+  test("q43 ngram: candidates bounded by dfCap²/2 per indexed shingle") {
+    // The raw growth ratio is misleading for the inverted index: between
+    // 500 and 5,000 docs the per-shingle document frequency ramps toward
+    // the cap (pairs-per-shingle grows ~df² until the cap binds), so the
+    // transient growth exceeds linear even though the ASYMPTOTIC bound —
+    // candidates <= C(dfCap,2) · #indexed-shingles, with #indexed-shingles
+    // linear in corpus tokens — is what holds at scale. Assert that bound
+    // directly at both corpus sizes.
+    for (d <- Seq(small, large)) {
+      val sh = Dedup.shingled(spark, d).select(col("doc_id"), col("shingles"))
+      val samp = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+        .filter(col("s") % 8 === 0)
+      val nRare = samp.groupBy("s").count()
+        .filter(col("count") <= 20).count().max(1L)
+      val cand = Dedup.ngramCandidates(sh).count()
+      val perShingle = cand.toDouble / nRare
+      info(f"ngram @$d: $cand candidates / $nRare indexed shingles " +
+        f"(${perShingle}%.1f per shingle, bound ${20 * 19 / 2})")
+      assert(cand <= nRare * (20L * 19 / 2),
+        s"candidates $cand exceed the df-cap bound — the cap is not binding")
+    }
+  }
+}
