@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Portable
+import graft.functions.Portable.h64Duck
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,7 +11,9 @@ import org.apache.spark.sql.functions._
   * driver-mandated LLM-pipeline extensions, BASELINE.json `north_star`):
   * deterministic train/val/test splitting, a composed quality+dedup corpus
   * filter, bigram statistics (the counting pass a BPE/ngram-LM trainer
-  * needs), integer-exact TF-IDF, and positional explode variants.
+  * needs), integer-exact TF-IDF, positional explode variants, sensitive-
+  * span scrubbing, benchmark-contamination detection, stratified
+  * deterministic sampling, and token-budget shard packing.
   *
   * Scale posture (100 TB corpus):
   *  - the split is a pure per-row hash — embarrassingly parallel, no
@@ -176,6 +179,150 @@ object TrainingPipeline {
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("tok"), col("tf"), col("df"),
             col("score"), col("rk"))
+      }),
+
+    // ---- sensitive-span scrubbing (regexp redaction pass) -------------------
+    // The PII-scrub stage of a corpus pipeline: replace matches of
+    // sensitive patterns and count what was removed, per document. The
+    // fixture text has no real PII, so the entity pattern uses stand-in
+    // tokens that do occur; the digit-run pattern exercises the
+    // no-match path. Patterns stick to the regex subset with identical
+    // semantics in Java regex and RE2 (char classes, alternation, \b,
+    // bounded quantifiers). Row-local (no shuffle): scales with the scan.
+    QuerySpec(
+      "q85_redact",
+      // NB: this is a Scala triple-quoted string — backslashes pass through
+      // verbatim, so '\b' below reaches RE2 as the word-boundary escape.
+      Some("""SELECT doc_id,
+          regexp_replace(
+            regexp_replace(text, '\b(customer|vector)\b', '<ENT>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+          CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
+            AS INT) AS n_ents,
+          CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_nums
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "\\b(customer|vector)\\b", "<ENT>"),
+            "[0-9]{6,}", "<NUM>").as("clean_text"),
+          expr("CAST(regexp_count(text, '\\\\b(customer|vector)\\\\b') AS INT)")
+            .as("n_ents"),
+          expr("CAST(regexp_count(text, '[0-9]{6,}') AS INT)").as("n_nums"))),
+
+    // ---- benchmark-contamination check (shingle containment) ----------------
+    // Flag corpus docs sharing word-3-gram shingles with a benchmark set
+    // (here: docs 0-2 stand in for the eval set). The benchmark side is
+    // tiny by nature → broadcast its exploded shingle set; the corpus side
+    // explodes and inner-joins on the 60-bit portable shingle hash — no
+    // corpus self-join, candidates bounded by benchmark size. This is the
+    // decontamination pass every training pipeline runs before a split.
+    QuerySpec(
+      "q86_contamination", {
+        Some(s"""WITH docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+          sh AS (SELECT doc_id,
+              list_distinct([${h64Duck(
+                "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+                for i in range(1, len(toks)-1)]) AS shingles
+            FROM docs WHERE len(toks) >= 3),
+          bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+            WHERE doc_id < 3),
+          hits AS (SELECT c.doc_id, COUNT(*) AS n_shared
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                  WHERE doc_id >= 3) c
+            JOIN bench ON bench.s = c.s
+            GROUP BY c.doc_id)
+          SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3""")
+      },
+      (s, d) => {
+        val sh = Dedup.shingled(s, d)
+          .select(col("doc_id"), col("shingles"))
+        val bench = sh.filter(col("doc_id") < 3)
+          .select(explode(col("shingles")).as("s")).distinct()
+        sh.filter(col("doc_id") >= 3)
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+          .join(broadcast(bench), "s")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+      }),
+
+    // ---- stratified deterministic sampling (data-mix curation) --------------
+    // Per-language sampling rates via the portable hash (en is abundant →
+    // keep 10%; other languages → keep 50%): the mix-rebalancing step of
+    // corpus curation. Purely row-local, rerun-stable, and the SAME rows
+    // are selected in both engines because the hash is.
+    QuerySpec(
+      "q87_stratified_sample", {
+        val h = Portable.h64Duck("CAST(doc_id AS VARCHAR)")
+        Some(s"""SELECT lang, COUNT(*) AS n_sampled,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+            MIN(doc_id) AS first_doc
+          FROM documents
+          WHERE ($h % 10) < (CASE WHEN lang = 'en' THEN 1 ELSE 5 END)
+          GROUP BY lang""")
+      },
+      (s, d) => {
+        val h = expr(Portable.h64Spark("cast(doc_id as string)"))
+        t(s, d, "documents")
+          .filter((h % 10) < when(col("lang") === "en", 1).otherwise(5))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("chars_sampled"),
+            min(col("doc_id")).as("first_doc"))
+      }),
+
+    // ---- token-budget shard packing (two-pass distributed prefix sum) -------
+    // Pack the corpus, in doc_id order, into shards of ~2000 tokens — the
+    // "write training shards of fixed token budget" step. A naive global
+    // running sum is the q76 single-partition trap; instead: (1) block
+    // the key space, per-block window cumsum; (2) prefix-sum the tiny
+    // per-block totals table (one row per 1024 docs — driver-scale, the
+    // global window there is over pre-aggregated data like q09); (3) add
+    // the broadcast block offset back. Bit-identical to the global cumsum
+    // at any scale, one data shuffle.
+    QuerySpec(
+      "q88_shard_pack",
+      Some("""WITH d AS (
+          SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+          FROM documents),
+        c AS (SELECT doc_id, n_toks,
+            SUM(n_toks) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT CAST((cum - n_toks) // 2000 AS BIGINT) AS shard_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS shard_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1"""),
+      (s, d) => {
+        val block = 1024L
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("bigint").as("n_toks"))
+          .withColumn("g", expr(s"doc_id div $block"))
+        val wIn = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlock = docs.withColumn("bcum", sum(col("n_toks")).over(wIn))
+        // One row per block: the global window here is over pre-aggregated,
+        // driver-scale data (corpus/1024 rows), not the corpus itself.
+        val wBlocks = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = docs.groupBy(col("g"))
+          .agg(sum(col("n_toks")).as("btotal"))
+          .withColumn("offset",
+            coalesce(sum(col("btotal")).over(wBlocks), lit(0L)))
+          .select(col("g"), col("offset"))
+        inBlock.join(broadcast(offsets), "g")
+          .withColumn("cum", col("offset") + col("bcum"))
+          .withColumn("shard_id", expr("(cum - n_toks) div 2000"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("shard_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
       })
   )
 }
