@@ -77,6 +77,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("o_custkey"), p)
   }
 
+  test("runtime bloom-filter pruning engages on selective joins") {
+    // Size thresholds keep the rewrite dormant at fixture scale; lower
+    // them to confirm the session config actually injects the filter —
+    // the behavior a 100 TB selective dim-fact join relies on.
+    // Runtime bloom filters target SHUFFLE joins (a broadcast join already
+    // ships the small side), so disable auto-broadcast alongside the size
+    // threshold for the demonstration.
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(scanKey)
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(scanKey, "0")
+    spark.conf.set(bcastKey, "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val sel = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain")
+          || optimized.contains("bloom_filter"),
+        "selective join should inject a runtime bloom filter:\n" + optimized)
+    } finally {
+      spark.conf.set(scanKey, prev)
+      spark.conf.set(bcastKey, prevBcast)
+    }
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an
