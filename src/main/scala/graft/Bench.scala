@@ -40,13 +40,19 @@ object Bench {
     val failed = results.values.count(_ < 0)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
-    // Stdout tail-capture has truncated past rounds; persist the full line
-    // too so every per-query timing survives.
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout line is the driver contract — emit it FIRST, and never
+    // let the best-effort file persist (guards against tail-capture
+    // truncation) take the whole run down with it.
     println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not persist target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -39,11 +39,12 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // Runtime bloom-filter join pruning: when one join side is selective,
-      // inject a bloom filter of its keys into the other side's scan. The
-      // size thresholds (creation side <= 10 MB, application side >= 10 GB
-      // scan) keep it dormant at test SF and engaged exactly where it pays
-      // on a cluster — PlanSpec proves the injection with thresholds
-      // lowered.
+      // inject a bloom filter of its keys into the other side's scan. This
+      // PINS the Spark 4.x default (already true) so a cluster-side conf
+      // override can't silently lose it; the size thresholds (creation
+      // side <= 10 MB, application side >= 10 GB scan) keep it dormant at
+      // test SF and engaged exactly where it pays on a cluster — PlanSpec
+      // proves the injection with thresholds lowered.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.ui.enabled", "false")

@@ -34,7 +34,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * scale-4 fraction in [0,1) (unscaled ≤ 9999 → exact int, one correctly
   * rounded division), combined with one IEEE add. Every step is the same
   * single-rounding op on identical inputs in both engines, so the final
-  * double is bit-identical regardless of the total's magnitude.
+  * double is bit-identical for all totals whose integer part fits int64
+  * (|total| < ~9.2e18 — 90x beyond the 1e17 design headroom above; past
+  * that cliff Spark's non-ANSI decimal→long cast NULLs while DuckDB's
+  * checked BIGINT cast errors, so the bound is documented here rather
+  * than silent).
   * ROUND(decimal) is HALF_UP (away from zero) in both Spark and DuckDB
   * (verified on midpoints), and the input to the rounding is the same
   * exact decimal on both sides, so the rounded value is too.

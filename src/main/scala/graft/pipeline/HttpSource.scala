@@ -39,7 +39,14 @@ final class HttpSource(
       val status = client.send(req, HttpResponse.BodyHandlers.discarding())
         .statusCode()
       status >= 200 && status < 300
-    } catch { case _: java.io.IOException | _: InterruptedException => false }
+    } catch {
+      case _: java.io.IOException => false
+      case _: InterruptedException =>
+        // Preserve cancellation: the probe loop's caller must see the
+        // interrupt, not a "month not published" answer.
+        Thread.currentThread().interrupt()
+        false
+    }
 
   /** Streaming GET into a temp file; the caller (Ingest.ingestFile) moves
     * it into the bronze key layout. Non-2xx raises — a month that probed
@@ -51,12 +58,16 @@ final class HttpSource(
       .timeout(timeout)
       .build()
     val dst = Files.createTempFile(tmpDir, s"download_$yearMonth", ".part")
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dst))
-    if (resp.statusCode() < 200 || resp.statusCode() >= 300) {
-      Files.deleteIfExists(dst)
-      throw new java.io.IOException(
-        s"GET ${urlFor(yearMonth)} -> HTTP ${resp.statusCode()}")
+    try {
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dst))
+      if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+        throw new java.io.IOException(
+          s"GET ${urlFor(yearMonth)} -> HTTP ${resp.statusCode()}")
+      dst.toString
+    } catch {
+      // Mid-transfer failures (reset, timeout) also must not leave a
+      // partial .part file behind — retries would accumulate them.
+      case e: Throwable => Files.deleteIfExists(dst); throw e
     }
-    dst.toString
   }
 }

@@ -60,13 +60,22 @@ object Sessionizer {
           // merge semantics, where a session spans min..max event time).
           // first/last event ids must track the widened bounds: a late
           // event that extends the session backwards becomes first_event,
-          // and last_event only moves when event time actually advances.
+          // and last_event only moves when event time advances. Timestamp
+          // TIES break on event_id (min for first, max for last) so the
+          // outcome is a function of the event SET, not of which
+          // micro-batch each tied event happened to arrive in.
           cur = Some(s.copy(
             startMs = math.min(s.startMs, t),
             lastMs = math.max(s.lastMs, t), n = s.n + 1,
             totalValue = s.totalValue + e.value,
-            firstEvent = if (t < s.startMs) e.event_id else s.firstEvent,
-            lastEvent = if (t >= s.lastMs) e.event_id else s.lastEvent))
+            firstEvent =
+              if (t < s.startMs
+                || (t == s.startMs && e.event_id < s.firstEvent))
+                e.event_id else s.firstEvent,
+            lastEvent =
+              if (t > s.lastMs
+                || (t == s.lastMs && e.event_id > s.lastEvent))
+                e.event_id else s.lastEvent))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value, e.event_id, e.event_id))
       }

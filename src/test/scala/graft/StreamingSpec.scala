@@ -247,6 +247,30 @@ class StreamingSpec extends SparkSpec {
     assert(s.lastEvent == 1L, s"lastEvent must not regress to the late event: $s")
   }
 
+  test("sessionizer: timestamp ties resolve by event_id, not arrival batch") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gapMs = 30L * 60 * 1000
+    def ev(id: Long) = UserState.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "x", 1.0)
+    def run(batches: Seq[Seq[Long]]): (Long, Long) = {
+      val st = TestGroupState.create[Sessionizer.SessionState](
+        org.apache.spark.api.java.Optional.empty(),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+      batches.foreach(b =>
+        Sessionizer.update(gapMs)(7L, b.iterator.map(ev), st).toSeq)
+      (st.get.firstEvent, st.get.lastEvent)
+    }
+    // Same event SET at one timestamp, three different batch layouts —
+    // the session must resolve to (min id, max id) in every one.
+    val layouts = Seq(
+      Seq(Seq(5L), Seq(2L), Seq(9L)),
+      Seq(Seq(9L, 2L, 5L)),
+      Seq(Seq(2L, 9L), Seq(5L)))
+    assert(layouts.map(run).distinct == List((2L, 9L)),
+      s"tie-break must be batch-layout independent: ${layouts.map(run)}")
+  }
+
   test("streaming promote: checkpoint processes each file exactly once") {
     import org.apache.spark.sql.{Row, types => T}
     val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-spromote"))
