@@ -109,6 +109,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q47: probes and query set broadcast — the corpus side never shuffles") {
+    val p = plan("q47_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // The only shuffle Exchange allowed is the final top-k window's
+    // partition-by-query shuffle of the small candidate set; the corpus
+    // scan must reach the probe join unrepartitioned. (In formatted mode
+    // the tree names shuffles "Exchange (n)" and broadcasts
+    // "BroadcastExchange (n)".)
+    val shuffles = p.linesIterator.count(_.trim.matches("""\+- Exchange \(\d+\)"""))
+    assert(shuffles == 1,
+      s"expected exactly the top-k window shuffle, saw $shuffles:\n" + p)
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an
