@@ -31,18 +31,23 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) times.min
                else times.sorted.apply(times.size / 2))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // 3-decimal durations: ms resolution is all the comparison needs, and
+    // it halves the line so the driver's stdout-tail capture (which
+    // truncated round 3's ~4 KB line mid-record) fits the whole record.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Failures are encoded as negative per-query durations; keep them out
     // of the suite aggregate and surface an explicit count instead.
-    val total = results.values.filter(_ > 0).sum
-    val failed = results.values.count(_ < 0)
+    val total = results.map(_._2).filter(_ > 0).sum
+    val failed = results.map(_._2).count(_ < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
-    // The stdout line is the driver contract — emit it FIRST, and never
-    // let the best-effort file persist (guards against tail-capture
-    // truncation) take the whole run down with it.
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+    // The stdout line is the driver contract — emit it FIRST (so it exists
+    // even if shutdown hangs), and never let the best-effort file persist
+    // take the whole run down with it.
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -54,5 +59,9 @@ object Bench {
         System.err.println(s"[bench] could not persist target/bench.json: $e")
     }
     spark.stop()
+    // ... and re-emit as the LAST stdout line after Spark's shutdown noise,
+    // so a tail-capture that cuts the front of the stream still gets one
+    // complete record (the driver parses the last parsable line).
+    println(line)
   }
 }

@@ -33,6 +33,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b)")
         SortedIntersectCount(args(0), args(1))
+      }),
+    (new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_sig(h)")
+        // Raw AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression (standard registry convention).
+        SimhashSig(args.head)
       }))
 
   /** Late registration for sessions not built with the extension (e.g. a

@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, plus decode / resize /
   * frame-sample / feature-extract stages whose Spark-side shape —
   * schema, partitioning, per-partition batch processing — is real and
-  * tested, while the codec itself is stubbed (no media libraries exist in
-  * this environment).
+  * tested. IMAGES decode for real ([[ImageIoCodec]], JDK ImageIO —
+  * PNG/JPEG/BMP/GIF with zero external deps); audio/video are stubbed
+  * (the JDK ships no such decoder).
   *
-  * ==== STUB BOUNDARY ====
+  * ==== STUB BOUNDARY (audio/video only) ====
   * [[MediaCodec]] is the pluggable decode contract (bytes + typed meta →
-  * float grid); the only implementation here, [[FakeCodec]], is a
-  * DETERMINISTIC FAKE that expands bytes into a float grid instead of
-  * invoking a real JPEG/PCM/H.264 decoder. A real codec drops in as
-  * another [[MediaCodec]] instance without touching pipeline code
+  * float grid). [[ImageIoCodec]] is a REAL image decoder;
+  * [[DispatchCodec]] routes `image/`-prefixed rows to it and everything else to
+  * [[FakeCodec]], a DETERMINISTIC FAKE that expands bytes into a float
+  * grid instead of invoking a PCM/H.264 decoder. A real A/V codec drops
+  * in as another [[MediaCodec]] instance without touching pipeline code
   * ([[Media.extractFeatures]] takes the codec as a parameter). Everything
   * downstream of decode (resize index math, mean-pool features, frame
   * sampling, batch iteration) is real logic over that grid and is
@@ -113,10 +115,59 @@ trait MediaCodec extends Serializable {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float]
 }
 
+/** REAL image decode via the JDK's bundled ImageIO readers (PNG / JPEG /
+  * BMP / GIF — zero external dependencies): payload bytes → BufferedImage
+  * → row-major RGB-interleaved float grid in [0,1]. Dimensions come from
+  * the DECODED image (the bytes are the source of truth; `meta.width/
+  * height` describe intent and may disagree on malformed rows), so
+  * downstream resize/pool math sees the true raster.
+  *
+  * Audio/video remain stubbed ([[FakeCodec]]) — the JDK ships no
+  * PCM-compressed/H.264 decoder; [[DispatchCodec]] routes by
+  * `meta.codec` so image rows get the real path today and a real A/V
+  * library slots in as one more case without touching pipeline code.
+  */
+object ImageIoCodec extends MediaCodec {
+  def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
+    val img = javax.imageio.ImageIO
+      .read(new java.io.ByteArrayInputStream(content))
+    require(img != null,
+      s"ImageIO found no reader for payload (codec=${meta.codec})")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB regardless of storage layout
+        val base = (y * w + x) * 3
+        out(base) = ((rgb >> 16) & 0xff) / 255.0f
+        out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
+        out(base + 2) = (rgb & 0xff) / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Codec-string dispatch: `image/`-prefixed payloads take the REAL ImageIO path;
+  * everything else (audio/video, and the documents-derived `fake/v1`
+  * stand-in blobs) falls back to the deterministic fake.
+  */
+object DispatchCodec extends MediaCodec {
+  def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
+    if (meta.codec.startsWith("image/")) ImageIoCodec.decode(content, meta)
+    else FakeCodec.decode(content, meta)
+}
+
 /** ==== STUB ==== Deterministic fake decode: byte i of the payload becomes
   * float (b & 0xFF)/255 at grid position i, tiled to
-  * width*height*channels. Stands in for a media library (none exists in
-  * this environment) as the test implementation of [[MediaCodec]].
+  * width*height*channels. Stands in for an AUDIO/VIDEO library (the JDK
+  * has none; images decode for real via [[ImageIoCodec]]) as the fallback
+  * implementation of [[MediaCodec]].
   */
 object FakeCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {

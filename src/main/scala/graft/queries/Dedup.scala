@@ -158,23 +158,23 @@ object Dedup {
       .distinct()
   }
 
-  /** documents → (doc_id, sig): the 60-bit simhash signature table. */
+  /** documents → (doc_id, sig): the 60-bit simhash signature table.
+    *
+    * The sign-sums run as ONE native [[graft.expressions.SimhashSig]]
+    * aggregate (a 480-byte long[60] buffer, partial+final) rather than 60
+    * declarative conditional sums — same signature bit-for-bit, ~an order
+    * of magnitude less per-row expression evaluation (this was the
+    * suite's hotspot at 8.9 s median, round-3 verdict).
+    */
   private[graft] def simhashSignatures(s: SparkSession,
       d: String): DataFrame = {
-    val tokenHashes = t(s, d, "documents")
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    t(s, d, "documents")
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"), expr(h64Spark("tok")).as("h"))
-    val bitSums = (0 until 60).map(i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L)
-        .otherwise(-1L)).as(s"b$i"))
-    val sig = (0 until 60)
-      .map(i => when(col(s"b$i") >= 0, 1L << i).otherwise(0L))
-      .reduce(_ + _)
-    tokenHashes
       .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("sig"))
+      .agg(expr("simhash_sig(h)").as("sig"))
   }
 
   /** SimHash band-bucket occupancy cap. Low-entropy corpora (template

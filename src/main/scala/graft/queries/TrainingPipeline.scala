@@ -274,15 +274,25 @@ object TrainingPipeline {
             min(col("doc_id")).as("first_doc"))
       }),
 
-    // ---- token-budget shard packing (two-pass distributed prefix sum) -------
+    // ---- token-budget shard packing (recursive distributed prefix sum) ------
     // Pack the corpus, in doc_id order, into shards of ~2000 tokens — the
     // "write training shards of fixed token budget" step. A naive global
-    // running sum is the q76 single-partition trap; instead: (1) block
-    // the key space, per-block window cumsum; (2) prefix-sum the tiny
-    // per-block totals table (one row per 1024 docs — driver-scale, the
-    // global window there is over pre-aggregated data like q09); (3) add
-    // the broadcast block offset back. Bit-identical to the global cumsum
-    // at any scale, one data shuffle.
+    // running sum is the q76 single-partition trap; a single level of
+    // blocking only moves it (at 2e10 docs, a corpus/1024-row offsets
+    // table is still ~2e7 rows through one global window + a forced
+    // broadcast). So the block prefix-sum RECURSES one level:
+    //   (1) per-block window cumsum, partitioned by g = doc_id div B;
+    //   (2) per-block totals get a cumsum partitioned by the SUPERBLOCK
+    //       g2 = g div B — still distributed;
+    //   (3) only the per-superblock totals (corpus/B² rows: ~2e4 at 2e10
+    //       docs, genuinely driver-scale) cross a global window;
+    //   (4) offsets rejoin the data on g WITHOUT a broadcast hint — the
+    //       data side is already hash-partitioned (and sorted) by g from
+    //       step (1)'s window, so the join reuses that layout and only
+    //       the offsets side moves; AQE may still choose broadcast when
+    //       the table is actually small.
+    // Bit-identical to the global cumsum at any scale (integer sums are
+    // associative), one data shuffle total.
     QuerySpec(
       "q88_shard_pack",
       Some("""WITH d AS (
@@ -306,16 +316,28 @@ object TrainingPipeline {
         val wIn = Window.partitionBy(col("g")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val inBlock = docs.withColumn("bcum", sum(col("n_toks")).over(wIn))
-        // One row per block: the global window here is over pre-aggregated,
-        // driver-scale data (corpus/1024 rows), not the corpus itself.
-        val wBlocks = Window.orderBy(col("g"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = docs.groupBy(col("g"))
+        // One row per block (corpus/B); prefix-summed by SUPERBLOCK, so no
+        // global window touches this table.
+        val bTotals = docs.groupBy(col("g"))
           .agg(sum(col("n_toks")).as("btotal"))
-          .withColumn("offset",
-            coalesce(sum(col("btotal")).over(wBlocks), lit(0L)))
-          .select(col("g"), col("offset"))
-        inBlock.join(broadcast(offsets), "g")
+          .withColumn("g2", expr(s"g div $block"))
+        val wSuper = Window.partitionBy(col("g2")).orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withinSuper = bTotals.withColumn("soff",
+          coalesce(sum(col("btotal")).over(wSuper), lit(0L)))
+        // One row per superblock (corpus/B²): the ONLY global window, over
+        // a doubly pre-aggregated table that is tiny at any realistic
+        // corpus (2e10 docs → ~2e4 rows), and broadcastable by the same
+        // argument.
+        val wTop = Window.orderBy(col("g2"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val superOffsets = bTotals.groupBy(col("g2"))
+          .agg(sum(col("btotal")).as("stotal"))
+          .withColumn("soffset", coalesce(sum(col("stotal")).over(wTop), lit(0L)))
+          .select(col("g2"), col("soffset"))
+        val offsets = withinSuper.join(broadcast(superOffsets), "g2")
+          .select(col("g"), (col("soffset") + col("soff")).as("offset"))
+        inBlock.join(offsets, "g")
           .withColumn("cum", col("offset") + col("bcum"))
           .withColumn("shard_id", expr("(cum - n_toks) div 2000"))
           .groupBy(col("shard_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{FakeCodec, Media, MediaCodec}
+import graft.multimodal.{DispatchCodec, FakeCodec, ImageIoCodec, Media, MediaCodec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,6 +56,65 @@ class MultimodalSpec extends SparkSpec {
     val feat = MediaCodec.meanPool(grid, 2, buf)
     assert(feat(0) == (0f + 1f) / 2)
     assert(feat(1) == (128 / 255.0f + 64 / 255.0f) / 2)
+  }
+
+  test("ImageIO codec: golden PNG decodes to the exact generator pattern") {
+    // golden.png is a checked-in 8x6 RGB image whose pixel (x, y) was
+    // generated as r = 36x % 256, g = 51y % 256, b = 17(x+y) % 256
+    // (see its sha256 in the commit adding it). PNG is lossless, so the
+    // REAL decoder must reproduce those exact bytes — a true pixel-level
+    // oracle, not a round-trip self-consistency check.
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/golden.png")
+      assert(in != null, "golden.png test resource missing")
+      try in.readAllBytes() finally in.close()
+    }
+    val meta = Media.MediaMeta(8, 6, 3, 0, 0L, "image/png")
+    val grid = ImageIoCodec.decode(bytes, meta)
+    assert(grid.length == 8 * 6 * 3)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val base = (y * 8 + x) * 3
+      assert(grid(base) == ((x * 36) % 256) / 255.0f, s"R at ($x,$y)")
+      assert(grid(base + 1) == ((y * 51) % 256) / 255.0f, s"G at ($x,$y)")
+      assert(grid(base + 2) == (((x + y) * 17) % 256) / 255.0f, s"B at ($x,$y)")
+    }
+  }
+
+  test("ImageIO codec: extractFeatures over real PNG rows, pinned output") {
+    import spark.implicits._
+    val bytes = {
+      val in = getClass.getResourceAsStream("/graft/golden.png")
+      try in.readAllBytes() finally in.close()
+    }
+    // Two image rows with real PNG payloads + one audio row on the fake
+    // path: DispatchCodec must route by codec string within one pass.
+    val rows = Seq(
+      Media.MediaRow(1L, "image", bytes,
+        Media.MediaMeta(8, 6, 3, 0, 0L, "image/png")),
+      Media.MediaRow(2L, "image", bytes,
+        Media.MediaMeta(8, 6, 3, 0, 0L, "image/png")),
+      Media.MediaRow(3L, "audio", Array[Byte](0, -1, -128, 64),
+        Media.MediaMeta(2, 2, 1, 16000, 0L, "pcm/fake")))
+    val feats = Media.extractFeatures(spark, rows.toDS(), featureDim = 4,
+      codec = DispatchCodec)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    // Pin the image feature against an independent in-test derivation of
+    // decode + meanPool over the known generator pattern.
+    val expectGrid = new Array[Float](8 * 6 * 3)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val base = (y * 8 + x) * 3
+      expectGrid(base) = ((x * 36) % 256) / 255.0f
+      expectGrid(base + 1) = ((y * 51) % 256) / 255.0f
+      expectGrid(base + 2) = (((x + y) * 17) % 256) / 255.0f
+    }
+    val expectFeat = MediaCodec.meanPool(expectGrid, 4, new Array[Float](4))
+    assert(feats(1L) == expectFeat.toSeq)
+    assert(feats(2L) == expectFeat.toSeq)
+    // The audio row took the fake path (its grid is the byte expansion).
+    val audioGrid = FakeCodec.decode(Array[Byte](0, -1, -128, 64),
+      Media.MediaMeta(2, 2, 1, 16000, 0L, "pcm/fake"))
+    val audioFeat = MediaCodec.meanPool(audioGrid, 4, new Array[Float](4))
+    assert(feats(3L) == audioFeat.toSeq)
   }
 
   test("a custom codec drops in without touching pipeline code") {

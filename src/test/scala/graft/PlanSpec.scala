@@ -123,6 +123,28 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the top-k window shuffle, saw $shuffles:\n" + p)
   }
 
+  test("q88: prefix-sum windows are block-partitioned; only the superblock " +
+      "table crosses a global window") {
+    val df = queries.Registry.byName("q88_shard_pack").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // windowspecdefinition(partCols..., orderCol ASC ..., frame): a
+    // PARTITIONED spec opens with "col#N," (comma after the partition
+    // column); a GLOBAL spec opens with its order column directly:
+    // "col#N ASC". Extract (first column, following delimiter) per spec.
+    val specRe = """windowspecdefinition\((\w+)#\d+L?([, ])""".r
+    val specs = specRe.findAllMatchIn(optimized)
+      .map(m => (m.group(1), m.group(2))).toList
+    assert(specs.nonEmpty, optimized)
+    val partitionedBy = specs.collect { case (c, ",") => c }
+    val globalOrderedBy = specs.collect { case (c, " ") => c }
+    assert(partitionedBy.toSet == Set("g", "g2"),
+      s"data-sized cumsums must partition by block/superblock, got " +
+        s"$partitionedBy in:\n$optimized")
+    assert(globalOrderedBy == List("g2"),
+      "the ONLY global window allowed is the one over the per-superblock " +
+        s"totals (corpus/B² rows), got $globalOrderedBy in:\n$optimized")
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an
