@@ -44,6 +44,45 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"),
             dsum(col("l_extendedprice")).as("total_price"),
             max(col("l_shipdate")).as("max_ship"))
+      }),
+
+    // ---- gold layer: the full silver → gold build, differential-checked ----
+    // Runs the REAL Gold.buildRevenueSummary path (rollup through the
+    // Exact decimal grid → partitioned gold write → read-back) over a
+    // silver table derived deterministically from lineitem (the taxi
+    // column names the Gold rollup expects, driver data underneath). The
+    // oracle recomputes the same ROLLUP straight from lineitem, so the
+    // check covers the rollup math AND the gold write→read round-trip —
+    // including the NULL-partition directory the rollup's subtotal rows
+    // land in.
+    QuerySpec(
+      "q56_gold_revenue",
+      Some(s"""WITH silver AS (
+          SELECT l_returnflag AS payment_type,
+            strftime(l_shipdate, '%Y-%m') AS month,
+            l_extendedprice AS fare_amount, l_tax AS tip_amount,
+            l_quantity AS trip_distance
+          FROM lineitem)
+        SELECT payment_type, month, COUNT(*) AS n_trips,
+          ${sqlDsum("fare_amount")} AS total_fare,
+          ${sqlDsum("tip_amount")} AS total_tips,
+          ${sqlDavg("trip_distance")} AS avg_distance
+        FROM silver GROUP BY ROLLUP(payment_type, month)"""),
+      (s: SparkSession, d: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-gold").toString
+        val cat = graft.pipeline.ZoneCatalog(root)
+        Tables.load(s, d, "lineitem")
+          .select(
+            col("l_shipdate").as("tpep_pickup_datetime"),
+            col("l_returnflag").as("payment_type"),
+            col("l_extendedprice").as("fare_amount"),
+            col("l_tax").as("tip_amount"),
+            col("l_quantity").as("trip_distance"))
+          .write.mode("overwrite").parquet(s"${cat.silver}/cleaned")
+        new graft.pipeline.Gold(s, cat).buildRevenueSummary()
+          .select(col("payment_type"), col("month"), col("n_trips"),
+            col("total_fare"), col("total_tips"), col("avg_distance"))
       })
   )
 }

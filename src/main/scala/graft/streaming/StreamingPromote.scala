@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.pipeline.{Promote, ZoneCatalog}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming bronze→silver: the idiomatic Spark replacement for the
   * reference's whole event plumbing (CloudTrail trail + EventBridge rule +
@@ -33,24 +33,39 @@ final class StreamingPromote(
   def bronzePrefix: String = s"${catalog.bronze}/nyc_taxi"
   def silverTable: String = s"${catalog.silver}/cleaned_stream"
 
-  /** Drain all pending bronze files into silver, exactly once. */
-  def runAvailableNow(maxFilesPerTrigger: Option[Int] = None): Unit = {
+  private def cleanedStream(maxFilesPerTrigger: Option[Int]): DataFrame = {
     val reader = spark.readStream
       .schema(graft.pipeline.TaxiSchema.schema)
     val withOpts = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
-    val cleaned = withOpts
+    withOpts
       .parquet(bronzePrefix)
       .filter(col("payment_type").isNotNull
         && col("fare_amount") >= 0
         && col("tpep_pickup_datetime") < col("tpep_dropoff_datetime"))
-    val q = cleaned.writeStream
+  }
+
+  private def start(df: DataFrame, trigger: Trigger): StreamingQuery =
+    df.writeStream
       .format("parquet")
       .option("path", silverTable)
       .option("checkpointLocation", checkpoint)
       .partitionBy("payment_type")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
-  }
+
+  /** Drain all pending bronze files into silver, exactly once. */
+  def runAvailableNow(maxFilesPerTrigger: Option[Int] = None): Unit =
+    start(cleanedStream(maxFilesPerTrigger), Trigger.AvailableNow())
+      .awaitTermination()
+
+  /** The long-running daemon form: micro-batches on a processing-time
+    * interval, each batch bounded to `maxFilesPerTrigger` files — the two
+    * rate/backpressure knobs of the reference's batched EVENT trigger
+    * (batch_window + batch_size, reference terraform/main.tf:556-559).
+    * Returns the running query; the caller owns its lifecycle.
+    */
+  def runMicroBatch(interval: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    start(cleanedStream(maxFilesPerTrigger), Trigger.ProcessingTime(interval))
 }

@@ -71,6 +71,45 @@ class LayoutSpec extends SparkSpec {
     })
   }
 
+  test("AQE splits the skewed partition on a q04-shaped shuffle join") {
+    // One hot key owns ~80% of the big side — the runtime-mitigation
+    // counterpart to the salted path below: AQE must detect the oversized
+    // shuffle partition and split it across tasks (skew=true in the final
+    // plan), with thresholds lowered to make fixture-sized skew visible.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val big = spark.range(200000).select(
+        when(col("id") < 160000, 0L).otherwise(col("id") % 100).as("k"),
+        (col("id") * 37).as("payload"))
+      // Unique keys on the probe side keep the output row count equal to
+      // the big side (pure enrich, no multiplicity).
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"))
+      val joined = big.join(dim, "k")
+      // collect() drives THIS DataFrame's own query execution, so AQE
+      // finalizes the plan we inspect (count() would plan a clone).
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE must mark the join skew-handled in the final plan:\n" + plan)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of the big side hits one key — the classic skew shape.

@@ -336,4 +336,42 @@ class StreamingSpec extends SparkSpec {
       .count(f => f.getName.forall(_.isDigit))
     assert(batches == 3, s"expected 3 one-file micro-batches, got $batches")
   }
+
+  test("streaming promote: processing-time daemon bounds every batch") {
+    import org.apache.spark.sql.Row
+    val cat = graft.pipeline.ZoneCatalog(tmpDir("graft-sdaemon"))
+    val ckpt = tmpDir("graft-sdaemon-ckpt")
+    val sp = new StreamingPromote(spark, cat, ckpt)
+    def oneTrip(name: String): Unit = {
+      val staging = tmpDir("graft-sdaemon-stage")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+          1L, 0.0, 1L, "N", 1, 1, 1L,
+          10.0, 0.0, 0.5, 1.0, 0.0, 0.3, 11.8, 2.5, 0.0)), 1),
+        graft.pipeline.TaxiSchema.schema)
+        .write.mode("overwrite").parquet(s"$staging/out")
+      val part = new java.io.File(s"$staging/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"${cat.bronze}/nyc_taxi/$name")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+    }
+    (1 to 4).foreach(i => oneTrip(s"d$i.parquet"))
+    // Long-running form: the caller owns the query; a short interval keeps
+    // the test fast while the file cap does the rate limiting.
+    val q = sp.runMicroBatch("50 milliseconds", maxFilesPerTrigger = Some(2))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(sp.silverTable).count() == 4)
+      // Every committed micro-batch ingested at most the file cap (2 files
+      // x 1 row each): numInputRows per batch is the backpressure proof.
+      val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(perBatch.nonEmpty)
+      assert(perBatch.forall(_ <= 2),
+        s"every batch must respect maxFilesPerTrigger: ${perBatch.mkString(",")}")
+      assert(perBatch.sum == 4)
+    } finally q.stop()
+  }
 }
