@@ -62,7 +62,7 @@ object PipelineQueries {
             strftime(l_shipdate, '%Y-%m') AS month,
             l_extendedprice AS fare_amount, l_tax AS tip_amount,
             l_quantity AS trip_distance
-          FROM lineitem)
+          FROM lineitem WHERE l_orderkey % 4 = 0)
         SELECT payment_type, month, COUNT(*) AS n_trips,
           ${sqlDsum("fare_amount")} AS total_fare,
           ${sqlDsum("tip_amount")} AS total_tips,
@@ -72,7 +72,11 @@ object PipelineQueries {
         val root = java.nio.file.Files
           .createTempDirectory("graft-gold").toString
         val cat = graft.pipeline.ZoneCatalog(root)
+        // A quarter of the table exercises the full build (all rollup
+        // groups present) at a quarter of the two-write round-trip IO —
+        // same trade q50 makes.
         Tables.load(s, d, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
           .select(
             col("l_shipdate").as("tpep_pickup_datetime"),
             col("l_returnflag").as("payment_type"),

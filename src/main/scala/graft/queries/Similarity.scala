@@ -111,6 +111,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  // ---- candidate generation (shared with tools.ScaleProbe) ---------------
+  //
+  // Same discipline as Dedup's accessors: the ANN scale hazard is the
+  // candidate stage, so expose it for empirical growth measurement.
+
+  /** LSH band-bucket candidates (q_id, vec_id) for the fixed query set. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d, withSig = true)
+    val bl = e.select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> (shiftright(sig, 4*j) & 15))")))
+      .toDF("vec_id", "band_j", "band")
+    val qb = bl.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("band_j"), col("band"))
+    bl.join(broadcast(qb), Seq("band_j", "band"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+  }
+
+  /** Corpus with IVF cell + least-confident-plane assignments. */
+  private def celled(s: SparkSession, d: String): DataFrame =
+    quantized(s, d, withSig = false)
+      .select(col("vec_id"), col("qv"), col("nsq"),
+        expr(projSpark(0)).as("p0"), expr(projSpark(1)).as("p1"),
+        expr(projSpark(2)).as("p2"), expr(projSpark(3)).as("p3"))
+      .withColumn("cell", expr(
+        "IF(p0 >= 0, 1, 0) + IF(p1 >= 0, 2, 0) " +
+          "+ IF(p2 >= 0, 4, 0) + IF(p3 >= 0, 8, 0)"))
+      .withColumn("minj", expr("""CASE
+          WHEN abs(p0) <= abs(p1) AND abs(p0) <= abs(p2)
+            AND abs(p0) <= abs(p3) THEN 0
+          WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
+          WHEN abs(p2) <= abs(p3) THEN 2
+          ELSE 3 END"""))
+
+  /** IVF multi-probe candidates (q_id, vec_id, qv, nsq). */
+  private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+    val c = celled(s, d)
+    val corpus = c.select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
+    val probes = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(array(col("cell"),
+          expr("cell ^ shiftleft(1, minj)"))).as("cell"))
+    corpus.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("nsq"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- brute-force cosine top-k (broadcast query set) -------------------
@@ -161,19 +209,10 @@ object Similarity {
           WHERE rk <= $K"""),
       (s, d) => {
         val e = quantized(s, d, withSig = true)
-        val bl = e.select(col("vec_id"),
-            posexplode(expr(
-              "transform(sequence(0, 3), j -> (shiftright(sig, 4*j) & 15))")))
-          .toDF("vec_id", "band_j", "band")
-        val qb = bl.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("band_j"), col("band"))
-        val cand = bl.join(broadcast(qb), Seq("band_j", "band"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id")).distinct()
         val qe = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
             col("nsq").as("q_nsq"))
-        topkCosine(cand
+        topkCosine(lshCandidates(s, d)
           .join(e, "vec_id")
           .join(broadcast(qe), "q_id"))
       }),
@@ -228,32 +267,10 @@ object Similarity {
               ORDER BY cosine DESC, neighbor_id) AS rk FROM scored) z
           WHERE rk <= $K"""),
       (s, d) => {
-        val e = quantized(s, d, withSig = false)
-        val celled = e.select(col("vec_id"), col("qv"), col("nsq"),
-            expr(projSpark(0)).as("p0"), expr(projSpark(1)).as("p1"),
-            expr(projSpark(2)).as("p2"), expr(projSpark(3)).as("p3"))
-          .withColumn("cell", expr(
-            "IF(p0 >= 0, 1, 0) + IF(p1 >= 0, 2, 0) " +
-              "+ IF(p2 >= 0, 4, 0) + IF(p3 >= 0, 8, 0)"))
-          .withColumn("minj", expr("""CASE
-              WHEN abs(p0) <= abs(p1) AND abs(p0) <= abs(p2)
-                AND abs(p0) <= abs(p3) THEN 0
-              WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
-              WHEN abs(p2) <= abs(p3) THEN 2
-              ELSE 3 END"""))
-        val corpus = celled.select(col("vec_id"), col("qv"), col("nsq"),
-          col("cell"))
-        val queries = celled.filter(col("vec_id") < NumQueries)
-        val probes = queries
+        val qe = celled(s, d).filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"),
-            explode(array(col("cell"),
-              expr("cell ^ shiftleft(1, minj)"))).as("cell"))
-        val qe = queries.select(col("vec_id").as("q_id"),
-          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
-        val cand = corpus.join(broadcast(probes), "cell")
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), col("qv"), col("nsq"))
-        topkCosine(cand.join(broadcast(qe), "q_id"))
+            col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+        topkCosine(ivfCandidates(s, d).join(broadcast(qe), "q_id"))
       })
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.Dedup
+import graft.queries.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Candidate-set sublinearity guard: the scale hazard in every near-dup
@@ -53,6 +53,15 @@ class ScaleSpec extends SparkSpec {
         s"candidates $cand exceed the occupancy-cap bound $bound")
       sim.unpersist()
     }
+  }
+
+  test("q46/q47 ANN: candidates grow at most linearly in the corpus") {
+    // Fixed query set (vec_id < 10) against 200 -> 2,000 vectors: LSH
+    // candidates are bounded by bucket occupancy and IVF candidates by
+    // probed-cell population, both proportional to corpus size — growth
+    // beyond ~linear means a band/cell key regressed to a broad match.
+    growthOk("ann-lsh", d => Similarity.lshCandidates(spark, d).count())
+    growthOk("ann-ivf", d => Similarity.ivfCandidates(spark, d).count())
   }
 
   test("q43 ngram: candidates bounded by dfCap²/2 per indexed shingle") {
