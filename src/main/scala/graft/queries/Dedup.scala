@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Portable.{h64Spark, h64Duck, P}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface (mandated extension; SURVEY §2.B "Dedup"):
@@ -105,15 +106,48 @@ object Dedup {
     * doc_a/doc_b/sh_a/sh_b.
     */
   private def verifyDuck(threshold: Double): String =
+    s"""${verifyCteDuck(threshold)}
+      SELECT doc_a, doc_b, jaccard FROM verified"""
+
+  /** Same verify tail but ending as a CTE (`verified`), for oracles that
+    * keep composing (q48's component closure).
+    */
+  private def verifyCteDuck(threshold: Double): String =
     s"""sized AS (SELECT doc_a, doc_b, sh_a, sh_b,
           len(sh_a) AS la, len(sh_b) AS lb FROM pairs
         WHERE least(len(sh_a), len(sh_b))
           >= $threshold * greatest(len(sh_a), len(sh_b))),
       inter AS (SELECT doc_a, doc_b, la, lb,
-          len(list_intersect(sh_a, sh_b)) AS i FROM sized)
-      SELECT doc_a, doc_b,
-        CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
-      FROM inter WHERE CAST(i AS DOUBLE) / (la + lb - i) >= $threshold"""
+          len(list_intersect(sh_a, sh_b)) AS i FROM sized),
+      verified AS (SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+        FROM inter WHERE CAST(i AS DOUBLE) / (la + lb - i) >= $threshold)"""
+
+  /** The full MinHash candidate+pair CTE chain (shingles → minhashes →
+    * band keys → bucket self-join → shingle-joined pairs), shared by the
+    * q41 and q48 oracles.
+    */
+  private def minhashCteChain: String = {
+    val mhs = (0 until NumHashes)
+      .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
+    val bks = (0 until Bands)
+      .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
+    val bkCase = (0 until Bands - 1)
+      .map(j => s"WHEN $j THEN bk$j").mkString(" ")
+    s"""$shingledDuckCte,
+      mh AS (SELECT doc_id, $mhs FROM sh),
+      bands AS (SELECT doc_id, $bks FROM mh),
+      bl AS (SELECT doc_id, j,
+          CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
+        FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b,
+          x.shingles AS sh_a, y.shingles AS sh_b
+        FROM cand JOIN sh x ON x.doc_id = doc_a
+                  JOIN sh y ON y.doc_id = doc_b)"""
+  }
 
   /** documents → (doc_id, shingles) with the token/shingle prep shared by
     * the near-dup queries.
@@ -228,6 +262,47 @@ object Dedup {
       .distinct()
   }
 
+  // ---- connected components over near-dup edges ---------------------------
+
+  /** Minimum-label propagation connected components over an undirected
+    * edge list (doc_a, doc_b) → (doc_id, component), where component =
+    * the minimum doc_id reachable — the canonical-representative choice a
+    * dedup pipeline needs AFTER pair verification (near-dup is not
+    * transitive; keeping one doc per pair over-deletes chains).
+    *
+    * Each round is one equi-join (labels onto neighbor ids) + one
+    * partial-agg groupBy (min is associative — map-side combine applies);
+    * the driver-side loop is control plane only: per round it reads ONE
+    * count (the convergence check), never data. Rounds needed = component
+    * diameter; near-dup components are dense template families with tiny
+    * diameters, and the hard cap turns a pathological chain into an error
+    * instead of an unbounded job. (The log-diameter variant for
+    * adversarial graphs is large-star/small-star — same per-round shape.)
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = sym.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val viaNbr = sym
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .select(col("u").as("doc_id"), col("component"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"components did not converge in $rounds rounds")
+    labels
+  }
+
   // ---- exact-Jaccard verification of a candidate-pair frame ---------------
 
   private def verifyJaccard(
@@ -275,34 +350,47 @@ object Dedup {
     // → exact-Jaccard verify at 0.8. Candidates are identical in both
     // engines because the hash family is.
     QuerySpec(
-      "q41_minhash_lsh", {
-        val mhs = (0 until NumHashes)
-          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
-        val bks = (0 until Bands)
-          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
-        val bkCase = (0 until Bands - 1)
-          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
-        Some(s"""WITH $shingledDuckCte,
-          mh AS (SELECT doc_id, $mhs FROM sh),
-          bands AS (SELECT doc_id, $bks FROM mh),
-          bl AS (SELECT doc_id, j,
-              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
-            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bl a JOIN bl b
-              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-          pairs AS (SELECT doc_a, doc_b,
-              x.shingles AS sh_a, y.shingles AS sh_b
-            FROM cand JOIN sh x ON x.doc_id = doc_a
-                      JOIN sh y ON y.doc_id = doc_b),
-          ${verifyDuck(0.8)}""")
-      },
+      "q41_minhash_lsh",
+      Some(s"""WITH $minhashCteChain,
+          ${verifyDuck(0.8)}"""),
       (s, d) => {
         // Cached: the shingle table feeds the minhash branch AND both
         // sides of the verify join — without it the md5-heavy shingling
         // subtree is recomputed three times.
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
         verifyJaccard(sh, minhashCandidates(sh), 0.8)
+      }),
+
+    // ---- near-dup components (canonical-representative selection) ----------
+    // The step AFTER pair verification in a real dedup pipeline: group the
+    // verified q41 edges into connected components (near-dup similarity is
+    // not transitive — chains A~B~C need one canonical doc, not per-pair
+    // deletes) and pick min doc_id as each component's representative.
+    // Spark side: min-label propagation (see connectedComponents); oracle:
+    // DuckDB recursive-CTE transitive closure over the same edge set —
+    // exact agreement because the q41 edges themselves are bit-identical.
+    QuerySpec(
+      "q48_dedup_components",
+      Some(s"""WITH RECURSIVE $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) z
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+          roots AS (SELECT u AS doc_id, MIN(v) AS component
+            FROM reach GROUP BY u)
+        SELECT doc_id, component,
+          COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM roots"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        connectedComponents(edges)
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
       }),
 
     // ---- SimHash near-dup --------------------------------------------------

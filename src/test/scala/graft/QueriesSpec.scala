@@ -31,4 +31,17 @@ class QueriesSpec extends SparkSpec {
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("connectedComponents: chains collapse, components stay separate") {
+    import spark.implicits._
+    // Two components: the chain 1-2-3-4 (near-dup transitivity — no single
+    // pair connects 1 and 4) and the pair 10-11; 4 rounds of propagation
+    // needed for the chain, exercising the convergence loop.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.queries.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
