@@ -274,6 +274,52 @@ object TrainingPipeline {
             min(col("doc_id")).as("first_doc"))
       }),
 
+    // ---- bigram-LM fluency scoring (perplexity-proxy quality filter) --------
+    // Score each document by its mean bigram transition probability under
+    // the corpus's own bigram model — the deterministic stand-in for the
+    // LM-perplexity filter every training pipeline runs (low scores =
+    // disfluent/boilerplate text). log() is avoided (libm last-ULP skew):
+    // the mean of p(next|prev) ranks fluency the same way for comparison
+    // purposes and is exactly portable — each p is one IEEE divide of two
+    // BIGINT counts, summed on the decimal grid.
+    // Scale: two count aggs (partial-agg token-pair streams) + two shuffle
+    // joins on token keys; nothing quadratic, no driver state.
+    QuerySpec(
+      "q89_bigram_fluency", {
+        Some(s"""WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+          bg AS (SELECT doc_id, u.pa AS pa, u.nb AS nb FROM (
+              SELECT doc_id,
+                unnest([{'pa': t[i], 'nb': t[i+1]}
+                  for i in range(1, len(t))]) AS u
+              FROM toks WHERE len(t) >= 2) z),
+          cab AS (SELECT pa, nb, COUNT(*) AS cab FROM bg GROUP BY pa, nb),
+          ca AS (SELECT pa, COUNT(*) AS ca FROM bg GROUP BY pa),
+          scored AS (SELECT doc_id,
+              CAST(cab.cab AS DOUBLE) / ca.ca AS p
+            FROM bg JOIN cab USING (pa, nb) JOIN ca USING (pa))
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            ${graft.functions.Exact.sqlDavg("p")} AS fluency
+          FROM scored GROUP BY doc_id""")
+      },
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> struct(a AS pa, b AS nb))""")).as("u"))
+          .select(col("doc_id"), col("u.pa").as("pa"), col("u.nb").as("nb"))
+        val cab = bg.groupBy(col("pa"), col("nb"))
+          .agg(count(lit(1)).as("cab"))
+        val ca = bg.groupBy(col("pa")).agg(count(lit(1)).as("ca"))
+        bg.join(cab, Seq("pa", "nb")).join(ca, Seq("pa"))
+          .withColumn("p", col("cab").cast("double") / col("ca"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            graft.functions.Exact.davg(col("p")).as("fluency"))
+      }),
+
     // ---- token-budget shard packing (recursive distributed prefix sum) ------
     // Pack the corpus, in doc_id order, into shards of ~2000 tokens — the
     // "write training shards of fixed token budget" step. A naive global
