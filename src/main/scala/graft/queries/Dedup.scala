@@ -296,10 +296,12 @@ object Dedup {
         .cache()
       changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      labels.unpersist() // no-op on round 0's uncached seed
+      labels = next      // materialized by the count above
       rounds += 1
     }
     require(changed == 0, s"components did not converge in $rounds rounds")
+    sym.unpersist()
     labels
   }
 
