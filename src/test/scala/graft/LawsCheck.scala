@@ -73,6 +73,30 @@ object LawsCheck extends Properties("graft.laws") {
         ((b >> (15 * j)) & 32767L))
     }
 
+  // q48's engine: distributed min-label propagation must agree with a
+  // driver-side union-find on arbitrary small graphs (chains, cycles,
+  // self-loops, parallel edges — whatever the generator produces).
+  property("connectedComponents agrees with union-find") =
+    Prop.forAll(
+        Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+          .suchThat(_.nonEmpty)) { es =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.queries.Dedup.connectedComponents(
+          es.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+
   property("parquet round-trip preserves the row multiset") =
     Prop.forAll(rows) { xs =>
       val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString
