@@ -402,7 +402,7 @@ object Dedup {
     // verified q41 edges into connected components (near-dup similarity is
     // not transitive — chains A~B~C need one canonical doc, not per-pair
     // deletes) and pick min doc_id as each component's representative.
-    // Spark side: min-label propagation (see connectedComponents); oracle:
+    // Spark side: large-star/small-star (see connectedComponents); oracle:
     // DuckDB recursive-CTE transitive closure over the same edge set —
     // exact agreement because the q41 edges themselves are bit-identical.
     QuerySpec(
