@@ -37,14 +37,23 @@ object Bench {
     // truncated round 3's ~4 KB line mid-record) fits the whole record.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // The stdout line keys queries by their qNN id alone (the driver's
+    // contract example is {"q1":sec,...}): even at 3 decimals, 90+ full
+    // names overflow the driver's ~2 KB stdout-tail window, which cut the
+    // FRONT of rounds 3 and 4's lines and left them unparsed. Full names
+    // go to target/bench.json for human/judge reading.
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k.takeWhile(_ != '_') -> v })
+    val qsFull = jmap(results)
     // Failures are encoded as negative per-query durations; keep them out
     // of the suite aggregate and surface an explicit count instead.
     val total = results.map(_._2).filter(_ > 0).sum
     val failed = results.map(_._2).count(_ < 0)
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"queries":$qsFull,"sf":"$sfDir"}"""
     // The stdout line is the driver contract — emit it FIRST (so it exists
     // even if shutdown hangs), and never let the best-effort file persist
     // take the whole run down with it.
@@ -53,7 +62,7 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not persist target/bench.json: $e")

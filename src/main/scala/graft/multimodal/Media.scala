@@ -9,15 +9,18 @@ import org.apache.spark.sql.types._
   * frame-sample / feature-extract stages whose Spark-side shape —
   * schema, partitioning, per-partition batch processing — is real and
   * tested. IMAGES decode for real ([[ImageIoCodec]], JDK ImageIO —
-  * PNG/JPEG/BMP/GIF with zero external deps); audio/video are stubbed
-  * (the JDK ships no such decoder).
+  * PNG/JPEG/BMP/GIF with zero external deps); AUDIO decodes for real
+  * ([[WavCodec]], JDK javax.sound.sampled — WAV/AIFF/AU, PCM +
+  * A-law/mu-law); only video is stubbed (the JDK ships no H.264/VP9
+  * decoder).
   *
-  * ==== STUB BOUNDARY (audio/video only) ====
+  * ==== STUB BOUNDARY (video only) ====
   * [[MediaCodec]] is the pluggable decode contract (bytes + typed meta →
-  * float grid). [[ImageIoCodec]] is a REAL image decoder;
-  * [[DispatchCodec]] routes `image/`-prefixed rows to it and everything else to
+  * float grid). [[ImageIoCodec]] and [[WavCodec]] are REAL decoders;
+  * [[DispatchCodec]] routes `image/`- and `audio/`-prefixed rows to them
+  * and everything else to
   * [[FakeCodec]], a DETERMINISTIC FAKE that expands bytes into a float
-  * grid instead of invoking a PCM/H.264 decoder. A real A/V codec drops
+  * grid instead of invoking an H.264 decoder. A real video codec drops
   * in as another [[MediaCodec]] instance without touching pipeline code
   * ([[Media.extractFeatures]] takes the codec as a parameter). Everything
   * downstream of decode (resize index math, mean-pool features, frame
@@ -122,10 +125,9 @@ trait MediaCodec extends Serializable {
   * height` describe intent and may disagree on malformed rows), so
   * downstream resize/pool math sees the true raster.
   *
-  * Audio/video remain stubbed ([[FakeCodec]]) — the JDK ships no
-  * PCM-compressed/H.264 decoder; [[DispatchCodec]] routes by
-  * `meta.codec` so image rows get the real path today and a real A/V
-  * library slots in as one more case without touching pipeline code.
+  * [[DispatchCodec]] routes by `meta.codec` so image rows take this
+  * path, audio rows take [[WavCodec]], and only video falls back to the
+  * fake.
   */
 object ImageIoCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
@@ -153,21 +155,65 @@ object ImageIoCodec extends MediaCodec {
   }
 }
 
-/** Codec-string dispatch: `image/`-prefixed payloads take the REAL ImageIO path;
-  * everything else (audio/video, and the documents-derived `fake/v1`
-  * stand-in blobs) falls back to the deterministic fake.
+/** REAL audio decode via the JDK's bundled javax.sound.sampled readers
+  * (WAV / AIFF / AU containers, PCM + A-law/mu-law encodings — zero
+  * external dependencies): payload bytes → AudioInputStream → transcode
+  * to 16-bit signed little-endian PCM → channel-interleaved float grid in
+  * [-1,1]. Sample rate and channel count come from the DECODED header
+  * (the bytes are the source of truth; `meta.sample_rate` describes
+  * intent), so downstream pooling sees the true waveform. 16-bit PCM →
+  * float is exact (s / 32768), so a synthesize→encode→decode round trip
+  * is bit-stable — MultimodalSpec pins it.
+  *
+  * Video remains stubbed ([[FakeCodec]]) — the JDK ships no H.264/VP9
+  * decoder.
+  */
+object WavCodec extends MediaCodec {
+  def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val src = in.getFormat
+      val target = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16,
+        src.getChannels, src.getChannels * 2, src.getSampleRate,
+        /* bigEndian = */ false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      try {
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt // sign-extends: little-endian MSB
+          out(i) = ((hi << 8) | lo).toShort / 32768.0f
+          i += 1
+        }
+        out
+      } finally pcm.close()
+    } finally in.close()
+  }
+}
+
+/** Codec-string dispatch: `image/`-prefixed payloads take the REAL ImageIO
+  * path, `audio/`-prefixed payloads the REAL javax.sound path; everything
+  * else (video, and the documents-derived `fake/v1` stand-in blobs) falls
+  * back to the deterministic fake.
   */
 object DispatchCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
     if (meta.codec.startsWith("image/")) ImageIoCodec.decode(content, meta)
+    else if (meta.codec.startsWith("audio/")) WavCodec.decode(content, meta)
     else FakeCodec.decode(content, meta)
 }
 
 /** ==== STUB ==== Deterministic fake decode: byte i of the payload becomes
   * float (b & 0xFF)/255 at grid position i, tiled to
-  * width*height*channels. Stands in for an AUDIO/VIDEO library (the JDK
-  * has none; images decode for real via [[ImageIoCodec]]) as the fallback
-  * implementation of [[MediaCodec]].
+  * width*height*channels. Stands in for a VIDEO library (the JDK has
+  * none; images decode for real via [[ImageIoCodec]], audio via
+  * [[WavCodec]]) as the fallback implementation of [[MediaCodec]].
   */
 object FakeCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] = {

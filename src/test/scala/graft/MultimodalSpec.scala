@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{DispatchCodec, FakeCodec, ImageIoCodec, Media, MediaCodec}
+import graft.multimodal.{DispatchCodec, FakeCodec, ImageIoCodec, Media, MediaCodec, WavCodec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,61 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L) == audioFeat.toSeq)
   }
 
+  test("WAV codec: synthesized PCM round-trips to the exact samples") {
+    // 16-bit PCM -> float is exact (s / 32768), so encoding a known
+    // waveform to a real WAV container and decoding it back must
+    // reproduce every sample bit-for-bit — a true sample-level oracle.
+    val samples = Array.tabulate(64)(i => ((i * 1021) % 65536 - 32768).toShort)
+    val bytes = MultimodalSpec.wavBytes(samples, 16000f, channels = 1)
+    // a real RIFF/WAVE container, not raw PCM
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val meta = Media.MediaMeta(0, 0, 1, 16000, 4L, "audio/wav")
+    val grid = WavCodec.decode(bytes, meta)
+    assert(grid.length == samples.length)
+    for (i <- samples.indices)
+      assert(grid(i) == samples(i) / 32768.0f, s"sample $i")
+    assert(grid.forall(v => v >= -1f && v < 1f))
+  }
+
+  test("WAV codec: stereo stays channel-interleaved") {
+    // L channel = +8192, R channel = -8192: after decode the interleaved
+    // grid must alternate exactly.
+    val frames = 32
+    val samples = Array.tabulate(frames * 2)(i =>
+      if (i % 2 == 0) 8192.toShort else (-8192).toShort)
+    val bytes = MultimodalSpec.wavBytes(samples, 8000f, channels = 2)
+    val meta = Media.MediaMeta(0, 0, 2, 8000, 4L, "audio/wav")
+    val grid = WavCodec.decode(bytes, meta)
+    assert(grid.length == frames * 2)
+    for (i <- 0 until frames * 2)
+      assert(grid(i) == (if (i % 2 == 0) 0.25f else -0.25f), s"sample $i")
+  }
+
+  test("WAV codec: extractFeatures routes audio/ rows through the real decoder") {
+    import spark.implicits._
+    val samples = Array.tabulate(128)(i => ((i % 16) * 2048 - 16384).toShort)
+    val bytes = MultimodalSpec.wavBytes(samples, 16000f, channels = 1)
+    val rows = Seq(
+      Media.MediaRow(1L, "audio", bytes,
+        Media.MediaMeta(0, 0, 1, 16000, 8L, "audio/wav")),
+      Media.MediaRow(2L, "video", Array[Byte](1, 2, 3, 4),
+        Media.MediaMeta(2, 2, 1, 0, 0L, "video/fake")))
+    val feats = Media.extractFeatures(spark, rows.toDS(), featureDim = 4,
+      codec = DispatchCodec)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    // Pin the audio feature against an in-test derivation over the known
+    // samples (decode is exact, so this is equality not tolerance).
+    val expectGrid = samples.map(_ / 32768.0f)
+    val expectFeat = MediaCodec.meanPool(expectGrid, 4, new Array[Float](4))
+    assert(feats(1L) == expectFeat.toSeq)
+    // The video row still takes the fake path.
+    val videoGrid = FakeCodec.decode(Array[Byte](1, 2, 3, 4),
+      Media.MediaMeta(2, 2, 1, 0, 0L, "video/fake"))
+    assert(feats(2L) ==
+      MediaCodec.meanPool(videoGrid, 4, new Array[Float](4)).toSeq)
+  }
+
   test("a custom codec drops in without touching pipeline code") {
     import spark.implicits._
     // Constant-grid codec: every feature bucket must then equal 0.5.
@@ -164,5 +219,26 @@ object MultimodalSpec {
   object HalfCodec extends MediaCodec {
     def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
       Array.fill(math.max(1, meta.width * meta.height * meta.channels))(0.5f)
+  }
+
+  /** Encode interleaved 16-bit samples into a real WAV container via the
+    * same JDK audio stack the codec reads with (little-endian PCM).
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Float,
+      channels: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, channels, channels * 2, sampleRate, false)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+      fmt, samples.length / channels)
+    val baos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    finally ais.close()
+    baos.toByteArray
   }
 }
