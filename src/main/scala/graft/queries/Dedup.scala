@@ -381,6 +381,48 @@ object Dedup {
           .agg(min(col("doc_id")).as("rep_doc"),
             count(lit(1)).as("n_docs"))),
 
+    // ---- cross-document chunk dedup (C4-style line dedup) -----------------
+    // The C4/RefinedWeb "remove duplicated lines across the corpus" pass:
+    // the fixture text has no newlines, so the line boundary is a fixed
+    // 10-token chunk — same semantics (global keep-first on exact repeated
+    // spans), different delimiter. Each doc splits into consecutive chunks;
+    // a chunk survives only in its FIRST occurrence corpus-wide (min
+    // (doc_id, pos)); output is the per-doc retention profile a corpus
+    // cleaner reports. 100 TB plan: chunks shuffle ONCE on the md5 chunk
+    // fingerprint (the keep-first window key), then once on doc_id for the
+    // profile — both partial-agg/window over derived keys, no self-join,
+    // candidates exactly linear in corpus size.
+    QuerySpec(
+      "q49_chunk_dedup",
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        ch AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+            SELECT doc_id,
+              unnest([{'pos': i,
+                  'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))}
+                for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+            FROM d) z),
+        rk AS (SELECT doc_id, pos, fp,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+          FROM ch)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM rk GROUP BY doc_id"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+            .as(Seq("pos", "fp")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp"))
+              .orderBy(col("doc_id"), col("pos"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))),
+
     // ---- MinHash + LSH banding near-dup -----------------------------------
     // shingle → 16 portable minhashes → 4 bands of 4 → band-bucket self-join
     // → exact-Jaccard verify at 0.8. Candidates are identical in both
@@ -560,3 +602,4 @@ object Dedup {
       })
   )
 }
+

@@ -52,7 +52,7 @@ object Similarity {
 
   /** Exact integer projection of the quantized vector onto plane p. */
   private def projSpark(p: Int): String = {
-    val w = planes(p).map(_.toLong + "L").mkString(", ")
+    val w = planes(p).map(v => s"${v}L").mkString(", ")
     s"aggregate(zip_with(qv, array($w), (e, w) -> e * w), 0L, (a, v) -> a + v)"
   }
 
@@ -271,6 +271,40 @@ object Similarity {
           .select(col("vec_id").as("q_id"),
             col("qv").as("q_qv"), col("nsq").as("q_nsq"))
         topkCosine(ivfCandidates(s, d).join(broadcast(qe), "q_id"))
-      })
+      }),
+
+    // ---- per-label embedding centroids (cluster statistics) ----------------
+    // The centroid-computation pass of semantic clustering / IVF training
+    // / class-prototype analysis: mean vector per label, one row per
+    // (label, dimension). Plan: explode the quantized vectors and
+    // hash-aggregate on (label, dim) — partial aggregation collapses each
+    // partition to labels x dims rows before the shuffle, so the exchange
+    // carries O(|labels| * dims) per partition regardless of corpus size.
+    // Determinism: integer sums of quantized components are exact and
+    // order-independent (|sum| <= corpus * 2e3 ~ 4e13 at 2e10 vectors,
+    // within both BIGINT and double-exact range), and the /1000
+    // dequantization folds into the single final IEEE divide.
+    QuerySpec(
+      "q59_label_centroids",
+      Some(s"""WITH e AS (SELECT label,
+            ${qvecDuck("embedding", Dims)} AS qv FROM embeddings),
+          ex AS (SELECT label, u.dim AS dim, u.q AS q FROM (
+              SELECT label, unnest([{'dim': CAST(i - 1 AS INT), 'q': qv[i]}
+                for i in range(1, ${Dims + 1})]) AS u
+            FROM e) z)
+        SELECT label, dim, COUNT(*) AS n_vecs,
+          CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000)
+            AS centroid
+        FROM ex GROUP BY label, dim"""),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), expr(qvecSpark("embedding")).as("qv"))
+          .select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+          .select(col("label"), col("dim"), col("n_vecs"),
+            (col("sq").cast("double") / (col("n_vecs") * 1000))
+              .as("centroid")))
   )
 }
+

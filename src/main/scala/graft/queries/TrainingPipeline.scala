@@ -320,6 +320,75 @@ object TrainingPipeline {
             graft.functions.Exact.davg(col("p")).as("fluency"))
       }),
 
+    // ---- repetition metrics (Gopher-style quality filter) -------------------
+    // The "repetition signals" block of Gopher/MassiveText-style quality
+    // filtering: per document, the fraction of mass in the single most
+    // frequent token, the duplicate-token fraction, and the duplicate-
+    // bigram fraction, plus the resulting keep/drop gate (thresholds
+    // picked to split this corpus non-trivially: top_frac p90≈0.14,
+    // dup_bg_frac p90≈0.065). Complements q30's length/punct/stopword
+    // quality scores with the repetition dimension. Scale: two partial-
+    // agg-friendly (doc_id, token)-keyed counting passes, then per-doc
+    // joins — no self-join, shuffles carry (doc, token, count) streams.
+    // Determinism: every fraction is one IEEE divide (or 1-minus-divide)
+    // of two exact BIGINTs — portable without the decimal grid (cf. q89).
+    QuerySpec(
+      "q57_repetition",
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c
+          FROM toks GROUP BY doc_id, tok),
+        ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+            COUNT(*) AS n_distinct, MAX(c) AS top_c
+          FROM tc GROUP BY doc_id),
+        d2 AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        bg AS (SELECT doc_id,
+            unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+          FROM d2 WHERE len(t) >= 2),
+        ba AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS d_bg
+          FROM bg GROUP BY doc_id)
+        SELECT ta.doc_id, n_toks, n_distinct, top_c,
+          CAST(top_c AS DOUBLE) / n_toks AS top_frac,
+          1 - CAST(n_distinct AS DOUBLE) / n_toks AS dup_tok_frac,
+          1 - CAST(d_bg AS DOUBLE) / n_bg AS dup_bg_frac,
+          (CAST(top_c AS DOUBLE) / n_toks <= 0.12
+            AND COALESCE(1 - CAST(d_bg AS DOUBLE) / n_bg <= 0.05, TRUE))
+            AS keep
+        FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tc = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val ta = tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_toks"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_c"))
+        val ba = docs
+          .withColumn("t", split(lower(col("text")), " "))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> concat(a, ' ', b))""")).as("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bg"), countDistinct(col("b")).as("d_bg"))
+        ta.join(ba, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+            col("top_c"),
+            (col("top_c").cast("double") / col("n_toks")).as("top_frac"),
+            (lit(1) - col("n_distinct").cast("double") / col("n_toks"))
+              .as("dup_tok_frac"),
+            (lit(1) - col("d_bg").cast("double") / col("n_bg"))
+              .as("dup_bg_frac"))
+          .withColumn("keep",
+            col("top_frac") <= 0.12
+              && coalesce(col("dup_bg_frac") <= 0.05, lit(true)))
+      }),
+
     // ---- token-budget shard packing (recursive distributed prefix sum) ------
     // Pack the corpus, in doc_id order, into shards of ~2000 tokens — the
     // "write training shards of fixed token budget" step. A naive global
@@ -394,3 +463,4 @@ object TrainingPipeline {
       })
   )
 }
+

@@ -145,6 +145,30 @@ class PlanSpec extends SparkSpec {
         s"totals (corpus/B² rows), got $globalOrderedBy in:\n$optimized")
   }
 
+  test("q49: keep-first window is partitioned by the chunk fingerprint") {
+    // The C4-style dedup's only windows must partition on fp (the md5
+    // chunk key) — a global window here would serialize the corpus.
+    val df = queries.Registry.byName("q49_chunk_dedup").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val windowSpecs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windowSpecs.nonEmpty, optimized)
+    assert(windowSpecs.forall(_.contains("windowspecdefinition(fp#")),
+      "keep-first must partition by chunk fingerprint:\n" + optimized)
+  }
+
+  test("q59: centroid aggregate is partial+final over the exploded vectors") {
+    // The explode multiplies rows by dims; without map-side combine the
+    // exchange would carry the full exploded stream instead of
+    // |labels| x dims partial rows per partition.
+    val p = plan("q59_label_centroids")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "map-side combine must appear below the exchange:\n" + p)
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"expected partial+final HashAggregate, saw $hashAggs:\n" + p)
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an
