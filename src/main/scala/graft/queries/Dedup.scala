@@ -283,7 +283,13 @@ object Dedup {
     * (q48).
     */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // Materialize the incoming edge frame ONCE: both `verts` and `e`
+    // derive from it, and `verts` isn't consumed until the final join —
+    // without this checkpoint the whole upstream pipeline (in q48: the
+    // LSH band join + Jaccard verify) re-executes a second time there
+    // (measured: ~2x q41's full cost inside q48 before this).
     val raw = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
     // localCheckpoint (eager), not cache(): each round's frame references
     // the previous round's THREE times, so with cache() the LOGICAL plan
     // still triples per round — analysis/optimization time explodes
@@ -309,11 +315,13 @@ object Dedup {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // No distinct here: duplicates are bounded by |sym| and the two
+      // consumers dedup anyway (sMins aggregates; small ends distinct) —
+      // dropping the exchange saves a full stage per round.
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: every neighbor (all are smaller — edges point down)
       // re-links to the minimum; u itself links there too.
       val sMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -469,6 +477,47 @@ object Dedup {
         connectedComponents(edges)
           .withColumn("n_members",
             count(lit(1)).over(Window.partitionBy(col("component"))))
+      }),
+
+    // ---- incremental batch dedup vs an existing corpus ---------------------
+    // The production shape of dedup: a NEW batch (doc_id >= 250 — the
+    // fixture's stand-in for today's crawl) is admitted only if its
+    // normalized content fingerprint (q40's key) appears neither in the
+    // EXISTING corpus (doc_id < 250, the fingerprint ledger) nor earlier
+    // in the batch itself (keep-first). This is the reference's ledger
+    // gate (fetch_raw_data.py:135, file-granularity month strings)
+    // lifted to content granularity. 100 TB plan: the ledger side is a
+    // fingerprint-only projection (corpus-sized but narrow); one
+    // left-anti shuffle on fp, then the keep-first window reuses the
+    // same fp partitioning — AQE broadcasts the ledger when it is small.
+    QuerySpec(
+      "q58_incremental_dedup",
+      Some("""WITH fps AS (
+          SELECT doc_id, lang, n_chars,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents),
+        ledger AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+        fresh AS (
+          SELECT f.doc_id, f.lang, f.n_chars, f.fp
+          FROM fps f LEFT JOIN ledger l ON l.fp = f.fp
+          WHERE f.doc_id >= 250 AND l.fp IS NULL)
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+            AS rk FROM fresh) z
+        WHERE rk = 1"""),
+      (s, d) => {
+        val fps = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")).as("fp"))
+        val ledger = fps.filter(col("doc_id") < 250).select(col("fp"))
+        fps.filter(col("doc_id") >= 250)
+          .join(ledger, Seq("fp"), "left_anti")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
       }),
 
     // ---- SimHash near-dup --------------------------------------------------

@@ -101,6 +101,24 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
   }
 
+  test("q58_incremental_dedup matches a driver-side ledger reference") {
+    def fp(t: Array[String]): String = {
+      val norm = t.distinct.sorted.mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val all = docsSorted.map { case (id, t) => (id, fp(t)) }
+    val ledger = all.collect { case (id, f) if id < 250 => f }.toSet
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = all.collect {
+      case (id, f) if id >= 250 && !ledger(f) && seen.add(f) => id
+    }.toSet
+    val got = Registry.all.find(_.name == "q58_incremental_dedup").get
+      .run(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
   test("q59_label_centroids matches a driver-side quantized reference") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("label", "embedding").collect()
