@@ -34,6 +34,12 @@ object GraftExtensions {
         require(args.length == 2, "sorted_intersect_count(a, b)")
         SortedIntersectCount(args(0), args(1))
       }),
+    (new FunctionIdentifier("morton2"),
+      new ExpressionInfo(classOf[Morton2].getName, "morton2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "morton2(x, y)")
+        Morton2(args(0), args(1))
+      }),
     (new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) => {

@@ -39,6 +39,9 @@ object Similarity {
   /** Query set: a fixed small id range, so size is sf-independent. */
   private val NumQueries = 10
 
+  /** q98 semantic-dedup cosine threshold (same similarity scale as q44). */
+  private val SemThreshold = 0.4
+
   /** 16 hyperplanes with integer weights in [-1000, 1000], fixed seed —
     * the same constants are interpolated into both engines' SQL. Projection
     * of a quantized vector onto integer planes is exact long math
@@ -145,6 +148,26 @@ object Similarity {
           WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
           WHEN abs(p2) <= abs(p3) THEN 2
           ELSE 3 END"""))
+
+  /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
+    * an `nPlanes`-bit sign-code cell assignment. The cell count (2^nPlanes)
+    * is the scale knob: at a fixed corpus-per-cell occupancy target the
+    * plane count grows with log(corpus), keeping per-vector candidate
+    * counts flat — ScaleSpec asserts exactly that across the fixture
+    * sizes. q98 pins nPlanes=4 so the oracle SQL can mirror the cells.
+    */
+  private[graft] def semCandidates(s: SparkSession, d: String,
+      nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= Planes)
+    val cellExpr = (0 until nPlanes)
+      .map(p => s"IF(${projSpark(p)} >= 0, ${1 << p}, 0)").mkString(" + ")
+    val c = quantized(s, d, withSig = false).withColumn("cell", expr(cellExpr))
+    val a = c.select(col("vec_id").as("kept"), col("cell"),
+      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = c.select(col("vec_id"), col("cell").as("cell_b"),
+      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    a.join(b, col("cell") === col("cell_b") && col("kept") < col("vec_id"))
+  }
 
   /** IVF multi-probe candidates (q_id, vec_id, qv, nsq). */
   private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
@@ -304,7 +327,54 @@ object Similarity {
           .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
           .select(col("label"), col("dim"), col("n_vecs"),
             (col("sq").cast("double") / (col("n_vecs") * 1000))
-              .as("centroid")))
+              .as("centroid"))),
+
+    // ---- semantic dedup (SemDeDup-shaped: cluster, then prune in-cluster) --
+    // The embedding-space analog of near-dup removal (Abbas et al. 2023,
+    // "SemDeDup"): assign every vector to a coarse cluster, compare pairs
+    // only WITHIN a cluster, and drop each vector that has a
+    // sufficiently-similar predecessor — keeping the lowest vec_id as the
+    // cluster-local canonical. The cluster stage here is the same
+    // deterministic 4-hyperplane quantizer as q47 (k-means is not
+    // SQL-mirrorable), so cells, candidate pairs, and verdicts all
+    // hash-match the oracle bit-for-bit.
+    // 100 TB plan: one shuffle of the (cached) quantized projection on
+    // `cell`; pair count is Σ n_cell² — bounded by cell granularity, which
+    // scales with the plane count (cells = 2^planes, chosen so occupancy
+    // stays flat as the corpus grows; the fixture's 16 cells play the role
+    // of k ≈ √n). ScaleSpec guards the candidate growth empirically.
+    QuerySpec(
+      "q98_semantic_dedup",
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv, nsq,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv, nsq,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM pr),
+          pairs AS (SELECT a.vec_id AS kept, b.vec_id AS dropped,
+              b.cell AS cell
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE CAST(${qdotDuck("a.qv", "b.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+                >= $SemThreshold)
+          SELECT dropped AS vec_id, CAST(cell AS INT) AS cell,
+            MIN(kept) AS dup_of, COUNT(*) AS n_closer
+          FROM pairs GROUP BY dropped, cell"""),
+      (s, d) =>
+        semCandidates(s, d, nPlanes = 4)
+          .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
+            >= SemThreshold)
+          .groupBy(col("vec_id"), col("cell"))
+          .agg(min(col("kept")).as("dup_of"),
+            count(lit(1)).as("n_closer"))
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("dup_of"), col("n_closer")))
   )
 }
 

@@ -63,6 +63,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.isNullAt(2))
   }
 
+  test("morton2 == naive bit interleave, and orders 2-D rectangles") {
+    GraftExtensions.ensureRegistered(spark)
+    // Reference: place bit i of x at 2i and bit i of y at 2i+1, one bit
+    // at a time — the semantics the shift-mask spread must reproduce.
+    def naive(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    val rng = new scala.util.Random(23)
+    val xs = Seq.tabulate(500)(_ =>
+      (rng.nextLong().abs & 0xFFFFFFFFL, rng.nextLong().abs & 0xFFFFFFFFL))
+    assert(xs.forall { case (x, y) =>
+      graft.expressions.Morton2.interleave(x, y) == naive(x, y) })
+    // Known value: x=5 (101b) on even bits, y=3 (011b) on odd → 011011b.
+    assert(graft.expressions.Morton2.interleave(5L, 3L) == 27L)
+    // Codegen path agrees with the Scala reference.
+    import spark.implicits._
+    val df = xs.toDF("x", "y")
+      .withColumn("m", expr("morton2(x, y)"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (x, y, m) => m == naive(x, y) })
+    // Null-safety.
+    val r = spark.sql(
+      "SELECT morton2(CAST(NULL AS BIGINT), 1L) AS n, morton2(3L, 0L) AS v")
+      .head()
+    assert(r.isNullAt(0) && r.getLong(1) == 5L)
+  }
+
   test("sessions built by GraftSession have qcosine via extensions") {
     // GraftSession.local() used by this spec already carries the extension.
     assert(spark.sql("SELECT qcosine(array(2L), array(3L), 4L, 9L) AS c")

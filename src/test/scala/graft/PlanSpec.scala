@@ -169,6 +169,79 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate, saw $hashAggs:\n" + p)
   }
 
+  test("q99: MERGE reuses one exchange per input (windows and join share " +
+      "the user_id partitioning)") {
+    val p = plan("q99_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    // Each side shuffles ONCE on user_id for its latest-wins window; the
+    // full-outer join must reuse that partitioning, not add a third/fourth
+    // exchange. ("- Exchange (" matches shuffle exchanges at any tree
+    // depth and never "- BroadcastExchange (".)
+    val shuffles = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(shuffles == 2,
+      s"expected exactly one exchange per merge input, saw $shuffles:\n" + p)
+  }
+
+  test("q98: semantic-dedup candidates come from a cell equi join, " +
+      "never an all-pairs product") {
+    val p = plan("q98_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "in-cell pairing must ride the cell equi join:\n" + p)
+  }
+
+  test("q104: the morton2 key is computed inside whole-stage codegen") {
+    // The codegen explain dump contains the Java the stages compile; the
+    // defineCodeGen call site must appear there (an interpreted fallback
+    // would call eval via the expression tree instead).
+    // AQE defers stage planning, so the codegen dump of an unexecuted
+    // adaptive plan is empty — plan this one query without it.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen =
+      try Registry.byName("q104_zorder").run(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(gen.contains("Morton2.interleave"),
+      "morton2 must compile into a WholeStageCodegen stage:\n" +
+        gen.take(4000))
+  }
+
+  test("q100/q103: sampling windows are partitioned by the group key; " +
+      "the domain-stats join broadcasts") {
+    val p100 = plan("q100_domain_mix")
+    assert(p100.contains("BroadcastExchange"),
+      "|domains|-row stats frame must broadcast:\n" + p100)
+    val opt100 = Registry.byName("q100_domain_mix").run(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val specs100 = opt100.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs100.nonEmpty && specs100.forall(
+      _.contains("windowspecdefinition(lang#")), opt100)
+    val opt103 = Registry.byName("q103_group_reservoir").run(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val specs103 = opt103.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs103.nonEmpty && specs103.forall(
+      _.contains("windowspecdefinition(source#")), opt103)
+  }
+
+  test("q101/q102: binning scans read only the price column and aggregate " +
+      "partial+final") {
+    for (name <- Seq("q101_histogram", "q102_equidepth_bins")) {
+      val p = plan(name)
+      val readSchemas = p.linesIterator
+        .filter(_.trim.startsWith("ReadSchema:")).toList
+      assert(readSchemas.nonEmpty, p)
+      assert(readSchemas.forall(rs =>
+          rs.contains("l_extendedprice") && !rs.contains("l_quantity")),
+        s"$name must scan only the binned column:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$name stats/cutpoints must broadcast:\n$p")
+      val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(hashAggs >= 2, s"$name: partial+final expected:\n$p")
+    }
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an

@@ -142,4 +142,150 @@ class QueriesSpec extends SparkSpec {
       assert(centroid == esum.toDouble / (en * 1000), s"centroid at $k")
     }
   }
+
+  // ---- round-5 operators: independent Scala recomputation ------------------
+
+  /** The Portable.h64 hash (15-hex-digit md5 prefix) in plain Scala. */
+  private def h64(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+
+  private def cents(price: Double): Long = BigDecimal(price * 100)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private case class Ev(id: Long, ts: java.time.LocalDateTime, user: Long,
+      typ: String, value: Double)
+
+  private def eventsLocal: Array[Ev] =
+    // Tables.load, not a raw read: events.ts is INT64 TIMESTAMP(NANOS)
+    // which the session reads as a long (nanosAsLong) and Tables converts
+    // to TIMESTAMP_NTZ — the type every query sees.
+    graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Ev(r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  test("q99_merge_upsert matches a driver-side MERGE reference") {
+    val cut = java.time.LocalDateTime.parse("2024-01-20T00:00:00")
+    def latest(evs: Array[Ev]): Map[Long, Ev] =
+      evs.groupBy(_.user).view
+        .mapValues(_.maxBy(e => (e.ts.toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli, e.id))).toMap
+    val tgt = latest(eventsLocal.filter(_.ts.isBefore(cut)))
+    val src = latest(eventsLocal.filterNot(_.ts.isBefore(cut)))
+    val expect = (tgt.keySet ++ src.keySet).map { u =>
+      val pick = src.getOrElse(u, tgt(u))
+      val action =
+        if (!src.contains(u)) "keep"
+        else if (!tgt.contains(u)) "insert" else "update"
+      u -> ((pick.typ, pick.value, pick.ts, action))
+    }.toMap
+    val got = Registry.all.find(_.name == "q99_merge_upsert").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getAs[java.time.LocalDateTime](3), r.getString(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("q100/q103: mix targets and reservoir picks match hash references") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // q100: integer temperature weights, then hash-ranked picks per lang.
+    val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val wsq = byLang.view.mapValues(ids =>
+      math.floor(math.sqrt(ids.size.toDouble)).toLong).toMap
+    val denom = wsq.values.sum
+    val expect100 = byLang.map { case (lang, ids) =>
+      val target = math.min(1000L * wsq(lang) / denom, ids.size.toLong)
+      val picked = ids.sortBy(id => (h64(id.toString), id))
+        .take(target.toInt)
+      lang -> ((ids.size.toLong, target, picked.size.toLong, picked.sum))
+    }
+    val got100 = Registry.all.find(_.name == "q100_domain_mix").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got100 == expect100)
+    // q103: exact-k hash reservoir per source.
+    val expect103 = docs.groupBy(_._3).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (h64(id.toString), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (src, id) -> (i + 1) }
+    }.toMap
+    val got103 = Registry.all.find(_.name == "q103_group_reservoir").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got103 == expect103)
+  }
+
+  test("q101/q102: histogram and equi-depth bins match local references") {
+    val cs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_extendedprice").collect().map(r => cents(r.getDouble(0)))
+    val (mn, mx) = (cs.min, cs.max)
+    val expect101 = cs.groupBy(c => (c - mn) * 20 / (mx - mn + 1))
+      .map { case (b, v) =>
+        b -> ((v.length.toLong, v.min.toDouble / 100, v.max.toDouble / 100)) }
+    val got101 = Registry.all.find(_.name == "q101_histogram").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got101 == expect101)
+    // SQL-standard percentile_cont: rank h = (n-1)p, linear interpolation.
+    val sorted = cs.sorted
+    val cuts = (1 to 9).map { i =>
+      val h = (sorted.length - 1) * (i / 10.0)
+      val lo = sorted(h.toInt).toDouble
+      val hi = sorted(math.ceil(h).toInt).toDouble
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    val expect102 = cs.groupBy(c => cuts.count(c > _).toLong)
+      .map { case (b, v) =>
+        b -> ((v.length.toLong, v.min.toDouble / 100, v.max.toDouble / 100)) }
+    val got102 = Registry.all.find(_.name == "q102_equidepth_bins").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got102 == expect102)
+  }
+
+  test("q104_zorder matches a Morton reference on lineitem") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(r => (math.floor(r.getDouble(0)).toLong,
+        math.floor(r.getDouble(1)).toLong))
+    val expect = rows.groupBy { case (px, qy) =>
+        graft.expressions.Morton2.interleave(px, qy) >> 16 }
+      .map { case (zb, v) =>
+        zb -> ((v.length.toLong, v.map(_._1).min, v.map(_._1).max,
+          v.map(_._2).min, v.map(_._2).max)) }
+    val got = Registry.all.find(_.name == "q104_zorder").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+  }
+
+  test("q105_decay_agg matches a decimal-grid decay reference") {
+    val evs = eventsLocal
+    val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli).max
+    val expect = evs.groupBy(_.user).map { case (u, es) =>
+      val sum = es.map { e =>
+        val k = math.min((tmax - e.ts.toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli) / 86400000L, 40L)
+        // per-row IEEE product, then the Exact decimal grid
+        BigDecimal(e.value * math.pow(0.5, k.toDouble))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val ip = sum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      u -> ((es.length.toLong,
+        ip.toLong.toDouble + (sum - ip).toDouble))
+    }
+    val got = Registry.all.find(_.name == "q105_decay_agg").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect)
+  }
 }

@@ -64,6 +64,29 @@ class ScaleSpec extends SparkSpec {
     growthOk("ann-ivf", d => Similarity.ivfCandidates(spark, d).count())
   }
 
+  test("q98 semantic dedup: per-vector candidates stay flat when cell " +
+      "granularity tracks corpus size") {
+    // The SemDeDup scale contract: the quantizer's cell count (2^planes)
+    // grows with the corpus so per-cell occupancy — and therefore
+    // per-vector candidate cost — stays bounded. 10x the vectors with
+    // ~8x the cells (2 -> 5 planes) must keep candidates-per-vector
+    // within a small constant of the small-corpus value.
+    def measure(d: String, planes: Int): (Long, Long) = {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count().max(1L)
+      (Similarity.semCandidates(spark, d, planes).count(), n)
+    }
+    val (cSmall, nSmall) = measure(small, 2)
+    val (cLarge, nLarge) = measure(large, 5)
+    val perVecSmall = cSmall.toDouble / nSmall
+    val perVecLarge = cLarge.toDouble / nLarge
+    info(f"sem-dedup: $cSmall pairs/$nSmall vecs " +
+      f"($perVecSmall%.1f per vec) -> $cLarge/$nLarge " +
+      f"($perVecLarge%.1f per vec)")
+    assert(perVecLarge <= perVecSmall * 3 + 8,
+      "per-vector semantic-dedup candidates grew super-linearly despite " +
+        "scaled cell granularity — check the sign-code cell key")
+  }
+
   test("q43 ngram: candidates bounded by dfCap²/2 per indexed shingle") {
     // The raw growth ratio is misleading for the inverted index: between
     // 500 and 5,000 docs the per-shingle document frequency ramps toward

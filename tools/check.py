@@ -84,6 +84,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             n_fail += 1
+            try:  # an error aborts the implicit transaction; recover
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
