@@ -213,10 +213,23 @@ object Curation {
     // integers → bit-identical cutpoints), broadcast back; a row's bin is
     // the count of cutpoints strictly below it (ties bin DOWN — no float
     // equality anywhere near the boundary decides differently).
-    // 100 TB plan: exact percentiles are one sort-based aggregate of the
-    // cents column; binning is row-local against 9 broadcast doubles; the
-    // final rollup shuffles 10 groups. (Approx-percentile cutpoints — q15's
-    // sketch — swap in transparently when exactness isn't required.)
+    //
+    // 100 TB plan — exact quantiles WITHOUT the single-buffer aggregate:
+    // Spark's built-in exact `percentile` materializes every value in one
+    // aggregation buffer (fine at fixture scale, OOM at 2e10 rows), so the
+    // cutpoints here come from a distributed rank lookup instead:
+    //   1. value histogram: groupBy(cents) → (value, count) — partial-agg
+    //      shuffle, ≤ |value range| rows ever after, independent of corpus;
+    //   2. prefix sums by VALUE-RANGE block (cents div 2^16): per-block
+    //      cumsum windows partition on the block key, and only the
+    //      range/2^16-row block-totals table (~160 rows here, corpus-size-
+    //      independent because the cent RANGE is fixed) crosses a global
+    //      window — the q76/q88 block discipline;
+    //   3. each decile's rank h=(n-1)p locates its floor/ceil values via a
+    //      9-row broadcast containment join; interpolation is the same
+    //      lo+(hi-lo)*frac the built-in (and DuckDB) computes.
+    // Binning is then row-local against the 9 broadcast cutpoints and the
+    // final rollup shuffles 10 groups.
     QuerySpec(
       "q102_equidepth_bins",
       Some("""WITH c AS (SELECT
@@ -234,11 +247,11 @@ object Curation {
         val c = t(s, d, "lineitem")
           .select(round(col("l_extendedprice") * 100, 0).cast("long")
             .as("cents"))
-        val q = c.agg(expr(
-          """percentile(cents,
-             array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))""")
-          .as("cuts"))
-        c.crossJoin(broadcast(q))
+          .cache() // scanned for the histogram AND the final binning pass
+        val cuts = graft.operators.Quantiles.exactQuantiles(
+          c, col("cents"), (1 to 9).map(_ / 10.0))
+        // row-local binning against the broadcast cutpoints
+        c.crossJoin(broadcast(cuts))
           .withColumn("bin", expr(
             "aggregate(cuts, 0L, (a, x) -> a + IF(cents > x, 1L, 0L))"))
           .groupBy(col("bin"))
@@ -303,6 +316,156 @@ object Curation {
             min(col("px")).as("min_price_i"),
             max(col("px")).as("max_price_i"),
             min(col("qy")).as("min_qty"), max(col("qy")).as("max_qty"))
+      }),
+
+    // ---- grouped exact deciles (distributed per-group percentiles) --------
+    // The per-group form of the q102 machinery (operators.Quantiles):
+    // exact interpolated deciles of price PER return flag with every stage
+    // keyed by the group — no per-group value buffer anywhere, so both
+    // group count and group size scale unbounded (the built-in grouped
+    // `percentile` of q16 holds each group's values in one JVM buffer;
+    // this is its 100 TB replacement). QuantilesSpec pins the ungrouped
+    // operator bitwise to the built-in; here the DuckDB differential pins
+    // the grouped plan to quantile_cont per group.
+    QuerySpec(
+      "q106_grouped_deciles",
+      Some("""WITH c AS (SELECT l_returnflag AS grp,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+          FROM lineitem),
+        q AS (SELECT grp, quantile_cont(v,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+          FROM c GROUP BY grp)
+        SELECT grp, CAST(u.i AS INT) AS i, u.cut AS cut FROM (
+          SELECT grp, unnest([{'i': i - 1, 'cut': cuts[i]}
+              for i in range(1, 10)]) AS u
+          FROM q) z"""),
+      (s, d) =>
+        graft.operators.Quantiles.exactQuantilesByGroup(
+          t(s, d, "lineitem"),
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0),
+          (1 to 9).map(_ / 10.0))),
+
+    // ---- ordered funnel (view → click → purchase) --------------------------
+    // Sequential-conversion counting: a user advances a stage only with an
+    // event STRICTLY AFTER their previous stage's first qualifying event.
+    // Three user-keyed min-aggregates chained by inequality joins — all
+    // three shuffles hash on user_id, so the chain reuses one partitioning;
+    // per-stage outputs are |users| rows, the final counts are tiny.
+    QuerySpec(
+      "q107_funnel",
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(e.ts) AS t1
+            FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t0
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL SELECT 'click', COUNT(*) FROM c
+          UNION ALL SELECT 'purchase', COUNT(*) FROM p) z"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def stageAfter(typ: String, prev: DataFrame): DataFrame =
+          ev.filter(col("event_type") === typ)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts") > col("t_prev"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+        val c = stageAfter("click", v)
+        val p = stageAfter("purchase", c)
+        v.agg(count(lit(1)).as("n_users"))
+          .select(lit("view").as("stage"), col("n_users"))
+          .unionAll(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("click").as("stage"), col("n_users")))
+          .unionAll(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("purchase").as("stage"), col("n_users")))
+      }),
+
+    // ---- one deterministic k-means (Lloyd) step ----------------------------
+    // The assignment+update pass of embedding clustering, exact-integer
+    // end to end: seeds are the first K quantized vectors (deterministic —
+    // k-means++ draws are not SQL-mirrorable), squared euclidean distance
+    // over quantized ints is nsq_v - 2·dot + nsq_c (exact long math), the
+    // argmin breaks ties on the lowest centroid id, and the update-side
+    // stats are exact integer sums. 100 TB plan: K seed vectors broadcast
+    // against the corpus scan (no corpus shuffle to assign), then ONE
+    // partial-agg shuffle of K groups for the update.
+    QuerySpec(
+      "q108_kmeans_step",
+      Some(s"""WITH e AS (SELECT vec_id,
+            ${Portable.qvecDuck("embedding", 64)} AS qv FROM embeddings),
+        en AS (SELECT vec_id, qv, ${Portable.qnsqDuck("qv", 64)} AS nsq
+          FROM e),
+        seeds AS (SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+          FROM en WHERE vec_id < 10),
+        dist AS (SELECT en.vec_id, s.cid,
+            en.nsq - 2 * ${Portable.qdotDuck("en.qv", "s.cqv", 64)} + s.cnsq
+              AS d2
+          FROM en, seeds s),
+        assign AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM dist) z
+          WHERE rk = 1)
+        SELECT a.cid, COUNT(*) AS n_assigned,
+          CAST(SUM(en.qv[1]) AS BIGINT) AS comp0_sum
+        FROM assign a JOIN en ON en.vec_id = a.vec_id
+        GROUP BY a.cid"""),
+      (s, d) => {
+        val en = t(s, d, "embeddings")
+          .select(col("vec_id"), expr(Portable.qvecSpark("embedding"))
+            .as("qv"))
+          .withColumn("nsq", expr(Portable.qnsqSpark("qv")))
+          .cache()
+        val seeds = en.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+            col("nsq").as("cnsq"))
+        // argmin as min(struct(d2, cid)): the K pair rows of one vector are
+        // adjacent in the scan partition (broadcast join preserves corpus
+        // partitioning), so partial aggregation collapses them to ONE row
+        // per vector before the exchange — a window argmin would shuffle
+        // the K×corpus pair frame instead.
+        en.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("cid"), expr("qv[0]").as("q0"),
+            (col("nsq") - lit(2) * expr(Portable.qdotSpark("qv", "cqv"))
+              + col("cnsq")).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"),
+            min(col("q0")).as("q0"))
+          .groupBy(col("m.cid").as("cid"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(col("q0")).as("comp0_sum"))
+      }),
+
+    // ---- cohort retention matrix -------------------------------------------
+    // Product-analytics staple: users bucketed by first-activity date,
+    // activity counted per (cohort, day offset). Two user_id-keyed stages
+    // (first-seen min, then the enrich join) reuse one partitioning; the
+    // matrix aggregate shuffles |cohorts|·|offsets| groups.
+    QuerySpec(
+      "q109_cohort_retention",
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+            FROM events GROUP BY user_id),
+          a AS (SELECT DISTINCT e.user_id, f.cohort,
+              datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN f ON f.user_id = e.user_id)
+        SELECT cohort, CAST(day_offset AS INT) AS day_offset,
+          COUNT(*) AS n_users
+        FROM a GROUP BY cohort, day_offset"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val f = ev.groupBy(col("user_id"))
+          .agg(min(col("ts").cast("date")).as("cohort"))
+        ev.join(f, Seq("user_id"))
+          .select(col("user_id"), col("cohort"),
+            datediff(col("ts").cast("date"), col("cohort"))
+              .as("day_offset"))
+          .distinct()
+          .groupBy(col("cohort"), col("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
       }),
 
     // ---- time-decayed (exponential half-life) aggregate --------------------

@@ -242,6 +242,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q106: grouped-decile windows all partition on the group key") {
+    // The distributed per-group quantile machinery must never open a
+    // global window: in-block cumsums key on (grp, block), block offsets
+    // on grp — an empty partition spec would serialize a group's values.
+    val df = Registry.byName("q106_grouped_deciles").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, optimized)
+    assert(specs.forall(_.contains("windowspecdefinition(grp#")),
+      "every quantile window must partition by grp:\n" + optimized)
+  }
+
+  test("q108: k-means assignment broadcasts the seeds and collapses " +
+      "pairs map-side") {
+    val p = plan("q108_kmeans_step")
+    assert(p.contains("BroadcastExchange"),
+      "K seed vectors must broadcast:\n" + p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "argmin must partial-aggregate before the exchange:\n" + p)
+    // the corpus reaches the assignment join without a shuffle: the only
+    // shuffles are the two aggregation exchanges (per-vector argmin, then
+    // per-centroid stats)
+    val shuffles = p.linesIterator.count(_.contains("- Exchange ("))
+    assert(shuffles <= 2,
+      s"expected only the two aggregation exchanges, saw $shuffles:\n" + p)
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an

@@ -232,13 +232,15 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
         r.getDouble(3)))).toMap
     assert(got101 == expect101)
-    // SQL-standard percentile_cont: rank h = (n-1)p, linear interpolation.
+    // SQL-standard percentile_cont: rank h = (n-1)p, two-product linear
+    // interpolation — the exact IEEE form both engines evaluate (see
+    // operators.Quantiles scaladoc).
     val sorted = cs.sorted
     val cuts = (1 to 9).map { i =>
       val h = (sorted.length - 1) * (i / 10.0)
-      val lo = sorted(h.toInt).toDouble
-      val hi = sorted(math.ceil(h).toInt).toDouble
-      lo + (hi - lo) * (h - h.toInt)
+      val frac = h - h.toInt
+      (1.0 - frac) * sorted(h.toInt).toDouble +
+        frac * sorted(math.ceil(h).toInt).toDouble
     }
     val expect102 = cs.groupBy(c => cuts.count(c > _).toLong)
       .map { case (b, v) =>
@@ -264,6 +266,48 @@ class QueriesSpec extends SparkSpec {
       .run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+  }
+
+  test("q108_kmeans_step matches an exact-integer Lloyd reference") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def q(x: Float): Long = BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qvecs = vecs.map { case (id, e) => id -> e.map(q) }
+    val seeds = qvecs.filter(_._1 < 10)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val expect = qvecs.map { case (id, v) =>
+      val best = seeds.map { case (cid, c) => (d2(v, c), cid) }.min
+      (best._2, v(0))
+    }.groupBy(_._1).map { case (cid, as) =>
+      cid -> ((as.length.toLong, as.map(_._2).sum)) }
+    val got = Registry.all.find(_.name == "q108_kmeans_step").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
+  test("q109_cohort_retention matches a first-seen-date reference") {
+    val evs = eventsLocal
+    val firstDay = evs.groupBy(_.user).view
+      .mapValues(_.map(_.ts.toLocalDate).min(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))).toMap
+    val expect = evs.map(e => (e.user, firstDay(e.user),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          firstDay(e.user), e.ts.toLocalDate).toInt))
+      .distinct
+      .groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val got = Registry.all.find(_.name == "q109_cohort_retention").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getInt(1)) ->
+        r.getLong(2)).toMap
     assert(got == expect)
   }
 
