@@ -468,6 +468,128 @@ object Curation {
           .agg(count(lit(1)).as("n_users"))
       }),
 
+    // ---- fuzzy record linkage (blocked edit-distance join) -----------------
+    // Entity-resolution primitive: find records whose names are within
+    // edit distance 1, without an all-pairs scan — candidates come from a
+    // name-prefix BLOCK (the record-linkage "blocking key"; here the
+    // 16-char prefix, which bounds block size by construction on the
+    // Customer#NNNNNNNNN name shape). Both engines implement classic
+    // unit-cost Levenshtein, so the verdicts agree exactly.
+    // 100 TB plan: one shuffle on the blocking key; pair count is
+    // Σ n_block² with the prefix length as the occupancy knob (longer
+    // prefix → smaller blocks), the same discipline as the LSH/simhash
+    // band families. Output is per-record neighbor stats, not pairs, so
+    // result size stays linear in the input.
+    QuerySpec(
+      "q110_fuzzy_join",
+      Some("""WITH b AS (SELECT c_custkey, c_name,
+            substring(c_name, 1, 16) AS blk FROM customer),
+          p AS (SELECT a.c_custkey AS ka, b2.c_custkey AS kb
+            FROM b a JOIN b b2 ON a.blk = b2.blk
+              AND a.c_custkey < b2.c_custkey
+            WHERE levenshtein(a.c_name, b2.c_name) <= 1),
+          n AS (SELECT ka AS c_custkey, kb AS nb FROM p
+            UNION ALL SELECT kb, ka FROM p)
+        SELECT c_custkey, COUNT(*) AS n_close, MIN(nb) AS nearest_key
+        FROM n GROUP BY c_custkey"""),
+      (s, d) => {
+        val b = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 16).as("blk"))
+        val p = b.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+            col("blk"))
+          .join(b.select(col("c_custkey").as("kb"),
+            col("c_name").as("nb_name"), col("blk").as("blk_b")),
+            col("blk") === col("blk_b") && col("ka") < col("kb"))
+          .filter(levenshtein(col("na"), col("nb_name")) <= 1)
+          .select(col("ka"), col("kb"))
+        p.select(col("ka").as("c_custkey"), col("kb").as("nb"))
+          .unionAll(p.select(col("kb").as("c_custkey"), col("ka").as("nb")))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_close"), min(col("nb")).as("nearest_key"))
+      }),
+
+    // ---- time-series gap fill + forward fill -------------------------------
+    // Resampling for feature pipelines: expand each user's activity span
+    // to a dense daily spine, count absent days as zero, and carry the
+    // last observed day-value forward. The spine is generated row-locally
+    // (sequence + explode — no calendar table join); the fill is one
+    // user-partitioned window; daily values cross rows on the Exact grid
+    // so the carried double is engine-identical.
+    // 100 TB plan: shuffles hash on user_id only (daily rollup, spine
+    // join, fill window — one partitioning reused); spine size is bounded
+    // by |users| × span-days.
+    QuerySpec(
+      "q111_gap_fill",
+      Some(s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            COUNT(*) AS n_events, ${Exact.sqlDsum("value")} AS day_value
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY user_id),
+        spine AS (SELECT user_id, CAST(d AS DATE) AS day FROM (
+            SELECT user_id,
+              unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d
+            FROM span) z),
+        j AS (SELECT s.user_id, s.day,
+            COALESCE(d.n_events, 0) AS n_events, d.day_value
+          FROM spine s LEFT JOIN daily d
+            ON d.user_id = s.user_id AND d.day = s.day)
+        SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+          last_value(day_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS carried_value
+        FROM j"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.dsum(col("value")).as("day_value"))
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        spine.join(daily, Seq("user_id", "day"), "left_outer")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("day_value"))
+          .withColumn("carried_value",
+            last(col("day_value"), ignoreNulls = true).over(
+              Window.partitionBy(col("user_id")).orderBy(col("day"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("day_value")
+      }),
+
+    // ---- market-basket co-occurrence ---------------------------------------
+    // Items bought together: distinct (order, part), self-join on the
+    // order key, count orders per part pair, keep pairs seen ≥ 2 times.
+    // 100 TB plan: the self-join is CO-PARTITIONED (both sides hash on
+    // l_orderkey — one shuffle each) and pair fan-out is bounded by
+    // per-order width squared (≤ 7 lineitems → ≤ 21 pairs/order), so
+    // candidates are linear in orders; the pair aggregate is
+    // partial+final.
+    QuerySpec(
+      "q112_cooccurrence",
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem),
+          p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey)
+        SELECT part_a, part_b, COUNT(*) AS n_orders
+        FROM p GROUP BY part_a, part_b HAVING COUNT(*) >= 2"""),
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+      }),
+
     // ---- time-decayed (exponential half-life) aggregate --------------------
     // Recency-weighted rollup — the feature-store / trending-score shape:
     // weight halves per day of age relative to the corpus' newest event.

@@ -270,6 +270,25 @@ class PlanSpec extends SparkSpec {
       s"expected only the two aggregation exchanges, saw $shuffles:\n" + p)
   }
 
+  test("q110/q112: blocked joins stay equi joins (no all-pairs product)") {
+    for (name <- Seq("q110_fuzzy_join", "q112_cooccurrence")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+          && !p.contains("Cartesian"),
+        s"$name candidates must ride the blocking-key equi join:\n$p")
+    }
+  }
+
+  test("q111: the fill window partitions on user_id") {
+    val df = Registry.byName("q111_gap_fill").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, optimized)
+    assert(specs.forall(_.contains("windowspecdefinition(user_id#")),
+      "forward fill must partition by user:\n" + optimized)
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an

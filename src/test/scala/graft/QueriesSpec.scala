@@ -311,6 +311,75 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q110_fuzzy_join matches a blocked-Levenshtein reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val pairs = names.groupBy(_._2.take(16)).values.toSeq.flatMap { blk =>
+      val bs = blk.toSeq
+      for {
+        a <- bs; b <- bs
+        if a._1 < b._1 && lev(a._2, b._2) <= 1
+      } yield (a._1, b._1)
+    }
+    val expect = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view
+      .mapValues(ns => (ns.size.toLong, ns.map(_._2).min)).toMap
+    val got = Registry.all.find(_.name == "q110_fuzzy_join").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
+  test("q111_gap_fill: dense spine, zero-filled gaps, carried values") {
+    val got = Registry.all.find(_.name == "q111_gap_fill").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getLong(2), r.getDouble(3)))
+    val byUser = got.groupBy(_._1)
+    val evs = eventsLocal.groupBy(_.user)
+    assert(byUser.keySet == evs.keySet)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      // spine is DENSE: every day between first and last, exactly once
+      assert(days.distinct.length == days.length)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(
+        days.head, days.last) + 1 == days.length, s"user $u spine has gaps")
+      assert(days.head == evs(u).map(_.ts.toLocalDate).min(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)))
+      // gap days have zero events but a carried (non-NaN) value
+      val real = evs(u).map(_.ts.toLocalDate).toSet
+      rows.foreach { case (_, day, n, carried) =>
+        if (!real(day)) assert(n == 0L)
+        else assert(n == evs(u).count(_.ts.toLocalDate == day).toLong)
+        assert(!carried.isNaN)
+      }
+    }
+  }
+
+  test("q112_cooccurrence matches a per-order pair reference") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expect = rows.groupBy(_._1).values.toSeq.flatMap { items =>
+      val ps = items.map(_._2).sorted.toSeq
+      for { a <- ps; b <- ps if a < b } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = Registry.all.find(_.name == "q112_cooccurrence").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
   test("q105_decay_agg matches a decimal-grid decay reference") {
     val evs = eventsLocal
     val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)
