@@ -501,8 +501,16 @@ object Curation {
           .join(b.select(col("c_custkey").as("kb"),
             col("c_name").as("nb_name"), col("blk").as("blk_b")),
             col("blk") === col("blk_b") && col("ka") < col("kb"))
-          .filter(levenshtein(col("na"), col("nb_name")) <= 1)
+          // threshold form: banded DP early-exits (returns -1) once the
+          // distance provably exceeds 1 — same verdict as lev(a,b) <= 1,
+          // a fraction of the cost on the mostly-distant in-block pairs
+          .filter(expr("levenshtein(na, nb_name, 1)").between(0, 1))
           .select(col("ka"), col("kb"))
+          // cached: the undirected expansion below reads the edge list
+          // twice, and it is linear in the input (≤ neighbors-per-record
+          // bounded by block size) — without this the block join and the
+          // Levenshtein verify run twice
+          .cache()
         p.select(col("ka").as("c_custkey"), col("kb").as("nb"))
           .unionAll(p.select(col("kb").as("c_custkey"), col("ka").as("nb")))
           .groupBy(col("c_custkey"))
@@ -588,6 +596,41 @@ object Curation {
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
+      }),
+
+    // ---- weighted (importance) sampling ------------------------------------
+    // Deterministic sampling with per-row inclusion probability ∝ a
+    // weight column (here n_chars — longer documents kept more often, the
+    // importance-sampling shape of data mixing): keep iff
+    // h64(doc_id) mod S < (weight · S) div max_weight. All integer math
+    // against one broadcast scalar, so the kept SET is a pure function of
+    // the data — rerun-stable, layout-independent, engine-identical.
+    // 100 TB plan: row-local gate behind one tiny all-reduce; the rollup
+    // shuffles |sources| groups.
+    QuerySpec(
+      "q113_weighted_sample",
+      Some(s"""WITH mx AS (SELECT MAX(n_chars) AS mc FROM documents),
+        k AS (SELECT source, doc_id,
+            CASE WHEN (${Portable.h64Duck("CAST(doc_id AS VARCHAR)")}
+                % 10000) < (n_chars * 10000) // mc
+              THEN 1 ELSE 0 END AS keep
+          FROM documents, mx)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(keep) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+            AS kept_id_sum
+        FROM k GROUP BY source"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val mx = docs.agg(max(col("n_chars")).as("mc"))
+        docs.crossJoin(broadcast(mx))
+          .withColumn("keep",
+            when(expr(Portable.h64Spark("cast(doc_id as string)")) % 10000
+                < expr("(n_chars * 10000) div mc"), 1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+            sum(when(col("keep") === 1, col("doc_id")).otherwise(0L))
+              .as("kept_id_sum"))
       }),
 
     // ---- time-decayed (exponential half-life) aggregate --------------------

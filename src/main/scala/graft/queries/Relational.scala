@@ -302,6 +302,11 @@ object Relational {
               <= lit(0.05) * col("exact_p90")).as("p90_within_5pct"))),
 
     // ---- exact percentiles (continuous interpolation) -------------------------
+    // Built-in `percentile` buffers each group's values in one aggregation
+    // buffer — fine for these bounded groups; when group size is unbounded
+    // the scale path is operators.Quantiles.exactQuantilesByGroup (q106),
+    // which computes the same interpolated quantiles as a distributed
+    // rank lookup.
     QuerySpec(
       "q16_percentile",
       Some("""SELECT l_returnflag,

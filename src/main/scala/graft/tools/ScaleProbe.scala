@@ -102,6 +102,21 @@ object ScaleProbe {
       // reuse the base corpus' cached quantized/shingle tables.
       spark.catalog.clearCache()
     }
+
+    // q98 semantic dedup: unlike the band/cap families above, its
+    // candidate bound is the CELL GRANULARITY, which is a deployment knob
+    // (cells = 2^planes), not a per-row cap — so the scaling question is
+    // "does growing cells with the corpus hold per-vector candidates
+    // flat?". 4 planes at base → 7 planes (8x cells) at the 10x corpus.
+    val (cB98, wB98) = time(Similarity.semCandidates(spark, base, 4).count())
+    spark.catalog.clearCache()
+    val (cU98, wU98) = time(Similarity.semCandidates(spark, out, 7).count())
+    spark.catalog.clearCache()
+    val nB = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val nU = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(f"| q98_semantic_dedup (4→7 planes) | $cB98 | $cU98 " +
+      f"| ${cU98.toDouble / math.max(1, cB98)}%.1fx | $wB98%.2f | $wU98%.2f " +
+      f"| per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
     spark.stop()
   }
 }

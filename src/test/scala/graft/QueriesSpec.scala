@@ -380,6 +380,26 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q113_weighted_sample matches an integer-gate reference") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mc = docs.map(_._3).max
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val kept = ds.filter(d => h64(d._1.toString) % 10000 <
+        d._3 * 10000 / mc)
+      (ds.length.toLong, kept.length.toLong, kept.map(_._1).sum)
+    }.toMap
+    val got = Registry.all.find(_.name == "q113_weighted_sample").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // the gate is genuinely weighted: longer docs keep more often overall
+    val (n, k) = (expect.values.map(_._1).sum, expect.values.map(_._2).sum)
+    assert(k > 0 && k < n)
+  }
+
   test("q105_decay_agg matches a decimal-grid decay reference") {
     val evs = eventsLocal
     val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)

@@ -374,4 +374,45 @@ class StreamingSpec extends SparkSpec {
       assert(perBatch.sum == 4)
     } finally q.stop()
   }
+
+  test("snapshot upsert: streaming MERGE == batch latest-wins; replay of " +
+      "a committed batch is byte-idempotent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("graft-snap")
+    val ckpt = tmpDir("graft-snap-ckpt")
+    def ev(id: Long, user: Long, minute: Int, typ: String, v: Double) =
+      UserState.Event(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        user, typ, v)
+    val b1 = Seq(ev(1, 1, 1, "view", 1.0), ev(2, 2, 2, "click", 2.0),
+      ev(3, 1, 3, "purchase", 3.0))
+    val b2 = Seq(ev(4, 2, 4, "error", 4.0), ev(5, 3, 5, "signup", 5.0),
+      // same ts as event 4 for user 2: the event_id tiebreak must win
+      ev(6, 2, 4, "view", 6.0))
+    val mem = MemoryStream[UserState.Event]
+    val q = SnapshotUpsert.run(mem.toDS(), dir, ckpt)
+    mem.addData(b1: _*)
+    q.awaitTermination()
+    val q2 = SnapshotUpsert.run(mem.toDS(), dir, ckpt)
+    mem.addData(b2: _*)
+    q2.awaitTermination()
+
+    def snap(): Map[Long, (String, Double, java.sql.Timestamp)] =
+      SnapshotUpsert.readSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getTimestamp(3)))).toMap
+    // batch reference: latest-wins by (ts, event_id) over ALL events
+    val expect = (b1 ++ b2).groupBy(_.user_id).view.mapValues(es =>
+      es.maxBy(e => (e.ts.getTime, e.event_id)))
+      .map { case (u, e) => u -> ((e.event_type, e.value, e.ts)) }.toMap
+    assert(snap() == expect)
+    assert(snap()(2L)._1 == "view", "ts tie must resolve by event_id")
+
+    // crash-replay: re-merge the LAST batch with its committed id — the
+    // merge must read only versions below it and reproduce the same rows
+    val before = snap()
+    SnapshotUpsert.mergeBatch(spark, dir, b2.toDF(), 1L)
+    assert(snap() == before, "replaying a committed batch must be a no-op")
+  }
 }
