@@ -598,6 +598,173 @@ object Curation {
           .filter(col("n_orders") >= 2)
       }),
 
+    // ---- incremental aggregate maintenance (materialized-view merge) -------
+    // The IVM primitive behind every "refresh the summary table without
+    // recomputing it" pipeline: partial aggregates of the old data and the
+    // new batch MERGE into exactly the full recompute, because counts add
+    // and the Exact DECIMAL grid is associative (partial decimal sums
+    // carry no rounding until ONE final conversion — the property IEEE
+    // partials lack). The oracle is deliberately the FULL recompute: the
+    // gate proves merged-partials ≡ recompute bit-for-bit.
+    // 100 TB plan: the old side would be a stored partial-agg table
+    // (|users| rows, decimal column); each refresh shuffles only the new
+    // batch, then one |users|-row join.
+    QuerySpec(
+      "q114_incr_agg",
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+          ${Exact.sqlDsum("value")} AS total_value
+        FROM events GROUP BY user_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cut = expr(s"TIMESTAMP '$MergeCutoff'")
+        def partial(side: DataFrame): DataFrame =
+          side.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Exact.SumDec)).as("dec"))
+        val old = partial(ev.filter(col("ts") < cut))
+        val fresh = partial(ev.filter(col("ts") >= cut))
+          .withColumnsRenamed(Map("user_id" -> "f_user_id",
+            "n" -> "f_n", "dec" -> "f_dec"))
+        val zero = lit(java.math.BigDecimal.ZERO).cast(Exact.SumDec)
+        val merged = old
+          .join(fresh, col("user_id") === col("f_user_id"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("f_user_id")).as("user_id"),
+            (coalesce(col("n"), lit(0L))
+              + coalesce(col("f_n"), lit(0L))).as("n_events"),
+            (coalesce(col("dec"), zero)
+              + coalesce(col("f_dec"), zero)).as("s"))
+        // Exact.dsum's final conversion, applied ONCE to the merged exact
+        // decimal (same ops → same double as the full recompute)
+        val r = round(col("s"), 4)
+        val ip = floor(r)
+        merged.select(col("user_id"), col("n_events"),
+          (ip.cast("long").cast("double")
+            + (r - ip).cast("double")).as("total_value"))
+      }),
+
+    // ---- PageRank (3 grid-rounded power iterations) ------------------------
+    // Graph centrality over the co-purchase graph (q112's support≥2 edges,
+    // undirected): N-scaled PageRank pr'₀=1, pr'ₖ = 0.15 + 0.85·Σ
+    // pr'ₖ₋₁(u)/deg(u), three unrolled iterations. Each iteration's
+    // neighbor sum crosses rows on the Exact grid and is rounded to the
+    // 1e-4 grid by the dsum conversion — so the iterate is a
+    // DETERMINISTIC function of the graph in both engines (IEEE neighbor
+    // sums would drift with partition order and diverge across engines).
+    // 100 TB plan: per iteration, one join of the cached edge list
+    // against the |nodes|-row rank frame (both hash on the node key —
+    // partitioning reuse) and one partial-agg shuffle; the classic
+    // DataFrame-Pregel shape with bounded iterations.
+    QuerySpec(
+      "q115_pagerank", {
+        def iterDuck(prev: String, out: String): String =
+          s"""$out AS (SELECT e.dst AS part,
+              0.15 + 0.85 * ${Exact.sqlDsum("p.pr / d.deg")} AS pr
+            FROM e JOIN $prev p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+            GROUP BY e.dst)"""
+        Some(s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem),
+            pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY pa, pb HAVING COUNT(*) >= 2),
+            e AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+            deg AS (SELECT src AS part, COUNT(*) AS deg FROM e
+              GROUP BY src),
+            pr0 AS (SELECT part, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+            ${iterDuck("pr0", "pr1")},
+            ${iterDuck("pr1", "pr2")},
+            ${iterDuck("pr2", "pr3")}
+          SELECT p.part, d.deg, p.pr FROM pr3 p
+          JOIN deg d ON d.part = p.part""")
+      },
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            Seq("l_orderkey"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+        val e = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+          .cache()
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        var pr = deg.select(col("src").as("part"), lit(1.0).as("pr"))
+        for (_ <- 1 to 3)
+          pr = e.join(pr, col("part") === col("src"))
+            .join(deg.withColumnRenamed("src", "d_src"),
+              col("d_src") === col("src"))
+            .groupBy(col("dst"))
+            .agg(Exact.dsum(col("pr") / col("deg")).as("nsum"))
+            .select(col("dst").as("part"),
+              (lit(0.15) + lit(0.85) * col("nsum")).as("pr"))
+        pr.join(deg.select(col("src").as("part"), col("deg")), "part")
+          .select(col("part"), col("deg"), col("pr"))
+      }),
+
+    // ---- clickstream path analysis (consecutive-event transitions) ---------
+    // The Markov-transition profile of user behavior: per user, order
+    // events by (ts, event_id) and count each consecutive event_type
+    // transition. One user-keyed window shuffle; the transition rollup is
+    // |types|² groups. The (ts, event_id) total order makes the lag
+    // deterministic under any partitioning.
+    QuerySpec(
+      "q116_event_paths",
+      Some("""WITH s AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type"""),
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))),
+
+    // ---- per-group anomaly flags (z-score outliers) ------------------------
+    // Monitoring-pipeline staple: flag events whose value deviates > 3
+    // sample standard deviations from THEIR USER's mean. Stats come from
+    // the q77 decimal-grid moment components (order-independent, so μ/σ
+    // are engine-identical doubles), the z arithmetic is row-local IEEE,
+    // and degenerate users (n=1, zero variance) NULL out symmetrically in
+    // both engines (NULLIF / when guards). One shuffle for the stats, one
+    // broadcast-or-shuffle join back on user_id.
+    QuerySpec(
+      "q117_anomaly_flags", {
+        val sx = Exact.sqlDsum("value")
+        val sxx = Exact.sqlDsum("value * value")
+        Some(s"""WITH st AS (SELECT user_id, COUNT(*) AS n,
+              $sx AS sx, $sxx AS sxx
+            FROM events GROUP BY user_id),
+          z AS (SELECT e.event_id, e.user_id, e.value,
+              (e.value - sx / n)
+                / sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)) AS z
+            FROM events e JOIN st ON st.user_id = e.user_id)
+          SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 3""")
+      },
+      (s, d) => {
+        val st = t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("value")).as("sx"),
+            Exact.dsum(col("value") * col("value")).as("sxx"))
+          .withColumnRenamed("user_id", "s_user_id")
+        val nm1 = when(col("n") > 1, col("n") - 1)
+        t(s, d, "events")
+          .join(st, col("user_id") === col("s_user_id"))
+          .withColumn("z", (col("value") - col("sx") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / nm1))
+          .filter(abs(col("z")) > 3)
+          .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      }),
+
     // ---- weighted (importance) sampling ------------------------------------
     // Deterministic sampling with per-row inclusion probability ∝ a
     // weight column (here n_chars — longer documents kept more often, the

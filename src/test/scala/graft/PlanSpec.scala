@@ -289,6 +289,16 @@ class PlanSpec extends SparkSpec {
       "forward fill must partition by user:\n" + optimized)
   }
 
+  test("q114/q115: iterative/merge plans stay equi-join + partial-agg") {
+    for (name <- Seq("q114_incr_agg", "q115_pagerank")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+          && !p.contains("Cartesian"), s"$name must not cross-product:\n$p")
+      val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(hashAggs >= 2, s"$name: partial+final expected:\n$p")
+    }
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an

@@ -400,6 +400,84 @@ class QueriesSpec extends SparkSpec {
     assert(k > 0 && k < n)
   }
 
+  /** Exact.dsum's tail conversion in plain Scala: BigDecimal grid sum →
+    * round-4 → int/fraction split → one IEEE add.
+    */
+  private def gridToDouble(vals: Seq[Double]): Double = {
+    val sum = vals.map(BigDecimal(_)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val ip = sum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+    ip.toLong.toDouble + (sum - ip).toDouble
+  }
+
+  test("q114_incr_agg: merged partials equal a full-recompute reference") {
+    val expect = eventsLocal.groupBy(_.user).map { case (u, es) =>
+      u -> ((es.length.toLong, gridToDouble(es.map(_.value).toSeq)))
+    }
+    val got = Registry.all.find(_.name == "q114_incr_agg").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect)
+  }
+
+  test("q115_pagerank matches a grid-rounded power-iteration reference") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = rows.groupBy(_._1).values.toSeq.flatMap { items =>
+      val ps = items.map(_._2).sorted.toSeq
+      for { a <- ps; b <- ps if a < b } yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val edges = pairs ++ pairs.map(p => (p._2, p._1)) // both directions
+    val nbrsOf = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = deg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3)
+      pr = nbrsOf.map { case (v, us) =>
+        v -> (0.15 + 0.85 * gridToDouble(us.map(u => pr(u) / deg(u))))
+      }
+    val got = Registry.all.find(_.name == "q115_pagerank").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (part, (dg, p)) =>
+      assert(dg == deg(part))
+      assert(p == pr(part), s"rank at $part")
+    }
+  }
+
+  test("q116_event_paths matches an ordered-transition reference") {
+    val expect = eventsLocal.groupBy(_.user).values.toSeq.flatMap { es =>
+      es.sortBy(e => (e.ts.toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli, e.id))
+        .sliding(2).filter(_.length == 2)
+        .map(p => (p(0).typ, p(1).typ)).toSeq
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.all.find(_.name == "q116_event_paths").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("q117_anomaly_flags matches a grid-moment z-score reference") {
+    val flagged = eventsLocal.groupBy(_.user).values.toSeq.flatMap { es =>
+      val n = es.length
+      val sx = gridToDouble(es.map(_.value).toSeq)
+      val sxx = gridToDouble(es.map(e => e.value * e.value).toSeq)
+      if (n <= 1) Seq.empty
+      else es.toSeq.flatMap { e =>
+        val z = (e.value - sx / n) /
+          math.sqrt((sxx - sx * sx / n) / (n - 1))
+        if (math.abs(z) > 3) Seq(e.id -> z) else Seq.empty
+      }
+    }.toMap
+    val got = Registry.all.find(_.name == "q117_anomaly_flags").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == flagged)
+  }
+
   test("q105_decay_agg matches a decimal-grid decay reference") {
     val evs = eventsLocal
     val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)
