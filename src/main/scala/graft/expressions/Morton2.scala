@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * two-dimensional range predicates — the standard multi-dimensional
   * clustering layout (Z-ordering) for large scans.
   *
+  * Domain note: the result is used as a SIGNED sort key, and y's bit 31
+  * would land at position 63 (the sign bit) — so per-axis monotonicity
+  * (the property pruning relies on; LawsCheck) holds for x in [0, 2³²)
+  * and y in [0, 2³¹). Quantize coordinates into those ranges first (the
+  * q104 demo uses 17-bit prices × 6-bit quantities).
+  *
   * Native codegen Expression (SURVEY §7.3 escalation path): the 10
   * shift-mask spread steps stay inside whole-stage codegen as straight-line
   * long arithmetic; a lambda/HOF formulation would interpret per row.

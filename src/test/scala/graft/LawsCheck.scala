@@ -97,6 +97,26 @@ object LawsCheck extends Properties("graft.laws") {
       got == expected
     }
 
+  // q104's layout guarantee: the Morton code is monotone in each
+  // coordinate when the other is fixed — so sorting by it co-locates
+  // axis-aligned ranges, which is exactly what makes file min/max stats
+  // prune 2-D predicates after a Z-ordered write. Pure bit math, full
+  // ScalaCheck volume. Domain per the Morton2 scaladoc: x < 2³², y < 2³¹
+  // (y's bit 31 would hit the sign bit — the generator found exactly
+  // that edge when it ranged over the full 32 bits).
+  property("morton2 is monotone per axis (the Z-order pruning property)") =
+    Prop.forAll(
+        Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL),
+        Gen.chooseNum(0L, 0x7FFFFFFFL), Gen.chooseNum(0L, 0x7FFFFFFFL)) {
+      (x1, x2, y1, y2) =>
+      import graft.expressions.Morton2.interleave
+      val (xa, xb) = (math.min(x1, x2), math.max(x1, x2))
+      val (ya, yb) = (math.min(y1, y2), math.max(y1, y2))
+      interleave(xa, ya) <= interleave(xb, ya) &&
+        interleave(xa, ya) <= interleave(xa, yb) &&
+        interleave(xa, ya) <= interleave(xb, yb)
+    }
+
   property("parquet round-trip preserves the row multiset") =
     Prop.forAll(rows) { xs =>
       val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString

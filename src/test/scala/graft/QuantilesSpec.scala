@@ -44,6 +44,28 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("empty input yields an empty cut list, not a crash") {
+    import spark.implicits._
+    val cuts = Quantiles.exactQuantiles(
+      Seq.empty[Long].toDF("v"), col("v"), ps)
+      .head().getSeq[Double](0)
+    assert(cuts.isEmpty)
+  }
+
+  test("block granularity does not change the result") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val vals = Seq.fill(2000)(rng.nextInt(1000000).toLong)
+    val df = vals.toDF("v")
+    val base = Quantiles.exactQuantiles(df, col("v"), ps)
+      .head().getSeq[Double](0).sorted
+    for (bits <- Seq(4, 10, 24)) {
+      val got = Quantiles.exactQuantiles(df, col("v"), ps, blockBits = bits)
+        .head().getSeq[Double](0).sorted
+      assert(got == base, s"blockBits=$bits changed the quantiles")
+    }
+  }
+
   test("negative domains pick a sane block key (floor division)") {
     import spark.implicits._
     // `div` floors toward negative infinity in Spark, so negative values
