@@ -50,4 +50,38 @@ object Aggregators {
   def sqlWeightedAvg(x: String, w: String): String =
     s"""(CAST(SUM(CAST(ROUND(($x) * ($w) * 10000, 0) AS BIGINT)) AS DOUBLE)
         / CAST(SUM(CAST(ROUND(($w) * 10000, 0) AS BIGINT)) AS DOUBLE))"""
+
+  /** Top-k LARGEST values per group as a typed aggregate — the scale
+    * alternative to `row_number() <= k` for per-group top-k VALUES: the
+    * window form sorts and shuffles every row of the group; this buffer
+    * carries at most k longs per partition (map-side collapse), and merge
+    * is a k-way take. Output is the value MULTISET's top-k (descending),
+    * a deterministic function of the group regardless of row identity or
+    * partitioning. k is fixed per instance so the aggregate stays a plain
+    * unary function of the value column.
+    */
+  final class TopK(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0)
+
+    def zero: Seq[Long] = Vector.empty
+
+    // buffer invariant: ascending, size <= k, containing the k largest
+    // seen so far (smallest of them first, so eviction is head-drop)
+    private def insert(b: Seq[Long], v: Long): Seq[Long] =
+      if (b.size < k) (b :+ v).sorted
+      else if (v <= b.head) b
+      else (b.tail :+ v).sorted
+
+    def reduce(b: Seq[Long], v: Long): Seq[Long] = insert(b, v)
+
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+
+    def finish(b: Seq[Long]): Seq[Long] = b.reverse
+
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
 }

@@ -765,6 +765,70 @@ object Curation {
           .select(col("event_id"), col("user_id"), col("value"), col("z"))
       }),
 
+    // ---- top-k per group via a k-bounded native aggregate ------------------
+    // The scale alternative to `row_number() <= k` (q08): the window form
+    // shuffles and sorts EVERY row of every group; the typed TopK
+    // aggregate's buffer holds at most k longs, so partial aggregation
+    // collapses each partition to k values before the exchange and the
+    // shuffle carries |groups|·k longs total. Output is the top-k of the
+    // value MULTISET — deterministic regardless of row identity — exploded
+    // to (group, rank, value) rows. Oracle: the window formulation over
+    // the same integer cents (ties output equal values, so both forms
+    // agree exactly).
+    QuerySpec(
+      "q118_topk_agg",
+      Some("""SELECT l_returnflag, CAST(rk AS INT) AS rk, v FROM (
+          SELECT l_returnflag,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                DESC) AS rk
+          FROM lineitem) z
+        WHERE rk <= 5"""),
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopK(5))
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+          .groupBy(col("l_returnflag"))
+          .agg(topk(col("v")).as("top"))
+          .select(col("l_returnflag"),
+            posexplode(col("top")).as(Seq("rk0", "v")))
+          .select(col("l_returnflag"),
+            (col("rk0") + 1).cast("int").as("rk"), col("v"))
+      }),
+
+    // ---- gap-and-islands (maximal consecutive-day runs) --------------------
+    // Activity-streak detection: for each user, the maximal runs of
+    // CONSECUTIVE active days. The classic island key — day minus the
+    // per-user day rank is constant within a run — turns run detection
+    // into one window plus one aggregate, both keyed on user_id (one
+    // reused partitioning).
+    QuerySpec(
+      "q119_gap_islands",
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          r AS (SELECT user_id, day,
+              day - CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY day) AS INT) AS grp
+            FROM d)
+        SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+          COUNT(*) AS n_days
+        FROM r GROUP BY user_id, grp"""),
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        days.withColumn("grp", date_sub(col("day"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("day")))))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("day")).as("island_start"),
+            max(col("day")).as("island_end"),
+            count(lit(1)).as("n_days"))
+          .drop("grp")
+      }),
+
     // ---- weighted (importance) sampling ------------------------------------
     // Deterministic sampling with per-row inclusion probability ∝ a
     // weight column (here n_chars — longer documents kept more often, the

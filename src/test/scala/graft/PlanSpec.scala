@@ -299,6 +299,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q118: top-k runs as a partial+final aggregate, not a window sort") {
+    val p = plan("q118_topk_agg")
+    assert(!p.contains("Window"),
+      "the k-bounded aggregate must replace the window formulation:\n" + p)
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate")
+        || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"partial+final aggregate expected:\n$p")
+  }
+
   test("q76: no single-partition window over a data-sized input") {
     // The trailing RANGE frame must run partitioned by the derived block
     // key (windowspecdefinition lists its partition columns first); an

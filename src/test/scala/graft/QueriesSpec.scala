@@ -478,6 +478,38 @@ class QueriesSpec extends SparkSpec {
     assert(got == flagged)
   }
 
+  test("q118_topk_agg matches the top-5 value multiset per group") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> cents(r.getDouble(1)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (flag, vs) =>
+      vs.map(_._2).sorted(Ordering[Long].reverse).take(5).toSeq
+        .zipWithIndex.map { case (v, i) => (flag, i + 1) -> v }
+    }.toMap
+    val got = Registry.all.find(_.name == "q118_topk_agg").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("q119_gap_islands matches a consecutive-run reference") {
+    val expect = eventsLocal.groupBy(_.user).toSeq.flatMap { case (u, es) =>
+      val days = es.map(_.ts.toLocalDate).distinct
+        .sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      // split into maximal runs of consecutive days
+      days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (run @ (last :: _)) :: rest, d)
+            if last.plusDays(1) == d => (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(run => (u, run.last, run.head, run.length.toLong))
+    }.toSet
+    val got = Registry.all.find(_.name == "q119_gap_islands").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getAs[java.sql.Date](2).toLocalDate, r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("q105_decay_agg matches a decimal-grid decay reference") {
     val evs = eventsLocal
     val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)
