@@ -829,6 +829,34 @@ object Curation {
           .drop("grp")
       }),
 
+    // ---- deterministic mode (most frequent value per group) ----------------
+    // Both engines SHIP a `mode()` aggregate, but neither defines tie
+    // order (Spark: "non-deterministic on ties"; DuckDB: first-seen) — a
+    // latent cross-engine/cross-run hazard. This formulation makes the tie
+    // explicit: count per (group, value), then argmax by (count DESC,
+    // value ASC) via one more partial-agg max of a (count, -value)
+    // struct — two partial+final shuffles, deterministic everywhere.
+    QuerySpec(
+      "q120_mode",
+      Some("""WITH c AS (SELECT l_returnflag,
+            CAST(floor(l_quantity) AS BIGINT) AS q, COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag, CAST(floor(l_quantity)
+            AS BIGINT)),
+        r AS (SELECT l_returnflag, q, n, row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY n DESC, q ASC) AS rk
+          FROM c)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_mode, q AS mode_qty
+        FROM r WHERE rk = 1"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"),
+            floor(col("l_quantity")).cast("long").as("q"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("l_returnflag"))
+          .agg(max(struct(col("n"), (-col("q")).as("negq"))).as("mx"))
+          .select(col("l_returnflag"), col("mx.n").as("n_mode"),
+            (-col("mx.negq")).as("mode_qty"))),
+
     // ---- weighted (importance) sampling ------------------------------------
     // Deterministic sampling with per-row inclusion probability ∝ a
     // weight column (here n_chars — longer documents kept more often, the

@@ -510,6 +510,22 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q120_mode matches a deterministic-tiebreak reference") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1)).toLong)
+    val expect = rows.groupBy(_._1).view.mapValues { vs =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // max count; ties broken by SMALLEST value
+      val best = counts.toSeq.minBy { case (q, n) => (-n, q) }
+      (best._2, best._1)
+    }.toMap
+    val got = Registry.all.find(_.name == "q120_mode").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
   test("q105_decay_agg matches a decimal-grid decay reference") {
     val evs = eventsLocal
     val tmax = evs.map(_.ts.toInstant(java.time.ZoneOffset.UTC)

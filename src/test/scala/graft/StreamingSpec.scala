@@ -414,5 +414,11 @@ class StreamingSpec extends SparkSpec {
     val before = snap()
     SnapshotUpsert.mergeBatch(spark, dir, b2.toDF(), 1L)
     assert(snap() == before, "replaying a committed batch must be a no-op")
+
+    // an EMPTY micro-batch (trigger fired with nothing to read) must
+    // carry the snapshot forward unchanged, not truncate it
+    SnapshotUpsert.mergeBatch(spark, dir,
+      spark.createDataFrame(Seq.empty[UserState.Event]), 2L)
+    assert(snap() == before, "an empty batch must be a snapshot no-op")
   }
 }
