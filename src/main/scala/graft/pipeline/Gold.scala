@@ -28,7 +28,12 @@ final class Gold(spark: SparkSession, catalog: ZoneCatalog) {
     */
   def buildRevenueSummary(): DataFrame = {
     val df = Gold.revenueRollup(spark.read.parquet(silverTable))
-    df.write.mode(SaveMode.Overwrite)
+    // One writer task per partition value: without this the rollup's N
+    // shuffle partitions each open a file in every payment_type dir —
+    // N x |values| tiny files at any scale (the small-file problem the
+    // gold layer exists to avoid).
+    df.repartition(col("payment_type"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("payment_type").parquet(revenueTable)
     spark.read.parquet(revenueTable)
   }

@@ -479,6 +479,51 @@ object Dedup {
             count(lit(1)).over(Window.partitionBy(col("component"))))
       }),
 
+    // ---- canonical representative per near-dup cluster ----------------------
+    // The step a dedup pipeline actually ships: q48's components tell you
+    // WHICH docs are mutual near-dups; this picks the one to KEEP per
+    // cluster (longest text, doc_id as the tie-break — the usual "richest
+    // copy wins" policy) so every other member can be dropped or
+    // redirected. Component labels, the doc join, and both window
+    // functions all key on component/doc_id — one extra shuffle on top of
+    // the component loop, and the rank window partitions on component (no
+    // global sort). Oracle: the q48 recursive-closure chain extended with
+    // the same join + rank.
+    QuerySpec(
+      "q128_cluster_rep",
+      Some(s"""WITH RECURSIVE $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) z
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+          roots AS (SELECT u AS doc_id, MIN(v) AS component
+            FROM reach GROUP BY u),
+          rk AS (SELECT component, r.doc_id, d.n_chars,
+              row_number() OVER (PARTITION BY component
+                ORDER BY d.n_chars DESC, r.doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY component) AS n_members
+            FROM roots r JOIN documents d ON d.doc_id = r.doc_id)
+        SELECT component, doc_id AS rep_doc, n_chars AS rep_chars,
+          n_members
+        FROM rk WHERE rk = 1"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val wC = Window.partitionBy(col("component"))
+        val wR = wC.orderBy(col("n_chars").desc, col("doc_id"))
+        connectedComponents(edges).join(docs, "doc_id")
+          .withColumn("rk", row_number().over(wR))
+          .withColumn("n_members", count(lit(1)).over(wC))
+          .filter(col("rk") === 1)
+          .select(col("component"), col("doc_id").as("rep_doc"),
+            col("n_chars").as("rep_chars"), col("n_members"))
+      }),
+
     // ---- incremental batch dedup vs an existing corpus ---------------------
     // The production shape of dedup: a NEW batch (doc_id >= 250 — the
     // fixture's stand-in for today's crawl) is admitted only if its

@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics and corpus-quality operators, continuing the
+  * Curation family: Pareto-frontier (skyline) selection, SCD Type-2
+  * interval building, zone-map statistics collection, robust statistics
+  * (median / MAD / winsorized mean), Markov transition matrices, and
+  * first-occurrence n-gram novelty scoring.
+  *
+  * Same contract as every other family: each operator is declared in the
+  * DataFrame DSL and as DuckDB oracle SQL built from the same Scala
+  * constants, and the two must hash-match (SparkEntry contract). All
+  * floating-point outputs are either single IEEE ops on exactly-agreed
+  * inputs (one divide of two exact longs) or go through the [[Exact]]
+  * decimal-grid reduction; percentile interpolation relies on the
+  * two-product form both engines share (pinned by QuantilesSpec).
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Buckets for the local-skyline pass (any deterministic split works —
+    * the bucket id never reaches the output).
+    */
+  private val SkylineBuckets = 16
+
+  /** Attribution lookback: a purchase credits the most recent click no
+    * older than this.
+    */
+  private val AttrWindowMs = 7L * 86400000L
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- Pareto frontier / skyline -----------------------------------------
+    // "Best documents under two competing quality axes" (Börzsönyi et al.,
+    // ICDE'01 skyline operator — public literature): keep the (n_chars,
+    // distinct-token-count) points no other point dominates. Curation use:
+    // the frontier is the candidate set when you can't scalarize quality.
+    // Distributed shape: dedup to distinct metric PAIRS (one partial-agg
+    // shuffle — output bounded by the metric domain, not the corpus), then
+    // a LOCAL skyline per deterministic bucket (parallel windows; a
+    // bucket-local dominator is a global dominator, so survivors are a
+    // superset of the frontier), then the same window once over the tiny
+    // union of local frontiers. The only unpartitioned window runs over
+    // ≤ |local frontiers| rows, not the data — the q76/q88 discipline.
+    // Dominance is integer comparison; no floats anywhere.
+    QuerySpec(
+      "q121_skyline",
+      Some("""WITH m AS (SELECT doc_id, n_chars AS m1,
+            CAST(len(list_distinct(string_split(lower(text), ' ')))
+              AS BIGINT) AS m2
+          FROM documents),
+        p AS (SELECT m1, m2, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+          FROM m GROUP BY m1, m2)
+        SELECT m1 AS n_chars, m2 AS n_uniq_tokens, n_docs, rep_doc
+        FROM p a
+        WHERE NOT EXISTS (SELECT 1 FROM p b
+          WHERE b.m1 >= a.m1 AND b.m2 >= a.m2
+            AND (b.m1 > a.m1 OR b.m2 > a.m2))"""),
+      (s, d) => {
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").as("m1"),
+            size(array_distinct(split(lower(col("text")), " ")))
+              .cast("long").as("m2"))
+          .groupBy(col("m1"), col("m2"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+        // On distinct pairs ordered (m1 desc, m2 desc), a point survives
+        // iff no earlier row has m2 >= its m2: earlier rows have m1 > cur
+        // (dominators iff m2 >= cur) or m1 = cur with m2 > cur (always
+        // dominators); later rows never dominate.
+        def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
+          val w = Window.partitionBy(part: _*)
+            .orderBy(col("m1").desc, col("m2").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("mx", max(col("m2")).over(w))
+            .filter(col("mx").isNull || col("mx") < col("m2")).drop("mx")
+        }
+        val local = skyline(
+          pairs.withColumn("b",
+            pmod(col("m1") * 31 + col("m2"), lit(SkylineBuckets.toLong))),
+          Seq(col("b"))).drop("b")
+        skyline(local, Seq.empty)
+          .select(col("m1").as("n_chars"), col("m2").as("n_uniq_tokens"),
+            col("n_docs"), col("rep_doc"))
+      }),
+
+    // ---- SCD Type-2 interval build -----------------------------------------
+    // The dimension-history primitive (Kimball's slowly-changing-dimension
+    // type 2): collapse each user's event stream into change records with
+    // [valid_from, valid_to) validity and an is_current flag — the batch
+    // backbone of every warehouse dimension load. Shape: ONE shuffle on
+    // user_id; the change-detect lag, the valid_to lead, and the version
+    // row_number all share that partitioning (the filter in between
+    // preserves it), so Catalyst plans a single exchange. Determinism:
+    // event-time ties break on event_id in both engines.
+    QuerySpec(
+      "q122_scd2",
+      Some("""WITH c AS (
+          SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM events),
+        ch AS (SELECT user_id, event_type, ts, event_id FROM c
+          WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS version,
+          (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL) AS is_current
+        FROM ch"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"),
+            row_number().over(w).cast("long").as("version"),
+            lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      }),
+
+    // ---- zone-map / data-skipping statistics --------------------------------
+    // The stats table a lakehouse writer maintains per partition (small
+    // materialized aggregates, Moerkotte VLDB'98; Delta/Iceberg file
+    // stats): per month-partition min/max/count over the skipping columns,
+    // plus an exact cent-sum for reconciliation. This IS the input to
+    // partition pruning — a query with l_shipdate or l_orderkey bounds
+    // skips every partition whose [min,max] misses the predicate.
+    // Shape: one partial-agg-friendly shuffle whose key count is the
+    // partition count — scan-speed at any corpus size; all stats are
+    // exact integer/timestamp min/max (no floats).
+    QuerySpec(
+      "q123_zonemap",
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+            AS part_month,
+          COUNT(*) AS n_rows,
+          MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+          MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS min_price_cents,
+          MAX(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS max_price_cents,
+          CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS sum_price_cents,
+          MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+        FROM lineitem GROUP BY 1"""),
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+        t(s, d, "lineitem")
+          .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_orderkey"),
+            max(col("l_orderkey")).as("max_orderkey"),
+            min(cents).as("min_price_cents"),
+            max(cents).as("max_price_cents"),
+            sum(cents).as("sum_price_cents"),
+            min(col("l_shipdate")).as("min_shipdate"),
+            max(col("l_shipdate")).as("max_shipdate"))
+      }),
+
+    // ---- robust statistics: median / MAD / winsorized mean ------------------
+    // Outlier-resistant group profiles — the robust counterpart of q77's
+    // moment statistics: exact median, median absolute deviation, and the
+    // [p05, p95]-winsorized mean, all in integer cents. Two passes over
+    // the data (quantiles, then deviation/clamp aggregates) joined through
+    // a broadcast of the |groups|-row quantile frame. Determinism:
+    // percentile interpolation is the two-product form both engines share
+    // (QuantilesSpec pins it); the winsorized mean goes through the
+    // decimal grid; every other output is a single IEEE divide by 100.
+    // At 100 TB the per-group exact percentile buffer is the ceiling —
+    // operators.Quantiles is the distributed replacement (same
+    // interpolation, shuffle-based histogram); built-in `percentile` keeps
+    // this query single-pass at bench scale.
+    QuerySpec(
+      "q124_robust_stats",
+      Some(s"""WITH c AS (SELECT l_returnflag,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem),
+        q AS (SELECT l_returnflag,
+            quantile_cont(cents, 0.05) AS p05,
+            quantile_cont(cents, 0.5) AS med,
+            quantile_cont(cents, 0.95) AS p95
+          FROM c GROUP BY l_returnflag),
+        j AS (SELECT c.l_returnflag, cents, p05, med, p95
+          FROM c JOIN q USING (l_returnflag)),
+        m AS (SELECT l_returnflag,
+            quantile_cont(abs(CAST(cents AS DOUBLE) - med), 0.5) AS mad_cents
+          FROM j GROUP BY l_returnflag),
+        w AS (SELECT l_returnflag,
+            ${Exact.sqlDavg(
+              "least(greatest(CAST(cents AS DOUBLE), p05), p95) / 100")}
+              AS winsor_mean
+          FROM j GROUP BY l_returnflag)
+        SELECT q.l_returnflag,
+          med / 100 AS median_price, p05 / 100 AS p05_price,
+          p95 / 100 AS p95_price, mad_cents / 100 AS mad_price,
+          winsor_mean
+        FROM q JOIN m USING (l_returnflag) JOIN w USING (l_returnflag)"""),
+      (s, d) => {
+        val c = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val q = c.groupBy(col("l_returnflag")).agg(
+          expr("percentile(cents, 0.05)").as("p05"),
+          expr("percentile(cents, 0.5)").as("med"),
+          expr("percentile(cents, 0.95)").as("p95"))
+        val j = c.join(broadcast(q), "l_returnflag")
+        val m = j
+          .withColumn("adev", abs(col("cents").cast("double") - col("med")))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(adev, 0.5)").as("mad_cents"))
+        val w = j
+          .withColumn("wc",
+            least(greatest(col("cents").cast("double"), col("p05")),
+              col("p95")) / 100)
+          .groupBy(col("l_returnflag"))
+          .agg(Exact.davg(col("wc")).as("winsor_mean"))
+        q.join(m, "l_returnflag").join(w, "l_returnflag")
+          .select(col("l_returnflag"),
+            (col("med") / 100).as("median_price"),
+            (col("p05") / 100).as("p05_price"),
+            (col("p95") / 100).as("p95_price"),
+            (col("mad_cents") / 100).as("mad_price"),
+            col("winsor_mean"))
+      }),
+
+    // ---- Markov transition matrix ------------------------------------------
+    // First-order behavioral model over the event stream: P(next type |
+    // type), the summary behind session simulation, anomaly baselines
+    // (q117) and path mining (q116). Shape: one shuffle on user_id for the
+    // lead window, then a partial-agg count shuffle on the (from, to)
+    // pair; the per-source totals frame is |types| rows and broadcasts.
+    // p is ONE IEEE divide of two exact longs — portable without a grid.
+    QuerySpec(
+      "q125_transitions",
+      Some("""WITH nx AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        ab AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+          FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        a AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+          FROM ab GROUP BY from_type)
+        SELECT ab.from_type, ab.to_type, ab.n_trans,
+          CAST(ab.n_trans AS DOUBLE) / a.n_from AS p
+        FROM ab JOIN a USING (from_type)"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ab = t(s, d, "events")
+          .select(col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val a = ab.groupBy(col("from_type"))
+          .agg(sum(col("n_trans")).as("n_from"))
+        ab.join(broadcast(a), "from_type")
+          .select(col("from_type"), col("to_type"), col("n_trans"),
+            (col("n_trans").cast("double") / col("n_from")).as("p"))
+      }),
+
+    // ---- first-occurrence n-gram novelty ------------------------------------
+    // Corpus-order novelty scoring (the signal RefinedWeb-style pipelines
+    // use to find boilerplate-heavy or derivative documents): per doc, the
+    // fraction of its distinct trigrams whose corpus-wide FIRST occurrence
+    // (min doc_id) is this doc. Shape: distinct (doc, gram) pairs via one
+    // shuffle; then the clever part — the per-doc novel count comes from
+    // the first-occurrence table ALONE (group its min-doc column), so the
+    // gram-keyed frame never joins back against the corpus; the final join
+    // is doc-level aggregate × doc-level aggregate. Three partial-agg
+    // shuffles total, no self-join. novelty = one IEEE divide of exact
+    // longs.
+    QuerySpec(
+      "q126_novelty",
+      Some("""WITH tk AS (SELECT doc_id,
+            string_split(lower(text), ' ') AS t FROM documents),
+        tri AS (SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)]) AS g
+            FROM tk WHERE len(t) >= 3) z),
+        pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM tri GROUP BY doc_id),
+        fo AS (SELECT g, MIN(doc_id) AS doc_id FROM tri GROUP BY g),
+        nv AS (SELECT doc_id, COUNT(*) AS n_novel FROM fo GROUP BY doc_id)
+        SELECT pd.doc_id, pd.n_grams,
+          COALESCE(nv.n_novel, 0) AS n_novel,
+          CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / pd.n_grams AS novelty
+        FROM pd LEFT JOIN nv USING (doc_id)"""),
+      (s, d) => {
+        val tri = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 2),
+                 zip_with(slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2),
+                   (b, c) -> concat(b, ' ', c)),
+                 (a, bc) -> concat(a, ' ', bc))""")).as("g"))
+          .distinct()
+        val pd = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val nv = tri.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+        pd.join(nv, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double")
+              / col("n_grams")).as("novelty"))
+      }),
+
+    // ---- last-touch attribution ---------------------------------------------
+    // Marketing attribution over the event stream: each purchase credits
+    // the user's most recent click no older than the 7-day lookback. The
+    // "most recent preceding click" is a running max over a click-only
+    // column inside the user window (NULLs self-skip — no as-of join, no
+    // IGNORE NULLS dialect dependency), so the whole operator is the ONE
+    // user_id shuffle plus a per-user aggregate. Determinism: ties order
+    // on event_id; the attributed sum crosses rows on the decimal grid.
+    QuerySpec(
+      "q127_attribution",
+      Some(s"""WITH a AS (SELECT user_id, event_type, ts, value,
+            max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+          FROM events),
+        p AS (SELECT user_id, value,
+            (last_click IS NOT NULL AND
+             epoch_ms(ts) - epoch_ms(last_click) <= $AttrWindowMs)
+              AS attributed
+          FROM a WHERE event_type = 'purchase')
+        SELECT user_id, COUNT(*) AS n_purchases,
+          CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_attributed,
+          ${Exact.sqlDsum("CASE WHEN attributed THEN value ELSE 0.0 END")}
+            AS attributed_value
+        FROM p GROUP BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("attributed", col("last_click").isNotNull &&
+            (expr("unix_millis(cast(ts as timestamp))")
+              - expr("unix_millis(cast(last_click as timestamp))"))
+              <= lit(AttrWindowMs))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("attributed"), 1L).otherwise(0L))
+              .as("n_attributed"),
+            Exact.dsum(when(col("attributed"), col("value")).otherwise(0.0))
+              .as("attributed_value"))
+      }),
+
+    // ---- time-weighted average ----------------------------------------------
+    // The finance/IoT aggregate plain AVG gets wrong: each observation
+    // holds until the next one, so it weighs by its holding duration —
+    // twa = Σ value·dur / Σ dur over each user's consecutive intervals
+    // (the last, open-ended observation carries no weight). One user_id
+    // shuffle for the lead window, one partial-agg shuffle. Determinism:
+    // durations are exact epoch-ms longs; value·dur is one IEEE product
+    // summed on the decimal grid; the final divide is guarded against
+    // zero total duration symmetrically in both engines (the q77 lesson).
+    QuerySpec(
+      "q129_twa",
+      Some(s"""WITH iv AS (SELECT user_id, value,
+            epoch_ms(lead(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) - epoch_ms(ts) AS dur
+          FROM events),
+        g AS (SELECT user_id, COUNT(*) AS n_intervals,
+            CAST(SUM(dur) AS BIGINT) AS total_ms,
+            ${Exact.sqlDsum("value * dur")} AS vsum
+          FROM iv WHERE dur IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_intervals, total_ms,
+          vsum / NULLIF(total_ms, 0) AS twa
+        FROM g"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("dur",
+            expr("unix_millis(cast(next_ts as timestamp))")
+              - expr("unix_millis(cast(ts as timestamp))"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur")).as("total_ms"),
+            Exact.dsum(col("value") * col("dur")).as("vsum"))
+          .select(col("user_id"), col("n_intervals"), col("total_ms"),
+            (col("vsum") / nullif(col("total_ms"), lit(0))).as("twa"))
+      }),
+
+    // ---- embedding QA / outlier flagging ------------------------------------
+    // The sanity gate before any ANN/cosine stage: corrupt or
+    // mis-normalized vectors show up as squared-norm outliers. Norms are
+    // exact integer sums of quantized components (Portable's q=1000 grid);
+    // the p99 cut comes from operators.Quantiles — the DISTRIBUTED exact
+    // quantile (shuffle-bounded by the distinct-norm count), not the
+    // single-buffer built-in — and broadcasts back for a row-local flag.
+    // Everything hash-checked: counts and min/max are exact longs; the
+    // flag compares bit-identical doubles.
+    QuerySpec(
+      "q130_embedding_qa", {
+        import graft.functions.Portable
+        val dims = 64
+        Some(s"""WITH q AS (SELECT label,
+            ${Portable.qnsqDuck(s"(${Portable.qvecDuck("embedding", dims)})",
+              dims)} AS norm2
+          FROM embeddings),
+        c AS (SELECT quantile_cont(norm2, 0.99) AS p99 FROM q)
+        SELECT label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN CAST(norm2 AS DOUBLE) > p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+          MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2
+        FROM q, c GROUP BY label""")
+      },
+      (s, d) => {
+        import graft.functions.Portable
+        val q = t(s, d, "embeddings")
+          .withColumn("qv", expr(Portable.qvecSpark("embedding")))
+          .withColumn("norm2", expr(Portable.qnsqSpark("qv")))
+          .select(col("label"), col("norm2"))
+        val cut = graft.operators.Quantiles
+          .exactQuantiles(q, col("norm2"), Seq(0.99))
+        q.crossJoin(broadcast(cut))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("norm2").cast("double") > expr("cuts[0]"), 1L)
+              .otherwise(0L)).as("n_flagged"),
+            min(col("norm2")).as("min_norm2"),
+            max(col("norm2")).as("max_norm2"))
+      })
+  )
+}

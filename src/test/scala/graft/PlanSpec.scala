@@ -324,4 +324,95 @@ class PlanSpec extends SparkSpec {
       "every window must partition on g (block key) or o_orderpriority:\n"
         + windowSpecs.mkString("\n"))
   }
+
+  test("q121: skyline is join-free and its data-sized window is bucketed") {
+    val df = queries.Registry.byName("q121_skyline").run(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // a naive skyline is a dominance self-join; this plan must have none
+    assert(!p.contains("Join"), "skyline must not self-join:\n" + p)
+    // the pass over the distinct-pair frame partitions on the bucket; only
+    // the merge over the tiny union of local frontiers may be global
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(b#")),
+      "local skyline must partition on the bucket key:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q122: SCD2 runs on a single user_id exchange") {
+    val df = queries.Registry.byName("q122_scd2").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"change-detect lag, valid_to lead and version must share ONE "
+        + s"user_id shuffle, saw $exchanges:\n" + p)
+  }
+
+  test("q123: zone-map stats aggregate partial+final at scan speed") {
+    val p = plan("q123_zonemap")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "map-side combine must appear:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q124: quantile frame broadcasts back against the fact scan") {
+    val p = plan("q124_robust_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the |groups|-row quantile frame must broadcast, not shuffle the "
+        + "fact side:\n" + p)
+  }
+
+  test("q125: transition windows partition on user_id") {
+    val df = queries.Registry.byName("q125_transitions").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(
+        _.contains("windowspecdefinition(user_id#")),
+      specs.mkString("\n"))
+  }
+
+  test("q127/q129: attribution and TWA run on one user_id exchange each") {
+    Seq("q127_attribution", "q129_twa").foreach { name =>
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning(user_id"))
+      assert(exchanges == 1,
+        s"$name: window + per-user aggregate must share ONE user_id "
+          + s"shuffle, saw $exchanges:\n" + p)
+    }
+  }
+
+  test("q130: the p99 cut broadcasts back; vectors never reshuffle for it") {
+    val df = queries.Registry.byName("q130_embedding_qa").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row quantile frame must broadcast:\n" + p)
+  }
+
+  test("q128: the representative rank window partitions on component") {
+    val df = queries.Registry.byName("q128_cluster_rep").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(
+        _.contains("windowspecdefinition(component#")),
+      specs.mkString("\n"))
+  }
+
+  test("q126: novelty never joins on the gram key") {
+    val df = queries.Registry.byName("q126_novelty").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-doc novel count folds out of the first-occurrence aggregate;
+    // grams are only ever a grouping key, never a join key (a gram-keyed
+    // join would shuffle candidate pairs at corpus scale)
+    val joinKeyLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[g#")).toList
+    assert(joinKeyLines.isEmpty, joinKeyLines.mkString("\n"))
+  }
 }

@@ -547,4 +547,215 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == expect)
   }
+
+  // ---- Warehouse operators: independent Scala recomputation ----------------
+
+  test("q121_skyline matches a brute-force dominance reference") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ", -1).distinct.length.toLong,
+        r.getLong(2)))
+    val pairs = docs.groupBy(d => (d._3, d._2)).map { case ((m1, m2), v) =>
+      (m1, m2, v.length.toLong, v.map(_._1).min)
+    }.toSeq
+    val expect = pairs.filter { case (m1, m2, _, _) =>
+      !pairs.exists { case (o1, o2, _, _) =>
+        o1 >= m1 && o2 >= m2 && (o1 > m1 || o2 > m2) }
+    }.map(p => (p._1, p._2) -> ((p._3, p._4))).toMap
+    val got = Registry.all.find(_.name == "q121_skyline").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q122_scd2 matches a run-compression reference") {
+    val expect = eventsLocal.groupBy(_.user).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e =>
+        (e.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, e.id))
+      val kept = ordered.foldLeft(Vector.empty[Ev]) { (acc, e) =>
+        if (acc.isEmpty || acc.last.typ != e.typ) acc :+ e else acc
+      }
+      kept.zipWithIndex.map { case (e, i) =>
+        (u, i + 1L) -> ((e.typ, e.ts,
+          if (i + 1 < kept.size) Some(kept(i + 1).ts) else None))
+      }
+    }.toMap
+    val got = Registry.all.find(_.name == "q122_scd2").get
+      .run(spark, sfDir).collect().map { r =>
+        (r.getLong(0), r.getLong(4)) -> ((r.getString(1),
+          r.getAs[java.time.LocalDateTime](2),
+          Option(r.getAs[java.time.LocalDateTime](3))))
+      }.toMap
+    assert(got.map { case (k, (ty, from, to)) => k -> ((ty, from, to)) }
+      == expect)
+    // is_current holds exactly for interval-less versions
+    val cur = Registry.all.find(_.name == "q122_scd2").get
+      .run(spark, sfDir).collect()
+    cur.foreach(r => assert(r.getBoolean(5) == r.isNullAt(3)))
+  }
+
+  test("q124_robust_stats matches an interpolated-quantile reference") {
+    // SQL-standard percentile_cont on doubles: two-product interpolation
+    // (see operators.Quantiles scaladoc for why this exact form).
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val frac = h - h.toInt
+      (1.0 - frac) * sorted(h.toInt) + frac * sorted(math.ceil(h).toInt)
+    }
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> cents(r.getDouble(1)))
+    val expect = rows.groupBy(_._1).map { case (rf, v) =>
+      val cs = v.map(_._2.toDouble).sorted
+      val (p05, med, p95) = (qc(cs, 0.05), qc(cs, 0.5), qc(cs, 0.95))
+      val mad = qc(v.map(c => math.abs(c._2.toDouble - med)).sorted, 0.5)
+      val wsum = v.map { c =>
+        BigDecimal(math.min(math.max(c._2.toDouble, p05), p95) / 100)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val ip = wsum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      val winsor = (ip.toLong.toDouble + (wsum - ip).toDouble) / v.length
+      rf -> ((med / 100, p05 / 100, p95 / 100, mad / 100, winsor))
+    }
+    val got = Registry.all.find(_.name == "q124_robust_stats").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expect)
+  }
+
+  test("q125_transitions matches a pair-count reference") {
+    val pairs = eventsLocal.groupBy(_.user).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e =>
+          (e.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, e.id))
+        .sliding(2).filter(_.length == 2)
+        .map(w => (w(0).typ, w(1).typ)).toSeq
+    }
+    val ab = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val a = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = ab.map { case ((f, t2), n) =>
+      (f, t2) -> ((n, n.toDouble / a(f))) }
+    val got = Registry.all.find(_.name == "q125_transitions").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("q126_novelty matches a first-occurrence reference") {
+    val tris = docsSorted.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toArray.distinct
+    }.filter(_._2.nonEmpty)
+    val firstDoc = tris.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = tris.map { case (id, gs) =>
+      val novel = gs.count(firstDoc(_) == id).toLong
+      id -> ((gs.length.toLong, novel, novel.toDouble / gs.length))
+    }.toMap
+    val got = Registry.all.find(_.name == "q126_novelty").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("q127_attribution matches a last-touch reference") {
+    val lookback = 7L * 86400000L
+    def ms(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val expect = eventsLocal.groupBy(_.user).collect {
+      case (u, es) if es.exists(_.typ == "purchase") =>
+        val ordered = es.sortBy(e => (ms(e.ts), e.id))
+        var lastClick = Option.empty[Long]
+        val hits = ordered.flatMap { e =>
+          val r = if (e.typ == "purchase")
+            Some((e.value,
+              lastClick.exists(c => ms(e.ts) - c <= lookback)))
+          else None
+          if (e.typ == "click") lastClick = Some(ms(e.ts))
+          r
+        }
+        val attrSum = hits.collect { case (v, true) => BigDecimal(v)
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP) }
+          .sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val ip = attrSum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+        u -> ((hits.length.toLong, hits.count(_._2).toLong,
+          ip.toLong.toDouble + (attrSum - ip).toDouble))
+    }
+    val got = Registry.all.find(_.name == "q127_attribution").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("q129_twa matches an interval-weighted reference") {
+    def ms(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val expect = eventsLocal.groupBy(_.user).collect {
+      case (u, es) if es.length >= 2 =>
+        val ordered = es.sortBy(e => (ms(e.ts), e.id))
+        val ivs = ordered.sliding(2).filter(_.length == 2)
+          .map(w => (w(0).value, ms(w(1).ts) - ms(w(0).ts))).toSeq
+        val total = ivs.map(_._2).sum
+        val vsum = ivs.map { case (v, dur) => BigDecimal(v * dur)
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP) }
+          .sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val ip = vsum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+        val vd = ip.toLong.toDouble + (vsum - ip).toDouble
+        u -> ((ivs.length.toLong, total,
+          if (total == 0) None else Some(vd / total)))
+    }
+    val got = Registry.all.find(_.name == "q129_twa").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got == expect)
+  }
+
+  test("q130_embedding_qa flags exactly the above-p99 norms") {
+    def q(x: Float): Long = BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Float](1).map(x => { val v = q(x); v * v }).sum)
+    val sorted = vecs.map(_._2.toDouble).sorted
+    val h = (sorted.length - 1) * 0.99
+    val frac = h - h.toInt
+    val p99 = (1.0 - frac) * sorted(h.toInt) +
+      frac * sorted(math.ceil(h).toInt)
+    val expect = vecs.groupBy(_._1).map { case (l, v) =>
+      l -> ((v.length.toLong, v.count(_._2.toDouble > p99).toLong,
+        v.map(_._2).min, v.map(_._2).max))
+    }
+    val got = Registry.all.find(_.name == "q130_embedding_qa").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("q128_cluster_rep picks the longest member of each q48 component") {
+    val comps = Registry.all.find(_.name == "q48_dedup_components").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = comps.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      val rep = members.minBy(id => (-chars(id), id))
+      c -> ((rep, chars(rep), members.length.toLong))
+    }
+    val got = Registry.all.find(_.name == "q128_cluster_rep").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expect)
+  }
 }
