@@ -15,22 +15,53 @@ object Bench {
     // Untimed warmup: JVM/codegen/session startup otherwise lands on
     // whichever query happens to run first (~4 s artifact).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+    // Dev knob: SPARK_GRAFT_BENCH_ONLY=q25_range_join,q48_... times a
+    // subset (perf triage); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Repeat-sampling exists to shed GC outliers, which distort sub-second
+    // measurements proportionally most; once a single run is this long the
+    // median stops earning its 2x wall-clock cost (the 130-query suite
+    // must fit the driver's run budget).
+    val slowCutoff =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0").toDouble
+    val results = selected.map { case (name, fn) =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        // No clearCache here: cached derived frames (shingle hash sets,
-        // quantized vectors) are index builds legitimately amortized across
-        // the suite, and their total size is bounded (~MBs per sf0.1 table).
+        // No clearCache BETWEEN ITERS: cached derived frames (shingle hash
+        // sets, quantized vectors) are index builds legitimately amortized
+        // across a query's repeat runs.
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt // negative = failed, visible in output
       }
+      // Slow queries get ONE warm re-run (min-of-2), never a lone sample:
+      // a single cold measurement can absorb a one-off stall (a 23 s GC /
+      // cleanup pause was observed landing on a 1.4 s query mid-suite)
+      // and there is no second sample to out-vote it.
+      val first = once()
+      val times =
+        if (first < 0) Seq(first)
+        else if (first >= slowCutoff) Seq(first, once())
+        else first +: (2 to iters).map(_ => once())
+      // ... but DO drop them between QUERIES: CacheManager lookups compare
+      // canonicalized plans against every live entry, so letting 130+
+      // queries' cached frames accumulate makes each later action pay an
+      // O(cached-plans) analysis tax — measured as a 10-100x inflation of
+      // the back half of the suite (q25 0.6 s alone vs 106 s after ~120
+      // queries' caches piled up). Clearing per query keeps every
+      // measurement independent of suite size and order.
+      spark.sqlContext.clearCache()
+      // median of 3; the better of 2 (first run carries codegen warmup);
+      // the lone sample as-is
       name -> (if (times.exists(_ < 0)) times.min
-               else times.sorted.apply(times.size / 2))
+               else times.sorted.apply((times.size - 1) / 2))
     }
     // 3-decimal durations: ms resolution is all the comparison needs, and
     // it halves the line so the driver's stdout-tail capture (which

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketching, interval-algebra, and data-quality operators.
+  *
+  * The count-min sketch here is implemented IN the engine's expression
+  * language (portable md5 hashes, integer counters) rather than behind an
+  * opaque binary — so unlike the usual "approximate therefore unchecked"
+  * treatment, the estimates themselves hash-match the DuckDB oracle
+  * bit-for-bit. Same contract as every family: DSL + oracle SQL from the
+  * same Scala constants.
+  */
+object Quality {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Count-min sketch geometry: D hash rows of W counters. W is the
+    * accuracy knob (eps ≈ e/W); D drives the confidence. 3x1024 keeps the
+    * sketch 24 KB — broadcastable state for a stream of any cardinality.
+    */
+  private val CmsW = 1024
+  private val CmsD = 3
+
+  /** Sweep-line block size (6 h of boundaries per prefix-sum block). */
+  private val SweepBlockMs = 6L * 3600L * 1000L
+
+  /** Observation hold window for the concurrency sweep. */
+  private val HoldMinutes = 15
+
+  /** Freshness rule cutoff: ship dates after this are violations. */
+  private val FreshCutoff = "1998-12-31 00:00:00"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- count-min sketch heavy-hitter estimates ----------------------------
+    // CMS (Cormode & Muthukrishnan '05) as relational algebra: D portable
+    // hashes bucket every occurrence into a DxW counter grid (ONE
+    // partial-agg shuffle whose output is <= D*W rows regardless of input
+    // size), and a key's estimate is the min of its D counters. Unlike
+    // Spark's built-in binary sketch, every counter and estimate here is
+    // engine-portable, so the oracle checks the ESTIMATES, not just
+    // bounds. The no-underestimate invariant rides along as a computed
+    // boolean (same expression both sides).
+    // 100 TB posture: sketch build is scan + bounded-key aggregate; the
+    // probe side is |distinct keys| x D rows broadcast against the grid.
+    QuerySpec(
+      "q131_cms", {
+        val h = Portable.h64Duck("k || '#' || CAST(i AS VARCHAR)")
+        Some(s"""WITH ks AS (SELECT event_type AS k, COUNT(*) AS exact_n
+            FROM events GROUP BY 1),
+          pts AS (SELECT event_type AS k, i
+            FROM events, (SELECT unnest([0, 1, 2]) AS i) z),
+          cms AS (SELECT i, ($h) % $CmsW AS b, COUNT(*) AS c
+            FROM pts GROUP BY 1, 2),
+          probes AS (SELECT k, i, ($h) % $CmsW AS b
+            FROM ks, (SELECT unnest([0, 1, 2]) AS i) z),
+          est AS (SELECT k, MIN(c) AS cms_est
+            FROM probes JOIN cms USING (i, b) GROUP BY k)
+          SELECT ks.k AS event_type, ks.exact_n, est.cms_est,
+            (est.cms_est >= ks.exact_n) AS never_under
+          FROM ks JOIN est USING (k)""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("concat(k, '#', cast(i as string))")
+        val ev = t(s, d, "events").select(col("event_type").as("k"))
+        val cms = ev
+          .select(col("k"), explode(expr(s"sequence(0, ${CmsD - 1})"))
+            .as("i"))
+          .withColumn("b", expr(s"($h) % $CmsW"))
+          .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+        val ks = ev.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+        val probes = ks
+          .select(col("k"), explode(expr(s"sequence(0, ${CmsD - 1})"))
+            .as("i"))
+          .withColumn("b", expr(s"($h) % $CmsW"))
+        val est = broadcast(probes).join(cms, Seq("i", "b"))
+          .groupBy(col("k")).agg(min(col("c")).as("cms_est"))
+        ks.join(est, "k")
+          .select(col("k").as("event_type"), col("exact_n"),
+            col("cms_est"),
+            (col("cms_est") >= col("exact_n")).as("never_under"))
+      }),
+
+    // ---- sweep-line concurrency (interval algebra) --------------------------
+    // "How many observations are simultaneously open?" — each event holds
+    // for 15 minutes; +1/-1 boundary points under a STRICT total order
+    // (t, delta, event_id — closes sort before opens at the same instant)
+    // feed a running sum whose per-day max is the concurrency profile.
+    // The global prefix sum is block-distributed exactly like q76/q88:
+    // within-block cumsums partition on a 6-hour block key, only the
+    // |blocks|-row totals table crosses a global window, and offsets
+    // broadcast back. DuckDB runs the same total order single-threaded —
+    // identical running values, no float anywhere.
+    QuerySpec(
+      "q132_concurrency",
+      Some(s"""WITH b AS (
+          SELECT ts AS t, 1 AS delta, event_id FROM events
+          UNION ALL
+          SELECT ts + INTERVAL $HoldMinutes MINUTE, -1, event_id
+          FROM events),
+        r AS (SELECT t, CAST(SUM(delta) OVER (
+              ORDER BY t, delta, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS conc
+          FROM b)
+        SELECT CAST(t AS DATE) AS day, COUNT(*) AS n_boundaries,
+          MAX(conc) AS peak_concurrency
+        FROM r GROUP BY 1"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.select(col("ts").as("t"), lit(1).as("delta"),
+            col("event_id"))
+          .unionByName(ev.select(
+            (col("ts") + expr(s"INTERVAL $HoldMinutes MINUTES")).as("t"),
+            lit(-1).as("delta"), col("event_id")))
+          .withColumn("g",
+            expr(s"unix_millis(cast(t as timestamp)) div $SweepBlockMs"))
+        val wIn = Window.partitionBy(col("g"))
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = b.withColumn("cum_in", sum(col("delta")).over(wIn))
+        val offs = b.groupBy(col("g"))
+          .agg(sum(col("delta")).as("btot"))
+          .withColumn("off", coalesce(sum(col("btot")).over(
+            Window.orderBy(col("g"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("off"))
+        within.join(broadcast(offs), "g")
+          .withColumn("conc", (col("off") + col("cum_in")).cast("long"))
+          .groupBy(to_date(col("t")).as("day"))
+          .agg(count(lit(1)).as("n_boundaries"),
+            max(col("conc")).as("peak_concurrency"))
+      }),
+
+    // ---- data-quality rule engine (Deequ-style expectations) ----------------
+    // The audit table a warehouse load publishes next to its data:
+    // completeness (null rate), domain range, key uniqueness, referential
+    // integrity, and freshness — each a (rule, violations, pass) row.
+    // Shape: the three row-local rules fold into ONE scan-speed aggregate
+    // and unpivot; uniqueness is a count-distinct; referential integrity
+    // is a left-anti join against the parent keys. Nothing non-integer.
+    QuerySpec(
+      "q133_dq_checks",
+      Some(s"""WITH m AS (SELECT
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_shipdate,
+            CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+              THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+            CAST(SUM(CASE WHEN l_shipdate > TIMESTAMP '$FreshCutoff'
+              THEN 1 ELSE 0 END) AS BIGINT) AS future_shipdate
+          FROM lineitem),
+        dup AS (SELECT CAST(COUNT(*)
+              - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v
+          FROM lineitem),
+        orph AS (SELECT COUNT(*) AS v FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey))
+        SELECT 'null_shipdate' AS rule, null_shipdate AS violations,
+          null_shipdate = 0 AS pass FROM m
+        UNION ALL SELECT 'quantity_range', quantity_range,
+          quantity_range = 0 FROM m
+        UNION ALL SELECT 'future_shipdate', future_shipdate,
+          future_shipdate = 0 FROM m
+        UNION ALL SELECT 'duplicate_line_key', v, v = 0 FROM dup
+        UNION ALL SELECT 'orphan_orderkey', v, v = 0 FROM orph"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val rowLocal = li.agg(
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+              .as("null_shipdate"),
+            sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+              .as("quantity_range"),
+            sum(when(col("l_shipdate") > lit(FreshCutoff).cast("timestamp"),
+              1L).otherwise(0L)).as("future_shipdate"))
+          .select(expr("""stack(3,
+            'null_shipdate', null_shipdate,
+            'quantity_range', quantity_range,
+            'future_shipdate', future_shipdate) AS (rule, violations)"""))
+        val dup = li.agg((count(lit(1))
+            - countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .as("violations"))
+          .select(lit("duplicate_line_key").as("rule"), col("violations"))
+        val orph = li.select(col("l_orderkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orphan_orderkey").as("rule"), col("violations"))
+        rowLocal.unionByName(dup).unionByName(orph)
+          .withColumn("pass", col("violations") === 0)
+      })
+  )
+}

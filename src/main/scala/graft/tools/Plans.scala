@@ -72,7 +72,29 @@ object Plans {
         + "Levenshtein verify runs in-block only."),
     "q118_topk_agg" ->
       ("Top-k per group WITHOUT a window sort: the k-bounded TopK "
-        + "Aggregator partial-aggregates to <=k values per partition."))
+        + "Aggregator partial-aggregates to <=k values per partition."),
+    "q121_skyline" ->
+      ("Pareto frontier with NO dominance self-join: distinct metric "
+        + "pairs, bucket-partitioned running-max windows, then one merge "
+        + "over the tiny union of local frontiers."),
+    "q122_scd2" ->
+      ("SCD2: change-detect lag, valid_to lead and version rank share a "
+        + "single user_id exchange (one Window node after one shuffle)."),
+    "q124_robust_stats" ->
+      ("Quantile frame (|groups| rows) broadcasts back against the cents "
+        + "scan; MAD + winsorized aggregates partial+final."),
+    "q126_novelty" ->
+      ("Novelty without a gram-keyed join: first-occurrence aggregate "
+        + "folds to per-doc novel counts; final join is doc-level only."),
+    "q130_embedding_qa" ->
+      ("Distributed exact p99 (operators.Quantiles) broadcast back; the "
+        + "vector table is scanned once and never reshuffled."),
+    "q131_cms" ->
+      ("Count-min sketch as relational algebra: DxW bounded-key partial "
+        + "aggregate; |keys|xD probe rows broadcast against the grid."),
+    "q132_concurrency" ->
+      ("Sweep line: within-block cumsum windows partition on the 6-hour "
+        + "block; only the |blocks|-row totals cross a global window."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

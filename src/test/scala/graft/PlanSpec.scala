@@ -405,6 +405,32 @@ class PlanSpec extends SparkSpec {
       specs.mkString("\n"))
   }
 
+  test("q131: CMS grid aggregates partial+final; probes broadcast") {
+    val p = plan("q131_cms")
+    assert(p.contains("partial_count"),
+      "sketch build must map-side combine:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the |keys|xD probe frame must broadcast against the grid:\n" + p)
+  }
+
+  test("q132: the data-sized sweep window partitions on the block key") {
+    val df = queries.Registry.byName("q132_concurrency").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    // within-block cumsum partitions on g; only the |blocks|-row totals
+    // window is global
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      specs.mkString("\n"))
+  }
+
+  test("q133: referential rule is a left-anti join, never a product") {
+    val df = queries.Registry.byName("q133_dq_checks").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q126: novelty never joins on the gram key") {
     val df = queries.Registry.byName("q126_novelty").run(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
