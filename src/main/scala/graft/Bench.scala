@@ -27,6 +27,7 @@ object Bench {
     // must fit the driver's run budget).
     val slowCutoff =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0").toDouble
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -58,6 +59,13 @@ object Bench {
       // queries' caches piled up). Clearing per query keeps every
       // measurement independent of suite size and order.
       spark.sqlContext.clearCache()
+      // Periodic UNTIMED full GC: broadcast/RDD cleanup is deferred until
+      // the driver GCs (ContextCleaner), so 100+ queries of debris can
+      // land as one multi-second stall INSIDE someone's timing window
+      // (observed: 23 s on a 1.4 s query). Paying it here, between
+      // measurements, keeps it out of every query's numbers.
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       // median of 3; the better of 2 (first run carries codegen warmup);
       // the lone sample as-is
       name -> (if (times.exists(_ < 0)) times.min
