@@ -35,6 +35,16 @@ object Quality {
   /** Freshness rule cutoff: ship dates after this are violations. */
   private val FreshCutoff = "1998-12-31 00:00:00"
 
+  /** HLL geometry: 64 registers (top 6 hash bits), 54-bit rank field. */
+  private val HllField = 1L << 54
+
+  /** alpha_64 * m^2 * 2^56 — one Scala-computed double literal shared by
+    * both engines so the estimate arithmetic is identical single
+    * roundings. alpha_64 = 0.7213 / (1 + 1.079/64).
+    */
+  private val HllEstNum: Double =
+    0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 56)
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- count-min sketch heavy-hitter estimates ----------------------------
@@ -192,6 +202,67 @@ object Quality {
           .select(lit("orphan_orderkey").as("rule"), col("violations"))
         rowLocal.unionByName(dup).unionByName(orph)
           .withColumn("pass", col("violations") === 0)
+      }),
+
+    // ---- HyperLogLog as relational algebra ----------------------------------
+    // The q131 treatment applied to distinct counting (Flajolet et al.
+    // '07): bucket = top 6 bits of the portable 60-bit hash, register =
+    // max leading-zero rank of the remaining 54 bits — ONE partial-max
+    // shuffle bounded by |groups| x 64 registers, mergeable state (max is
+    // associative), no per-value memory. The register-sum state is kept
+    // in EXACT integer form (2^(56-M) summed as longs — no float
+    // harmonic mean), so z_scaled and n_empty hash-match the oracle
+    // bit-for-bit; the estimate check rides along as a boolean computed
+    // from the same literals on both sides. bin() drops leading zeros
+    // identically in both engines (rank = 55 - length(bin(rest))).
+    QuerySpec(
+      "q134_hll", {
+        val h = Portable.h64Duck("CAST(l_partkey AS VARCHAR)")
+        Some(s"""WITH x AS (SELECT l_returnflag AS g,
+            ($h) // $HllField AS bucket, ($h) % $HllField AS rest
+          FROM lineitem),
+        reg AS (SELECT g, bucket,
+            MAX(CASE WHEN rest = 0 THEN 55
+                ELSE 55 - length(bin(rest)) END) AS m
+          FROM x GROUP BY g, bucket),
+        z AS (SELECT g, COUNT(*) AS present,
+            CAST(SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INTEGER))
+              AS BIGINT) AS zp
+          FROM reg GROUP BY g),
+        e AS (SELECT l_returnflag AS g,
+            COUNT(DISTINCT l_partkey) AS exact_parts
+          FROM lineitem GROUP BY 1)
+        SELECT e.g AS l_returnflag, e.exact_parts,
+          zp + (64 - present) * (CAST(1 AS BIGINT) << 56) AS z_scaled,
+          CAST(64 - present AS BIGINT) AS n_empty,
+          (abs($HllEstNum
+              / (zp + (64 - present) * (CAST(1 AS BIGINT) << 56))
+            - exact_parts) <= 0.25 * exact_parts) AS est_ok
+        FROM e JOIN z ON z.g = e.g""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("cast(l_partkey as string)")
+        val li = t(s, d, "lineitem")
+        val x = li.select(col("l_returnflag").as("g"),
+          expr(s"($h) div $HllField").as("bucket"),
+          expr(s"($h) % $HllField").as("rest"))
+        val reg = x.groupBy(col("g"), col("bucket"))
+          .agg(max(when(col("rest") === 0, 55)
+            .otherwise(lit(55) - length(bin(col("rest"))))).as("m"))
+        val z = reg.groupBy(col("g"))
+          .agg(count(lit(1)).as("present"),
+            sum(expr("shiftleft(cast(1 as bigint), cast(56 - m as int))"))
+              .as("zp"))
+        val e = li.groupBy(col("l_returnflag").as("g2"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        val zScaled =
+          col("zp") + (lit(64) - col("present")) * lit(1L << 56)
+        e.join(z, col("g2") === col("g"))
+          .select(col("g2").as("l_returnflag"), col("exact_parts"),
+            zScaled.as("z_scaled"),
+            (lit(64) - col("present")).cast("long").as("n_empty"),
+            (abs(lit(HllEstNum) / zScaled - col("exact_parts"))
+              <= lit(0.25) * col("exact_parts")).as("est_ok"))
       })
   )
 }

@@ -413,6 +413,13 @@ class PlanSpec extends SparkSpec {
       "the |keys|xD probe frame must broadcast against the grid:\n" + p)
   }
 
+  test("q134: HLL registers partial-aggregate; state is |groups|x64") {
+    val p = plan("q134_hll")
+    assert(p.contains("partial_max"),
+      "register max must map-side combine:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q132: the data-sized sweep window partitions on the block key") {
     val df = queries.Registry.byName("q132_concurrency").run(spark, sfDir)
     val optimized = df.queryExecution.optimizedPlan.toString

@@ -811,6 +811,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q134_hll registers and estimate bound match a Scala rebuild") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_partkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val field = 1L << 54
+    val estNum = 0.7213 / (1 + 1.079 / 64) * 64 * 64 * math.pow(2, 56)
+    val expect = rows.groupBy(_._1).map { case (g, v) =>
+      val regs = scala.collection.mutable.Map[Long, Int]()
+      v.foreach { case (_, pk) =>
+        val h = h64(pk.toString)
+        val (bucket, rest) = (h / field, h % field)
+        val rho =
+          if (rest == 0) 55
+          else 55 - java.lang.Long.toBinaryString(rest).length
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0), rho)
+      }
+      val zp = regs.values.map(m => 1L << (56 - m)).sum
+      val zScaled = zp + (64L - regs.size) * (1L << 56)
+      val exact = v.map(_._2).distinct.length.toLong
+      g -> ((exact, zScaled, 64L - regs.size,
+        math.abs(estNum / zScaled - exact) <= 0.25 * exact))
+    }
+    val got = Registry.all.find(_.name == "q134_hll").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect)
+    assert(got.values.forall(_._4), "HLL estimate outside the 25% bound")
+  }
+
   test("q128_cluster_rep picks the longest member of each q48 component") {
     val comps = Registry.all.find(_.name == "q48_dedup_components").get
       .run(spark, sfDir).collect()
