@@ -94,7 +94,10 @@ object Plans {
         + "aggregate; |keys|xD probe rows broadcast against the grid."),
     "q132_concurrency" ->
       ("Sweep line: within-block cumsum windows partition on the 6-hour "
-        + "block; only the |blocks|-row totals cross a global window."))
+        + "block; only the |blocks|-row totals cross a global window."),
+    "q134_hll" ->
+      ("HLL registers: one partial-max shuffle to |groups|x64 rows; "
+        + "integer register sums; estimate bound in the projection."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
