@@ -8,7 +8,8 @@ object Registry {
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
       Sources.all ++ Sql.all ++ SqlTpch.all ++ Analytic.all ++
-      TrainingPipeline.all ++ Curation.all ++ Warehouse.all ++ Quality.all
+      TrainingPipeline.all ++ Curation.all ++ Warehouse.all ++ Quality.all ++
+      Statistics.all ++ Profiling.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)
