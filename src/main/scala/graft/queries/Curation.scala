@@ -925,6 +925,43 @@ object Curation {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             Exact.dsum(col("decayed")).as("decayed_sum"))
+      }),
+
+    // ---- per-source language diversity (Gini / effective classes) ----------
+    // Corpus-mix health without logs: Shannon entropy's ln() is
+    // engine-divergent in the last ulp, but the Gini impurity
+    // 1 - Sum(p^2) and the "effective number of languages" 1/Sum(p^2)
+    // are pure count rationals — (N^2 - Sum(n^2)) and N^2 are exact
+    // longs, each float output is ONE int64->double divide. Shape: two
+    // chained partial-agg shuffles, |source x lang| then |source| rows.
+    // Overflow: N^2 per source caps int64 at ~3e9 docs/source; the
+    // decimal grid takes over past that.
+    QuerySpec(
+      "q142_diversity",
+      Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+          FROM documents GROUP BY 1, 2),
+        a AS (SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS n_langs,
+            CAST(SUM(nl * nl) AS BIGINT) AS sumsq
+          FROM c GROUP BY 1)
+        SELECT source, n, n_langs, sumsq,
+          CAST(n * n - sumsq AS BIGINT) AS gini_num,
+          CAST(n * n - sumsq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini,
+          CAST(n * n AS DOUBLE) / CAST(sumsq AS DOUBLE) AS effective_langs
+        FROM a"""),
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("nl"))
+        val a = c.groupBy(col("source"))
+          .agg(sum(col("nl")).as("n"), count(lit(1)).as("n_langs"),
+            sum(col("nl") * col("nl")).as("sumsq"))
+        a.select(col("source"), col("n"), col("n_langs"), col("sumsq"),
+          (col("n") * col("n") - col("sumsq")).cast("long").as("gini_num"),
+          ((col("n") * col("n") - col("sumsq")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("gini"),
+          ((col("n") * col("n")).cast("double")
+            / col("sumsq").cast("double")).as("effective_langs"))
       })
   )
 }

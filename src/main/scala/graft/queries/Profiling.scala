@@ -212,7 +212,14 @@ object Profiling {
       UNION ALL SELECT 'o_orderpriority', n, n - nn_op, nd_op, NULL, NULL,
         mn_op, mx_op FROM m"""),
       (s, d) => {
-        val m = t(s, d, "orders").agg(
+        val o = t(s, d, "orders")
+        // Two aggregate passes, not one: a STRING min/max buffer in the
+        // same aggregate as the six count-distincts forces the whole
+        // 6x-Expand multi-distinct plan into SortAggregate (sort-based,
+        // 5x slower at sf0.1). Keeping the numeric/distinct pass
+        // string-free keeps it hash-aggregated; the string min/max pass
+        // is a separate cheap scan whose 1-row result cross-joins back.
+        val mNum = o.agg(
           count(lit(1)).as("n"),
           count(col("o_orderkey")).as("nn_ok"),
           countDistinct(col("o_orderkey")).as("nd_ok"),
@@ -224,8 +231,6 @@ object Profiling {
           max(col("o_custkey")).cast("double").as("mx_ck"),
           count(col("o_orderstatus")).as("nn_st"),
           countDistinct(col("o_orderstatus")).as("nd_st"),
-          min(col("o_orderstatus")).as("mn_st"),
-          max(col("o_orderstatus")).as("mx_st"),
           count(col("o_totalprice")).as("nn_tp"),
           countDistinct(col("o_totalprice")).as("nd_tp"),
           min(col("o_totalprice")).as("mn_tp"),
@@ -240,9 +245,13 @@ object Profiling {
           unix_millis(max(col("o_orderdate")).cast("timestamp"))
             .cast("double").as("mx_od"),
           count(col("o_orderpriority")).as("nn_op"),
-          countDistinct(col("o_orderpriority")).as("nd_op"),
+          countDistinct(col("o_orderpriority")).as("nd_op"))
+        val mStr = o.agg(
+          min(col("o_orderstatus")).as("mn_st"),
+          max(col("o_orderstatus")).as("mx_st"),
           min(col("o_orderpriority")).as("mn_op"),
           max(col("o_orderpriority")).as("mx_op"))
+        val m = mNum.crossJoin(broadcast(mStr))
         m.select(expr("""stack(6,
           'o_orderkey', n, n - nn_ok, nd_ok, mn_ok, mx_ok,
             cast(null as string), cast(null as string),

@@ -263,6 +263,68 @@ object Quality {
             (lit(64) - col("present")).cast("long").as("n_empty"),
             (abs(lit(HllEstNum) / zScaled - col("exact_parts"))
               <= lit(0.25) * col("exact_parts")).as("est_ok"))
+      }),
+
+    // ---- per-user interval union (coverage) ---------------------------------
+    // The other half of q132's interval algebra: q132 asks "how many
+    // observations are open at once" (global sweep); this asks "how much
+    // wall-clock does each user's activity COVER once overlapping holds
+    // merge" — session stitching by interval union. Classic
+    // gap-and-islands: an interval starts a new island iff its start
+    // exceeds the running max of all previous ends; islands then reduce
+    // to (min start, max end). All windows PARTITION BY user — no global
+    // window anywhere, so the shape scales with the user-key shuffle
+    // (compare q28's session windows, which gap on single events rather
+    // than merging held intervals). Everything is integer epoch-ms.
+    QuerySpec(
+      "q141_interval_union",
+      Some(s"""WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
+          epoch_ms(ts) + ${HoldMinutes * 60000L} AS e FROM events),
+        o AS (SELECT user_id, s, e,
+            MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM iv),
+        isl AS (SELECT user_id, s, e,
+            CAST(SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+          FROM o),
+        m AS (SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e,
+            COUNT(*) AS nev FROM isl GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(nev) AS BIGINT) AS n_events,
+          CAST(COUNT(*) AS BIGINT) AS n_islands,
+          CAST(SUM(i_e - i_s) AS BIGINT) AS covered_ms,
+          CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_ms,
+          CAST(SUM(i_e - i_s) AS DOUBLE)
+            / CAST(MAX(i_e) - MIN(i_s) AS DOUBLE) AS coverage
+        FROM m GROUP BY 1"""),
+      (s, d) => {
+        val iv = t(s, d, "events").select(col("user_id"),
+          expr("unix_millis(cast(ts as timestamp))").as("s"))
+          .withColumn("e", col("s") + lit(HoldMinutes * 60000L))
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isl = iv.withColumn("prev_max", max(col("e")).over(wPrev))
+          .withColumn("island",
+            sum(when(col("prev_max").isNull || col("s") > col("prev_max"),
+              1L).otherwise(0L)).over(wRun))
+        val m = isl.groupBy(col("user_id"), col("island"))
+          .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"),
+            count(lit(1)).as("nev"))
+        m.groupBy(col("user_id"))
+          .agg(sum(col("nev")).cast("long").as("n_events"),
+            count(lit(1)).as("n_islands"),
+            sum(col("i_e") - col("i_s")).cast("long").as("covered_ms"),
+            (max(col("i_e")) - min(col("i_s"))).cast("long").as("span_ms"),
+            (sum(col("i_e") - col("i_s")).cast("double")
+              / (max(col("i_e")) - min(col("i_s"))).cast("double"))
+              .as("coverage"))
       })
   )
 }

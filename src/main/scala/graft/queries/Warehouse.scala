@@ -439,6 +439,150 @@ object Warehouse {
               .otherwise(0L)).as("n_flagged"),
             min(col("norm2")).as("min_norm2"),
             max(col("norm2")).as("max_norm2"))
+      }),
+
+    // ---- RFM customer segmentation ------------------------------------------
+    // The marketing-warehouse classic: recency (days since last order,
+    // against the corpus max date), frequency (order count), monetary
+    // (lifetime cents — exact), each scored 1-5 by which quintile the
+    // customer lands in. Scores come from BROADCAST quantile cutpoints
+    // (the q102 equi-depth machinery — Quantiles.exactQuantiles matches
+    // DuckDB's quantile_cont bitwise, pinned by QuantilesSpec), NOT from
+    // an NTILE window: a global NTILE sorts all |customers| rows through
+    // one partition, the cutpoint bin is row-local against 4 doubles.
+    // Output is the segment lattice: (r,f,m) -> customer count + exact
+    // lifetime cents.
+    QuerySpec(
+      "q143_rfm",
+      Some("""WITH base AS (SELECT o_custkey AS c,
+          date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+            (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS rec,
+          CAST(COUNT(*) AS BIGINT) AS freq,
+          CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+            AS mon
+        FROM orders GROUP BY 1),
+      qr AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rcuts
+        FROM base),
+      qf AS (SELECT quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fcuts
+        FROM base),
+      qm AS (SELECT quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mcuts
+        FROM base),
+      sc AS (SELECT c, mon,
+          CAST(1 + list_sum([CASE WHEN rec > rcuts[i] THEN 1 ELSE 0 END
+            for i in range(1, 5)]) AS BIGINT) AS r_score,
+          CAST(1 + list_sum([CASE WHEN freq > fcuts[i] THEN 1 ELSE 0 END
+            for i in range(1, 5)]) AS BIGINT) AS f_score,
+          CAST(1 + list_sum([CASE WHEN mon > mcuts[i] THEN 1 ELSE 0 END
+            for i in range(1, 5)]) AS BIGINT) AS m_score
+        FROM base, qr, qf, qm)
+      SELECT r_score, f_score, m_score,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(mon) AS BIGINT) AS mon_cents
+      FROM sc GROUP BY 1, 2, 3"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val maxDate = o.agg(max(col("o_orderdate")).cast("date").as("dmax"))
+        val base = o.groupBy(col("o_custkey").as("c"))
+          .agg(max(col("o_orderdate")).cast("date").as("dlast"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .as("mon"))
+          .crossJoin(broadcast(maxDate))
+          .select(col("c"), datediff(col("dmax"), col("dlast")).as("rec"),
+            col("freq"), col("mon"))
+          .cache() // feeds the stacked quantile pass + the scoring pass
+        // ONE grouped-quantile pass over the stacked (metric, value)
+        // frame, not three exactQuantiles instances: the quantile
+        // machinery (histogram shuffle + two windows + rank joins) has a
+        // per-instance cost that tripled the query's wall time; grouped
+        // by metric name it runs once, keyed on (metric, block).
+        val stacked = base.select(expr(
+          "stack(3, 'r', cast(rec as bigint), 'f', freq, 'm', mon)")
+          .as(Seq("metric", "v")))
+        val cutsRow = broadcast(graft.operators.Quantiles
+          .exactQuantilesByGroup(stacked, col("metric"), col("v"),
+            Seq(0.2, 0.4, 0.6, 0.8))
+          .groupBy(col("grp"))
+          .agg(array_sort(collect_list(col("cut"))).as("cuts"))
+          .agg(max(when(col("grp") === "r", col("cuts"))).as("rcuts"),
+            max(when(col("grp") === "f", col("cuts"))).as("fcuts"),
+            max(when(col("grp") === "m", col("cuts"))).as("mcuts")))
+        base.crossJoin(cutsRow)
+          .select(col("mon"),
+            expr("1L + aggregate(rcuts, 0L, (a, x) -> a + IF(rec > x, 1L, 0L))")
+              .as("r_score"),
+            expr("1L + aggregate(fcuts, 0L, (a, x) -> a + IF(freq > x, 1L, 0L))")
+              .as("f_score"),
+            expr("1L + aggregate(mcuts, 0L, (a, x) -> a + IF(mon > x, 1L, 0L))")
+              .as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("mon")).cast("long").as("mon_cents"))
+      }),
+
+    // ---- decile lift / calibration table ------------------------------------
+    // Model-evaluation companion to q137's AUC: bucket the score into
+    // exact deciles (broadcast cutpoints again — no global NTILE), then
+    // per decile the positive count and the CUMULATIVE capture from the
+    // top decile down. The only window runs over the 10-row decile
+    // frame — bounded by construction, never by data. Lift ratios are
+    // single-rounded IEEE ops over exact longs.
+    QuerySpec(
+      "q144_lift",
+      Some("""WITH c AS (SELECT
+          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders),
+      q AS (SELECT quantile_cont(cents,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM c),
+      b AS (SELECT CAST(list_sum([CASE WHEN cents > cuts[i] THEN 1 ELSE 0 END
+            for i in range(1, 10)]) AS BIGINT) AS decile,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM c, q GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+          CAST(SUM(n_pos) AS BIGINT) AS tp FROM b),
+      w AS (SELECT decile, n, n_pos,
+          CAST(SUM(n) OVER (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_n,
+          CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_pos
+        FROM b)
+      SELECT w.decile, w.n, w.n_pos, w.cum_n, w.cum_pos,
+        (CAST(w.cum_pos AS DOUBLE) / CAST(w.cum_n AS DOUBLE))
+          / (CAST(t.tp AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS cum_lift
+      FROM w, t"""),
+      (s, d) => {
+        val c = t(s, d, "orders").select(
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+          .cache() // quantile pass + binning pass
+        val cuts = broadcast(graft.operators.Quantiles
+          .exactQuantiles(c, col("cents"), (1 to 9).map(_ / 10.0)))
+        val b = c.crossJoin(cuts)
+          .select(
+            expr("aggregate(cuts, 0L, (a, x) -> a + IF(cents > x, 1L, 0L))")
+              .as("decile"),
+            col("pos"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).cast("long")
+            .as("n_pos"))
+          .cache() // totals + the 10-row cumulative window
+        val tot = b.agg(sum(col("n")).cast("long").as("tn"),
+          sum(col("n_pos")).cast("long").as("tp"))
+        // bounded window: the frame is the <= 10-row decile table, never
+        // the data — single-partition is the CORRECT plan here
+        val wc = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("cum_n", sum(col("n")).over(wc).cast("long"))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wc).cast("long"))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+            col("cum_pos"),
+            ((col("cum_pos").cast("double") / col("cum_n").cast("double"))
+              / (col("tp").cast("double") / col("tn").cast("double")))
+              .as("cum_lift"))
       })
   )
 }
