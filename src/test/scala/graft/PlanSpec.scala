@@ -448,4 +448,49 @@ class PlanSpec extends SparkSpec {
       l.contains("Join") && l.contains("[g#")).toList
     assert(joinKeyLines.isEmpty, joinKeyLines.mkString("\n"))
   }
+
+  test("q135: degree lookups broadcast; wedge join stays equi") {
+    val df = queries.Registry.byName("q135_triangles").run(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // deg is |parts|-bounded and must broadcast against the edge table;
+    // the triangle enumeration must be equi-join only — a nested-loop
+    // fallback would be the all-pairs scale-killer the orientation exists
+    // to prevent
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q137: the rank prefix sum never runs a data-sized global window") {
+    val df = queries.Registry.byName("q137_auc").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    // within-block negative-count cumsum partitions on g; only the
+    // |blocks|-row offsets window is global (same discipline as q76/q132)
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      specs.mkString("\n"))
+  }
+
+  test("q141: every interval-union window partitions on user_id") {
+    val df = queries.Registry.byName("q141_interval_union").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, optimized)
+    assert(specs.forall(_.contains("windowspecdefinition(user_id#")),
+      "island detection must never sort globally:\n" + specs.mkString("\n"))
+  }
+
+  test("q143/q144: scores bin against broadcast cutpoints, not NTILE") {
+    for (name <- Seq("q143_rfm", "q144_lift")) {
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      // quantile scoring must be a row-local fold over broadcast cut
+      // arrays; an ntile window would global-sort the customer table
+      assert(!p.contains("ntile"), s"$name:\n" + p)
+      assert(p.contains("BroadcastExchange") || p.contains("broadcast"),
+        s"$name: cutpoints must broadcast back:\n" + p)
+    }
+  }
 }

@@ -841,6 +841,92 @@ class QueriesSpec extends SparkSpec {
     assert(got.values.forall(_._4), "HLL estimate outside the 25% bound")
   }
 
+  test("q135_triangles matches a driver-side brute-force count") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairCounts = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCounts.filter(_._2 >= 2).keys.toArray
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = adj.keys.toArray
+    val wedges = nodes.map(v => { val d = adj(v).size.toLong
+      d * (d - 1) / 2 }).sum
+    // each triangle counted once: third vertex strictly above the edge
+    val triangles = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).count(_ > b).toLong
+    }.sum
+    val row = Registry.all.find(_.name == "q135_triangles").get
+      .run(spark, sfDir).collect().head
+    assert(row.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.length.toLong, "n_edges")
+    assert(row.getLong(2) == wedges, "wedges")
+    assert(row.getLong(3) == triangles, "n_triangles")
+  }
+
+  test("q137_auc matches a driver-side all-pairs count") {
+    val os = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0) == "F", r.getDouble(1)))
+    val pos = os.filter(_._1).map(_._2)
+    val neg = os.filterNot(_._1).map(_._2)
+    var gt = 0L; var eq = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) gt += 1 else if (p == n) eq += 1
+    }
+    val row = Registry.all.find(_.name == "q137_auc").get
+      .run(spark, sfDir).collect().head
+    assert(row.getLong(0) == pos.length.toLong, "n_pos")
+    assert(row.getLong(1) == neg.length.toLong, "n_neg")
+    assert(row.getLong(2) == gt, "pairs_gt")
+    assert(row.getLong(3) == eq, "pairs_eq")
+    val auc = (2.0 * gt + eq) / (2.0 * pos.length * neg.length)
+    assert(math.abs(row.getDouble(4) - auc) < 1e-12, "auc")
+  }
+
+  test("q139_bloom invariants: zero false negatives, exact positive split") {
+    val row = Registry.all.find(_.name == "q139_bloom").get
+      .run(spark, sfDir).collect().head
+    val (members, bloomPos, fp, fn) =
+      (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(fn == 0L, "a Bloom filter can never false-negative")
+    assert(bloomPos == members + fp,
+      "positives must decompose into members + false positives")
+    assert(row.getLong(1) <= 3L * row.getLong(0),
+      "bits_set cannot exceed k * n_keys")
+  }
+
+  test("q141_interval_union matches a driver-side merge") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) as s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val hold = 15L * 60000L
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      val iv = xs.map(_._2).sorted.map(s => (s, s + hold))
+      val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, i) => List(i)
+        case ((cs, ce) :: t, (s, e)) =>
+          if (s > ce) (s, e) :: (cs, ce) :: t
+          else (cs, math.max(ce, e)) :: t
+      }
+      val covered = merged.map { case (s, e) => e - s }.sum
+      val span = iv.map(_._2).max - iv.head._1
+      u -> ((xs.length.toLong, merged.length.toLong, covered, span))
+    }
+    val got = Registry.all.find(_.name == "q141_interval_union").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
   test("q128_cluster_rep picks the longest member of each q48 component") {
     val comps = Registry.all.find(_.name == "q48_dedup_components").get
       .run(spark, sfDir).collect()
