@@ -155,7 +155,12 @@ object Warehouse {
       (s, d) => {
         val cents = round(col("l_extendedprice") * 100, 0).cast("long")
         t(s, d, "lineitem")
-          .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"))
+          // date_trunc implicitly promotes the NTZ-read timestamp to LTZ,
+          // which would write part_month as isAdjustedToUTC=1 parquet and
+          // diverge from the oracle's (and the row's other columns') NTZ
+          // type — cast back, same pattern as the .cast("date") keys.
+          .groupBy(date_trunc("month", col("l_shipdate"))
+            .cast("timestamp_ntz").as("part_month"))
           .agg(count(lit(1)).as("n_rows"),
             min(col("l_orderkey")).as("min_orderkey"),
             max(col("l_orderkey")).as("max_orderkey"),
