@@ -71,7 +71,12 @@ object Bench {
              times.max / times.min > 3.0 && !minCorroborated(times) &&
              retries < 4) {
         System.gc()
-        times = times :+ once()
+        // A transient failure during a stall-retry sample must not flip a
+        // query that already has successful samples red (a negative would
+        // become times.min and be reported as FAILED) — drop it and let
+        // the retry budget tick down.
+        val s = once()
+        if (s > 0) times = times :+ s
         retries += 1
       }
       stallRetries += retries
@@ -140,11 +145,20 @@ object Bench {
       if (full.length <= budget) full
       else {
         val bySlow = shortKv.sortBy(-_._2)
-        var k = bySlow.length
         def cand(n: Int) =
           shortLine(bySlow.take(n).sortBy(_._1), shortKv.length - n)
-        while (k > 1 && cand(k).length > budget) k -= 1
-        cand(k)
+        // Binary-search the largest prefix that fits (line length is
+        // monotone in n): O(log n) candidate builds instead of O(n)
+        // one-at-a-time decrements. cand(0) is the empty-map fallback, so
+        // even a pathologically wide single entry can't force an
+        // over-budget line out.
+        var lo = 0
+        var hi = bySlow.length
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (cand(mid).length <= budget) lo = mid else hi = mid - 1
+        }
+        cand(lo)
       }
     }
     val fullLine =

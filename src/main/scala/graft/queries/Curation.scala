@@ -691,12 +691,19 @@ object Curation {
         val e = pairs.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
           .cache()
-        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // Hoist the degree join OUT of the iteration loop: deg(u) is
+        // iteration-invariant, so attach it to the cached edge list once
+        // and each of the three iterations pays exactly one join (edges ⋈
+        // rank frame, both hashed on the source key — the cached edge
+        // partitioning is reused, only the |nodes|-row rank frame
+        // shuffles) plus one partial-agg shuffle. The old shape re-joined
+        // deg inside the loop — 3 extra edge-sized shuffle joins per run.
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+        val ed = e.join(deg, "src")
+          .select(col("src"), col("dst"), col("deg")).cache()
         var pr = deg.select(col("src").as("part"), lit(1.0).as("pr"))
         for (_ <- 1 to 3)
-          pr = e.join(pr, col("part") === col("src"))
-            .join(deg.withColumnRenamed("src", "d_src"),
-              col("d_src") === col("src"))
+          pr = ed.join(pr, col("part") === col("src"))
             .groupBy(col("dst"))
             .agg(Exact.dsum(col("pr") / col("deg")).as("nsum"))
             .select(col("dst").as("part"),

@@ -97,7 +97,26 @@ object Plans {
         + "block; only the |blocks|-row totals cross a global window."),
     "q134_hll" ->
       ("HLL registers: one partial-max shuffle to |groups|x64 rows; "
-        + "integer register sums; estimate bound in the projection."))
+        + "integer register sums; estimate bound in the projection."),
+    "q115_pagerank" ->
+      ("Degree join hoisted OUT of the power-iteration loop: deg rides "
+        + "the cached edge list, so each iteration is one edges-rank join "
+        + "+ one partial-agg shuffle."),
+    "q135_triangles" ->
+      ("Triangle count via tag-and-union + one conditional aggregate — "
+        + "no BroadcastNestedLoopJoin anywhere in the plan."),
+    "q136_regression" ->
+      ("Five sufficient statistics in ONE partial+final aggregate; Syy "
+        + "on the exact decimal grid with a loud int64 overflow guard."),
+    "q137_auc" ->
+      ("Mann-Whitney AUC without the O(n^2) pair join: per-score rollup "
+        + "+ block-distributed prefix sum + two exact dot products."),
+    "q141_interval_union" ->
+      ("Sweep: +1/-1 deltas, block-partitioned cumsum detects cover "
+        + "starts; only block totals cross a global window."),
+    "q144_lift" ->
+      ("Decile lift: distributed exact decile cuts broadcast back; "
+        + "response rollup is one 10-group partial+final aggregate."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
