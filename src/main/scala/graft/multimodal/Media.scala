@@ -11,16 +11,21 @@ import org.apache.spark.sql.types._
   * tested. IMAGES decode for real ([[ImageIoCodec]], JDK ImageIO —
   * PNG/JPEG/BMP/GIF with zero external deps); AUDIO decodes for real
   * ([[WavCodec]], JDK javax.sound.sampled — WAV/AIFF/AU, PCM +
-  * A-law/mu-law); only video is stubbed (the JDK ships no H.264/VP9
-  * decoder).
+  * A-law/mu-law); VIDEO decodes for real in the two public container
+  * formats a JDK-only build can parse — YUV4MPEG2 ([[Y4mCodec]]) and
+  * motion-JPEG ([[MjpegCodec]]) — with uniform frame sampling; only
+  * inter-frame-compressed video (H.264/VP9/AV1) is stubbed (the JDK
+  * ships no such decoder).
   *
-  * ==== STUB BOUNDARY (video only) ====
+  * ==== STUB BOUNDARY (compressed video only) ====
   * [[MediaCodec]] is the pluggable decode contract (bytes + typed meta →
-  * float grid). [[ImageIoCodec]] and [[WavCodec]] are REAL decoders;
-  * [[DispatchCodec]] routes `image/`- and `audio/`-prefixed rows to them
-  * and everything else to
+  * float grid). [[ImageIoCodec]], [[WavCodec]], [[Y4mCodec]] and
+  * [[MjpegCodec]] are REAL decoders; [[DispatchCodec]] routes
+  * `image/`-, `audio/`-, `video/y4m`- and `video/mjpeg`-tagged rows to
+  * them and everything else (H.264-class codecs, and the
+  * documents-derived `fake/v1` stand-in blobs) to
   * [[FakeCodec]], a DETERMINISTIC FAKE that expands bytes into a float
-  * grid instead of invoking an H.264 decoder. A real video codec drops
+  * grid instead of invoking an H.264 decoder. A real H.264 codec drops
   * in as another [[MediaCodec]] instance without touching pipeline code
   * ([[Media.extractFeatures]] takes the codec as a parameter). Everything
   * downstream of decode (resize index math, mean-pool features, frame
@@ -206,6 +211,11 @@ object DispatchCodec extends MediaCodec {
   def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
     if (meta.codec.startsWith("image/")) ImageIoCodec.decode(content, meta)
     else if (meta.codec.startsWith("audio/")) WavCodec.decode(content, meta)
+    else if (meta.codec == "video/y4m" || meta.codec == "video/yuv4mpeg")
+      Y4mCodec.decode(content, meta)
+    else if (meta.codec == "video/mjpeg" ||
+        meta.codec == "video/x-motion-jpeg")
+      MjpegCodec.decode(content, meta)
     else FakeCodec.decode(content, meta)
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{DispatchCodec, FakeCodec, ImageIoCodec, Media, MediaCodec, WavCodec}
+import graft.multimodal.{DispatchCodec, FakeCodec, ImageIoCodec, Media, MediaCodec, MjpegCodec, WavCodec, Y4mCodec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -172,6 +172,97 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.meanPool(videoGrid, 4, new Array[Float](4)).toSeq)
   }
 
+  test("Y4M codec: synthesized 4:2:0 frames decode to hand-derived RGB") {
+    // 2x2 C420 (one chroma sample per frame). Frame 1: top row at video
+    // black (Y=16), bottom row at video white (Y=235), neutral chroma —
+    // BT.601 integer conversion gives EXACTLY (0,0,0) and (255,255,255):
+    // C=219 -> (298*219+128)>>8 = 65390>>8 = 255. Frame 2: the standard
+    // red test point Y=81,U=90,V=240 -> R=(19370+45808+128)>>8=255,
+    // G=(19370+3800-23296+128)>>8=0, B=(19370-19608+128)<0 -> clamp 0.
+    // All derived by hand here, independent of the codec's code path.
+    val f1 = (Array[Byte](16, 16, 235.toByte, 235.toByte),
+      Array[Byte](128.toByte), Array[Byte](128.toByte))
+    val f2 = (Array.fill[Byte](4)(81),
+      Array[Byte](90), Array[Byte](240.toByte))
+    val bytes = MultimodalSpec.y4mBytes(2, 2, Seq(f1, f2))
+    val meta = Media.MediaMeta(2, 2, 3, 0, 80L, "video/y4m")
+    val grid = Y4mCodec.decode(bytes, meta)
+    assert(grid.length == 2 * 2 * 2 * 3)
+    // frame 1: rows black then white
+    assert(grid.slice(0, 6).toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f))
+    assert(grid.slice(6, 12).toSeq == Seq(1f, 1f, 1f, 1f, 1f, 1f))
+    // frame 2: all pixels pure red
+    for (p <- 0 until 4) {
+      val base = 12 + p * 3
+      assert(grid(base) == 1f && grid(base + 1) == 0f && grid(base + 2) == 0f,
+        s"red pixel $p")
+    }
+  }
+
+  test("Y4M codec: uniform frame sampling bounds output on long clips") {
+    // 10 mono frames, frame i filled with Y=16+20i; maxFrames=4 must pick
+    // indices i*10/4 = 0,2,5,7 (the frameOffsets spacing) — gray level
+    // (298*(Y-16)+128)>>8 pins WHICH frames were chosen.
+    val frames = (0 until 10).map { i =>
+      (Array.fill[Byte](4)((16 + 20 * i).toByte), Array.empty[Byte],
+        Array.empty[Byte])
+    }
+    val bytes = MultimodalSpec.y4mBytes(2, 2, frames, chroma = "mono")
+    val grid = Y4mCodec.decodeSampled(bytes, maxFrames = 4)
+    assert(grid.length == 4 * 2 * 2 * 3)
+    val picked = (0 until 4).map(f => grid(f * 12)) // first R of each frame
+    val expect = Seq(0, 2, 5, 7).map(i =>
+      (((298 * (20 * i) + 128) >> 8) min 255) / 255.0f)
+    assert(picked == expect)
+  }
+
+  test("MJPEG codec: concatenated JPEG frames split and decode") {
+    // Two solid-color 8x6 frames encoded with the JDK's own JPEG writer.
+    // JPEG is lossy, so values are pinned within a tolerance — but frame
+    // COUNT, dimensions, and which-frame-is-which are exact.
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    val bytes = jpeg(0xff0000) ++ jpeg(0x0000ff)
+    val meta = Media.MediaMeta(8, 6, 3, 0, 66L, "video/mjpeg")
+    val grid = MjpegCodec.decode(bytes, meta)
+    assert(grid.length == 2 * 8 * 6 * 3)
+    def mean(from: Int, stride: Int): Float = {
+      val vals = (0 until 48).map(p => grid(from + p * 3 + stride))
+      vals.sum / vals.size
+    }
+    assert(mean(0, 0) > 0.9f && mean(0, 2) < 0.25f, "frame 1 is red")
+    val f2 = 8 * 6 * 3
+    assert(mean(f2, 2) > 0.9f && mean(f2, 0) < 0.25f, "frame 2 is blue")
+  }
+
+  test("video rows route through the real decoders in extractFeatures") {
+    import spark.implicits._
+    val f1 = (Array.fill[Byte](4)(235.toByte),
+      Array[Byte](128.toByte), Array[Byte](128.toByte))
+    val y4m = MultimodalSpec.y4mBytes(2, 2, Seq(f1))
+    val rows = Seq(
+      Media.MediaRow(1L, "video", y4m,
+        Media.MediaMeta(2, 2, 3, 0, 40L, "video/y4m")),
+      Media.MediaRow(2L, "video", Array[Byte](1, 2, 3, 4),
+        Media.MediaMeta(2, 2, 1, 0, 0L, "video/h264"))) // still the stub
+    val feats = Media.extractFeatures(spark, rows.toDS(), featureDim = 4,
+      codec = DispatchCodec)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    // all-white frame -> every pooled bucket exactly 1.0
+    assert(feats(1L) == Seq(1f, 1f, 1f, 1f))
+    // unsupported codec fell back to the deterministic fake
+    val fakeGrid = FakeCodec.decode(Array[Byte](1, 2, 3, 4),
+      Media.MediaMeta(2, 2, 1, 0, 0L, "video/h264"))
+    assert(feats(2L) ==
+      MediaCodec.meanPool(fakeGrid, 4, new Array[Float](4)).toSeq)
+  }
+
   test("a custom codec drops in without touching pipeline code") {
     import spark.implicits._
     // Constant-grid codec: every feature bucket must then equal 0.5.
@@ -219,6 +310,23 @@ object MultimodalSpec {
   object HalfCodec extends MediaCodec {
     def decode(content: Array[Byte], meta: Media.MediaMeta): Array[Float] =
       Array.fill(math.max(1, meta.width * meta.height * meta.channels))(0.5f)
+  }
+
+  /** Assemble a YUV4MPEG2 stream from raw planes (header + FRAME-delimited
+    * planar payloads) — the same byte layout FFmpeg's `-f yuv4mpeg` muxer
+    * writes.
+    */
+  def y4mBytes(w: Int, h: Int,
+      frames: Seq[(Array[Byte], Array[Byte], Array[Byte])],
+      chroma: String = "420jpeg"): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    baos.write(
+      s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$chroma\n".getBytes("US-ASCII"))
+    frames.foreach { case (yp, up, vp) =>
+      baos.write("FRAME\n".getBytes("US-ASCII"))
+      baos.write(yp); baos.write(up); baos.write(vp)
+    }
+    baos.toByteArray
   }
 
   /** Encode interleaved 16-bit samples into a real WAV container via the
