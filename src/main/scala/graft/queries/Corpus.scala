@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs between raw
+  * crawl and tokenizer: term weighting, split assignment, n-gram mining,
+  * PII scrubbing, URL canonicalization. All oracle-checked; float outputs
+  * are single-rounded IEEE ops over exact integers (the q142 discipline —
+  * no transcendentals anywhere near the hash compare).
+  */
+object Corpus {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Train/test hash-gate: stable 80/20 on the portable hash of doc_id —
+    * membership is a pure function of the row, never of sampling order.
+    */
+  private val TrainPct = 80
+
+  /** Vocabulary size for the OOV audit — K-bounded so membership always
+    * broadcasts.
+    */
+  private val VocabK = 500
+
+  // Email / phone patterns shared by both engines. Kept to the regex
+  // subset where Java's engine and RE2 agree exactly (char classes,
+  // bounded reps — no lookaround, no backrefs).
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- TF-IDF distinctive terms (log-free rarity weighting) --------------
+    // Top-3 most distinctive terms per document. The classic idf's ln()
+    // is engine-divergent in the last ulp (the q142 lesson), so the
+    // rarity weight here is the exact rational tf·N/df — the SAME
+    // ordering as tf·(N/df) and monotone-compatible with tf·idf for
+    // fixed tf — published as one int64→double divide (correctly rounded
+    // in both engines, so the rank and the score hash-match exactly).
+    // Shape: tokenize → (doc,term) partial-agg shuffle → |vocab|-row df
+    // rollup → term-keyed join (AQE broadcasts the df side when small;
+    // sort-merge on term otherwise) → per-doc rank window. At 100 TB
+    // every stage keys on (doc,term), term, or doc — no global anything;
+    // tf·N caps int64 through ~9e12 docs × 1e6 tf.
+    QuerySpec(
+      "q145_tfidf",
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (term), n),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rk FROM scored)
+        SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rk
+        FROM rk WHERE rk <= 3"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rk"))
+      }),
+
+    // ---- stratified train/test split (hash gate, zero shuffles) ------------
+    // Split assignment as a PURE FUNCTION of the row: portable-hash the
+    // doc key, compare a residue to the rate. Uniform within every
+    // stratum (hash uniformity ⇒ ~80/20 per lang without per-stratum
+    // bookkeeping), reproducible across runs/engines/partitionings, and
+    // the plan is scan → project — the assignment itself costs ZERO
+    // shuffles at any scale (contrast q103's ranked reservoir, which
+    // guarantees exact k at one window shuffle).
+    QuerySpec(
+      "q146_stratified_split",
+      Some(s"""SELECT doc_id, lang,
+          CASE WHEN ${Portable.h64Duck("'split:' || CAST(doc_id AS VARCHAR)")}
+            % 100 < $TrainPct THEN 'train' ELSE 'test' END AS split
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          when(expr(Portable.h64Spark("concat('split:', cast(doc_id as string))"))
+            % 100 < TrainPct, lit("train")).otherwise(lit("test"))
+            .as("split"))),
+
+    // ---- top-k n-gram mining (bigrams) -------------------------------------
+    // The corpus-level bigram table tokenizer training starts from. Rows
+    // are (bigram, n_occurrences, n_docs); top-20 under a TOTAL order
+    // (count desc, bigram asc) so the cut is deterministic. Shape:
+    // row-local bigram assembly (transform over the token array — no
+    // join), one (bigram) partial-agg shuffle; the top-k is
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    // never a global sort. n_docs is exact distinct-per-key — at 100 TB
+    // swap to HLL or keep the two-level (bigram, doc) pre-aggregate
+    // this plan already does.
+    QuerySpec(
+      "q149_bigrams",
+      Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ')
+            AS toks FROM documents),
+        bg AS (SELECT doc_id,
+            unnest([toks[i] || ' ' || toks[i+1]
+                    for i in range(1, len(toks))]) AS bigram
+          FROM tok WHERE len(toks) >= 2),
+        pre AS (SELECT bigram, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2)
+        SELECT bigram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+          CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pre GROUP BY 1
+        ORDER BY n_occurrences DESC, bigram LIMIT 20"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+               i -> concat(element_at(toks, i + 1), ' ',
+                           element_at(toks, i + 2)))""")).as("bigram"))
+          // two-level aggregate: (bigram, doc) partials collapse map-side
+          // before the distinct count — the same pre-aggregate a 100 TB
+          // run needs so no executor ever holds a doc-id set
+          .groupBy(col("bigram"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("bigram"))
+          .agg(sum(col("c")).as("n_occurrences"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("bigram"))
+          .limit(20)),
+
+    // ---- PII scrubbing (regex redaction + audit counts) --------------------
+    // The pre-training privacy pass: redact emails/phones, report a
+    // per-source audit. PII is SYNTHESIZED deterministically onto the
+    // fixture text (doc_id-keyed, so both engines see identical inputs)
+    // because the corpus fixture itself is PII-free. Patterns stay in
+    // the Java-regex ∩ RE2 common subset (char classes + bounded reps)
+    // so both engines match identical spans. Shape: row-local
+    // synthesize/redact/measure inside the scan projection, one
+    // |source|-group rollup — the scrub itself never shuffles.
+    QuerySpec(
+      "q150_pii_scrub",
+      Some(s"""WITH aug AS (SELECT doc_id, source,
+            text || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com'
+              ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE '' END AS text2
+          FROM documents),
+        red AS (SELECT doc_id, source, text2,
+            regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+              '$PhoneRe', '<PHONE>', 'g') AS clean,
+            len(regexp_extract_all(text2, '$EmailRe')) AS n_emails,
+            len(regexp_extract_all(text2, '$PhoneRe')) AS n_phones
+          FROM aug)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+          CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+          CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+          CAST(SUM(length(text2) - length(clean)) AS BIGINT)
+            AS chars_redacted
+        FROM red GROUP BY 1"""),
+      (s, d) => {
+        val aug = t(s, d, "documents").withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                (lit(1000) + col("doc_id") % 9000).cast("string")))
+              .otherwise(lit(""))))
+        aug
+          .withColumn("clean", regexp_replace(
+            regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
+          .withColumn("n_emails",
+            size(expr(s"regexp_extract_all(text2, '$EmailRe', 0)")))
+          .withColumn("n_phones",
+            size(expr(s"regexp_extract_all(text2, '$PhoneRe', 0)")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_emails") + col("n_phones") > 0, 1L)
+              .otherwise(0L)).as("docs_with_pii"),
+            sum(col("n_emails").cast("long")).as("n_emails"),
+            sum(col("n_phones").cast("long")).as("n_phones"),
+            sum((length(col("text2")) - length(col("clean"))).cast("long"))
+              .as("chars_redacted"))
+      }),
+
+    // ---- URL canonicalization + dedup rollup -------------------------------
+    // Crawl-frontier hygiene: lowercase the host, drop the fragment and
+    // tracking query params, strip the trailing slash, then count how
+    // many raw variants each canonical URL collapses. URLs are
+    // synthesized doc_id-keyed (host-case / utm / fragment variants of a
+    // bounded link set) since the fixture has no URL column. Shape:
+    // row-local regex parsing in the projection, one canonical-key
+    // partial-agg shuffle — the dedup is exactly q40's hash-groupBy
+    // discipline on a derived key.
+    QuerySpec(
+      "q151_url_normalize",
+      Some("""WITH raw AS (SELECT doc_id,
+            'https://' || CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                WHEN 1 THEN 'example.com' ELSE 'cdn.example.com' END
+              || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+              || CASE WHEN doc_id % 2 = 0
+                THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents),
+        norm AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^https?://([^/#?]+)', 1)) AS host,
+            regexp_replace(
+              regexp_extract(url, '^https?://[^/#?]+([^#?]*)', 1),
+              '/$', '') AS path
+          FROM raw)
+        SELECT 'https://' || host || path AS canonical_url, host,
+          CAST(COUNT(*) AS BIGINT) AS n_raw,
+          CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+          CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM norm GROUP BY 1, 2"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("url", concat(lit("https://"),
+            expr("""CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                WHEN 1 THEN 'example.com' ELSE 'cdn.example.com' END"""),
+            lit("/page/"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("?utm_source=feed&ref="),
+                col("doc_id").cast("string"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit(""))))
+          .withColumn("host",
+            lower(regexp_extract(col("url"), "^https?://([^/#?]+)", 1)))
+          .withColumn("path", regexp_replace(
+            regexp_extract(col("url"), "^https?://[^/#?]+([^#?]*)", 1),
+            "/$", ""))
+          .groupBy(concat(lit("https://"), col("host"), col("path"))
+            .as("canonical_url"), col("host"))
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_variants"),
+            min(col("doc_id")).as("first_doc"))),
+
+    // ---- vocabulary OOV-rate audit ------------------------------------------
+    // Tokenizer-coverage check before a training run: build the top-K
+    // vocabulary by corpus frequency (total order: count desc, token asc
+    // — the deterministic cut), then measure the out-of-vocabulary token
+    // rate per source. The vocab is K-BOUNDED by construction, so
+    // membership is a broadcast anti-join against 500 rows no matter the
+    // corpus size; token occurrences pre-aggregate to (source, token)
+    // partials before the join (map-side combine carries the weight).
+    // oov_rate is one int64->double divide.
+    QuerySpec(
+      "q158_oov_rate",
+      Some(s"""WITH tok AS (SELECT source,
+            unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1),
+        vocab AS (SELECT term FROM tc
+          ORDER BY n DESC, term LIMIT $VocabK),
+        st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1, 2),
+        oov AS (SELECT st.source, st.n FROM st
+          LEFT JOIN vocab v ON v.term = st.term WHERE v.term IS NULL)
+        SELECT s.source, s.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+          CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+            / CAST(s.n_tokens AS DOUBLE) AS oov_rate
+        FROM (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+              FROM st GROUP BY 1) s
+        LEFT JOIN (SELECT source, CAST(SUM(n) AS BIGINT) AS n_oov
+              FROM oov GROUP BY 1) o ON o.source = s.source"""),
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("source"),
+            explode(split(lower(col("text")), " ")).as("term"))
+        val st = tok.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n"))
+          .cache() // vocab ranking, totals, and the oov branch all reuse it
+        val vocab = st.groupBy(col("term"))
+          .agg(sum(col("n")).as("tn"))
+          .orderBy(col("tn").desc, col("term")).limit(VocabK)
+          .select(col("term"))
+        val totals = st.groupBy(col("source"))
+          .agg(sum(col("n")).cast("long").as("n_tokens"))
+        val oov = st.join(broadcast(vocab), Seq("term"), "left_anti")
+          .groupBy(col("source")).agg(sum(col("n")).cast("long").as("n_oov"))
+        totals.join(oov, Seq("source"), "left")
+          .select(col("source"), col("n_tokens"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            (coalesce(col("n_oov"), lit(0L)).cast("double")
+              / col("n_tokens").cast("double")).as("oov_rate"))
+      })
+  )
+}

@@ -969,6 +969,55 @@ object Curation {
             / (col("n") * col("n")).cast("double")).as("gini"),
           ((col("n") * col("n")).cast("double")
             / col("sumsq").cast("double")).as("effective_langs"))
+      }),
+
+    // ---- batch sessionization (30-minute inactivity gap) -------------------
+    // The clickstream primitive q119's day-streaks don't cover: split
+    // each user's event stream into sessions at >30-min gaps and emit
+    // per-session rollups. Session ids are the running count of
+    // gap-breaks — a pure function of the (ts, event_id)-ordered stream,
+    // so ids are stable across engines and partitionings. Both windows
+    // and the rollup key on user_id: ONE exchange, reused three times
+    // (the q122 SCD2 discipline). Timestamps ride exact epoch-millis
+    // longs end to end — no float near any session boundary.
+    QuerySpec(
+      "q155_sessionize",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+            FROM events),
+          f AS (SELECT user_id, event_id, ms,
+              CASE WHEN lag(ms) OVER (PARTITION BY user_id
+                  ORDER BY ms, event_id) IS NULL
+                OR ms - lag(ms) OVER (PARTITION BY user_id
+                  ORDER BY ms, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_s
+            FROM e),
+          s AS (SELECT user_id, ms,
+              CAST(SUM(new_s) OVER (PARTITION BY user_id
+                ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+            FROM f)
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(MIN(ms) AS BIGINT) AS start_ms,
+          CAST(MAX(ms) AS BIGINT) AS end_ms,
+          CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+        FROM s GROUP BY 1, 2"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+          .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull
+              || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+            (max(col("ms")) - min(col("ms"))).as("duration_ms"))
       })
   )
 }

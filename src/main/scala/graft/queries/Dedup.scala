@@ -693,6 +693,49 @@ object Dedup {
           .withColumn("cosine", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
           .filter(col("cosine") >= 0.4)
           .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+      }),
+
+    // ---- containment near-dup (subset duplicates Jaccard misses) -----------
+    // A short doc fully quoted inside a long one has LOW Jaccard
+    // (union-normalized) but containment |A∩B| / min(|A|,|B|) ≈ 1 — the
+    // dedup policy that catches quote-expansion and boilerplate-wrapped
+    // copies. Candidates reuse the MinHash band buckets (same recall
+    // contract as q41: a pair must collide on >= 1 band); the verify tail
+    // drops q41's length prefilter (containment does NOT bound the length
+    // ratio) and scores the fused sorted-merge intersection both ways.
+    // Containment is an exact integer ratio — one int64->double divide.
+    // Shape: identical to q41 (band self-join + shingle join); the only
+    // delta is the verify predicate, so the 100 TB posture carries over.
+    QuerySpec(
+      "q153_containment",
+      Some(s"""WITH $minhashCteChain,
+          m AS (SELECT doc_a, doc_b,
+              len(sh_a) AS la, len(sh_b) AS lb,
+              len(list_intersect(sh_a, sh_b)) AS i
+            FROM pairs)
+        SELECT doc_a, doc_b, CAST(la AS BIGINT) AS la,
+          CAST(lb AS BIGINT) AS lb, CAST(i AS BIGINT) AS i,
+          CAST(i AS DOUBLE) / least(la, lb) AS containment,
+          CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+        FROM m WHERE CAST(i AS DOUBLE) / least(la, lb) >= 0.9"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val a = sh.select(col("doc_id").as("doc_a"),
+          col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b"))
+        minhashCandidates(sh).join(a, "doc_a").join(b, "doc_b")
+          .withColumn("la", size(col("sh_a")).cast("long"))
+          .withColumn("lb", size(col("sh_b")).cast("long"))
+          .withColumn("i",
+            expr("sorted_intersect_count(sh_a, sh_b)").cast("long"))
+          .withColumn("containment",
+            col("i").cast("double") / least(col("la"), col("lb")))
+          .filter(col("containment") >= 0.9)
+          .select(col("doc_a"), col("doc_b"), col("la"), col("lb"), col("i"),
+            col("containment"),
+            (col("i").cast("double") / (col("la") + col("lb") - col("i")))
+              .as("jaccard"))
       })
   )
 }

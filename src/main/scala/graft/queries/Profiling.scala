@@ -267,6 +267,96 @@ object Profiling {
             cast(null as double), cast(null as double), mn_op, mx_op)
           AS (col_name, n, n_null, n_distinct, min_num, max_num,
             min_str, max_str)"""))
+      }),
+
+    // ---- join-key skew profile ----------------------------------------------
+    // The diagnostic run BEFORE choosing a join strategy at scale: the
+    // per-key frequency distribution of a prospective join key. One
+    // partial-agg shuffle to the |keys|-row count table; every statistic
+    // after (max, quantiles of counts, hottest key) runs over |keys|
+    // rows, never data. The hottest key is an argmax struct (count desc,
+    // key asc — deterministic ties); skew_factor = max/avg is two exact
+    // int64→double converts and two divides. At 1e9+ distinct keys the
+    // quantiles move to operators.Quantiles; the shape is unchanged.
+    QuerySpec(
+      "q159_key_skew",
+      Some("""WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT)
+            AS cnt FROM lineitem GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+          (SELECT k FROM c ORDER BY cnt DESC, k LIMIT 1) AS hottest_key,
+          quantile_cont(cnt, 0.5) AS p50_cnt,
+          quantile_cont(cnt, 0.99) AS p99_cnt,
+          CAST(MAX(cnt) AS DOUBLE)
+            / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            AS skew_factor
+        FROM c"""),
+      (s, d) => {
+        val c = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        c.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).cast("long").as("n_rows"),
+          max(col("cnt")).cast("long").as("max_cnt"),
+          max(struct(col("cnt"), (-col("k")).as("nk"))).as("mx"),
+          expr("percentile(cnt, 0.5)").as("p50_cnt"),
+          expr("percentile(cnt, 0.99)").as("p99_cnt"))
+          .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+            (-col("mx.nk")).cast("long").as("hottest_key"),
+            col("p50_cnt"), col("p99_cnt"),
+            (col("max_cnt").cast("double")
+              / (col("n_rows").cast("double") / col("n_keys").cast("double")))
+              .as("skew_factor"))
+      }),
+
+    // ---- IQR outlier fences (Tukey) -----------------------------------------
+    // Per-group outlier audit: Tukey fences p25 ± 1.5·IQR over integer
+    // cents. Quantiles interpolate identically in both engines on the
+    // exact integer grid (the QuantilesSpec law); the fence arithmetic is
+    // three single-rounded IEEE ops from those identical doubles; the
+    // flag comparison is double-vs-exact-int — same decision both sides.
+    // Shape: one quantile pass to |groups| rows, fences broadcast back,
+    // one rollup. Counts + extreme values are exact integers.
+    QuerySpec(
+      "q160_iqr_outliers",
+      Some("""WITH c AS (SELECT l_returnflag,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem),
+        q AS (SELECT l_returnflag,
+            quantile_cont(cents, 0.25) AS p25,
+            quantile_cont(cents, 0.75) AS p75
+          FROM c GROUP BY 1),
+        f AS (SELECT l_returnflag, p25, p75,
+            p25 - 1.5 * (p75 - p25) AS lo,
+            p75 + 1.5 * (p75 - p25) AS hi
+          FROM q)
+        SELECT c.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+          CAST(MIN(CASE WHEN cents < lo OR cents > hi THEN cents END)
+            AS BIGINT) AS min_outlier_cents,
+          CAST(MAX(CASE WHEN cents < lo OR cents > hi THEN cents END)
+            AS BIGINT) AS max_outlier_cents
+        FROM c JOIN f USING (l_returnflag) GROUP BY 1"""),
+      (s, d) => {
+        val c = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val f = c.groupBy(col("l_returnflag")).agg(
+          expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.75)").as("p75"))
+          .withColumn("lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+          .withColumn("hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+        val isOut = col("cents") < col("lo") || col("cents") > col("hi")
+        c.join(broadcast(f), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+            min(when(isOut, col("cents"))).cast("long")
+              .as("min_outlier_cents"),
+            max(when(isOut, col("cents"))).cast("long")
+              .as("max_outlier_cents"))
       })
   )
 }

@@ -9,7 +9,7 @@ object Registry {
       Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
       Sources.all ++ Sql.all ++ SqlTpch.all ++ Analytic.all ++
       TrainingPipeline.all ++ Curation.all ++ Warehouse.all ++ Quality.all ++
-      Statistics.all ++ Profiling.all
+      Statistics.all ++ Profiling.all ++ Corpus.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

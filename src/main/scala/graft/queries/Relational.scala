@@ -594,6 +594,39 @@ object Relational {
           .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
             coalesce(col("n_cust"), lit(0L)).as("n_cust"),
             coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      }),
+
+    // ---- ordered list/string aggregation (deterministic collect) -----------
+    // The report primitive both engines ship with an ORDER BY clause
+    // (string_agg / listagg) but Spark's collect_list leaves UNORDERED —
+    // shuffle arrival order would differ run to run. Determinism comes
+    // from collecting (rank, name) structs and sorting INSIDE the
+    // aggregate's result (array_sort on the struct's natural order), so
+    // the concatenation is a pure function of the group's member SET.
+    // Top-3 by (acctbal DESC, name) per nation: one rank window + one
+    // partial+final collect, both keyed on the nation join key.
+    QuerySpec(
+      "q157_ordered_agg",
+      Some("""WITH rk AS (SELECT n.n_name, c.c_name, c.c_acctbal,
+            row_number() OVER (PARTITION BY n.n_name
+              ORDER BY c.c_acctbal DESC, c.c_name) AS rk
+          FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_top,
+          string_agg(c_name, ',' ORDER BY rk) AS top_customers
+        FROM rk WHERE rk <= 3 GROUP BY 1"""),
+      (s, d) => {
+        val rk = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("n_nationkey") === col("c_nationkey"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("n_name"))
+              .orderBy(col("c_acctbal").desc, col("c_name"))))
+          .filter(col("rk") <= 3)
+        rk.groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_top"),
+            array_join(expr(
+              "transform(array_sort(collect_list(struct(rk, c_name)))," +
+                " x -> x.c_name)"), ",").as("top_customers"))
       })
   )
 }

@@ -588,6 +588,50 @@ object Warehouse {
             ((col("cum_pos").cast("double") / col("cum_n").cast("double"))
               / (col("tp").cast("double") / col("tn").cast("double")))
               .as("cum_lift"))
+      }),
+
+    // ---- weighted median (quantity-weighted price per return flag) ---------
+    // The robust "typical unit price" where each row counts `quantity`
+    // times — the lower weighted median: smallest value v whose running
+    // weight reaches half the total (2·cum >= W in exact integers — no
+    // float near the decision boundary). Distributed shape: collapse to a
+    // (flag, cents) VALUE HISTOGRAM first (partial-agg shuffle whose
+    // output is bounded by flag x cent-range — corpus-size-independent),
+    // run the cumulative window over that bounded table, then one
+    // argmin-style min over qualifying values. Same posture as q102's
+    // rank lookup: no data-sized window anywhere.
+    QuerySpec(
+      "q154_weighted_median",
+      Some("""WITH h AS (SELECT l_returnflag AS flag,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+            CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT flag, cents, w,
+            CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS wtot
+          FROM h)
+        SELECT flag AS l_returnflag, wtot AS w_total,
+          CAST(MIN(cents) AS BIGINT) AS median_cents,
+          CAST(MIN(cents) AS DOUBLE) / 100 AS wmedian_price
+        FROM c WHERE 2 * cum >= wtot GROUP BY 1, 2"""),
+      (s, d) => {
+        val h = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+              .as("cents"))
+          .agg(sum(expr("cast(round(l_quantity, 0) as bigint)")).as("w"))
+        // windows over the bounded histogram only
+        val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum(col("w")).over(wCum).cast("long"))
+          .withColumn("wtot",
+            sum(col("w")).over(Window.partitionBy(col("flag"))).cast("long"))
+          .filter(col("cum") * 2 >= col("wtot"))
+          .groupBy(col("flag").as("l_returnflag"), col("wtot").as("w_total"))
+          .agg(min(col("cents")).cast("long").as("median_cents"),
+            (min(col("cents")).cast("double") / 100).as("wmedian_price"))
       })
   )
 }

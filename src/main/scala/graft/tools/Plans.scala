@@ -116,7 +116,21 @@ object Plans {
         + "starts; only block totals cross a global window."),
     "q144_lift" ->
       ("Decile lift: distributed exact decile cuts broadcast back; "
-        + "response rollup is one 10-group partial+final aggregate."))
+        + "response rollup is one 10-group partial+final aggregate."),
+    "q145_tfidf" ->
+      ("TF-IDF: (doc,term) partial-agg, |vocab|-row df join, per-doc "
+        + "rank window — no global anything."),
+    "q146_stratified_split" ->
+      ("Hash-gate split: scan -> project, ZERO exchanges at any scale."),
+    "q155_sessionize" ->
+      ("Gap detection, session ids and the rollup share ONE user_id "
+        + "exchange."),
+    "q158_oov_rate" ->
+      ("K-bounded vocab broadcasts; OOV is a broadcast anti-join over "
+        + "(source, term) partials."),
+    "q159_key_skew" ->
+      ("Key histogram partial-aggregates; every statistic runs over "
+        + "|keys| rows, never data."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
@@ -125,7 +139,13 @@ object Plans {
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (sf0.001, AQE initial plans)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.tools.Plans\"`. PlanSpec asserts\n"
-    sb ++= "the load-bearing properties; this file is for human review.\n"
+    sb ++= "the load-bearing properties; this file is for human review.\n\n"
+    sb ++= s"Pick policy: one representative per PHYSICAL SHAPE (join\n"
+    sb ++= s"strategies, window variants, native aggregates, iterative\n"
+    sb ++= s"loops, sinks) rather than all ${Registry.all.size} queries — "
+    sb ++= "queries sharing a\nshape share a plan, and PlanSpec asserts "
+    sb ++= "every query's load-bearing\nproperties (no BNL/cartesian, "
+    sb ++= "pushed filters, pruned schemas)\nmechanically.\n"
     picks.foreach { case (name, note) =>
       val p = Registry.byName(name).run(spark, d)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

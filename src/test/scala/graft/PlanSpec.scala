@@ -493,4 +493,140 @@ class PlanSpec extends SparkSpec {
         s"$name: cutpoints must broadcast back:\n" + p)
     }
   }
+
+  test("q145: tf aggregates partial+final; the rank window keys on doc_id") {
+    val df = queries.Registry.byName("q145_tfidf").run(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count"),
+      "tf must map-side combine before the (doc,term) shuffle:\n" + p)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      "top-term rank must partition per document, never globally:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q146: split assignment is scan -> project — zero exchanges") {
+    val df = queries.Registry.byName("q146_stratified_split").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of the hash gate: membership is row-local, so the
+    // plan must contain NO shuffle and NO broadcast at any scale
+    assert(!p.contains("Exchange"), "hash-gate split must not shuffle:\n" + p)
+  }
+
+  test("q149: bigram top-k is TakeOrdered, never a global sort of the " +
+      "n-gram table") {
+    val df = queries.Registry.byName("q149_bigrams").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT over ORDER BY must plan as per-partition heaps + driver "
+        + "merge:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (bigram, doc) pre-aggregate must map-side combine:\n" + p)
+  }
+
+  test("q150/q151: scrub and canonicalize are row-local — no joins at all") {
+    for (name <- Seq("q150_pii_scrub", "q151_url_normalize")) {
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"$name must be projection + one rollup, never a join:\n" + p)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"$name: one aggregate shuffle expected (saw $exchanges):\n" + p)
+    }
+  }
+
+  test("q147/q152: sufficient statistics collapse in one partial+final " +
+      "aggregate pass") {
+    for (name <- Seq("q147_chisq", "q152_correlation")) {
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$name: map-side combine expected:\n" + p)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: the 1-row combines must stay broadcast-sized:\n" + p)
+    }
+  }
+
+  test("q153: containment candidates ride equi joins only") {
+    val df = queries.Registry.byName("q153_containment").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "band-bucket candidates must never degrade to all-pairs:\n" + p)
+  }
+
+  test("q155: both session windows and the rollup share the user_id key") {
+    val df = queries.Registry.byName("q155_sessionize").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "gap detection must never sort globally:\n" + specs.mkString("\n"))
+    val p = df.queryExecution.executedPlan.toString
+    // lag + running sum + rollup all key on user_id: exactly one shuffle
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges <= 1,
+      s"sessionize must reuse ONE user_id exchange (saw $exchanges):\n" + p)
+  }
+
+  test("q156: four power sums collapse in one partial+final aggregate") {
+    val df = queries.Registry.byName("q156_moments").run(spark, sfDir)
+    val f = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(f.contains("partial_sum"), f)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"moment sums must be a single shuffle (saw $exchanges):\n" + p)
+  }
+
+  test("q157: nation dim broadcasts; ordered collect aggregates " +
+      "partial+final") {
+    val df = queries.Registry.byName("q157_ordered_agg").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the 25-row nation dim must broadcast:\n" + p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "collect_list must run as a real aggregate:\n" + p)
+  }
+
+  test("q158: vocabulary membership is a broadcast anti-join") {
+    val df = queries.Registry.byName("q158_oov_rate").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "the K-bounded vocab must broadcast against the token partials:\n" + p)
+  }
+
+  test("q159/q160: profile statistics run over the key/group table; " +
+      "fences broadcast back") {
+    val skew = queries.Registry.byName("q159_key_skew").run(spark, sfDir)
+    val ps = skew.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(ps.contains("partial_count") || ps.contains("partial_sum"),
+      "the key histogram must map-side combine:\n" + ps)
+    val iqr = queries.Registry.byName("q160_iqr_outliers").run(spark, sfDir)
+    val pi = iqr.queryExecution.executedPlan.toString
+    assert(pi.contains("BroadcastHashJoin"),
+      "the |groups|-row fence table must broadcast back:\n" + pi)
+  }
+
+  test("q154: weighted-median windows run on the bounded value histogram, " +
+      "keyed by flag") {
+    val df = queries.Registry.byName("q154_weighted_median").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("flag#")),
+      "cumulative weight must partition on the group key:\n"
+        + specs.mkString("\n"))
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum"),
+      "the value histogram must map-side combine:\n" + p)
+  }
 }
