@@ -29,6 +29,11 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0").toDouble
     var sinceGc = 0
     var stallRetries = 0
+    // Queries whose post-GC resamples STILL disagree >3x after the retry
+    // budget: the reported min is the best stall-proof estimate, but the
+    // record flags them so a reader knows which numbers carry residual
+    // stall uncertainty without rerunning the suite.
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -80,6 +85,9 @@ object Bench {
         retries += 1
       }
       stallRetries += retries
+      if (times.forall(_ > 0) && times.size >= 2 &&
+          times.max / times.min > 3.0 && !minCorroborated(times))
+        suspects += name
       // ... but DO drop them between QUERIES: CacheManager lookups compare
       // canonicalized plans against every live entry, so letting 130+
       // queries' cached frames accumulate makes each later action pay an
@@ -128,8 +136,10 @@ object Bench {
     // Short sf label on the stdout line (same 2000-char budget as above);
     // the full path stays on the bench-record files.
     val sfLabel = sfDir.split('/').last
+    val suspectJson =
+      suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     def shortLine(kv: Seq[(String, Double)], omitted: Int): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"omitted":$omitted,"queries":${jmap(kv, f2)},"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"omitted":$omitted,"queries":${jmap(kv, f2)},"sf":"$sfLabel"}"""
     // Hard budget enforcement (round 6): the driver parses the last
     // parsable JSON line out of a ~2000-char stdout tail, and sbt appends
     // ~80 chars of its own AFTER our last line — with 150+ queries even
@@ -162,7 +172,7 @@ object Bench {
       }
     }
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"queries":$qsFull,"sf":"$sfDir"}"""
     // The stdout line is the driver contract — emit it FIRST (so it exists
     // even if shutdown hangs), and never let the best-effort file persist
     // take the whole run down with it.

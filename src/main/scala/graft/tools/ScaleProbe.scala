@@ -24,9 +24,56 @@ import org.apache.spark.sql.functions._
   *    query set (vec_id < 10) stays the BASE queries against a 10x
   *    corpus — the ANN scaling question asked at 100 TB.
   *
-  * Usage: runMain graft.tools.ScaleProbe [baseDir] [replicas] [outDir]
+  * Round-7 extension (round-6 verdict, Next #3/#5): the upsample now also
+  * builds the RELATIONAL tables (customer/supplier/part/orders/lineitem/
+  * events) with per-replica key offsets that preserve every foreign-key
+  * relationship inside a replica while keeping replicas disjoint — the
+  * 10x corpus a 10x-bigger TPC-H-ish dataset would be (dims region/nation
+  * stay fixed, as TPC-H scaling does). That makes the out dir a drop-in
+  * SPARK_GRAFT_SF_DIR for the FULL bench suite, and powers a second probe
+  * table over the iterative/quantile family (q48/q102/q115/q128/q143)
+  * whose growth story was previously argued, not measured.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [replicas] [outDir] [mode]
+  *   mode: all (default) | candidates | iterative | tables
   */
 object ScaleProbe {
+
+  // Per-replica key stride: clears every base key space at sf0.1 (max base
+  // key is l_orderkey ~6e5) while replica 9's keys stay < 1e9 — far inside
+  // int64 and clear of the doc/embedding stride (k*1e7).
+  private val KeyStride = 100000000L
+
+  // int64 key columns to offset per replica; FK pairs (orders.o_custkey →
+  // customer.c_custkey, lineitem.l_partkey → part.p_partkey, ...) share the
+  // same stride so every join stays intact WITHIN a replica and never
+  // matches ACROSS replicas.
+  private val relationalKeys: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"))
+
+  private def upsampleRelational(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
+    relationalKeys.foreach { case (tbl, keys) =>
+      val df = spark.read.parquet(s"$base/$tbl.parquet")
+      (0 until reps).map { k =>
+        if (k == 0) df
+        else keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * KeyStride)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+    // Dims stay fixed under scale (TPC-H semantics): nation/region are
+    // enums of the world, not data that grows with it.
+    Seq("region", "nation").foreach { tbl =>
+      spark.read.parquet(s"$base/$tbl.parquet")
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+  }
 
   private def upsample(spark: SparkSession, base: String, reps: Int,
       out: String): Unit = {
@@ -67,9 +114,19 @@ object ScaleProbe {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 10
     val out = if (args.length > 2) args(2) else "/tmp/graft-scale/up10"
+    val mode = if (args.length > 3) args(3) else "all"
     val spark = GraftSession.local()
     upsample(spark, base, reps, out)
+    if (mode != "candidates") upsampleRelational(spark, base, reps, out)
+    if (mode == "tables") { spark.stop(); return }
 
+    if (mode != "iterative") runCandidateProbes(spark, base, reps, out)
+    if (mode != "candidates") runIterativeProbes(spark, base, reps, out)
+    spark.stop()
+  }
+
+  private def runCandidateProbes(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
     val probes: Seq[(String, String => Long)] = Seq(
       "q41_minhash_lsh" -> (d =>
         Dedup.minhashCandidates(
@@ -117,6 +174,35 @@ object ScaleProbe {
     println(f"| q98_semantic_dedup (4→7 planes) | $cB98 | $cU98 " +
       f"| ${cU98.toDouble / math.max(1, cB98)}%.1fx | $wB98%.2f | $wU98%.2f " +
       f"| per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
-    spark.stop()
+  }
+
+  /** The iterative/quantile family, measured by running each REGISTERED
+    * query verbatim at base and at the 10x corpus. Per-replica key
+    * disjointness means the 10x answer is structurally 10 copies of the
+    * base answer (pagerank over 10 disjoint subgraphs, components over 10
+    * disjoint near-dup families, quantiles over a 10x multiset with the
+    * same cuts). Output rows scale ~10x for the row-granular queries
+    * (q48/q128) and stay fixed for the aggregate-output ones (q102's 10
+    * bins, q143's segment grid) — either way per-row drift ≤2 is the
+    * acceptance bar, certifying the ENGINE scales, not the data's
+    * accidents.
+    */
+  private def runIterativeProbes(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
+    val iterative = Seq("q48_dedup_components", "q102_equidepth_bins",
+      "q115_pagerank", "q128_cluster_rep", "q143_rfm")
+    println()
+    println("| query | rows@base | rows@10x | wall@base s | wall@10x s " +
+      "| per-row drift |")
+    println("|---|---|---|---|---|---|")
+    iterative.foreach { name =>
+      val q = Registry.byName(name)
+      val (rB, wB) = time(q.run(spark, base).count())
+      spark.catalog.clearCache()
+      val (rU, wU) = time(q.run(spark, out).count())
+      spark.catalog.clearCache()
+      println(f"| $name | $rB | $rU | $wB%.2f | $wU%.2f " +
+        f"| ${(wU / reps) / wB}%.2f |")
+    }
   }
 }
