@@ -309,6 +309,132 @@ object Corpus {
             coalesce(col("n_oov"), lit(0L)).as("n_oov"),
             (coalesce(col("n_oov"), lit(0L)).cast("double")
               / col("n_tokens").cast("double")).as("oov_rate"))
+      }),
+
+    // ---- token-budget report (mixture accounting) ---------------------------
+    // The sheet every pretraining run is planned from: tokens per
+    // (lang, source) cell, its share of the corpus, and the cumulative
+    // share under a deterministic largest-first order — "the top N cells
+    // cover X% of the budget". Token counting is row-local (the q32
+    // BPE-ish regex); the rollup is one partial-agg shuffle to a
+    // |lang x source|-row table, and ONLY that tiny table crosses the
+    // global cumulative window (the q159 discipline: statistics over
+    // groups, never data).
+    QuerySpec(
+      "q167_token_budget",
+      Some("""WITH dt AS (SELECT lang, source,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS tok
+          FROM documents),
+        g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS n_tokens
+          FROM dt GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM g)
+        SELECT lang, source, n_docs, n_tokens,
+          CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+          CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source)
+            AS BIGINT) AS cum_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source)
+              AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+        FROM g, tot"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .cast("long").as("tok"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+          .cache() // tiny; feeds the total AND the windowed report
+        val tot = g.agg(sum(col("n_tokens")).as("t"))
+        val wCum = Window.orderBy(col("n_tokens").desc, col("lang"),
+          col("source")).rowsBetween(Window.unboundedPreceding, 0)
+        g.crossJoin(broadcast(tot)) // 1-row scalar total
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            (col("n_tokens").cast("double") / col("t").cast("double"))
+              .as("share"),
+            col("cum_tokens").cast("long").as("cum_tokens"),
+            (col("cum_tokens").cast("double") / col("t").cast("double"))
+              .as("cum_share"))
+      }),
+
+    // ---- dedup yield audit (per-source duplication report) ------------------
+    // The before/after sheet a dedup pass is judged by: per source, how
+    // many docs, how many distinct exact fingerprints, and the implied
+    // duplicate rate. Exact-distinct via the two-level aggregate
+    // ((source, fp) partials first, so no executor ever holds a
+    // fingerprint set — the q149 n_docs discipline at corpus scale).
+    QuerySpec(
+      "q168_dedup_yield",
+      Some("""WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+        p AS (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS c
+          FROM f GROUP BY 1, 2)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_unique,
+          CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dupes,
+          CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+            AS dup_rate
+        FROM p GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("source"), md5(col("text")).as("fp"))
+          .groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_docs"),
+            count(lit(1)).as("n_unique"),
+            (sum(col("c")) - count(lit(1))).cast("long").as("n_dupes"),
+            ((sum(col("c")) - count(lit(1))).cast("double")
+              / sum(col("c")).cast("double")).as("dup_rate"))),
+
+    // ---- cross-source overlap matrix (contamination planning) ---------------
+    // Which sources repeat each other's content — the sheet that decides
+    // dedup ORDER (dedup the copying source against the copied-from one
+    // first). Content grain is distinct 5-token chunks per source
+    // (md5-fingerprinted); the pairwise intersection is a self-join ON
+    // THE FINGERPRINT, whose fan-out is bounded by #sources per chunk
+    // (<= 4 here, never data-sized) — candidate pairs scale linearly in
+    // corpus size, the q41/q49 bucketing discipline. share = one
+    // int64->double divide against the left source's chunk count.
+    QuerySpec(
+      "q171_source_overlap",
+      Some("""WITH tok AS (SELECT source, string_split(lower(text), ' ')
+            AS toks FROM documents),
+        ch AS (SELECT DISTINCT source,
+            md5(unnest([array_to_string(toks[i:i+4], ' ')
+                        for i in range(1, len(toks) - 3)])) AS fp
+          FROM tok WHERE len(toks) >= 5),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks
+          FROM ch GROUP BY 1),
+        ov AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM ch a JOIN ch b ON a.fp = b.fp AND a.source <> b.source
+          GROUP BY 1, 2)
+        SELECT ov.src_a, ov.src_b, ov.n_shared, sz.n_chunks AS n_chunks_a,
+          CAST(ov.n_shared AS DOUBLE) / CAST(sz.n_chunks AS DOUBLE)
+            AS overlap_share
+        FROM ov JOIN sz ON sz.source = ov.src_a"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(toks) - 4),
+               i -> md5(concat_ws(' ', slice(toks, i, 5))))""")).as("fp"))
+          .distinct()
+          .cache() // feeds sizes AND both sides of the fingerprint join
+        val sz = ch.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+        val ov = ch.select(col("source").as("src_a"), col("fp"))
+          .join(ch.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        ov.join(broadcast(sz.withColumnRenamed("source", "src_a")), "src_a")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_chunks").as("n_chunks_a"),
+            (col("n_shared").cast("double") / col("n_chunks").cast("double"))
+              .as("overlap_share"))
       })
   )
 }

@@ -1018,6 +1018,50 @@ object Curation {
           .agg(count(lit(1)).as("n_events"),
             min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
             (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+      }),
+
+    // ---- CDC apply (change-stream compaction with tombstones) ---------------
+    // The log-to-snapshot step of every CDC ingest: a keyed change stream
+    // compacts to latest-wins state, where the latest record can be a
+    // TOMBSTONE that deletes the key (the delta q24/q99 don't cover —
+    // latest-wins dedup keeps a row; MERGE upserts one; only CDC removes
+    // keys). The event stream stands in as the log: per user, the
+    // newest event by (ts, event_id) decides the key's fate — 'purchase'
+    // retires the key (order completed, left the active-cart state),
+    // anything else leaves it live with the event's value as payload.
+    // ONE shuffle on the key for the ranking window; the rollup is a
+    // 2-group aggregate. At 100 TB the log is additionally bucketed by
+    // key and processed per time-partition with a carried snapshot —
+    // the incremental shape of q58/q114.
+    QuerySpec(
+      "q163_cdc_apply",
+      Some("""WITH r AS (SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        l AS (SELECT * FROM r WHERE rn = 1)
+        SELECT CASE WHEN event_type = 'purchase' THEN 'deleted'
+            ELSE 'live' END AS status,
+          CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(CASE WHEN event_type <> 'purchase'
+            THEN CAST(round(value * 100, 0) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS total_cents
+        FROM l GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            when(col("event_type") === "purchase", "deleted")
+              .otherwise("live").as("status"),
+            when(col("event_type") =!= "purchase",
+              round(col("value") * 100, 0).cast("long"))
+              .otherwise(0L).as("cents"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("cents")).cast("long").as("total_cents"))
       })
   )
 }

@@ -357,6 +357,73 @@ object Profiling {
               .as("min_outlier_cents"),
             max(when(isOut, col("cents"))).cast("long")
               .as("max_outlier_cents"))
-      })
+      }),
+
+    // ---- class-balance audit (label distribution) ---------------------------
+    // The pre-training label audit: is the dataset balanced enough to
+    // train on, or does one class dominate? Gini impurity comes from the
+    // EXACT integer sum of squared counts with a single final divide
+    // (1 - sum(c^2)/N^2) — never a sum of per-label double shares, whose
+    // order-dependent rounding would drift between engines. One
+    // |labels|-row aggregate after one partial-agg shuffle.
+    QuerySpec(
+      "q164_label_balance",
+      Some("""WITH c AS (SELECT label, COUNT(*) AS cnt
+          FROM embeddings GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+          CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+          CAST(MAX(cnt) AS DOUBLE) / CAST(MIN(cnt) AS DOUBLE)
+            AS imbalance,
+          1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+            / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+            AS gini,
+          CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+            AS top_share
+        FROM c"""),
+      (s, d) => {
+        t(s, d, "embeddings")
+          .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_labels"),
+            sum(col("cnt")).cast("long").as("n_rows"),
+            max(col("cnt")).cast("long").as("max_cnt"),
+            min(col("cnt")).cast("long").as("min_cnt"),
+            (max(col("cnt")).cast("double") / min(col("cnt")).cast("double"))
+              .as("imbalance"),
+            (lit(1.0) - sum(col("cnt") * col("cnt")).cast("double")
+              / (sum(col("cnt")).cast("double")
+                 * sum(col("cnt")).cast("double"))).as("gini"),
+            (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+              .as("top_share"))
+      }),
+
+    // ---- join-size forecast (self-join blowup predictor) --------------------
+    // The planner math run BEFORE a self-join is allowed on a cluster:
+    // |A join A on k| = sum over keys of c(k)^2. One partial-agg shuffle
+    // to the key-count table, then |keys|-row statistics — the q159
+    // companion (q159 profiles skew for a two-table join; this predicts
+    // the quadratic self-join cost exactly). blowup = predicted rows per
+    // input row, two exact int64->double converts + one divide.
+    QuerySpec(
+      "q169_join_forecast",
+      Some("""WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT)
+            AS c FROM lineitem GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(c) AS BIGINT) AS n_rows,
+          CAST(SUM(c * c) AS BIGINT) AS predicted_pairs,
+          CAST(MAX(c * c) AS BIGINT) AS max_key_pairs,
+          CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS blowup
+        FROM c"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("c")).cast("long").as("n_rows"),
+            sum(col("c") * col("c")).cast("long").as("predicted_pairs"),
+            max(col("c") * col("c")).cast("long").as("max_key_pairs"),
+            (sum(col("c") * col("c")).cast("double")
+              / sum(col("c")).cast("double")).as("blowup")))
   )
 }

@@ -325,6 +325,37 @@ object Quality {
             (sum(col("i_e") - col("i_s")).cast("double")
               / (max(col("i_e")) - min(col("i_s"))).cast("double"))
               .as("coverage"))
+      }),
+
+    // ---- freshness SLA audit (per-feed staleness) ---------------------------
+    // The data-freshness dashboard row: per feed (event_type stands in),
+    // the newest event's lag behind the globally newest event, flagged
+    // against a 1-hour SLA. One partial max/count per feed, a 1-row
+    // global max broadcast back — at any scale this is two tiny
+    // aggregates over one scan. Lags are exact epoch-ms int64 deltas.
+    QuerySpec(
+      "q170_freshness_sla",
+      Some("""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(MAX(last_ms) AS BIGINT) AS global_ms FROM g)
+        SELECT event_type, n, last_ms, global_ms - last_ms AS lag_ms,
+          CAST(CASE WHEN global_ms - last_ms <= 3600000 THEN 1 ELSE 0 END
+            AS INT) AS within_sla
+        FROM g, t"""),
+      (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ms")).as("last_ms"))
+          .cache() // tiny (|feeds| rows); feeds the global max too
+        val tot = g.agg(max(col("last_ms")).as("global_ms"))
+        g.crossJoin(broadcast(tot)) // 1-row scalar global max
+          .select(col("event_type"), col("n"), col("last_ms"),
+            (col("global_ms") - col("last_ms")).as("lag_ms"),
+            when(col("global_ms") - col("last_ms") <= 3600000L, 1)
+              .otherwise(0).cast("int").as("within_sla"))
       })
   )
 }

@@ -632,6 +632,61 @@ object Warehouse {
           .groupBy(col("flag").as("l_returnflag"), col("wtot").as("w_total"))
           .agg(min(col("cents")).cast("long").as("median_cents"),
             (min(col("cents")).cast("double") / 100).as("wmedian_price"))
+      }),
+
+    // ---- snapshot diff (table-version delta report) -------------------------
+    // The lakehouse audit between two table versions: classify every key
+    // as added / removed / changed / unchanged and report net value
+    // drift. ONE full-outer join co-partitioned on the key — both sides
+    // shuffle once on (orderkey, linenumber) and every classification is
+    // row-local after that; the rollup is a 4-group partial+final
+    // aggregate. At 100 TB both snapshots would be bucketed on the key
+    // and the exchange disappears entirely. Snapshots are derived
+    // deterministically from lineitem: OLD = shipped before 1997-07-01;
+    // NEW = shipped from 1996-01-01, with returned ('R') rows carrying a
+    // +5 quantity correction — the overlap year supplies unchanged AND
+    // changed rows, the disjoint tails supply removed/added.
+    QuerySpec(
+      "q161_snapshot_diff",
+      Some("""WITH old AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+            CAST(round(l_quantity, 0) AS BIGINT) AS v
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-07-01'),
+        new AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+            CAST(round(l_quantity, 0) AS BIGINT)
+              + CASE WHEN l_returnflag = 'R' THEN 5 ELSE 0 END AS v
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+        j AS (SELECT
+            CASE WHEN o.k1 IS NULL THEN 'added'
+                 WHEN n.k1 IS NULL THEN 'removed'
+                 WHEN o.v <> n.v THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            COALESCE(n.v, 0) - COALESCE(o.v, 0) AS dv
+          FROM old o FULL OUTER JOIN new n
+            ON o.k1 = n.k1 AND o.k2 = n.k2)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dv) AS BIGINT) AS net_delta
+        FROM j GROUP BY 1"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val old = li.filter(col("l_shipdate") < lit("1997-07-01"))
+          .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+            round(col("l_quantity"), 0).cast("long").as("ov"))
+        val nw = li.filter(col("l_shipdate") >= lit("1996-01-01"))
+          .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+            (round(col("l_quantity"), 0).cast("long")
+              + when(col("l_returnflag") === "R", 5L).otherwise(0L))
+              .as("nv"))
+        old.join(nw, Seq("k1", "k2"), "full_outer")
+          .select(
+            when(col("ov").isNull, "added")
+              .when(col("nv").isNull, "removed")
+              .when(col("ov") =!= col("nv"), "changed")
+              .otherwise("unchanged").as("status"),
+            (coalesce(col("nv"), lit(0L)) - coalesce(col("ov"), lit(0L)))
+              .as("dv"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("dv")).cast("long")
+            .as("net_delta"))
       })
   )
 }

@@ -629,4 +629,78 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       "the value histogram must map-side combine:\n" + p)
   }
+
+  test("q161: snapshot diff is ONE co-partitioned full-outer join, " +
+      "never nested-loop") {
+    val df = queries.Registry.byName("q161_snapshot_diff").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("FullOuter"), "classification needs full-outer:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      p)
+    // both snapshots come from the same scan; the join keys are equi
+    assert(p.linesIterator.count(_.trim.startsWith("Scan parquet")) <= 2, p)
+  }
+
+  test("q162: KS cumulative runs per-block; only the |blocks|-row " +
+      "offsets window is global") {
+    val df = queries.Registry.byName("q162_ks_test").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      "the value-grain cumsum must partition on the block key:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q163: CDC compaction is one keyed ranking window + rollup") {
+    val df = queries.Registry.byName("q163_cdc_apply").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "latest-wins must rank within the key, never globally:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q165/q166: allocation and degree histogram aggregate with " +
+      "map-side combine; the scalar denominator broadcasts") {
+    val ney = queries.Registry.byName("q165_neyman_alloc").run(spark, sfDir)
+    val pn = ney.queryExecution.executedPlan.toString
+    assert(pn.contains("partial_count") || pn.contains("partial_sum"), pn)
+    assert(!pn.contains("CartesianProduct"),
+      "the 1-row denominator must broadcast, not cartesian:\n" + pn)
+    val dh = queries.Registry.byName("q166_degree_hist").run(spark, sfDir)
+    val pd = dh.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!pd.contains("BroadcastNestedLoopJoin"), pd)
+    assert(pd.contains("partial_count"),
+      "degree counting must map-side combine:\n" + pd)
+  }
+
+  test("q167/q169: budget and forecast statistics aggregate map-side; " +
+      "only group-grain tables cross windows or scalar joins") {
+    val tb = queries.Registry.byName("q167_token_budget").run(spark, sfDir)
+    val pt = tb.queryExecution.executedPlan.toString
+    assert(pt.contains("partial_count") || pt.contains("partial_sum"), pt)
+    assert(!pt.contains("CartesianProduct"),
+      "the 1-row total must broadcast:\n" + pt)
+    val jf = queries.Registry.byName("q169_join_forecast").run(spark, sfDir)
+    val pj = jf.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(pj.contains("partial_count"),
+      "the key histogram must map-side combine:\n" + pj)
+  }
+
+  test("q171: the overlap matrix joins ON the chunk fingerprint — " +
+      "equi join, bounded fan-out, never a source cross product") {
+    val df = queries.Registry.byName("q171_source_overlap").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      p)
+    assert(p.contains("fp"), "the join key must be the fingerprint:\n" + p)
+    // the distinct (source, fp) grain collapses BEFORE the self-join
+    assert(p.contains("partial_"), p)
+  }
 }
