@@ -130,7 +130,19 @@ object Plans {
         + "(source, term) partials."),
     "q159_key_skew" ->
       ("Key histogram partial-aggregates; every statistic runs over "
-        + "|keys| rows, never data."))
+        + "|keys| rows, never data."),
+    "q161_snapshot_diff" ->
+      ("Version delta: ONE co-partitioned full-outer join; "
+        + "classification is row-local after it."),
+    "q162_ks_test" ->
+      ("Exact KS: per-block CDF cumsums partition on g; only the "
+        + "|blocks|-row offsets window is global."),
+    "q163_cdc_apply" ->
+      ("CDC compaction: one keyed ranking window, tombstone filter, "
+        + "2-group rollup."),
+    "q171_source_overlap" ->
+      ("Overlap matrix: distinct (source,chunk-fp) grain self-joins ON "
+        + "the fingerprint — fan-out bounded by sources-per-chunk."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

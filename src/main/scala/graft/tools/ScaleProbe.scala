@@ -190,7 +190,10 @@ object ScaleProbe {
   private def runIterativeProbes(spark: SparkSession, base: String,
       reps: Int, out: String): Unit = {
     val iterative = Seq("q48_dedup_components", "q102_equidepth_bins",
-      "q115_pagerank", "q128_cluster_rep", "q143_rfm")
+      "q115_pagerank", "q128_cluster_rep", "q143_rfm",
+      // round-7 join-heavy additions: version-delta full-outer,
+      // block-decomposed KS, and the chunk-fingerprint overlap matrix
+      "q161_snapshot_diff", "q162_ks_test", "q171_source_overlap")
     println()
     println("| query | rows@base | rows@10x | wall@base s | wall@10x s " +
       "| per-row drift |")
