@@ -1062,6 +1062,156 @@ object Curation {
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n_keys"),
             sum(col("cents")).cast("long").as("total_cents"))
+      }),
+
+    // ---- linear-interpolation gap fill --------------------------------------
+    // q111's forward-fill sibling for metrics where carrying the last
+    // value biases downstream aggregates: missing days take the straight
+    // line between the flanking known days. Four ignoreNulls windows per
+    // user (prev/next value and day) on the SAME user_id exchange the
+    // spine join already made; the interpolation itself is row-local —
+    // exact day-count rationals into one divide, one multiply, one add
+    // (identical single-rounded IEEE in both engines). Rows are tagged
+    // exact / interp / edge so consumers can weight accordingly.
+    QuerySpec(
+      "q172_interp_fill",
+      Some(s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            ${Exact.sqlDsum("value")} AS day_value
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY 1),
+        spine AS (SELECT user_id, CAST(d AS DATE) AS day FROM (
+            SELECT user_id,
+              unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d
+            FROM span) z),
+        j AS (SELECT s.user_id, s.day, d.day_value
+          FROM spine s LEFT JOIN daily d
+            ON d.user_id = s.user_id AND d.day = s.day),
+        n AS (SELECT user_id, day, day_value,
+            last_value(day_value IGNORE NULLS) OVER w AS pv,
+            last_value(CASE WHEN day_value IS NOT NULL THEN day END
+              IGNORE NULLS) OVER w AS pd,
+            first_value(day_value IGNORE NULLS) OVER f AS nv,
+            first_value(CASE WHEN day_value IS NOT NULL THEN day END
+              IGNORE NULLS) OVER f AS nd
+          FROM j
+          WINDOW w AS (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            f AS (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, day,
+          CASE WHEN day_value IS NOT NULL THEN day_value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                / CAST(nd - pd AS DOUBLE))
+            ELSE COALESCE(pv, nv) END AS filled_value,
+          CASE WHEN day_value IS NOT NULL THEN 'exact'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS fill_kind
+        FROM n"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(Exact.dsum(col("value")).as("day_value"))
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val wP = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val known = when(col("day_value").isNotNull, col("day"))
+        spine.join(daily, Seq("user_id", "day"), "left_outer")
+          .withColumn("pv", last(col("day_value"), ignoreNulls = true)
+            .over(wP))
+          .withColumn("pd", last(known, ignoreNulls = true).over(wP))
+          .withColumn("nv", first(col("day_value"), ignoreNulls = true)
+            .over(wF))
+          .withColumn("nd", first(known, ignoreNulls = true).over(wF))
+          .select(col("user_id"), col("day"),
+            when(col("day_value").isNotNull, col("day_value"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv"))
+                  * (datediff(col("day"), col("pd")).cast("double")
+                    / datediff(col("nd"), col("pd")).cast("double")))
+              .otherwise(coalesce(col("pv"), col("nv")))
+              .as("filled_value"),
+            when(col("day_value").isNotNull, "exact")
+              .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+              .otherwise("edge").as("fill_kind"))
+      }),
+
+    // ---- activity profile (day-of-week x hour heatmap) ----------------------
+    // The seasonality sheet capacity planning reads: event share per
+    // (weekday, hour) cell. Weekday comes from EPOCH-DAY ARITHMETIC
+    // ((days + 4) % 7, anchored on 1970-01-01 = Thursday) because the
+    // engines' dayofweek() builtins disagree on numbering; hour() agrees
+    // on naive timestamps. One 168-cell rollup, shares as int64->double
+    // divides against a 1-row broadcast total.
+    QuerySpec(
+      "q173_activity_profile",
+      Some("""WITH e AS (SELECT
+            (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7
+              AS dow,
+            CAST(hour(ts) AS INT) AS hod
+          FROM events),
+        g AS (SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+        SELECT dow, hod, n,
+          CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        FROM g, t"""),
+      (s, d) => {
+        val g = t(s, d, "events")
+          .select(((datediff(col("ts").cast("date"), lit("1970-01-01"))
+              .cast("long") + 4) % 7).as("dow"),
+            hour(col("ts")).cast("int").as("hod"))
+          .groupBy(col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+          .cache() // 168 cells; feeds the total too
+        val tot = g.agg(sum(col("n")).as("tot"))
+        g.crossJoin(broadcast(tot)) // 1-row scalar total
+          .select(col("dow"), col("hod"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double"))
+              .as("share"))
+      }),
+
+    // ---- inter-event time statistics (think-time distribution) --------------
+    // The distribution that calibrates session-gap thresholds (q155's
+    // 30-minute knob) and bot detection: per event type, the per-user
+    // inter-arrival gaps in ms. One (user, type)-keyed lag window, then a
+    // |types|-group quantile rollup over exact int64 gaps — quantile
+    // interpolation is the pinned (1-f)*lo + f*hi form both engines
+    // share (QuantilesSpec).
+    QuerySpec(
+      "q174_interevent_stats",
+      Some("""WITH e AS (SELECT event_type, user_id,
+            epoch_ms(ts) AS ms, event_id FROM events),
+        g AS (SELECT event_type,
+            ms - lag(ms) OVER (PARTITION BY event_type, user_id
+              ORDER BY ms, event_id) AS gap
+          FROM e)
+        SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+          quantile_cont(gap, 0.5) AS p50_ms,
+          quantile_cont(gap, 0.9) AS p90_ms,
+          CAST(MAX(gap) AS BIGINT) AS max_ms
+        FROM g WHERE gap IS NOT NULL GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        t(s, d, "events")
+          .select(col("event_type"), col("user_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"),
+            col("event_id"))
+          .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(col("gap")).as("n_gaps"),
+            expr("percentile(gap, 0.5)").as("p50_ms"),
+            expr("percentile(gap, 0.9)").as("p90_ms"),
+            max(col("gap")).cast("long").as("max_ms"))
       })
   )
 }

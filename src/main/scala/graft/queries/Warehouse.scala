@@ -687,6 +687,110 @@ object Warehouse {
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n"), sum(col("dv")).cast("long")
             .as("net_delta"))
+      }),
+
+    // ---- fact-to-detail reconciliation --------------------------------------
+    // The warehouse closing check: does each order header's total match
+    // the sum of its line terms (extendedprice * (1-discount) *
+    // (1+tax))? Line terms round to cents PER LINE with the identical
+    // expression text in both engines (same IEEE multiply order), so the
+    // per-order sum is exact int64 and the header diff is deterministic;
+    // |diff| <= 1 cent counts as reconciled (per-line rounding slack).
+    // ONE co-partitioned join on the order key (AQE picks the strategy),
+    // then a |status|-group rollup.
+    QuerySpec(
+      "q175_reconciliation",
+      Some("""WITH l AS (SELECT l_orderkey,
+            CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+              * (1.0 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS line_cents
+          FROM lineitem GROUP BY 1),
+        o AS (SELECT o_orderkey, o_orderstatus,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS order_cents
+          FROM orders),
+        j AS (SELECT o.o_orderstatus,
+            o.order_cents - COALESCE(l.line_cents, 0) AS diff,
+            CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS no_lines
+          FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(no_lines) AS BIGINT) AS n_no_lines,
+          CAST(SUM(CASE WHEN no_lines = 0 AND ABS(diff) > 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+          CAST(MAX(CASE WHEN no_lines = 0 THEN ABS(diff) END) AS BIGINT)
+            AS max_abs_diff_cents
+        FROM j GROUP BY 1"""),
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")) * 100, 0).cast("long"))
+            .cast("long").as("line_cents"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("order_cents"))
+        o.join(l, col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .withColumn("no_lines",
+            when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .withColumn("diff",
+            col("order_cents") - coalesce(col("line_cents"), lit(0L)))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("no_lines")).cast("long").as("n_no_lines"),
+            sum(when(col("no_lines") === 0 && abs(col("diff")) > 1, 1L)
+              .otherwise(0L)).as("n_mismatched"),
+            max(when(col("no_lines") === 0, abs(col("diff")))).cast("long")
+              .as("max_abs_diff_cents"))
+      }),
+
+    // ---- ABC inventory classification ---------------------------------------
+    // The classic Pareto split of a catalog by revenue: A = parts
+    // covering the top 80% of cumulative revenue, B = next 15%, C = the
+    // tail. Revenue is exact cents per part (one partial-agg shuffle);
+    // ONLY the |catalog|-row part table crosses the global cumulative
+    // window (the catalog is the bounded dimension — q159 discipline);
+    // class shares are int64->double divides against a broadcast total.
+    // Cut order is total (revenue desc, partkey) so the classes are a
+    // deterministic function of the data.
+    QuerySpec(
+      "q176_abc_class",
+      Some("""WITH r AS (SELECT l_partkey,
+            CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM r),
+        c AS (SELECT l_partkey, rev,
+            CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT)
+              AS cum, tot
+          FROM r, t),
+        k AS (SELECT CASE
+            WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class, rev, tot
+          FROM c)
+        SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+          CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+          CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+            AS revenue_share
+        FROM k GROUP BY 1"""),
+      (s, d) => {
+        val r = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long").as("rev"))
+          .cache() // |catalog| rows; feeds the total AND the window
+        val tot = r.agg(sum(col("rev")).cast("long").as("tot"))
+        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val share = col("cum").cast("double") / col("tot").cast("double")
+        r.crossJoin(broadcast(tot)) // 1-row scalar total
+          .withColumn("cum", sum(col("rev")).over(wCum).cast("long"))
+          .withColumn("abc_class",
+            when(share <= 0.80, "A").when(share <= 0.95, "B")
+              .otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev")).cast("long").as("revenue_cents"),
+            (sum(col("rev")).cast("double") / max(col("tot")).cast("double"))
+              .as("revenue_share"))
       })
   )
 }

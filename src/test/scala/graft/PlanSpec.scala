@@ -703,4 +703,32 @@ class PlanSpec extends SparkSpec {
     // the distinct (source, fp) grain collapses BEFORE the self-join
     assert(p.contains("partial_"), p)
   }
+
+  test("q172/q174: interpolation and inter-event windows all partition " +
+      "on their keys — no global data-sized window") {
+    for ((name, key) <- Seq("q172_interp_fill" -> "user_id#",
+        "q174_interevent_stats" -> "event_type#")) {
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(specs.nonEmpty && specs.forall(_.contains(key)),
+        s"$name windows must partition on $key:\n" + specs.mkString("\n"))
+    }
+  }
+
+  test("q175/q176: reconciliation joins on the order key (no BNL); " +
+      "the ABC cumulative window sees only the part-grain table") {
+    val rec = queries.Registry.byName("q175_reconciliation").run(spark, sfDir)
+    val pr = rec.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("Cartesian"),
+      pr)
+    assert(pr.contains("partial_sum"),
+      "line terms must pre-aggregate map-side:\n" + pr)
+    val abc = queries.Registry.byName("q176_abc_class").run(spark, sfDir)
+    val pa = abc.queryExecution.executedPlan.toString
+    assert(pa.contains("partial_sum"), pa)
+    assert(!pa.contains("CartesianProduct"),
+      "the 1-row revenue total must broadcast:\n" + pa)
+  }
 }
