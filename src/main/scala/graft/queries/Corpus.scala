@@ -435,6 +435,43 @@ object Corpus {
             col("n_chunks").as("n_chunks_a"),
             (col("n_shared").cast("double") / col("n_chunks").cast("double"))
               .as("overlap_share"))
+      }),
+
+    // ---- top-k with "other" rollup (coverage table) --------------------------
+    // The reporting shape every mixture dashboard uses: each source's
+    // top-3 languages by doc count plus a single 'other' bucket so the
+    // rows still sum to the total. Rank and re-aggregate both run on the
+    // |source x lang| group table (one partial-agg shuffle from data);
+    // the cut is the deterministic (count desc, lang) total order.
+    QuerySpec(
+      "q178_topk_other",
+      Some("""WITH g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT)
+            AS n FROM documents GROUP BY 1, 2),
+        r AS (SELECT source, lang, n, row_number() OVER (
+            PARTITION BY source ORDER BY n DESC, lang) AS rk FROM g),
+        k AS (SELECT source,
+            CASE WHEN rk <= 3 THEN lang ELSE 'other' END AS lang_class,
+            CASE WHEN rk <= 3 THEN rk ELSE 4 END AS rk, n FROM r)
+        SELECT source, lang_class, CAST(MIN(rk) AS INT) AS rk,
+          CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_langs_in_class
+        FROM k GROUP BY 1, 2"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))
+        g.withColumn("rk", row_number().over(w))
+          .select(col("source"),
+            when(col("rk") <= 3, col("lang")).otherwise("other")
+              .as("lang_class"),
+            when(col("rk") <= 3, col("rk")).otherwise(4).as("rk"),
+            col("n"))
+          .groupBy(col("source"), col("lang_class"))
+          .agg(min(col("rk")).cast("int").as("rk"),
+            sum(col("n")).cast("long").as("n_docs"),
+            count(lit(1)).as("n_langs_in_class"))
       })
   )
 }

@@ -1212,6 +1212,50 @@ object Curation {
             expr("percentile(gap, 0.5)").as("p50_ms"),
             expr("percentile(gap, 0.9)").as("p90_ms"),
             max(col("gap")).cast("long").as("max_ms"))
+      }),
+
+    // ---- time-to-convert (funnel latency) -----------------------------------
+    // q107 counts WHO converts; this measures HOW LONG conversion takes:
+    // first view -> first subsequent purchase per user, summarized as a
+    // conversion rate and delay quantiles. Two user_id-keyed aggregates
+    // (first-view pass, then purchases-after-view join sharing the same
+    // key exchange) — delays are exact epoch-ms int64s into the pinned
+    // quantile interpolation.
+    QuerySpec(
+      "q177_time_to_convert",
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_ms(ts)) AS v_ms
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT e.user_id,
+            MIN(epoch_ms(e.ts)) - MAX(v.v_ms) AS delay_ms
+          FROM events e JOIN v ON v.user_id = e.user_id
+            AND epoch_ms(e.ts) > v.v_ms
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+          CAST(COUNT(*) AS BIGINT) AS n_converted,
+          CAST(COUNT(*) AS DOUBLE)
+            / (SELECT CAST(COUNT(*) AS DOUBLE) FROM v) AS conversion,
+          quantile_cont(delay_ms, 0.5) AS p50_delay_ms,
+          quantile_cont(delay_ms, 0.9) AS p90_delay_ms
+        FROM p"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, Seq("user_id"))
+          .filter(col("ms") > col("v_ms"))
+          .groupBy(col("user_id"))
+          .agg((min(col("ms")) - max(col("v_ms"))).as("delay_ms"))
+        val nv = v.agg(count(lit(1)).as("n_viewed"))
+        p.crossJoin(broadcast(nv)) // 1-row scalar viewer count
+          .agg(max(col("n_viewed")).cast("long").as("n_viewed"),
+            count(lit(1)).as("n_converted"),
+            (count(lit(1)).cast("double")
+              / max(col("n_viewed")).cast("double")).as("conversion"),
+            expr("percentile(delay_ms, 0.5)").as("p50_delay_ms"),
+            expr("percentile(delay_ms, 0.9)").as("p90_delay_ms"))
       })
   )
 }

@@ -791,6 +791,54 @@ object Warehouse {
             sum(col("rev")).cast("long").as("revenue_cents"),
             (sum(col("rev")).cast("double") / max(col("tot")).cast("double"))
               .as("revenue_share"))
+      }),
+
+    // ---- percent-of-parent hierarchy rollup ---------------------------------
+    // The drill-down report shape: revenue by (region, nation) where each
+    // nation carries its share of the REGION subtotal, not the grand
+    // total. Dims broadcast onto the fact (the q03 discipline), revenue
+    // lands on the exact cents grid, and the parent subtotal is a window
+    // over the |nations|-row aggregate — group-grain only. Shares are
+    // single int64->double divides.
+    QuerySpec(
+      "q179_pct_of_parent",
+      Some("""WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+            CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY 1, 2),
+        w AS (SELECT region, nation, cents,
+            CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+              AS region_cents
+          FROM rev)
+        SELECT region, nation, cents,
+          region_cents,
+          CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+            AS pct_of_region
+        FROM w"""),
+      (s, d) => {
+        val rev = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("n_nationkey") === col("c_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("r_regionkey") === col("n_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val wReg = Window.partitionBy(col("region"))
+        rev
+          .withColumn("region_cents",
+            sum(col("cents")).over(wReg).cast("long"))
+          .select(col("region"), col("nation"), col("cents"),
+            col("region_cents"),
+            (col("cents").cast("double") / col("region_cents").cast("double"))
+              .as("pct_of_region"))
       })
   )
 }

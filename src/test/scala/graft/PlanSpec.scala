@@ -731,4 +731,19 @@ class PlanSpec extends SparkSpec {
     assert(!pa.contains("CartesianProduct"),
       "the 1-row revenue total must broadcast:\n" + pa)
   }
+
+  test("q179: the customer/nation/region dims broadcast onto the fact — " +
+      "the orders side never shuffles for the joins") {
+    val df = queries.Registry.byName("q179_pct_of_parent").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "dim lookups must not shuffle the fact side:\n" + p)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("region#")),
+      "the parent subtotal partitions on region over group-grain rows:\n"
+        + specs.mkString("\n"))
+  }
 }
