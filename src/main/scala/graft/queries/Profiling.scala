@@ -276,8 +276,10 @@ object Profiling {
     // after (max, quantiles of counts, hottest key) runs over |keys|
     // rows, never data. The hottest key is an argmax struct (count desc,
     // key asc — deterministic ties); skew_factor = max/avg is two exact
-    // int64→double converts and two divides. At 1e9+ distinct keys the
-    // quantiles move to operators.Quantiles; the shape is unchanged.
+    // int64→double converts and two divides. The count quantiles run
+    // through operators.Quantiles (block prefix sums — no single-buffer
+    // percentile), so the plan survives 1e9+ distinct keys unchanged;
+    // QuantilesSpec pins its bitwise agreement with quantile_cont.
     QuerySpec(
       "q159_key_skew",
       Some("""WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT)
@@ -296,15 +298,18 @@ object Profiling {
         val c = t(s, d, "lineitem")
           .groupBy(col("l_partkey").as("k"))
           .agg(count(lit(1)).as("cnt"))
+          .cache() // |keys| rows; feeds the quantile pass AND the profile
+        val cuts = graft.operators.Quantiles
+          .exactQuantiles(c, col("cnt"), Seq(0.5, 0.99))
         c.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).cast("long").as("n_rows"),
           max(col("cnt")).cast("long").as("max_cnt"),
-          max(struct(col("cnt"), (-col("k")).as("nk"))).as("mx"),
-          expr("percentile(cnt, 0.5)").as("p50_cnt"),
-          expr("percentile(cnt, 0.99)").as("p99_cnt"))
+          max(struct(col("cnt"), (-col("k")).as("nk"))).as("mx"))
+          .crossJoin(broadcast(cuts)) // 1-row quantile cuts
           .select(col("n_keys"), col("n_rows"), col("max_cnt"),
             (-col("mx.nk")).cast("long").as("hottest_key"),
-            col("p50_cnt"), col("p99_cnt"),
+            col("cuts").getItem(0).as("p50_cnt"),
+            col("cuts").getItem(1).as("p99_cnt"),
             (col("max_cnt").cast("double")
               / (col("n_rows").cast("double") / col("n_keys").cast("double")))
               .as("skew_factor"))

@@ -745,12 +745,18 @@ object Warehouse {
     // ---- ABC inventory classification ---------------------------------------
     // The classic Pareto split of a catalog by revenue: A = parts
     // covering the top 80% of cumulative revenue, B = next 15%, C = the
-    // tail. Revenue is exact cents per part (one partial-agg shuffle);
-    // ONLY the |catalog|-row part table crosses the global cumulative
-    // window (the catalog is the bounded dimension — q159 discipline);
-    // class shares are int64->double divides against a broadcast total.
-    // Cut order is total (revenue desc, partkey) so the classes are a
-    // deterministic function of the data.
+    // tail. Revenue is exact cents per part (one partial-agg shuffle).
+    // The catalog scales with data, so the Pareto prefix sum must NOT be
+    // a single-task global window: it is block-decomposed exactly like
+    // operators/Quantiles — block the revenue axis (g = rev div 2^20;
+    // block id is monotone in rev, so (g desc, rev desc, partkey) is the
+    // same total order as (rev desc, partkey)), per-block cumsums
+    // PARTITIONED BY block, and only the bounded block-totals table
+    // (value-range / 2^20 rows, data-size-independent) crosses a global
+    // ordering for the block offsets, which broadcast back. Class shares
+    // are int64->double divides against a broadcast total. Cut order is
+    // total (revenue desc, partkey) so the classes are a deterministic
+    // function of the data.
     QuerySpec(
       "q176_abc_class",
       Some("""WITH r AS (SELECT l_partkey,
@@ -772,17 +778,30 @@ object Warehouse {
             AS revenue_share
         FROM k GROUP BY 1"""),
       (s, d) => {
+        val blockBits = 20
         val r = t(s, d, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
             .cast("long").as("rev"))
-          .cache() // |catalog| rows; feeds the total AND the window
+          .withColumn("g", expr(s"rev div ${1L << blockBits}"))
+          .cache() // |catalog| rows; feeds the total AND both cum stages
         val tot = r.agg(sum(col("rev")).cast("long").as("tot"))
-        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+        // per-block cumulative revenue — partitioned, never single-task
+        val wIn = Window.partitionBy(col("g"))
+          .orderBy(col("rev").desc, col("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, 0)
+        val within = r.withColumn("cum_in", sum(col("rev")).over(wIn))
+        // block offsets over the bounded block-totals table only
+        val blockTot = r.groupBy(col("g")).agg(sum(col("rev")).as("btot"))
+        val wBlocks = Window.orderBy(col("g").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blockOff = blockTot.withColumn("boff",
+          coalesce(sum(col("btot")).over(wBlocks), lit(0L)))
         val share = col("cum").cast("double") / col("tot").cast("double")
-        r.crossJoin(broadcast(tot)) // 1-row scalar total
-          .withColumn("cum", sum(col("rev")).over(wCum).cast("long"))
+        within
+          .join(broadcast(blockOff.select(col("g"), col("boff"))), "g")
+          .withColumn("cum", (col("boff") + col("cum_in")).cast("long"))
+          .crossJoin(broadcast(tot)) // 1-row scalar total
           .withColumn("abc_class",
             when(share <= 0.80, "A").when(share <= 0.95, "B")
               .otherwise("C"))
@@ -796,10 +815,16 @@ object Warehouse {
     // ---- percent-of-parent hierarchy rollup ---------------------------------
     // The drill-down report shape: revenue by (region, nation) where each
     // nation carries its share of the REGION subtotal, not the grand
-    // total. Dims broadcast onto the fact (the q03 discipline), revenue
-    // lands on the exact cents grid, and the parent subtotal is a window
-    // over the |nations|-row aggregate — group-grain only. Shares are
-    // single int64->double divides.
+    // total. `customer` scales with the fact tables (150k × SF rows), so
+    // it must NOT broadcast: orders pre-aggregate to customer grain
+    // (map-side partial agg shrinks the fact before its only shuffle),
+    // then a sort-merge join on the shared custkey — the `merge` hint
+    // pins that shape at test scale where size stats would flip it to a
+    // broadcast that OOMs at the 100 TB target. Only nation/region (25-
+    // and 5-row true dims) broadcast. Revenue lands on the exact cents
+    // grid, and the parent subtotal is a window over the |nations|-row
+    // aggregate — group-grain only. Shares are single int64->double
+    // divides.
     QuerySpec(
       "q179_pct_of_parent",
       Some("""WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
@@ -820,17 +845,20 @@ object Warehouse {
             AS pct_of_region
         FROM w"""),
       (s, d) => {
-        val rev = t(s, d, "orders")
-          .join(broadcast(t(s, d, "customer")
-            .select(col("c_custkey"), col("c_nationkey"))),
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cust_cents"))
+        val rev = perCust
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")).hint("merge"),
             col("c_custkey") === col("o_custkey"))
           .join(broadcast(t(s, d, "nation")),
             col("n_nationkey") === col("c_nationkey"))
           .join(broadcast(t(s, d, "region")),
             col("r_regionkey") === col("n_regionkey"))
           .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
-            .cast("long").as("cents"))
+          .agg(sum(col("cust_cents")).cast("long").as("cents"))
         val wReg = Window.partitionBy(col("region"))
         rev
           .withColumn("region_cents",

@@ -14,31 +14,45 @@ import org.apache.spark.sql.types._
   * discovery the tag/ledger dance approximates, and the trigger debounce
   * maps to `Trigger.AvailableNow` / `maxFilesPerTrigger`.
   *
-  * Event time is converted to TimestampType (UTC) at the source: watermarks
-  * and window semantics are defined on instants; the fixture's raw INT64
-  * nanos (µs-precision values) convert losslessly.
+  * Event time is normalized to TimestampType (UTC) at the source:
+  * watermarks and window semantics are defined on instants. The fixture's
+  * ts column has shipped as both INT64 TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS); both vintages convert losslessly (see convertTs).
   */
 object EventStreams {
 
-  /** Parquet footer schema of the events fixture — streaming sources need
-    * a declared schema (no inference at stream start). `ts` arrives as
-    * INT64 nanos (read as long, spark.sql.legacy.parquet.nanosAsLong).
+  /** Declared schema for the streaming source (no inference at stream
+    * start), taken from the parquet footer of the directory's files —
+    * the same drift-safe posture as [[graft.Tables.load]]: the driver has
+    * shipped `ts` both as INT64 TIMESTAMP(NANOS) (which Spark's reader
+    * rejects and, under spark.sql.legacy.parquet.nanosAsLong, surfaces as
+    * a plain long of nanos) and as TIMESTAMP(MICROS) (a normal timestamp
+    * column). Peeking at the footer keeps both vintages working.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
+  /** ns→µs conversion, applied only when the footer really was NANOS —
+    * identical rule to Tables.load so batch and stream see the same
+    * instants (sub-µs components are zero in the ns vintage, so DIV 1000
+    * is lossless).
+    */
   private def convertTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // µs vintage infers NTZ; normalize to TimestampType — the same
+        // instant under the UTC session zone, and the type the watermark/
+        // window tests have always seen.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Incremental file-source stream over a directory of event parquet. */
   def fromParquetDir(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(rawSchema)
+    val r = spark.readStream.schema(rawSchema(spark, dir))
     val r2 = maxFilesPerTrigger
       .map(n => r.option("maxFilesPerTrigger", n)).getOrElse(r)
     convertTs(r2.parquet(dir))
@@ -48,7 +62,7 @@ object EventStreams {
     * half of every streaming test.
     */
   def fromParquetBatch(spark: SparkSession, path: String): DataFrame =
-    convertTs(spark.read.schema(rawSchema).parquet(path))
+    convertTs(spark.read.parquet(path))
 
   /** Tumbling window aggregate with late-data drop. */
   def tumbling(events: DataFrame, width: String, watermark: String): DataFrame =

@@ -142,7 +142,20 @@ object Plans {
         + "2-group rollup."),
     "q171_source_overlap" ->
       ("Overlap matrix: distinct (source,chunk-fp) grain self-joins ON "
-        + "the fingerprint — fan-out bounded by sources-per-chunk."))
+        + "the fingerprint — fan-out bounded by sources-per-chunk."),
+    "q172_interp_fill" ->
+      ("Linear-interpolation fill: all four ignoreNulls bracket windows "
+        + "share ONE user_id exchange; the interpolation itself is "
+        + "row-local arithmetic."),
+    "q176_abc_class" ->
+      ("Pareto ABC classes: per-block revenue cumsums partition on the "
+        + "revenue block g; only the bounded block-totals table crosses "
+        + "a global ordering; the 1-row total broadcasts."),
+    "q179_pct_of_parent" ->
+      ("Percent-of-parent: orders pre-aggregate to customer grain, then "
+        + "SMJ on custkey (customer is fact-scaled — never broadcast); "
+        + "only nation/region broadcast; the parent subtotal windows "
+        + "over |nations| group-grain rows."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

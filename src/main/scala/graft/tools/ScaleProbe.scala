@@ -193,7 +193,9 @@ object ScaleProbe {
       "q115_pagerank", "q128_cluster_rep", "q143_rfm",
       // round-7 join-heavy additions: version-delta full-outer,
       // block-decomposed KS, and the chunk-fingerprint overlap matrix
-      "q161_snapshot_diff", "q162_ks_test", "q171_source_overlap")
+      "q161_snapshot_diff", "q162_ks_test", "q171_source_overlap",
+      // round-8: the co-partitioned distinct self-join degree histogram
+      "q166_degree_hist")
     println()
     println("| query | rows@base | rows@10x | wall@base s | wall@10x s " +
       "| per-row drift |")

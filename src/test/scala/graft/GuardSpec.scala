@@ -1,0 +1,109 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
+  GlobalLimit, HintInfo, Join, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** Suite-wide plan-shape guards: structural rules that every query in the
+  * Registry must satisfy, so the two classes of scale-killer the round-7
+  * audit caught (a fact-scaled broadcast, a data-sized single-task window)
+  * cannot recur silently as the suite grows. These complement PlanSpec's
+  * per-query assertions: PlanSpec pins the intended plan of specific
+  * queries; this sweep pins the invariants of ALL of them.
+  */
+class GuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** One optimized logical plan per registered query. Built once; the
+    * iterative queries execute jobs during construction, so this is the
+    * expensive part of the suite (~all 179 at sf0.001).
+    */
+  private lazy val plans: Seq[(String, LogicalPlan)] =
+    Registry.all.map { q =>
+      val p = q.name -> q.run(spark, sfDir).queryExecution.optimizedPlan
+      spark.catalog.clearCache() // per-query caches must not leak across
+      p
+    }
+
+  /** True when the subtree's row count is bounded by a grouping, a limit,
+    * or literal data — i.e. it is group-grain, not data-sized. A cached
+    * aggregate shows up as InMemoryRelation, so look through to its
+    * physical plan.
+    */
+  private def groupGrain(p: LogicalPlan): Boolean = {
+    var ok = false
+    p.foreach {
+      case _: Aggregate    => ok = true
+      case _: GlobalLimit  => ok = true
+      case _: LocalRelation => ok = true
+      case r: InMemoryRelation
+          if r.cachedPlan.toString.contains("Aggregate") => ok = true
+      case _ =>
+    }
+    ok
+  }
+
+  /** Leaf tables a subtree scans, by fixture file name. */
+  private def scannedTables(p: LogicalPlan): Seq[String] = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    p.foreach { node =>
+      if (node.children.isEmpty) {
+        val s = node.toString
+        names.foreach(n => if (s.contains(s"$n.parquet")) buf += n)
+      }
+    }
+    buf.distinct.toList
+  }
+
+  // True dimension tables: fixed-cardinality regardless of scale factor
+  // (TPC-H: region=5, nation=25). EVERYTHING else grows with SF and must
+  // never be the argument of an explicit broadcast() unless reduced first.
+  private val trueDims = Set("region", "nation")
+
+  test("sweep: every unpartitioned Window reads group-grain input " +
+      "(no data-sized single-task window anywhere in the suite)") {
+    // No allowlist needed today: all ~11 unpartitioned-window sites run
+    // over bounded aggregates (revenue blocks, deciles, months, langs).
+    // A query that needs a genuine exception must be added here with a
+    // comment justifying why its frame is bounded.
+    val allow = Set.empty[String]
+    for ((name, plan) <- plans if !allow(name)) {
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty =>
+          assert(groupGrain(w.child),
+            s"$name: unpartitioned Window over a non-group-grain child — " +
+              s"this moves the whole input to ONE task at scale. Either " +
+              s"partition the window or block-decompose the prefix sum " +
+              s"(operators/Quantiles discipline).\n" + w.treeString)
+        case _ =>
+      }
+    }
+  }
+
+  test("sweep: every explicit broadcast() wraps a true dim (region/" +
+      "nation), a sub-aggregate, or a bounded sample — never a fact") {
+    // Allowlisted: broadcasts of a FIXED-SIZE probe/seed set selected by
+    // `vec_id < k` — a deployment constant, not a function of corpus size
+    // (the ANN/k-means question at 100 TB is "few probes/seeds against a
+    // huge corpus"). Structurally each is a Filter over the cached
+    // quantized corpus, which this sweep cannot prove bounded.
+    val allow = Set("q45_cosine_topk", "q46_ann_lsh", "q47_ann_ivf",
+      "q108_kmeans_step")
+    val violations = for {
+      (name, plan) <- plans if !allow(name)
+      j <- plan.collect { case j: Join => j }
+      (side, hint) <- Seq(j.left -> j.hint.leftHint,
+        j.right -> j.hint.rightHint)
+      if hint.exists(_.strategy.contains(BROADCAST))
+      if !(groupGrain(side) || scannedTables(side).forall(trueDims))
+    } yield s"$name: broadcast() over ${scannedTables(side).mkString(",")}"
+    assert(violations.isEmpty,
+      "fact-scaled broadcast() sides (grow with SF, OOM at the 100 TB " +
+        "target — shuffle-join on the key and broadcast only true dims " +
+        "or aggregates):\n" + violations.distinct.mkString("\n"))
+  }
+}

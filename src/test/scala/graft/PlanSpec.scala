@@ -730,16 +730,28 @@ class PlanSpec extends SparkSpec {
     assert(pa.contains("partial_sum"), pa)
     assert(!pa.contains("CartesianProduct"),
       "the 1-row revenue total must broadcast:\n" + pa)
+    // the Pareto prefix sum is block-decomposed: every window over the
+    // part-grain table partitions on the revenue block g; the only
+    // unpartitioned ordering runs over the bounded block-totals table
+    val abcSpecs = abc.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(abcSpecs.exists(_.contains("g#")),
+      "the part-grain cumsum must partition on the revenue block:\n"
+        + abcSpecs.mkString("\n"))
   }
 
-  test("q179: the customer/nation/region dims broadcast onto the fact — " +
-      "the orders side never shuffles for the joins") {
+  test("q179: customer scales with SF so it sort-merge-joins on the " +
+      "custkey; only the true dims (nation/region) broadcast") {
     val df = queries.Registry.byName("q179_pct_of_parent").run(spark, sfDir)
     val p = df.queryExecution.explainString(
       ExplainMode.fromString("formatted"))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"),
-      "dim lookups must not shuffle the fact side:\n" + p)
+    assert(p.contains("SortMergeJoin"),
+      "the customer join must be a shuffle join — customer is fact-"
+        + "scaled and must never broadcast:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region are true dims and must broadcast:\n" + p)
+    // the fact side pre-aggregates to customer grain before its shuffle
+    assert(p.contains("partial_sum"), p)
     val specs = df.queryExecution.optimizedPlan.toString.linesIterator
       .filter(_.contains("windowspecdefinition")).toList
     assert(specs.nonEmpty && specs.forall(_.contains("region#")),
