@@ -22,6 +22,13 @@ object Curation {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Label propagation (q185): co-order support threshold for an edge
+    * (the q112/q135 sparsifier) and the FIXED synchronous round count —
+    * the round count is the operator's contract, not a convergence knob.
+    */
+  private val LpMinSupport = 2
+  private val LpRounds = 3
+
   // ---- shared Morton (Z-order) spread, DuckDB side -------------------------
   // Mirrors graft.expressions.Morton2.spread bit-for-bit: same five
   // shift-mask stages, decimal forms of the same constants.
@@ -1256,6 +1263,116 @@ object Curation {
               / max(col("n_viewed")).cast("double")).as("conversion"),
             expr("percentile(delay_ms, 0.5)").as("p50_delay_ms"),
             expr("percentile(delay_ms, 0.9)").as("p90_delay_ms"))
+      }),
+
+    // ---- bounded synchronous label propagation ------------------------------
+    // Community seeding on the co-order part graph (Raghavan et al. 2007,
+    // min-label variant — deterministic, no random tie-breaks): every
+    // node starts as its own label and each SYNCHRONOUS round takes the
+    // min of its own and its neighbors' labels; a FIXED round count (3)
+    // is the operator (the converged fixpoint is q48's connected
+    // components — this is the bounded-round primitive pipelines compose
+    // when full convergence is too expensive). Each round is ONE
+    // co-partitioned join on the node key + a partial-agg min — O(E) per
+    // round, round count data-independent. The oracle unrolls the same 3
+    // rounds as CTEs. Edges reuse the q112/q135 support-thresholded
+    // co-order pairs (fan-out bounded by order width).
+    QuerySpec(
+      "q185_label_prop",
+      Some(s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem),
+        pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey),
+        pe AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+          HAVING COUNT(*) >= $LpMinSupport),
+        e AS (SELECT pa AS s, pb AS t FROM pe
+          UNION ALL SELECT pb AS s, pa AS t FROM pe),
+        l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),
+        l1 AS (SELECT cur.v, LEAST(cur.lbl, MIN(nb.lbl)) AS lbl
+          FROM l0 cur JOIN e ON e.s = cur.v JOIN l0 nb ON nb.v = e.t
+          GROUP BY cur.v, cur.lbl),
+        l2 AS (SELECT cur.v, LEAST(cur.lbl, MIN(nb.lbl)) AS lbl
+          FROM l1 cur JOIN e ON e.s = cur.v JOIN l1 nb ON nb.v = e.t
+          GROUP BY cur.v, cur.lbl),
+        l3 AS (SELECT cur.v, LEAST(cur.lbl, MIN(nb.lbl)) AS lbl
+          FROM l2 cur JOIN e ON e.s = cur.v JOIN l2 nb ON nb.v = e.t
+          GROUP BY cur.v, cur.lbl)
+        SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM l3 GROUP BY 1"""),
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pe = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            Seq("l_orderkey"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= LpMinSupport)
+        val e = pe.select(col("pa").as("s"), col("pb").as("t"))
+          .unionAll(pe.select(col("pb").as("s"), col("pa").as("t")))
+          .cache() // reused every round
+        var labels = e.select(col("s").as("v")).distinct()
+          .withColumn("lbl", col("v"))
+        for (_ <- 1 to LpRounds) {
+          val nbMin = e.join(labels
+              .select(col("v").as("tv"), col("lbl").as("nlbl")),
+              col("t") === col("tv"))
+            .groupBy(col("s")).agg(min(col("nlbl")).as("nmin"))
+          labels = labels.join(nbMin, col("v") === col("s"))
+            .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
+        }
+        labels.groupBy(col("lbl").as("cluster"))
+          .agg(count(lit(1)).as("n_parts"))
+      }),
+
+    // ---- neighborhood Jaccard similarity ------------------------------------
+    // "Customers who bought X also bought Y, normalized": the Jaccard of
+    // two parts' order sets — cooc / (|A| + |B| − cooc) — over the q112
+    // co-occurrence grain. All counts are exact ints off ONE distinct
+    // (order,part) projection: the pair counts from the co-partitioned
+    // order-key self-join (fan-out bounded by order width), per-part
+    // order counts from the same projection, joined back on the part
+    // keys. Top-20 under a TOTAL order (jaccard desc, pa, pb — the
+    // double sorts identically in both engines because it is the same
+    // single divide of the same ints) via TakeOrdered, never a global
+    // sort.
+    QuerySpec(
+      "q186_copurchase_jaccard",
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem),
+        cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+          FROM op GROUP BY 1),
+        pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        j AS (SELECT pa, pb, c, ca.n AS na, cb.n AS nb,
+            CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) AS jaccard
+          FROM pr JOIN cnt ca ON ca.l_partkey = pa
+            JOIN cnt cb ON cb.l_partkey = pb)
+        SELECT pa, pb, c AS n_cooc, na, nb, jaccard FROM j
+        ORDER BY jaccard DESC, pa, pb LIMIT 20"""),
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val pr = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            Seq("l_orderkey"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        pr.join(cnt.select(col("l_partkey").as("ka"), col("n").as("na")),
+            col("ka") === col("pa"))
+          .join(cnt.select(col("l_partkey").as("kb"), col("n").as("nb")),
+            col("kb") === col("pb"))
+          .select(col("pa"), col("pb"), col("c").as("n_cooc"), col("na"),
+            col("nb"),
+            (col("c").cast("double")
+              / (col("na") + col("nb") - col("c")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+          .limit(20)
       })
   )
 }

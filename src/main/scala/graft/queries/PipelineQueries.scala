@@ -87,6 +87,45 @@ object PipelineQueries {
         new graft.pipeline.Gold(s, cat).buildRevenueSummary()
           .select(col("payment_type"), col("month"), col("n_trips"),
             col("total_fare"), col("total_tips"), col("avg_distance"))
+      }),
+
+    // ---- bucketed-layout co-located join ------------------------------------
+    // The one-time layout trade that dominates repeatedly-joined 100 TB
+    // facts: both sides bucket+sort on the join key at REST
+    // (operators.Layout.writeBucketed), so the join needs NO Exchange —
+    // the shuffle was paid once at write time (LayoutSpec asserts the
+    // exchange-free plan; PlanSpec asserts it for this query shape). The
+    // oracle recomputes the join straight from the raw tables, proving
+    // the bucketed write→read→join round-trip is lossless. The `merge`
+    // hint pins SMJ so the check exercises the bucketed-SMJ path rather
+    // than a size-based broadcast that exists only at test SF.
+    QuerySpec(
+      "q184_bucketed_join",
+      Some(s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          ${sqlDsum("o_totalprice")} AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""),
+      (s: SparkSession, d: String) => {
+        // Unique table names per invocation: suites run in parallel and
+        // the session catalog is JVM-global.
+        val tag = java.lang.Long.toHexString(System.nanoTime())
+        val to = s"graft_q184_orders_$tag"
+        val tc = s"graft_q184_customer_$tag"
+        graft.operators.Layout.writeBucketed(
+          Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")),
+          to, "o_custkey", 8)
+        graft.operators.Layout.writeBucketed(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          tc, "c_custkey", 8)
+        s.table(to)
+          .join(s.table(tc).hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
       })
   )
 }

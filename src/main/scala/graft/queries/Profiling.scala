@@ -429,6 +429,32 @@ object Profiling {
             sum(col("c") * col("c")).cast("long").as("predicted_pairs"),
             max(col("c") * col("c")).cast("long").as("max_key_pairs"),
             (sum(col("c") * col("c")).cast("double")
-              / sum(col("c")).cast("double")).as("blowup")))
+              / sum(col("c")).cast("double")).as("blowup"))),
+
+    // ---- power-of-two (log2) value histogram --------------------------------
+    // The magnitude profile a column gets before choosing a compression
+    // codec or a histogram's bucket scale: rows bucketed by the BIT
+    // LENGTH of the integer cents value — floor(log2)+1 computed with NO
+    // floating log (float log2 misbuckets exact powers of two in the
+    // last ulp): Spark's bin() and DuckDB's to_base(·, 2) both render
+    // the minimal binary string, so its length is the bucket in both
+    // engines. One partial-agg shuffle bounded by 64 buckets.
+    QuerySpec(
+      "q187_pow2_hist",
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100, 0)
+              AS BIGINT) AS cents FROM orders)
+        SELECT CAST(length(to_base(cents, 2)) AS BIGINT) AS bits,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(cents) AS BIGINT) AS min_cents,
+          CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM c GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"))
+          .groupBy(length(bin(col("cents"))).cast("long").as("bits"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).cast("long").as("min_cents"),
+            max(col("cents")).cast("long").as("max_cents")))
   )
 }

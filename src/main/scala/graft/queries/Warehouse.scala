@@ -867,6 +867,108 @@ object Warehouse {
             col("region_cents"),
             (col("cents").cast("double") / col("region_cents").cast("double"))
               .as("pct_of_region"))
+      }),
+
+    // ---- linear multi-touch attribution -------------------------------------
+    // q127 gives the last CLICK all the credit; this is the other standard
+    // model: a purchase's value splits evenly across every touch (click or
+    // view) inside the lookback window, so per purchase the click channel
+    // earns value·nc/(nc+nv) and the view channel value·nv/(nc+nv). The
+    // touch counts come from two conditional RANGE windows over the
+    // user's ms-ordered events — NO purchase×touch join, so a hot user
+    // costs one window pass, not a fan-out. Shape: ONE user_id exchange
+    // shared by both windows, then a per-user rollup. Determinism: counts
+    // are exact ints; each credit is the same two-op IEEE tree (mul then
+    // div) on both engines; credits sum on the decimal grid.
+    QuerySpec(
+      "q180_linear_attribution",
+      Some(s"""WITH e AS (SELECT user_id, event_type, value,
+            epoch_ms(ts) AS ms FROM events),
+        w AS (SELECT user_id, event_type, value,
+            CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+              OVER win AS BIGINT) AS nc,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+              OVER win AS BIGINT) AS nv
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms
+            RANGE BETWEEN $AttrWindowMs PRECEDING AND 1 PRECEDING))
+        SELECT user_id, COUNT(*) AS n_purchases,
+          ${Exact.sqlDsum("CASE WHEN nc + nv > 0 THEN (value * CAST(nc AS "
+            + "DOUBLE)) / CAST(nc + nv AS DOUBLE) ELSE 0.0 END")}
+            AS click_credit,
+          ${Exact.sqlDsum("CASE WHEN nc + nv > 0 THEN (value * CAST(nv AS "
+            + "DOUBLE)) / CAST(nc + nv AS DOUBLE) ELSE 0.0 END")}
+            AS view_credit,
+          ${Exact.sqlDsum("CASE WHEN nc + nv = 0 THEN value ELSE 0.0 END")}
+            AS unattributed
+        FROM w WHERE event_type = 'purchase' GROUP BY user_id"""),
+      (s, d) => {
+        val win = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-AttrWindowMs, -1)
+        val nt = (col("nc") + col("nv")).cast("double")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+          .withColumn("nc",
+            count(when(col("event_type") === "click", 1)).over(win))
+          .withColumn("nv",
+            count(when(col("event_type") === "view", 1)).over(win))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            Exact.dsum(when(col("nc") + col("nv") > 0,
+              (col("value") * col("nc").cast("double")) / nt)
+              .otherwise(0.0)).as("click_credit"),
+            Exact.dsum(when(col("nc") + col("nv") > 0,
+              (col("value") * col("nv").cast("double")) / nt)
+              .otherwise(0.0)).as("view_credit"),
+            Exact.dsum(when(col("nc") + col("nv") === 0, col("value"))
+              .otherwise(0.0)).as("unattributed"))
+      }),
+
+    // ---- period-over-period growth ------------------------------------------
+    // The month-over-month / year-over-year report: monthly revenue on the
+    // exact cents grid, then lag-1 and lag-12 growth rates. The fact table
+    // collapses to the |months| grain in ONE partial-agg shuffle; the lag
+    // windows run over that bounded frame only (~84 months at any SF —
+    // group-grain, the GuardSpec rule). Growth is a sub-div pair of IEEE
+    // ops on exact int64→double converts, NULL for the months without a
+    // comparison period (and for a zero base, symmetrically both sides).
+    QuerySpec(
+      "q181_growth_rates",
+      Some("""WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)
+              AS DATE) AS month,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT month, cents,
+          lag(cents, 1) OVER w AS prev_cents,
+          lag(cents, 12) OVER w AS yoy_cents,
+          CASE WHEN lag(cents, 1) OVER w IS NOT NULL
+              AND lag(cents, 1) OVER w != 0 THEN
+            (CAST(cents AS DOUBLE) - CAST(lag(cents, 1) OVER w AS DOUBLE))
+              / CAST(lag(cents, 1) OVER w AS DOUBLE) END AS mom_growth,
+          CASE WHEN lag(cents, 12) OVER w IS NOT NULL
+              AND lag(cents, 12) OVER w != 0 THEN
+            (CAST(cents AS DOUBLE) - CAST(lag(cents, 12) OVER w AS DOUBLE))
+              / CAST(lag(cents, 12) OVER w AS DOUBLE) END AS yoy_growth
+        FROM m WINDOW w AS (ORDER BY month)"""),
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("month"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val w = Window.orderBy(col("month"))
+        def growth(prev: Column): Column =
+          when(prev.isNotNull && prev =!= 0,
+            (col("cents").cast("double") - prev.cast("double"))
+              / prev.cast("double"))
+        m.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .withColumn("yoy_cents", lag(col("cents"), 12).over(w))
+          .select(col("month"), col("cents"), col("prev_cents"),
+            col("yoy_cents"),
+            growth(col("prev_cents")).as("mom_growth"),
+            growth(col("yoy_cents")).as("yoy_growth"))
       })
   )
 }

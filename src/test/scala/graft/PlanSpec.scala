@@ -758,4 +758,80 @@ class PlanSpec extends SparkSpec {
       "the parent subtotal partitions on region over group-grain rows:\n"
         + specs.mkString("\n"))
   }
+
+  test("q180: both attribution count windows partition on user_id — " +
+      "one exchange, no purchase-x-touch join") {
+    val df = queries.Registry.byName("q180_linear_attribution")
+      .run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "attribution must be windows, not a pair join:\n" + p)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "credit windows must partition on user_id:\n" + specs.mkString("\n"))
+    // both conditional counts share ONE Window node (one exchange)
+    val windowNodes = p.linesIterator.count(_.trim.startsWith("Window ("))
+    assert(windowNodes <= 1,
+      s"both counts must share one window pass, saw $windowNodes:\n" + p)
+  }
+
+  test("q181/q187: the growth and pow2-histogram plans are partial+final " +
+      "aggregates; the lag window reads the month grain only") {
+    for (name <- Seq("q181_growth_rates", "q187_pow2_hist")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name needs map-side combine:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q182: the A/B readout joins once on the customer key and " +
+      "collapses to integer sufficient statistics") {
+    val p = plan("q182_ab_test")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      p)
+    assert(p.contains("partial_"),
+      "group sizes must partial-aggregate:\n" + p)
+  }
+
+  test("q183: the Gini rank windows partition on the cents block; only " +
+      "the block-counts table crosses a global ordering") {
+    val df = queries.Registry.byName("q183_gini").run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("g#")),
+      "the per-customer rank must partition on the block:\n"
+        + specs.mkString("\n"))
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q184: the bucketed join is exchange-free on both sides") {
+    val df = queries.Registry.byName("q184_bucketed_join").run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint must pin SMJ over the bucketed layout:\n" + p)
+    // the ONLY exchange allowed is the final 5-group aggregate's; the
+    // join itself must read the bucketed layout shuffle-free
+    val joinPart = p.linesIterator.dropWhile(!_.contains("SortMergeJoin"))
+      .toList
+    assert(!joinPart.exists(_.contains("Exchange")),
+      "bucketed sides must not re-shuffle below the join:\n" + p)
+  }
+
+  test("q185/q186: the co-order graph rounds and the Jaccard top-k " +
+      "stay equi-join + TakeOrdered — no BNL, no global sort") {
+    val p185 = plan("q185_label_prop")
+    assert(!p185.contains("BroadcastNestedLoopJoin")
+      && !p185.contains("Cartesian"), p185)
+    assert(p185.contains("partial_min"),
+      "neighbor min must combine map-side:\n" + p185)
+    val p186 = plan("q186_copurchase_jaccard")
+    assert(!p186.contains("BroadcastNestedLoopJoin")
+      && !p186.contains("Cartesian"), p186)
+    assert(p186.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort:\n" + p186)
+  }
 }
