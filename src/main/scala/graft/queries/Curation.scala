@@ -29,6 +29,12 @@ object Curation {
   private val LpMinSupport = 2
   private val LpRounds = 3
 
+  /** Rolling-median trailing frame (q188): 6 hours in epoch-ms. */
+  private val RollMedianMs = 6L * 3600000L
+
+  /** Systematic sampling stride (q192): keep ranks 1, K+1, 2K+1, … */
+  private val SysSampleK = 100
+
   // ---- shared Morton (Z-order) spread, DuckDB side -------------------------
   // Mirrors graft.expressions.Morton2.spread bit-for-bit: same five
   // shift-mask stages, decimal forms of the same constants.
@@ -1373,6 +1379,131 @@ object Curation {
               .as("jaccard"))
           .orderBy(col("jaccard").desc, col("pa"), col("pb"))
           .limit(20)
+      }),
+
+    // ---- trailing-window rolling median -------------------------------------
+    // The robust smoother plain moving averages aren't: each event gets
+    // the median of its user's values over the trailing 6 hours. The
+    // series key (user_id) is the partition — the natural distribution
+    // for per-entity time series (the q172 discipline); the RANGE frame
+    // on epoch-ms bounds the per-row working set by time, not corpus.
+    // Median is the collect+sort+two-product interpolation over exact
+    // cents — identical to DuckDB's windowed quantile_cont(0.5) (the
+    // interpolation form QuantilesSpec pins). Range frames take a single
+    // numeric sort key, so same-ms peers are IN frame on both engines
+    // identically — no tiebreak dialect to align.
+    QuerySpec(
+      "q188_rolling_median",
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents,
+            epoch_ms(ts) AS ms FROM events)
+        SELECT user_id, event_id, cents,
+          median(cents) OVER (PARTITION BY user_id ORDER BY ms
+            RANGE BETWEEN $RollMedianMs PRECEDING AND CURRENT ROW)
+            AS roll_med
+        FROM e"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-RollMedianMs, 0)
+        val arr = array_sort(collect_list(col("cents")).over(w))
+        val hD = (size(arr) - 1).cast("double") * lit(0.5)
+        val frac = hD - floor(hD)
+        val lo = element_at(arr, floor(hD).cast("int") + 1).cast("double")
+        val hi = element_at(arr, ceil(hD).cast("int") + 1).cast("double")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+          .withColumn("roll_med",
+            (lit(1.0) - frac) * lo + frac * hi)
+          .drop("ms")
+      }),
+
+    // ---- survivorship merge (column-wise best record) -----------------------
+    // The MDM/golden-record operator: per entity, each COLUMN survives
+    // independently — the latest event type overall, the latest CLICK
+    // value, the latest PURCHASE value, the latest SIGNUP props — rather
+    // than q24's whole-row latest-wins. One user_id exchange shared by
+    // all four ignoreNulls first-value windows (full-partition frame) and
+    // the rank that picks the output row; ties order on event_id (the
+    // q127 discipline). first(·, ignoreNulls) and DuckDB's
+    // `first_value(· IGNORE NULLS)` agree — the q172 dialect pairing.
+    QuerySpec(
+      "q191_survivorship",
+      Some("""WITH w AS (SELECT user_id,
+            first_value(event_type) OVER win AS last_type,
+            first_value(CASE WHEN event_type = 'click' THEN value END
+              IGNORE NULLS) OVER win AS last_click_value,
+            first_value(CASE WHEN event_type = 'purchase' THEN value END
+              IGNORE NULLS) OVER win AS last_purchase_value,
+            first_value(CASE WHEN event_type = 'signup' THEN props END
+              IGNORE NULLS) OVER win AS last_signup_props,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WINDOW win AS (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, last_type, last_click_value, last_purchase_value,
+          last_signup_props
+        FROM w WHERE rn = 1"""),
+      (s, d) => {
+        val ord = Seq(col("ts").desc, col("event_id").desc)
+        val win = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        val wr = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        t(s, d, "events")
+          .withColumn("last_type", first(col("event_type")).over(win))
+          .withColumn("last_click_value",
+            first(when(col("event_type") === "click", col("value")),
+              ignoreNulls = true).over(win))
+          .withColumn("last_purchase_value",
+            first(when(col("event_type") === "purchase", col("value")),
+              ignoreNulls = true).over(win))
+          .withColumn("last_signup_props",
+            first(when(col("event_type") === "signup", col("props")),
+              ignoreNulls = true).over(win))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("last_type"),
+            col("last_click_value"), col("last_purchase_value"),
+            col("last_signup_props"))
+      }),
+
+    // ---- systematic sampling ------------------------------------------------
+    // Every K-th record of the keyed stream — the audit/QA sample with
+    // guaranteed even coverage that Bernoulli sampling can't give. The
+    // global position comes from block prefix COUNTS partitioned on the
+    // key block (the q183/Quantiles rank discipline — no single-task
+    // window); the only unpartitioned ordering runs over the bounded
+    // block-counts table. Row-local modulus picks ranks 1, K+1, 2K+1, …
+    QuerySpec(
+      "q192_systematic_sample",
+      Some(s"""WITH r AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+            CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rk
+          FROM orders)
+        SELECT rk, o_orderkey, cents FROM r
+        WHERE rk % $SysSampleK = 1"""),
+      (s, d) => {
+        val blockBits = 14
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .withColumn("g", expr(s"o_orderkey div ${1L << blockBits}"))
+          .cache() // feeds block counts AND the in-block ranks
+        val wIn = Window.partitionBy(col("g")).orderBy(col("o_orderkey"))
+        val within = o.withColumn("rn", row_number().over(wIn))
+        val bc = o.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+        val wB = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bc.withColumn("boff",
+          coalesce(sum(col("bn")).over(wB), lit(0L)))
+        within
+          .join(broadcast(boff.select(col("g"), col("boff"))), "g")
+          .withColumn("rk", col("boff") + col("rn"))
+          .filter(col("rk") % SysSampleK === 1)
+          .select(col("rk"), col("o_orderkey"), col("cents"))
       })
   )
 }

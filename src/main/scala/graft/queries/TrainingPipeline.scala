@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Exact, Portable}
 import graft.functions.Portable.h64Duck
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -463,6 +463,140 @@ object TrainingPipeline {
             sum(col("n_toks")).as("shard_tokens"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
+      }),
+
+    // ---- quantile normalization ---------------------------------------------
+    // The ML-preprocessing transform that maps each group's values onto a
+    // COMMON distribution (here: the global one), so per-group scale and
+    // shape differences vanish while ranks are preserved — the
+    // bioinformatics/feature-pipeline standard. Distributed shape: the
+    // data collapses to the (group, value) HISTOGRAM grain (one
+    // partial-agg shuffle; grain bounded by |groups|×|distinct cents|,
+    // corpus-size independent for fixed-range integer domains); the
+    // within-group mid-rank comes from block prefix sums partitioned on
+    // (group, cents-block) — NEVER a per-group single-task window (3
+    // fact-sized partitions is the q176 cliff with a different hat); the
+    // 101-point global quantile grid comes from operators.Quantiles and
+    // broadcasts. The mapped value is two element_at lookups + one
+    // two-product interpolation — the same IEEE tree both engines
+    // (QuantilesSpec pins the grid itself bitwise).
+    QuerySpec(
+      "q189_quantile_norm",
+      Some {
+        val ps = (0 to 100).map(i => f"${i / 100.0}%.2f").mkString(", ")
+        s"""WITH c AS (SELECT l_returnflag AS flag,
+              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem),
+          hc AS (SELECT flag, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM c GROUP BY 1, 2),
+          nn AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM hc
+            GROUP BY 1),
+          r AS (SELECT flag, cents, cnt,
+              CAST(COALESCE(SUM(cnt) OVER (PARTITION BY flag
+                ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM hc),
+          g AS (SELECT quantile_cont(cents, [$ps]) AS cuts FROM c),
+          p AS (SELECT r.flag, r.cnt,
+              (CAST(r.cb AS DOUBLE) + 0.5 * CAST(r.cnt - 1 AS DOUBLE))
+                / CAST(nn.n - 1 AS DOUBLE) AS pr, nn.n
+            FROM r JOIN nn ON nn.flag = r.flag),
+          q AS (SELECT flag, cnt, n,
+              CASE WHEN CAST(FLOOR(pr * 100.0) AS INT) >= 100
+                THEN cuts[101]
+                ELSE (1.0 - (pr * 100.0 - FLOOR(pr * 100.0)))
+                    * cuts[CAST(FLOOR(pr * 100.0) AS INT) + 1]
+                  + (pr * 100.0 - FLOOR(pr * 100.0))
+                    * cuts[CAST(FLOOR(pr * 100.0) AS INT) + 2] END AS norm
+            FROM p, g)
+          SELECT flag, MAX(n) AS n,
+            ${Exact.sqlDsum("norm * CAST(cnt AS DOUBLE)")} AS norm_sum,
+            MIN(norm) AS norm_min, MAX(norm) AS norm_max
+          FROM q GROUP BY flag"""
+      },
+      (s, d) => {
+        val blockBits = 20
+        val c = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val cuts = graft.operators.Quantiles
+          .exactQuantiles(c, col("cents"), (0 to 100).map(_ / 100.0))
+        val hc = c.groupBy(col("flag"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("g", expr(s"cents div ${1L << blockBits}"))
+          .cache() // (flag, value) histogram feeds counts AND both cums
+        val nn = hc.groupBy(col("flag")).agg(sum(col("cnt")).cast("long")
+          .as("n"))
+        val wIn = Window.partitionBy(col("flag"), col("g"))
+          .orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = hc.withColumn("cb_in",
+          coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+        val bt = hc.groupBy(col("flag"), col("g"))
+          .agg(sum(col("cnt")).as("btot"))
+        val wB = Window.partitionBy(col("flag")).orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bt.withColumn("boff",
+          coalesce(sum(col("btot")).over(wB), lit(0L)))
+        val pr = ((col("cb").cast("double")
+          + lit(0.5) * (col("cnt") - 1).cast("double"))
+          / (col("n") - 1).cast("double"))
+        val h = col("pr") * lit(100.0)
+        val k = floor(h)
+        val frac = h - k
+        val norm = when(k.cast("int") >= 100, element_at(col("cuts"), 101))
+          .otherwise((lit(1.0) - frac)
+              * element_at(col("cuts"), k.cast("int") + 1)
+            + frac * element_at(col("cuts"), k.cast("int") + 2))
+        within
+          .join(broadcast(boff.select(col("flag"), col("g"), col("boff"))),
+            Seq("flag", "g"))
+          .withColumn("cb", col("boff") + col("cb_in"))
+          .join(broadcast(nn), "flag")
+          .withColumn("pr", pr)
+          .crossJoin(broadcast(cuts)) // 1-row 101-cut grid
+          .withColumn("norm", norm)
+          .groupBy(col("flag"))
+          .agg(max(col("n")).as("n"),
+            Exact.dsum(col("norm") * col("cnt").cast("double"))
+              .as("norm_sum"),
+            min(col("norm")).as("norm_min"),
+            max(col("norm")).as("norm_max"))
+      }),
+
+    // ---- per-group min-max feature scaling ----------------------------------
+    // The other preprocessing staple: x → (x − min)/(max − min) within
+    // each group. Group extrema are one partial-agg shuffle; they
+    // broadcast back (group-grain — the GuardSpec rule) and the scaling
+    // is row-local integer subtraction + one IEEE divide, checksummed on
+    // the decimal grid. Zero-range groups map to 0 symmetrically.
+    QuerySpec(
+      "q190_feature_scale",
+      Some(s"""WITH c AS (SELECT event_type,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        m AS (SELECT event_type, CAST(MIN(cents) AS BIGINT) AS mn,
+            CAST(MAX(cents) AS BIGINT) AS mx FROM c GROUP BY 1)
+        SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          MAX(m.mn) AS min_cents, MAX(m.mx) AS max_cents,
+          ${Exact.sqlDsum("CASE WHEN m.mx > m.mn THEN CAST(c.cents - m.mn "
+            + "AS DOUBLE) / CAST(m.mx - m.mn AS DOUBLE) ELSE 0.0 END")}
+            AS scaled_sum
+        FROM c JOIN m ON m.event_type = c.event_type
+        GROUP BY c.event_type"""),
+      (s, d) => {
+        val c = t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val m = c.groupBy(col("event_type"))
+          .agg(min(col("cents")).cast("long").as("mn"),
+            max(col("cents")).cast("long").as("mx"))
+        c.join(broadcast(m), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(col("mn")).as("min_cents"),
+            max(col("mx")).as("max_cents"),
+            Exact.dsum(when(col("mx") > col("mn"),
+              (col("cents") - col("mn")).cast("double")
+                / (col("mx") - col("mn")).cast("double"))
+              .otherwise(0.0)).as("scaled_sum"))
       })
   )
 }
