@@ -472,6 +472,41 @@ object Corpus {
           .agg(min(col("rk")).cast("int").as("rk"),
             sum(col("n")).cast("long").as("n_docs"),
             count(lit(1)).as("n_langs_in_class"))
+      }),
+
+    // ---- feature hashing (the hashing trick) --------------------------------
+    // Vowpal-Wabbit-style dimensionality reduction: every token maps to
+    // one of a FIXED number of buckets via a hash, so the feature space
+    // is bounded no matter how large the vocabulary grows — the standard
+    // way to featurize an unbounded token stream for linear models at
+    // scale. One explode + one partial-agg shuffle on the bucket id; the
+    // output grain is the bucket table (256 rows, corpus-independent).
+    // The bucket hash is the portable 60-bit md5 prefix (h64), salted so
+    // this feature space is independent of the other h64 users; count
+    // distincts expand to (bucket, term)/(bucket, doc) pairs — still
+    // shuffle-bounded by the explode size, the same shape q145's
+    // document-frequency pass runs.
+    QuerySpec(
+      "q196_feature_hash",
+      Some(s"""WITH tok AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+        SELECT ${Portable.h64Duck("'feat:' || term")} % 256 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+          MIN(term) AS first_term
+        FROM tok GROUP BY 1"""),
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy((expr(Portable.h64Spark("concat('feat:', term)")) % 256)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("term")).as("n_terms"),
+            min(col("term")).as("first_term"))
       })
   )
 }

@@ -1504,6 +1504,65 @@ object Curation {
           .withColumn("rk", col("boff") + col("rn"))
           .filter(col("rk") % SysSampleK === 1)
           .select(col("rk"), col("o_orderkey"), col("cents"))
+      }),
+
+    // ---- exponential smoothing (EWMA, α = 1/2) ------------------------------
+    // The classic recursive smoother e_t = α·x_t + (1−α)·e_{t−1}, made
+    // associative-exact by fixing α = 1/2: every weight is a NEGATIVE
+    // POWER OF TWO, so each term x_k / 2^j is one exact IEEE divide (no
+    // pow(), no libm variance), and the sum runs on the Exact decimal
+    // grid — order-independent. The recursion unrolls to e_t =
+    // x_1/2^(t−1) + Σ_{k=2..t} x_k/2^(t−k+1); weights beyond 2^62 are
+    // exactly 0 on the round-4 grid (term < 5e-15 · max cents), so the
+    // shift caps at 62 identically in both engines. Distributed shape:
+    // the series collapses to the (type, day) grain first (one
+    // partial-agg shuffle; grain = |types| × |days in range|, corpus-size
+    // independent), and the unrolled sum is a self-join of that BOUNDED
+    // grain co-partitioned on the type — fan-out ≤ |days|, never
+    // fact-sized. The day index comes from a per-type window over the
+    // same bounded grain.
+    QuerySpec(
+      "q198_ewma",
+      Some(s"""WITH daily AS (SELECT event_type,
+            CAST(ts AS DATE) AS day,
+            CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        ix AS (SELECT event_type, day, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t
+          FROM daily),
+        terms AS (SELECT a.event_type, a.day, a.t, a.x,
+            CASE WHEN b.t = 1 THEN a.t - 1 ELSE a.t - b.t + 1 END AS j,
+            b.x AS xk
+          FROM ix a JOIN ix b
+            ON b.event_type = a.event_type AND b.t <= a.t)
+        SELECT event_type, day, MAX(t) AS t, MAX(x) AS x_cents,
+          ${Exact.sqlDsum("""CASE WHEN j <= 62
+              THEN CAST(xk AS DOUBLE) / CAST(CAST(1 AS BIGINT) << j AS DOUBLE)
+              ELSE 0.0 END""")} AS ewma
+        FROM terms GROUP BY event_type, day"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val ix = daily.withColumn("t", row_number().over(w).cast("long"))
+          .cache() // bounded grain feeds both sides of the unroll join
+        val b = ix.select(col("event_type"), col("t").as("tk"),
+          col("x").as("xk"))
+        val j = when(col("tk") === 1, col("t") - 1)
+          .otherwise(col("t") - col("tk") + 1)
+        ix.join(b, Seq("event_type"))
+          .filter(col("tk") <= col("t"))
+          .withColumn("j", j)
+          .withColumn("term", when(col("j") <= 62,
+            col("xk").cast("double")
+              / expr("cast(shiftleft(1L, cast(j as int)) as double)"))
+            .otherwise(lit(0.0)))
+          .groupBy(col("event_type"), col("day"))
+          .agg(max(col("t")).as("t"), max(col("x")).as("x_cents"),
+            graft.functions.Exact.dsum(col("term")).as("ewma"))
       })
   )
 }

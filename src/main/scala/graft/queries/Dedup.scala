@@ -368,6 +368,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Sorted-neighborhood window width (q194): each record pairs with the
+    * next W−1 records in blocking-key order.
+    */
+  private val SnWindow = 10
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup by normalized content fingerprint --------------------
@@ -736,6 +741,72 @@ object Dedup {
             col("containment"),
             (col("i").cast("double") / (col("la") + col("lb") - col("i")))
               .as("jaccard"))
+      }),
+
+    // ---- sorted-neighborhood dedup blocking ---------------------------------
+    // The third classic blocking family next to LSH (q41) and exact
+    // fingerprints (q40): sort the corpus by a blocking key (normalized
+    // text prefix, doc_id tiebreak for a total order), slide a W-record
+    // window over the sorted sequence, and emit every pair within the
+    // window — O(W·n) candidates with guaranteed coverage of near-ties
+    // that hash-based blocking can split. The global sort RANK comes from
+    // the block prefix-sum discipline (q183/q192): within-block
+    // row_number partitioned on the 4-char key prefix + a prefix-summed
+    // block-offsets table (≤ |alphabet|^4 rows, corpus-independent)
+    // broadcast back — the one unpartitioned window reads only that
+    // bounded aggregate, never the corpus. Hot prefixes (natural-language
+    // skew) widen individual blocks linearly with the corpus; the fix at
+    // scale is a deeper prefix (the block key is a knob, not a shape
+    // change). Pair generation is an EQUI-join: each record explodes into
+    // W−1 (rank + offset) probes — fan-out bounded by W, no range join,
+    // no BNL. Pair scoring (same source / same language / exact-dup
+    // fingerprint) is row-local; output collapses to one audit row.
+    QuerySpec(
+      "q194_sorted_neighborhood",
+      Some(s"""WITH k AS (SELECT doc_id, source, lang,
+            md5(lower(text)) AS fp,
+            substring(lower(text), 1, 24) AS key FROM documents),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id)
+            AS BIGINT) AS rk FROM k)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(*) FILTER (WHERE a.source = b.source) AS BIGINT)
+            AS n_same_source,
+          CAST(COUNT(*) FILTER (WHERE a.lang = b.lang) AS BIGINT)
+            AS n_same_lang,
+          CAST(COUNT(*) FILTER (WHERE a.fp = b.fp) AS BIGINT)
+            AS n_exact_dup,
+          CAST(SUM(b.rk - a.rk) AS BIGINT) AS gap_sum
+        FROM r a JOIN r b
+          ON b.rk BETWEEN a.rk + 1 AND a.rk + ${SnWindow - 1}"""),
+      (s, d) => {
+        val k = t(s, d, "documents").select(col("doc_id"), col("source"),
+            col("lang"), md5(lower(col("text"))).as("fp"),
+            substring(lower(col("text")), 1, 24).as("key"))
+          .withColumn("g", substring(col("key"), 1, 4))
+        val wIn = Window.partitionBy(col("g"))
+          .orderBy(col("key"), col("doc_id"))
+        val within = k.withColumn("rn", row_number().over(wIn).cast("long"))
+        val wB = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = within.groupBy(col("g")).agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        val r = within
+          .join(broadcast(boff.select(col("g"), col("boff"))), "g")
+          .withColumn("rk", col("boff") + col("rn"))
+          .select(col("rk"), col("source"), col("lang"), col("fp"))
+        val probes = r
+          .withColumn("off",
+            explode(lit((1 until SnWindow).toArray)))
+          .select((col("rk") + col("off")).as("rk"), col("rk").as("rk_a"),
+            col("source").as("src_a"), col("lang").as("lang_a"),
+            col("fp").as("fp_a"))
+        probes.join(r, "rk")
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("src_a") === col("source"), 1))
+              .as("n_same_source"),
+            count(when(col("lang_a") === col("lang"), 1)).as("n_same_lang"),
+            count(when(col("fp_a") === col("fp"), 1)).as("n_exact_dup"),
+            sum(col("rk") - col("rk_a")).cast("long").as("gap_sum"))
       })
   )
 }

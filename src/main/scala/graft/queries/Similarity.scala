@@ -39,6 +39,11 @@ object Similarity {
   /** Query set: a fixed small id range, so size is sf-independent. */
   private val NumQueries = 10
 
+  /** q200 codebook size: codewords per PQ subspace (a fixed seed-id
+    * range, sf-independent like the query set).
+    */
+  private val PqCodes = 8
+
   /** q98 semantic-dedup cosine threshold (same similarity scale as q44). */
   private val SemThreshold = 0.4
 
@@ -374,7 +379,125 @@ object Similarity {
           .agg(min(col("kept")).as("dup_of"),
             count(lit(1)).as("n_closer"))
           .select(col("vec_id"), col("cell").cast("int").as("cell"),
-            col("dup_of"), col("n_closer")))
+            col("dup_of"), col("n_closer"))),
+
+    // ---- k-NN majority-vote classification ----------------------------------
+    // The label-propagation workhorse for weakly-labeled corpora: classify
+    // each query vector by the majority label of its k exact-cosine
+    // nearest neighbors in the labeled reference set (vec_id >= the query
+    // range). Same broadcast-query / corpus-scan shape as q45 — the big
+    // side never shuffles for the scoring; the per-query top-k window
+    // partitions on query_id, and the vote runs over the k·|queries|-row
+    // top-k table (bounded). Both tie-breaks are total orders: neighbors
+    // on (cosine DESC, vec_id), votes on (count DESC, label ASC).
+    QuerySpec(
+      "q199_knn_classify",
+      Some(s"""WITH $duckQuantCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          q AS (SELECT en.vec_id AS q_id, qv AS q_qv, nsq AS q_nsq,
+              lab.label AS true_label
+            FROM en JOIN lab ON lab.vec_id = en.vec_id
+            WHERE en.vec_id < $NumQueries),
+          scored AS (SELECT q_id, true_label, en.vec_id AS neighbor_id,
+              CAST(${qdotDuck("q_qv", "en.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(en.nsq AS DOUBLE)))
+                AS cosine
+            FROM q JOIN en ON en.vec_id >= $NumQueries),
+          top AS (SELECT * FROM (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+              FROM scored) z WHERE rk <= $K),
+          votes AS (SELECT top.q_id, MAX(top.true_label) AS true_label,
+              lab.label AS pred_label, CAST(COUNT(*) AS BIGINT) AS votes
+            FROM top JOIN lab ON lab.vec_id = top.neighbor_id
+            GROUP BY top.q_id, lab.label)
+          SELECT q_id AS query_id, true_label, pred_label, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY votes DESC, pred_label) AS vr FROM votes) v
+          WHERE vr = 1"""),
+      (s, d) => {
+        val e = quantized(s, d, withSig = false)
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .join(lab, "vec_id")
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"), col("label").as("true_label"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val top = e.filter(col("vec_id") >= NumQueries)
+          .join(broadcast(q))
+          .withColumn("cosine", cosineCol)
+          .select(col("q_id"), col("true_label"),
+            col("vec_id").as("neighbor_id"), col("cosine"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= K)
+        val wVote = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("pred_label"))
+        top.join(lab.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "pred_label"), "neighbor_id")
+          .groupBy(col("q_id"), col("pred_label"))
+          .agg(max(col("true_label")).as("true_label"),
+            count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("q_id").as("query_id"), col("true_label"),
+            col("pred_label"), col("votes"))
+      }),
+
+    // ---- product-quantization codebook assignment ---------------------------
+    // The IVF-PQ building block: split each 64-dim vector into 4
+    // contiguous 16-dim subspaces and assign each sub-vector to its
+    // nearest codeword by EXACT integer L2² over the quantized grid (the
+    // codebook is the sub-vectors of a fixed seed-id range — the same
+    // deployment-constant probe-set pattern as q45/q108, so it
+    // broadcasts). argmin tie-breaks to the smaller codeword id via the
+    // min-then-min two-step (no engine-specific arg_min semantics).
+    // Output is the (subspace, code) OCCUPANCY table plus exact integer
+    // distortion sums — the statistic a PQ trainer iterates on. 100 TB
+    // shape: one corpus scan, 4× explode, broadcast codebook, one
+    // partial-agg shuffle to the 32-row grain.
+    QuerySpec(
+      "q200_pq_assign",
+      Some(s"""WITH $duckQuantCte,
+          sub AS (SELECT vec_id, s, qv[s*16+1 : s*16+16] AS sq
+            FROM en, (SELECT unnest(range(0, 4)) AS s) z),
+          cb AS (SELECT vec_id AS cid, s, sq AS csq FROM sub
+            WHERE vec_id < $PqCodes),
+          dist AS (SELECT sub.vec_id, sub.s, cb.cid,
+              CAST(list_sum([(sub.sq[i] - cb.csq[i])
+                  * (sub.sq[i] - cb.csq[i])
+                for i in range(1, 17)]) AS BIGINT) AS d2
+            FROM sub JOIN cb ON cb.s = sub.s),
+          mn AS (SELECT vec_id, s, MIN(d2) AS m FROM dist GROUP BY 1, 2),
+          asg AS (SELECT dist.vec_id, dist.s, MIN(dist.cid) AS code,
+              MIN(mn.m) AS m
+            FROM dist JOIN mn ON mn.vec_id = dist.vec_id
+              AND mn.s = dist.s AND dist.d2 = mn.m
+            GROUP BY 1, 2)
+          SELECT CAST(s AS INTEGER) AS s, code,
+            CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            CAST(SUM(m) AS BIGINT) AS distortion
+          FROM asg GROUP BY 1, 2"""),
+      (s, d) => {
+        val e = quantized(s, d, withSig = false)
+        val sub = e.withColumn("s", explode(lit((0 until 4).toArray)))
+          .withColumn("sq", expr("slice(qv, s * 16 + 1, 16)"))
+          .select(col("vec_id"), col("s"), col("sq"))
+        val cb = sub.filter(col("vec_id") < PqCodes)
+          .select(col("vec_id").as("cid"), col("s"), col("sq").as("csq"))
+        val dist = sub.join(broadcast(cb), "s")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(sq, csq, (a, b) -> (a - b) * (a - b)), " +
+              "0L, (acc, v) -> acc + v)"))
+        val mn = dist.groupBy(col("vec_id"), col("s")).agg(min(col("d2"))
+          .as("m"))
+        dist.join(mn, Seq("vec_id", "s"))
+          .filter(col("d2") === col("m"))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min(col("cid")).as("code"), min(col("m")).as("m"))
+          .groupBy(col("s"), col("code"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("m")).cast("long").as("distortion"))
+      })
   )
 }
 

@@ -597,6 +597,121 @@ object TrainingPipeline {
               (col("cents") - col("mn")).cast("double")
                 / (col("mx") - col("mn")).cast("double"))
               .otherwise(0.0)).as("scaled_sum"))
+      }),
+
+    // ---- leave-one-out target encoding --------------------------------------
+    // The categorical-feature staple for gradient-boosted / linear models:
+    // replace a category with the mean of the target over the OTHER rows
+    // of the same category — leave-one-out, so a row never sees its own
+    // label (the leakage the naive mean encoding has). Distributed shape:
+    // one partial-agg shuffle to the category grain (n, sum), category
+    // stats broadcast back (group-grain — the GuardSpec rule), and the
+    // LOO value (sum − y)/(n − 1) is row-local integer subtraction plus
+    // ONE IEEE divide of exact longs — bit-identical in both engines.
+    // Singleton categories have no "other rows": enc is NULL (NULLIF) on
+    // both sides rather than a silent divide-by-zero. Output collapses to
+    // the category grain with an Exact-grid checksum over the row-level
+    // encodings.
+    QuerySpec(
+      "q193_target_encode",
+      Some(s"""WITH b AS (SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y FROM orders),
+        m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(y) AS BIGINT) AS sy FROM b GROUP BY 1),
+        e AS (SELECT b.g, m.n,
+            CAST(m.sy - b.y AS DOUBLE)
+              / CAST(NULLIF(m.n - 1, 0) AS DOUBLE) AS enc
+          FROM b JOIN m ON m.g = b.g)
+        SELECT g, MAX(n) AS n, ${Exact.sqlDsum("enc")} AS enc_sum,
+          MIN(enc) AS enc_min, MAX(enc) AS enc_max
+        FROM e GROUP BY g"""),
+      (s, d) => {
+        val b = t(s, d, "orders").select(col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+        val m = b.groupBy(col("g")).agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("long").as("sy"))
+        b.join(broadcast(m), "g")
+          .withColumn("enc", (col("sy") - col("y")).cast("double")
+            / nullif(col("n") - 1, lit(0L)).cast("double"))
+          .groupBy(col("g"))
+          .agg(max(col("n")).as("n"),
+            Exact.dsum(col("enc")).as("enc_sum"),
+            min(col("enc")).as("enc_min"),
+            max(col("enc")).as("enc_max"))
+      }),
+
+    // ---- per-group median imputation ----------------------------------------
+    // Fill missing values with the group's median — the robust imputation
+    // default. "Missing" is a deterministic pseudo-mask (cents % 97 = 0,
+    // ~1% of rows) since the fixture has no physical NULLs; the mask is
+    // identical on both engines. The median comes from the (group, cents)
+    // HISTOGRAM grain — one partial-agg shuffle; the grain is bounded by
+    // |groups| × |distinct cents| (the value DOMAIN, fixed by the price
+    // range, corpus-size independent), so the per-group cumulative window
+    // over it never sees fact-sized data. Lower/upper median positions
+    // are exact integer ranks; to keep the whole query on the integer
+    // grid the output carries DOUBLED totals (2×cents, median_lo +
+    // median_hi) instead of halved doubles — hash-exact, no float at all.
+    QuerySpec(
+      "q197_group_impute",
+      Some("""WITH c AS (SELECT event_type AS g,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents,
+            (CAST(round(value * 100, 0) AS BIGINT) % 97 = 0) AS miss
+          FROM events),
+        h AS (SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c
+          WHERE NOT miss GROUP BY 1, 2),
+        p AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+            CAST((SUM(cnt) - 1) // 2 AS BIGINT) AS lo,
+            CAST(SUM(cnt) // 2 AS BIGINT) AS hi FROM h GROUP BY 1),
+        r AS (SELECT h.g, h.cents, h.cnt, p.lo, p.hi,
+            CAST(COALESCE(SUM(h.cnt) OVER (PARTITION BY h.g
+              ORDER BY h.cents ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS cb
+          FROM h JOIN p ON p.g = h.g),
+        vl AS (SELECT g, MIN(cents) AS med_lo FROM r
+          WHERE cb <= lo AND lo < cb + cnt GROUP BY 1),
+        vh AS (SELECT g, MIN(cents) AS med_hi FROM r
+          WHERE cb <= hi AND hi < cb + cnt GROUP BY 1),
+        st AS (SELECT g, CAST(COUNT(*) FILTER (WHERE NOT miss) AS BIGINT)
+              AS n_obs,
+            CAST(COUNT(*) FILTER (WHERE miss) AS BIGINT) AS n_miss,
+            CAST(SUM(CASE WHEN miss THEN 0 ELSE cents END) AS BIGINT)
+              AS obs_sum
+          FROM c GROUP BY 1)
+        SELECT st.g, st.n_obs, st.n_miss, vl.med_lo, vh.med_hi,
+          2 * st.obs_sum + st.n_miss * (vl.med_lo + vh.med_hi)
+            AS imputed_total2
+        FROM st JOIN vl ON vl.g = st.g JOIN vh ON vh.g = st.g"""),
+      (s, d) => {
+        val c = t(s, d, "events").select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("miss", col("cents") % 97 === 0)
+        val h = c.filter(!col("miss")).groupBy(col("g"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+        val p = h.groupBy(col("g")).agg(sum(col("cnt")).cast("long").as("n"))
+          .withColumn("lo", floor((col("n") - 1) / 2).cast("long"))
+          .withColumn("hi", floor(col("n") / 2).cast("long"))
+        val wc = Window.partitionBy(col("g")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = h.withColumn("cb", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+          .join(broadcast(p), "g")
+        val vl = r.filter(col("cb") <= col("lo")
+            && col("lo") < col("cb") + col("cnt"))
+          .groupBy(col("g")).agg(min(col("cents")).as("med_lo"))
+        val vh = r.filter(col("cb") <= col("hi")
+            && col("hi") < col("cb") + col("cnt"))
+          .groupBy(col("g")).agg(min(col("cents")).as("med_hi"))
+        val st = c.groupBy(col("g")).agg(
+          count(when(!col("miss"), 1)).as("n_obs"),
+          count(when(col("miss"), 1)).as("n_miss"),
+          sum(when(col("miss"), 0L).otherwise(col("cents"))).cast("long")
+            .as("obs_sum"))
+        st.join(broadcast(vl), "g").join(broadcast(vh), "g")
+          .select(col("g"), col("n_obs"), col("n_miss"),
+            col("med_lo"), col("med_hi"),
+            (lit(2L) * col("obs_sum")
+              + col("n_miss") * (col("med_lo") + col("med_hi")))
+              .as("imputed_total2"))
       })
   )
 }

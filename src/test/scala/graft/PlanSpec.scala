@@ -834,4 +834,82 @@ class PlanSpec extends SparkSpec {
     assert(p186.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrdered, not a global sort:\n" + p186)
   }
+
+  test("q188/q191: the rolling-median and survivorship windows all " +
+      "partition on user_id — per-entity series, never global") {
+    for (name <- Seq("q188_rolling_median", "q191_survivorship")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+        s"$name windows must partition on user_id:\n" + specs.mkString("\n"))
+    }
+  }
+
+  test("q189/q192/q194: global ranks come from block prefix sums — the " +
+      "only unpartitioned ordering reads the block-counts aggregate") {
+    for ((name, blockKey) <- Seq("q189_quantile_norm" -> "g#",
+        "q192_systematic_sample" -> "g#",
+        "q194_sorted_neighborhood" -> "g#")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      // q189 carries the suite's one sanctioned BNL shape: the broadcast
+      // cross join of the 1-row quantile-cut grid (same as q101/q102)
+      if (name != "q189_quantile_norm")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      // every window keys on the block id — either partitioned on it
+      // (row-grain ranks) or ordering the bounded block-counts table by
+      // it (GuardSpec separately proves any empty-partition window reads
+      // an aggregate)
+      val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(specs.nonEmpty && specs.forall(_.contains(blockKey)),
+        s"$name windows must key on the block id:\n" + specs.mkString("\n"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q193/q190: the encode/scale lookups broadcast the group-grain " +
+      "stats — one fact scan, no fact-side shuffle join") {
+    for (name <- Seq("q193_target_encode", "q190_feature_scale")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name group stats must broadcast:\n" + p)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must not shuffle the fact side for a group-grain " +
+          s"lookup:\n" + p)
+      assert(p.contains("partial_"),
+        s"$name group stats must combine map-side:\n" + p)
+    }
+  }
+
+  test("q195/q197: the day/histogram grains collapse map-side before " +
+      "any window; per-type windows partition on event_type") {
+    for ((name, key) <- Seq("q195_cusum" -> "event_type#",
+        "q197_group_impute" -> "g#")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(p.contains("partial_"),
+        s"$name grain aggregate must combine map-side:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"), s"$name:\n" + p)
+      val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(specs.forall(_.contains(key)),
+        s"$name windows must partition on the group key:\n"
+          + specs.mkString("\n"))
+    }
+  }
+
+  test("q196: feature hashing is one explode + one partial-agg shuffle " +
+      "— no join anywhere") {
+    val p = plan("q196_feature_hash")
+    assert(p.contains("Generate"), "the token explode:\n" + p)
+    assert(p.contains("partial_"),
+      "bucket counts must combine map-side:\n" + p)
+    assert(!p.contains("Join"), "no join belongs in this plan:\n" + p)
+  }
 }
