@@ -155,7 +155,25 @@ object Plans {
       ("Percent-of-parent: orders pre-aggregate to customer grain, then "
         + "SMJ on custkey (customer is fact-scaled — never broadcast); "
         + "only nation/region broadcast; the parent subtotal windows "
-        + "over |nations| group-grain rows."))
+        + "over |nations| group-grain rows."),
+    "q192_systematic_sample" ->
+      ("Global rank via block prefix sums (the q183/q189/q194 shape): "
+        + "within-block row_number partitions on the block key; the one "
+        + "unpartitioned ordering reads the block-counts aggregate; "
+        + "offsets broadcast back."),
+    "q194_sorted_neighborhood" ->
+      ("Sliding-window pair generation as an EQUI join: each record "
+        + "explodes into W-1 rank+offset probes — bounded fan-out, no "
+        + "range join, no BNL."),
+    "q198_ewma" ->
+      ("Recursive smoother unrolled over the bounded (type, day) grain: "
+        + "one partial-agg shuffle to the grain, then a co-partitioned "
+        + "self-join of that grain only — the fact table is scanned "
+        + "once and never re-joined."),
+    "q200_pq_assign" ->
+      ("PQ assignment: 4-way subspace explode, fixed codebook broadcast, "
+        + "exact integer L2 in a codegen'd lambda, min-then-min argmin, "
+        + "32-row occupancy aggregate."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
