@@ -1563,6 +1563,43 @@ object Curation {
           .groupBy(col("event_type"), col("day"))
           .agg(max(col("t")).as("t"), max(col("x")).as("x_cents"),
             graft.functions.Exact.dsum(col("term")).as("ewma"))
+      }),
+
+    // ---- point-in-time reconstruction (time travel over a CDC log) ----------
+    // q163's sibling: q163 compacts the FULL change log to its latest
+    // state; this reconstructs the table AS OF an earlier version cutoff
+    // — the lakehouse "time travel" read. Same CDC conventions (events as
+    // the change stream: user_id key, ts version order, purchase =
+    // tombstone): filter the log to versions <= the cutoff FIRST (at
+    // 100 TB the log is date-partitioned, so the cutoff is partition
+    // pruning, not a scan filter), then one keyed ranking window picks
+    // each key's latest surviving row, tombstones drop, and the
+    // reconstructed state aggregates per type. One exchange on the key.
+    QuerySpec(
+      "q201_time_travel",
+      Some("""WITH f AS (SELECT * FROM events
+            WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+        r AS (SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f),
+        l AS (SELECT * FROM r WHERE rn = 1
+          AND event_type <> 'purchase')
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            AS total_cents
+        FROM l GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .filter(to_date(col("ts")) <= lit("2024-01-15").cast("date"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(round(col("value") * 100, 0).cast("long")).cast("long")
+              .as("total_cents"))
       })
   )
 }

@@ -497,6 +497,58 @@ object Similarity {
           .groupBy(col("s"), col("code"))
           .agg(count(lit(1)).as("n_vectors"),
             sum(col("m")).cast("long").as("distortion"))
+      }),
+
+    // ---- intra-cell pairwise distance histogram -----------------------------
+    // The embedding-space diagnostic behind IVF tuning: the distribution
+    // of pairwise L2² distances WITHIN each coarse cell (q47's 4-plane
+    // sign code) tells you whether cells are tight (good recall at low
+    // probe count) or smeared. All-pairs globally is quadratic; within a
+    // cell it is bounded by cell occupancy — the same candidate-bound
+    // argument as q47/q98, and the reason this is computable at 100 TB
+    // while a global distance histogram is not. Distances are exact
+    // integer L2² on the quantized grid; buckets are power-of-two bit
+    // lengths (the q187 idiom — no float log anywhere).
+    QuerySpec(
+      "q205_pair_dist_hist",
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM pr),
+          pairs AS (SELECT a.cell,
+              CAST(list_sum([(a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
+                for i in range(1, ${Dims + 1})]) AS BIGINT) AS d2
+            FROM cells a JOIN cells b
+              ON b.cell = a.cell AND b.vec_id > a.vec_id)
+          SELECT CAST(length(to_base(d2 + 1, 2)) AS BIGINT) AS bits,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+            CAST(MIN(d2) AS BIGINT) AS min_d2,
+            CAST(MAX(d2) AS BIGINT) AS max_d2
+          FROM pairs GROUP BY 1"""),
+      (s, d) => {
+        val c = celled(s, d).select(col("vec_id"), col("qv"), col("cell"))
+        val a = c.select(col("cell"), col("vec_id").as("id_a"),
+          col("qv").as("qv_a"))
+        val b = c.select(col("cell"), col("vec_id").as("id_b"),
+          col("qv").as("qv_b"))
+        a.join(b, Seq("cell"))
+          .filter(col("id_b") > col("id_a"))
+          .withColumn("d2", expr(
+            "aggregate(zip_with(qv_a, qv_b, (x, y) -> (x - y) * (x - y)), " +
+              "0L, (acc, v) -> acc + v)"))
+          .groupBy(length(bin(col("d2") + 1)).cast("long").as("bits"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("cell")).as("n_cells"),
+            min(col("d2")).cast("long").as("min_d2"),
+            max(col("d2")).cast("long").as("max_d2"))
       })
   )
 }

@@ -969,6 +969,61 @@ object Warehouse {
             col("yoy_cents"),
             growth(col("prev_cents")).as("mom_growth"),
             growth(col("yoy_cents")).as("yoy_growth"))
+      }),
+
+    // ---- surrogate-key generation + collision audit -------------------------
+    // The data-vault/warehouse loader step: derive a deterministic hash
+    // surrogate key from the composite natural key (hash keys, not
+    // sequences — sequences need a single point of coordination, hashes
+    // scale embarrassingly), then AUDIT the key space: collision count
+    // (distinct natural keys per surrogate > 1 — with a 60-bit key space
+    // expected 0, but the audit is what makes the loader safe to run
+    // unattended) and bucket-occupancy skew over the top 10 hash bits
+    // (1024 buckets — whether any downstream partition-by-key would run
+    // hot). One shuffle on the surrogate; the audit output is one row.
+    QuerySpec(
+      "q204_surrogate_keys",
+      {
+        import graft.functions.Portable
+        Some(s"""WITH k AS (SELECT ${Portable.h64Duck(
+              "'sk:' || CAST(l_orderkey AS VARCHAR) || '|' "
+                + "|| CAST(l_linenumber AS VARCHAR)")} AS sk
+            FROM lineitem),
+          pk AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n_nat
+            FROM k GROUP BY 1),
+          bk AS (SELECT sk >> 50 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS occ,
+              CAST(SUM(n_nat) AS BIGINT) AS rows_in
+            FROM pk GROUP BY 1)
+          SELECT CAST(SUM(rows_in) AS BIGINT) AS n_rows,
+            CAST(SUM(occ) AS BIGINT) AS n_keys,
+            CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_buckets_used,
+            CAST(MAX(occ) AS BIGINT) AS max_bucket_occ,
+            (SELECT CAST(COALESCE(SUM(CASE WHEN n_nat > 1 THEN 1 ELSE 0
+              END), 0) AS BIGINT) FROM pk) AS n_collisions
+          FROM bk""")
+      },
+      (s, d) => {
+        import graft.functions.Portable
+        val k = t(s, d, "lineitem").select(
+          expr(Portable.h64Spark(
+            "concat('sk:', cast(l_orderkey as string), '|', "
+              + "cast(l_linenumber as string))")).as("sk"))
+        val pk = k.groupBy(col("sk")).agg(count(lit(1)).as("n_nat"))
+          .cache() // surrogate grain feeds the bucket AND collision audits
+        val bk = pk.groupBy(shiftright(col("sk"), 50).as("bucket"))
+          .agg(count(lit(1)).as("occ"),
+            sum(col("n_nat")).cast("long").as("rows_in"))
+        val coll = pk.agg(coalesce(
+            sum(when(col("n_nat") > 1, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_collisions"))
+        bk.agg(sum(col("rows_in")).cast("long").as("n_rows"),
+            sum(col("occ")).cast("long").as("n_keys"),
+            sum(when(col("occ") > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_buckets_used"),
+            max(col("occ")).cast("long").as("max_bucket_occ"))
+          .crossJoin(broadcast(coll))
       })
   )
 }

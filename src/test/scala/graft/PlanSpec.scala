@@ -912,4 +912,51 @@ class PlanSpec extends SparkSpec {
       "bucket counts must combine map-side:\n" + p)
     assert(!p.contains("Join"), "no join belongs in this plan:\n" + p)
   }
+
+  test("q201: the time-travel cutoff reaches the scan as a pushed " +
+      "filter; one keyed ranking window") {
+    val df = Registry.byName("q201_time_travel").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(ts)"),
+      "the version cutoff must reach the scan:\n" + p)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "the latest-wins rank partitions on the key:\n" + specs.mkString("\n"))
+  }
+
+  test("q202/q203/q206: the series/block statistics collapse to bounded " +
+      "grains map-side; no fact-sized window or cartesian") {
+    for (name <- Seq("q202_rolling_corr", "q203_seasonality",
+        "q206_jackknife_se")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(p.contains("partial_"),
+        s"$name grain aggregate must combine map-side:\n" + p)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: only broadcast-1-row scalar joins allowed:\n" + p)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q204: the surrogate-key audit is one shuffle on the key, then " +
+      "bounded bucket aggregates") {
+    val p = plan("q204_surrogate_keys")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the collision and bucket audits share the cached key grain — no " +
+        "fact-side join:\n" + p)
+  }
+
+  test("q205: pairwise distances stay inside cell-equi joins — no " +
+      "global cross product") {
+    val p = plan("q205_pair_dist_hist")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "pairs must come from the cell equi-join only:\n" + p)
+    assert(p.contains("partial_"),
+      "the bit-bucket histogram must combine map-side:\n" + p)
+  }
 }
