@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Exact, Portable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -507,6 +507,88 @@ object Corpus {
             countDistinct(col("doc_id")).as("n_docs"),
             countDistinct(col("term")).as("n_terms"),
             min(col("term")).as("first_term"))
+      }),
+
+    // ---- BM25 retrieval (rational-idf variant, top-10) ----------------------
+    // Okapi BM25 scoring for a fixed query term set, with the q145
+    // log-free discipline: the idf factor is the exact RATIONAL
+    // (N−df+0.5)/(df+0.5) instead of its logarithm (log is the one op
+    // whose last ulp differs between libms; the rational preserves the
+    // engine-portable guarantee and is monotone in the same direction).
+    // Saturation and length normalization are standard k1=1.2, b=0.75:
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) where avgdl folds in as
+    // dl·N/T on exact longs — the whole score is a fixed tree of
+    // single-rounded IEEE ops over exact integer inputs, and the per-doc
+    // sum over query terms runs on the Exact grid. Shape: tf for the
+    // query terms only (filter BEFORE the tf shuffle), doc lengths from
+    // one token-count pass, df/N/T broadcast scalars, top-10 by
+    // TakeOrdered.
+    QuerySpec(
+      "q209_bm25_topk",
+      {
+        val terms = Seq("spark", "merge", "window")
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        Some(s"""WITH tok AS (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM tok GROUP BY 1),
+          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE term IN ($inList) GROUP BY 1, 2),
+          df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+              ((CAST(g.n - df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5))
+              * (CAST(tf.tf AS DOUBLE) * 2.2
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * g.n AS DOUBLE)
+                     / CAST(g.t AS DOUBLE))))) AS s
+            FROM tf JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id, g),
+          agg AS (SELECT doc_id, ${Exact.sqlDsum("s")} AS score
+            FROM sc GROUP BY 1)
+          SELECT agg.doc_id, dl.dl, agg.score,
+            CAST(ROW_NUMBER() OVER (ORDER BY agg.score DESC, agg.doc_id)
+              AS INT) AS rk
+          FROM agg JOIN dl ON dl.doc_id = agg.doc_id
+          QUALIFY rk <= 10""")
+      },
+      (s, d) => {
+        val terms = Seq("spark", "merge", "window")
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val g = dl.agg(count(lit(1)).as("n"),
+          sum(col("dl")).cast("long").as("t"))
+        val tf = tok.filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val sat = col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75)
+              * ((col("dl") * col("n")).cast("double")
+                / col("t").cast("double"))))
+        val agg = tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(g))
+          .withColumn("s", idf * sat)
+          .groupBy(col("doc_id"))
+          .agg(Exact.dsum(col("s")).as("score"))
+        // top-10 via TakeOrdered (orderBy+limit), never a doc-grain
+        // global rank window; the rk labels attach on the 10-row result
+        agg.join(dl, "doc_id")
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .select(col("doc_id"), col("dl"), col("score"), col("rk"))
       })
   )
 }

@@ -807,6 +807,70 @@ object Dedup {
             count(when(col("lang_a") === col("lang"), 1)).as("n_same_lang"),
             count(when(col("fp_a") === col("fp"), 1)).as("n_exact_dup"),
             sum(col("rk") - col("rk_a")).cast("long").as("gap_sum"))
+      }),
+
+    // ---- near-dup cluster size distribution ---------------------------------
+    // The dedup-impact report: how big are the duplicate families q48
+    // finds? Power-of-two size buckets (the q187 bit-length idiom) over
+    // the per-component member counts, PLUS the singleton mass (docs in
+    // no component — always bucket 1, since every component has >= 2
+    // members by construction). A heavy tail here means template farms
+    // and drives the expected token savings of dedup; the histogram is
+    // the number a curation run reports. Shape: q48's bounded-round
+    // components, one component-grain aggregate, a bits-grain aggregate,
+    // and two corpus COUNTs — nothing new crosses a global window.
+    QuerySpec(
+      "q210_cluster_size_dist",
+      Some(s"""WITH RECURSIVE $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) z
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+          roots AS (SELECT u AS doc_id, MIN(v) AS component
+            FROM reach GROUP BY u),
+          sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM roots GROUP BY 1),
+          hist AS (SELECT CAST(length(to_base(sz, 2)) AS BIGINT) AS bits,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(sz) AS BIGINT) AS n_docs,
+              CAST(MIN(sz) AS BIGINT) AS min_size,
+              CAST(MAX(sz) AS BIGINT) AS max_size
+            FROM sizes GROUP BY 1),
+          singles AS (SELECT
+              (SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM roots) AS n1)
+          SELECT * FROM hist
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), CAST(n1 AS BIGINT), CAST(n1 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+          FROM singles WHERE n1 > 0"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val comps = connectedComponents(edges).cache()
+        val sizes = comps.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+        val hist = sizes
+          .groupBy(length(bin(col("sz"))).cast("long").as("bits"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).cast("long").as("n_docs"),
+            min(col("sz")).cast("long").as("min_size"),
+            max(col("sz")).cast("long").as("max_size"))
+        // the singleton row stays plan-side (1-row aggregates, no driver
+        // action): n1 = |documents| − |docs in any component|
+        val totals = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+          .crossJoin(comps.agg(count(lit(1)).as("nc")))
+        val singles = totals
+          .select(lit(1L).as("bits"),
+            (col("nd") - col("nc")).as("n_clusters"),
+            (col("nd") - col("nc")).as("n_docs"),
+            lit(1L).as("min_size"), lit(1L).as("max_size"))
+          .filter(col("n_clusters") > 0)
+        hist.unionByName(singles)
       })
   )
 }

@@ -174,6 +174,43 @@ object Similarity {
     a.join(b, col("cell") === col("cell_b") && col("kept") < col("vec_id"))
   }
 
+  /** Adaptive-occupancy cell target (q205/q207/q208): the sign-code
+    * prefix length is chosen so cells hold ~this many vectors — the
+    * q98 "plane count grows with log(corpus)" knob, but computed IN the
+    * query from the corpus count with pure integer bit-length arithmetic
+    * so the oracle mirrors it exactly at any SF. Cell-bounded self-joins
+    * then grow LINEARLY with the corpus (occupancy² × cells ∝ n), not
+    * quadratically as a fixed cell count would.
+    */
+  private val CellOccupancy = 32
+
+  /** Quantized corpus with an adaptive sign-code cell: the 16-plane
+    * signature masked to k = bitlength(n / CellOccupancy) low planes,
+    * clamped to [1, 16].
+    */
+  private def adaptiveCelled(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d, withSig = true)
+    val n = base.agg(count(lit(1)).as("n_corpus"))
+    base.crossJoin(broadcast(n))
+      .withColumn("k",
+        greatest(lit(1), least(lit(16),
+          length(bin(expr(s"n_corpus div $CellOccupancy"))).cast("int"))))
+      .withColumn("cell", expr("sig & (shiftleft(1L, k) - 1)"))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
+  }
+
+  /** DuckDB CTE chain mirroring [[adaptiveCelled]] (expects the
+    * quantized CTEs in scope; emits `cells(vec_id, qv, nsq, cell)`).
+    */
+  private val duckAdaptiveCells: String =
+    s"""sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+       cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM en),
+       kp AS (SELECT GREATEST(1, LEAST(16,
+           length(to_base(n // $CellOccupancy, 2)))) AS k FROM cn),
+       cells AS (SELECT vec_id, qv, nsq,
+           sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
+         FROM sg, kp)"""
+
   /** IVF multi-probe candidates (q_id, vec_id, qv, nsq). */
   private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     val c = celled(s, d)
@@ -501,27 +538,20 @@ object Similarity {
 
     // ---- intra-cell pairwise distance histogram -----------------------------
     // The embedding-space diagnostic behind IVF tuning: the distribution
-    // of pairwise L2² distances WITHIN each coarse cell (q47's 4-plane
-    // sign code) tells you whether cells are tight (good recall at low
-    // probe count) or smeared. All-pairs globally is quadratic; within a
-    // cell it is bounded by cell occupancy — the same candidate-bound
-    // argument as q47/q98, and the reason this is computable at 100 TB
-    // while a global distance histogram is not. Distances are exact
-    // integer L2² on the quantized grid; buckets are power-of-two bit
-    // lengths (the q187 idiom — no float log anywhere).
+    // of pairwise L2² distances WITHIN each coarse sign-code cell tells
+    // you whether cells are tight (good recall at low probe count) or
+    // smeared. All-pairs globally is quadratic; the cell prefix length
+    // ADAPTS to the corpus count (bitlength(n/32), the q98 knob computed
+    // in-query with portable integer arithmetic), so per-cell occupancy
+    // stays ~constant and the pair count grows LINEARLY with the corpus
+    // — the first cut of this query pinned 16 cells and measured 22×
+    // wall at 10× data; the adaptive prefix is the fix. Distances are
+    // exact integer L2² on the quantized grid; buckets are power-of-two
+    // bit lengths (the q187 idiom — no float log anywhere).
     QuerySpec(
       "q205_pair_dist_hist",
       Some(s"""WITH $duckQuantCte,
-          pr AS (SELECT vec_id, qv,
-              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
-              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
-            FROM en),
-          cells AS (SELECT vec_id, qv,
-              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
-               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
-               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
-               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
-            FROM pr),
+          $duckAdaptiveCells,
           pairs AS (SELECT a.cell,
               CAST(list_sum([(a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
                 for i in range(1, ${Dims + 1})]) AS BIGINT) AS d2
@@ -534,7 +564,8 @@ object Similarity {
             CAST(MAX(d2) AS BIGINT) AS max_d2
           FROM pairs GROUP BY 1"""),
       (s, d) => {
-        val c = celled(s, d).select(col("vec_id"), col("qv"), col("cell"))
+        val c = adaptiveCelled(s, d)
+          .select(col("vec_id"), col("qv"), col("cell"))
         val a = c.select(col("cell"), col("vec_id").as("id_a"),
           col("qv").as("qv_a"))
         val b = c.select(col("cell"), col("vec_id").as("id_b"),
@@ -549,6 +580,145 @@ object Similarity {
             countDistinct(col("cell")).as("n_cells"),
             min(col("d2")).cast("long").as("min_d2"),
             max(col("d2")).cast("long").as("max_d2"))
+      }),
+
+    // ---- cell-bounded 1-NN confusion matrix ---------------------------------
+    // The label-quality audit ("confident learning" style): classify
+    // EVERY vector by its nearest same-cell neighbor's label and
+    // cross-tabulate against its own label — off-diagonal mass is
+    // mislabel/boundary signal. The kNN-join over the whole corpus is
+    // what naive all-pairs can't do at 100 TB; bounding the neighbor
+    // search to the ADAPTIVE sign-code cell (occupancy-targeted prefix,
+    // same as q205) keeps the self-join linear in the corpus. Vectors alone
+    // in their cell have no neighbor and drop identically on both
+    // engines (inner join). Ties: (cosine DESC, vec_id ASC) — a total
+    // order.
+    QuerySpec(
+      "q207_confusion_matrix",
+      Some(s"""WITH $duckQuantCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          $duckAdaptiveCells,
+          nn AS (SELECT * FROM (SELECT a.vec_id, b.vec_id AS nb,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(${qdotDuck("a.qv", "b.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(a.nsq AS DOUBLE))
+                     * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+                b.vec_id) AS rn
+            FROM cells a JOIN cells b
+              ON b.cell = a.cell AND b.vec_id <> a.vec_id) z
+            WHERE rn = 1)
+          SELECT la.label AS true_label, lb.label AS pred_label,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM nn JOIN lab la ON la.vec_id = nn.vec_id
+            JOIN lab lb ON lb.vec_id = nn.nb
+          GROUP BY 1, 2"""),
+      (s, d) => {
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val c = adaptiveCelled(s, d)
+        val a = c.select(col("cell"), col("vec_id"), col("qv").as("q_qv"),
+          col("nsq").as("q_nsq"))
+        val b = c.select(col("cell"), col("vec_id").as("nb"),
+          col("qv"), col("nsq"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nb"))
+        a.join(b, Seq("cell"))
+          .filter(col("nb") =!= col("vec_id"))
+          .withColumn("cosine", cosineCol)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(lab.withColumnRenamed("label", "true_label"), "vec_id")
+          .join(lab.select(col("vec_id").as("nb"),
+            col("label").as("pred_label")), "nb")
+          .groupBy(col("true_label"), col("pred_label"))
+          .agg(count(lit(1)).as("n"))
+      }),
+
+    // ---- per-class precision / recall / F1 ----------------------------------
+    // The readout layer over q207's cell-bounded 1-NN assignment: exact
+    // integer tp/fp/fn per class, then precision = tp/(tp+fp), recall =
+    // tp/(tp+fn) and the SINGLE-DIVISION F1 form 2tp/(2tp+fp+fn) — one
+    // correctly-rounded IEEE op each over exact longs, no intermediate
+    // float accumulation anywhere. Classes the classifier never predicts
+    // get precision NULL (0/0) via NULLIF on both engines.
+    QuerySpec(
+      "q208_class_metrics",
+      Some(s"""WITH $duckQuantCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          $duckAdaptiveCells,
+          nn AS (SELECT * FROM (SELECT a.vec_id, b.vec_id AS nb,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(${qdotDuck("a.qv", "b.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(a.nsq AS DOUBLE))
+                     * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+                b.vec_id) AS rn
+            FROM cells a JOIN cells b
+              ON b.cell = a.cell AND b.vec_id <> a.vec_id) z
+            WHERE rn = 1),
+          cm AS (SELECT la.label AS t, lb.label AS p,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM nn JOIN lab la ON la.vec_id = nn.vec_id
+              JOIN lab lb ON lb.vec_id = nn.nb
+            GROUP BY 1, 2),
+          k AS (SELECT DISTINCT label FROM lab),
+          m AS (SELECT k.label,
+              CAST(COALESCE(SUM(CASE WHEN cm.t = k.label
+                AND cm.p = k.label THEN cm.n END), 0) AS BIGINT) AS tp,
+              CAST(COALESCE(SUM(CASE WHEN cm.p = k.label
+                AND cm.t <> k.label THEN cm.n END), 0) AS BIGINT) AS fp,
+              CAST(COALESCE(SUM(CASE WHEN cm.t = k.label
+                AND cm.p <> k.label THEN cm.n END), 0) AS BIGINT) AS fn
+            FROM k LEFT JOIN cm ON cm.t = k.label OR cm.p = k.label
+            GROUP BY 1)
+          SELECT label, tp, fp, fn,
+            CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE)
+              AS precision,
+            CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE)
+              AS recall,
+            CAST(2 * tp AS DOUBLE)
+              / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE) AS f1
+          FROM m"""),
+      (s, d) => {
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val c = adaptiveCelled(s, d)
+        val a = c.select(col("cell"), col("vec_id"), col("qv").as("q_qv"),
+          col("nsq").as("q_nsq"))
+        val b = c.select(col("cell"), col("vec_id").as("nb"),
+          col("qv"), col("nsq"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nb"))
+        val cm = a.join(b, Seq("cell"))
+          .filter(col("nb") =!= col("vec_id"))
+          .withColumn("cosine", cosineCol)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(lab.withColumnRenamed("label", "t"), "vec_id")
+          .join(lab.select(col("vec_id").as("nb"), col("label").as("p")),
+            "nb")
+          .groupBy(col("t"), col("p")).agg(count(lit(1)).as("n"))
+        val k = lab.select(col("label")).distinct()
+        val m = k.join(cm,
+            cm("t") === k("label") || cm("p") === k("label"), "left")
+          .groupBy(col("label"))
+          .agg(
+            coalesce(sum(when(col("t") === col("label")
+              && col("p") === col("label"), col("n"))), lit(0L))
+              .cast("long").as("tp"),
+            coalesce(sum(when(col("p") === col("label")
+              && col("t") =!= col("label"), col("n"))), lit(0L))
+              .cast("long").as("fp"),
+            coalesce(sum(when(col("t") === col("label")
+              && col("p") =!= col("label"), col("n"))), lit(0L))
+              .cast("long").as("fn"))
+        m.select(col("label"), col("tp"), col("fp"), col("fn"),
+          (col("tp").cast("double")
+            / nullif(col("tp") + col("fp"), lit(0L)).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double")
+            / nullif(col("tp") + col("fn"), lit(0L)).cast("double"))
+            .as("recall"),
+          ((lit(2L) * col("tp")).cast("double")
+            / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
+              .cast("double")).as("f1"))
       })
   )
 }

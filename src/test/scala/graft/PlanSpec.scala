@@ -951,12 +951,54 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q205: pairwise distances stay inside cell-equi joins — no " +
-      "global cross product") {
+      "global cross product (the 1-row corpus-count broadcast is the " +
+      "only BNL)") {
     val p = plan("q205_pair_dist_hist")
-    assert(!p.contains("BroadcastNestedLoopJoin")
-      && !p.contains("CartesianProduct"),
+    assert(!p.contains("CartesianProduct"),
       "pairs must come from the cell equi-join only:\n" + p)
     assert(p.contains("partial_"),
       "the bit-bucket histogram must combine map-side:\n" + p)
+    // the pair join itself must be an equi-join on the cell (formatted
+    // explain lists keys in the details: "Left keys [1]: [cell#N]")
+    assert(p.contains("HashJoin") && p.contains("[cell#"),
+      "the pair join keys on the cell:\n" + p)
+  }
+
+  test("q207/q208: the 1-NN self-join keys on the adaptive cell; the " +
+      "rank window partitions on the probe vector") {
+    for (name <- Seq("q207_confusion_matrix", "q208_class_metrics")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      assert(p.contains("HashJoin") && p.contains("[cell#"),
+        s"$name neighbor search must key on the cell:\n" + p)
+      val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("vec_id#")),
+        s"$name rank windows must partition on the probe vector:\n"
+          + specs.mkString("\n"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q209: BM25 top-10 is TakeOrdered over the scored doc grain — " +
+      "never a doc-grain global rank window") {
+    val p = plan("q209_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered:\n" + p)
+    assert(p.contains("partial_"),
+      "tf/dl grains must combine map-side:\n" + p)
+  }
+
+  test("q210: the size histogram adds only bounded aggregates over the " +
+      "component grain — no new data-sized shapes beyond q48's rounds") {
+    val df = Registry.byName("q210_cluster_size_dist").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count"),
+      "component sizes must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
   }
 }
