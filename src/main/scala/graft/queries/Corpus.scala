@@ -589,6 +589,85 @@ object Corpus {
           .withColumn("rk", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
           .select(col("doc_id"), col("dl"), col("score"), col("rk"))
+      }),
+
+    // ---- typo-pair candidates (deletion-neighborhood blocking) --------------
+    // SymSpell spelling normalization for a crawl vocabulary at
+    // max-distance 2: every term pair within edit distance 2 shares at
+    // least one key among the term's 0-, 1- and 2-character-deletion
+    // variants, so blocking on those keys finds all ED<=2 pairs with
+    // per-term fan-out <= 1 + L + L(L-1)/2 — bounded by the max token
+    // length (a domain constant), NEVER an all-pairs vocabulary join
+    // (naive is |V|² and |V| grows with the corpus). Shared keys can
+    // over-generate (alignments beyond ED 2), so candidates verify with
+    // the engines' native levenshtein (classic integer DP, identical
+    // both sides). Output pairs carry document frequencies — the "rare
+    // variant of a common term" signal a normalizer acts on.
+    QuerySpec(
+      "q211_spell_candidates",
+      Some("""WITH tok AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tok WHERE length(term) BETWEEN 2 AND 24 GROUP BY 1),
+        pos AS (SELECT a.p, b.q
+          FROM (SELECT unnest(range(0, 25)) AS p) a,
+               (SELECT unnest(range(0, 25)) AS q) b
+          WHERE (a.p = 0 AND b.q = 0) OR (a.p = 0 AND b.q >= 1)
+             OR (a.p >= 1 AND b.q > a.p)),
+        keys AS (SELECT term, df,
+            CASE WHEN p = 0 AND q = 0 THEN term
+              WHEN p = 0 THEN
+                substring(term, 1, q - 1) || substring(term, q + 1)
+              ELSE substring(term, 1, p - 1)
+                || substring(term, p + 1, q - p - 1)
+                || substring(term, q + 1)
+            END AS k
+          FROM vocab, pos WHERE q <= length(term)),
+        cand AS (SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+            a.df AS df_a, b.df AS df_b
+          FROM keys a JOIN keys b ON b.k = a.k AND a.term < b.term)
+        SELECT term_a, term_b, df_a, df_b,
+          CAST(levenshtein(term_a, term_b) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(term_a, term_b) <= 2"""),
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("term"))
+          .filter(length(col("term")).between(2, 24))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // (p, q) deletion-position pairs: (0,0) identity, (0,q) single
+        // deletion at q, (p<q) double deletion — capped by the 24-char
+        // token bound on BOTH engines
+        val pos = (for {
+          p <- 0 to 24; q <- 0 to 24
+          if (p == 0 && q == 0) || (p == 0 && q >= 1) || (p >= 1 && q > p)
+        } yield (p, q)).toArray
+        val posDf = pos.map { case (p, q) => s"struct(${p}, ${q})" }
+          .mkString("array(", ", ", ")")
+        val keys = vocab
+          .withColumn("pq", explode(expr(posDf)))
+          .select(col("term"), col("df"),
+            col("pq.col1").as("p"), col("pq.col2").as("q"))
+          .filter(col("q") <= length(col("term")))
+          .withColumn("k", expr("""CASE
+            WHEN p = 0 AND q = 0 THEN term
+            WHEN p = 0 THEN
+              concat(substring(term, 1, q - 1), substring(term, q + 1))
+            ELSE concat(substring(term, 1, p - 1),
+              substring(term, p + 1, q - p - 1), substring(term, q + 1))
+            END"""))
+          .select(col("term"), col("df"), col("k"))
+        val a = keys.select(col("k"), col("term").as("term_a"),
+          col("df").as("df_a"))
+        val b = keys.select(col("k"), col("term").as("term_b"),
+          col("df").as("df_b"))
+        a.join(b, Seq("k"))
+          .filter(col("term_a") < col("term_b"))
+          .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"))
+          .distinct()
+          .filter(levenshtein(col("term_a"), col("term_b")) <= 2)
+          .withColumn("dist",
+            levenshtein(col("term_a"), col("term_b")).cast("long"))
       })
   )
 }

@@ -109,4 +109,27 @@ class ScaleSpec extends SparkSpec {
         s"candidates $cand exceed the df-cap bound — the cap is not binding")
     }
   }
+
+  test("q205 adaptive cells: intra-cell pairs grow ~linearly with the " +
+      "corpus (the sign-code prefix absorbs the growth)") {
+    // embeddings go 500 -> 2,000 vectors over this step (4x). A FIXED
+    // cell count would grow pairs ~quadratically (~16x — exactly what
+    // the first cut of q205 measured); the adaptive prefix must keep it
+    // near-linear. 10x leaves room for occupancy quantization (the
+    // prefix length moves in whole bits) while failing any quadratic
+    // regression.
+    def pairs(d: String): Long =
+      queries.Registry.byName("q205_pair_dist_hist").run(spark, d)
+        .agg(sum(col("n_pairs"))).head.getLong(0)
+    val pSmall = pairs(small).max(1L)
+    spark.catalog.clearCache()
+    val pLarge = pairs(large)
+    spark.catalog.clearCache()
+    val growth = pLarge.toDouble / pSmall
+    info(f"adaptive-cell pairs: $pSmall @sf0.001 -> $pLarge @sf0.1 " +
+      f"(${growth}%.1fx for a 4x corpus)")
+    assert(growth <= 10.0,
+      s"intra-cell pair growth ${growth}x over a 4x corpus is " +
+        "super-linear — the adaptive prefix is not absorbing occupancy")
+  }
 }
