@@ -1600,6 +1600,117 @@ object Curation {
           .agg(count(lit(1)).as("n_keys"),
             sum(round(col("value") * 100, 0).cast("long")).cast("long")
               .as("total_cents"))
+      }),
+
+    // ---- behavior profiles (set-valued segmentation) ------------------------
+    // Segment users by their DOMINANT event types — the types they
+    // perform at least as often as their own per-type average (the
+    // relative threshold is CROSS-MULTIPLIED onto the integer grid:
+    // n_type · k ≥ total, no float division) — the capability-profile
+    // rollup a lifecycle team reads ("how many users are
+    // click+view-dominant but never purchase-dominant?"). A raw
+    // distinct-type set is useless here (every active user eventually
+    // touches every type); the dominance filter is what discriminates.
+    // The set collapses to a canonical string key (sorted, '|'-joined —
+    // set order is nondeterministic, the sort makes the key stable and
+    // engine-portable). Two partial-agg shuffles: (user, type) grain,
+    // then profile grain.
+    QuerySpec(
+      "q213_behavior_profiles",
+      Some("""WITH pc AS (SELECT user_id, event_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k FROM pc GROUP BY 1),
+        u AS (SELECT pc.user_id,
+            array_to_string(list_sort(list_distinct(
+              list(event_type) FILTER (pc.n * t.k >= t.tot))), '|')
+              AS profile,
+            CAST(SUM(pc.n) AS BIGINT) AS n_events
+          FROM pc JOIN t USING (user_id) GROUP BY 1)
+        SELECT profile, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(n_events) AS BIGINT) AS n_events,
+          CAST(MIN(user_id) AS BIGINT) AS first_user
+        FROM u GROUP BY 1"""),
+      (s, d) => {
+        val pc = t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pc.groupBy(col("user_id"))
+          .agg(sum(col("n")).cast("long").as("tot"),
+            count(lit(1)).as("k"))
+        pc.join(tot, "user_id")
+          .groupBy(col("user_id"))
+          .agg(concat_ws("|", array_sort(collect_set(
+              when(col("n") * col("k") >= col("tot"), col("event_type")))))
+            .as("profile"),
+            sum(col("n")).cast("long").as("n_events"))
+          .groupBy(col("profile"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_events")).cast("long").as("n_events"),
+            min(col("user_id")).as("first_user"))
+      }),
+
+    // ---- burst detection (integer threshold, gap-islands runs) --------------
+    // Find sustained traffic bursts per event type: maximal runs of
+    // consecutive days whose volume exceeds 1.1× the series mean. The
+    // threshold compare is CROSS-MULTIPLIED onto the integer grid
+    // (10·D·x_d > 11·T — no float mean anywhere), burst runs are gap-islands
+    // (day_index − rank) over the bounded (type, day) grain, and the
+    // output is per-type run statistics plus the peak day
+    // (earliest-day tie-break, the q195 discipline). One partial-agg
+    // shuffle to the day grain; everything downstream is bounded.
+    QuerySpec(
+      "q216_bursts",
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dd,
+            CAST(SUM(x) AS BIGINT) AS tt FROM daily GROUP BY 1),
+        ix AS (SELECT daily.event_type, daily.day, daily.x, tot.dd, tot.tt,
+            CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
+              ORDER BY daily.day) AS BIGINT) AS t
+          FROM daily JOIN tot ON tot.event_type = daily.event_type),
+        b AS (SELECT *, t - ROW_NUMBER() OVER (
+              PARTITION BY event_type ORDER BY t) AS island
+          FROM ix WHERE 10 * dd * x > 11 * tt),
+        runs AS (SELECT event_type, island,
+            CAST(COUNT(*) AS BIGINT) AS run_len,
+            MIN(day) AS run_start, CAST(MAX(x) AS BIGINT) AS peak_x
+          FROM b GROUP BY 1, 2),
+        mx AS (SELECT event_type, MAX(run_len) AS m FROM runs GROUP BY 1)
+        SELECT runs.event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_bursts,
+          CAST(SUM(run_len) AS BIGINT) AS burst_days,
+          MAX(mx.m) AS longest_run,
+          MIN(CASE WHEN run_len = mx.m THEN run_start END) AS top_run_start
+        FROM runs JOIN mx ON mx.event_type = runs.event_type
+        GROUP BY 1"""),
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("dd"), sum(col("x")).cast("long").as("tt"))
+        val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val ix = daily.join(broadcast(tot), "event_type")
+          .withColumn("t", row_number().over(wT).cast("long"))
+        val wI = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        val runs = ix.filter(
+            lit(10L) * col("dd") * col("x") > lit(11L) * col("tt"))
+          .withColumn("island", col("t") - row_number().over(wI))
+          .groupBy(col("event_type"), col("island"))
+          .agg(count(lit(1)).as("run_len"), min(col("day")).as("run_start"),
+            max(col("x")).cast("long").as("peak_x"))
+        val mx = runs.groupBy(col("event_type"))
+          .agg(max(col("run_len")).as("m"))
+        runs.join(broadcast(mx), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_bursts"),
+            sum(col("run_len")).cast("long").as("burst_days"),
+            max(col("m")).as("longest_run"),
+            min(when(col("run_len") === col("m"), col("run_start")))
+              .as("top_run_start"))
       })
   )
 }

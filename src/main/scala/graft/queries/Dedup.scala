@@ -373,6 +373,12 @@ object Dedup {
     */
   private val SnWindow = 10
 
+  /** q212 fingerprint df cap: chunks shared by more docs than this are
+    * boilerplate, not derivation evidence, and are dropped before the
+    * pair join (bounds fan-out per chunk).
+    */
+  private val SpanDfCap = 20
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup by normalized content fingerprint --------------------
@@ -871,6 +877,78 @@ object Dedup {
             lit(1L).as("min_size"), lit(1L).as("max_size"))
           .filter(col("n_clusters") > 0)
         hist.unionByName(singles)
+      }),
+
+    // ---- longest shared span between document pairs -------------------------
+    // The plagiarism/derivation detector a chunk-level join can't give
+    // you: q49 tells you WHICH chunks repeat; this finds the longest RUN
+    // of consecutive shared chunks between each doc pair — the
+    // contiguous-span evidence that distinguishes quotation/derivation
+    // from boilerplate coincidence. Matches sit on DIAGONALS of the
+    // chunk-position matrix (pos_a − pos_b constant), so runs are
+    // gap-islands (q119's trick) keyed on (pair, diagonal): island id =
+    // pos_a − rank, all integer. Scale: pair generation joins on the
+    // chunk fingerprint with a df cap of $SpanDfCap distinct docs per
+    // fingerprint (the q43 inverted-index discipline — boilerplate
+    // chunks above the cap carry no derivation signal and are dropped on
+    // BOTH engines), so fan-out per chunk is bounded and candidates stay
+    // linear in corpus chunks.
+    QuerySpec(
+      "q212_shared_span",
+      Some(s"""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        ch AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+            SELECT doc_id,
+              unnest([{'pos': i,
+                  'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))}
+                for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+            FROM d) z),
+        keep AS (SELECT fp FROM (SELECT fp,
+            COUNT(DISTINCT doc_id) AS ndoc FROM ch GROUP BY 1)
+          WHERE ndoc <= $SpanDfCap),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.pos AS pa, b.pos AS pb
+          FROM ch a JOIN keep USING (fp) JOIN ch b USING (fp)
+          WHERE a.doc_id < b.doc_id),
+        isl AS (SELECT doc_a, doc_b, pa - pb AS diag,
+            pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+              ORDER BY pa) AS island
+          FROM m),
+        runs AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+          FROM isl GROUP BY doc_a, doc_b, diag, island)
+        SELECT doc_a, doc_b, MAX(run_len) AS max_run,
+          CAST(COUNT(*) AS BIGINT) AS n_runs,
+          CAST(SUM(run_len) AS BIGINT) AS shared_chunks
+        FROM runs GROUP BY 1, 2 HAVING MAX(run_len) >= 2"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+            .as(Seq("pos", "fp")))
+          .cache() // feeds the df cap AND both pair sides
+        val keep = ch.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("ndoc"))
+          .filter(col("ndoc") <= SpanDfCap).select(col("fp"))
+        val a = ch.join(keep, "fp").select(col("fp"),
+          col("doc_id").as("doc_a"), col("pos").as("pa"))
+        val b = ch.select(col("fp"), col("doc_id").as("doc_b"),
+          col("pos").as("pb"))
+        val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("diag", col("pa") - col("pb"))
+          .withColumn("island", col("pa") - row_number().over(w))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("run_len")).as("max_run"),
+            count(lit(1)).as("n_runs"),
+            sum(col("run_len")).cast("long").as("shared_chunks"))
+          .filter(col("max_run") >= 2)
       })
   )
 }

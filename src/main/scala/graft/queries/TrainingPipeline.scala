@@ -712,6 +712,60 @@ object TrainingPipeline {
             (lit(2L) * col("obs_sum")
               + col("n_miss") * (col("med_lo") + col("med_hi")))
               .as("imputed_total2"))
+      }),
+
+    // ---- deterministic negative sampling ------------------------------------
+    // The contrastive/recommender training-data op: for every customer,
+    // draw K candidate parts from a HASH stream (membership a pure
+    // function of (customer, slot) — reproducible across runs, engines,
+    // and cluster layouts, the q146 gate discipline; no RNG state to
+    // coordinate at 100 TB) and keep those the customer never actually
+    // bought (anti-join against the interaction set). Candidate part ids
+    // map through `h64 % |parts|` onto the contiguous 0..|parts|−1
+    // TPC-H key space, with |parts| read from the data (a 1-row
+    // broadcast), never hardcoded. Shapes: one distinct-interaction
+    // shuffle (orders⋈lineitem pre-aggregated to the pair grain), a K-way
+    // explode of the customer table, one anti-join on the (customer,
+    // part) key. Output collapses to the customer grain with a checksum
+    // over the sampled negative ids.
+    QuerySpec(
+      "q217_negative_sampling",
+      Some(s"""WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part),
+        pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        cand AS (SELECT c_custkey AS c, i,
+            ${Portable.h64Duck(
+              "'neg:' || CAST(c_custkey AS VARCHAR) || ':' "
+                + "|| CAST(i AS VARCHAR)")} % np.n_parts AS p
+          FROM customer, (SELECT unnest(range(1, 6)) AS i) z, np),
+        neg AS (SELECT cand.c, cand.i, cand.p FROM cand
+          WHERE NOT EXISTS (SELECT 1 FROM pos
+            WHERE pos.c = cand.c AND pos.p = cand.p))
+        SELECT c AS custkey, CAST(COUNT(*) AS BIGINT) AS n_neg,
+          CAST(SUM(p) AS BIGINT) AS neg_pk_sum,
+          CAST(MIN(i) AS BIGINT) AS first_slot
+        FROM neg GROUP BY 1"""),
+      (s, d) => {
+        val np = t(s, d, "part").agg(count(lit(1)).as("n_parts"))
+        val pos = t(s, d, "orders").select(col("o_orderkey"),
+            col("o_custkey"))
+          .join(t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        val cand = t(s, d, "customer").select(col("c_custkey").as("c"))
+          .withColumn("i", explode(lit((1 to 5).toArray)))
+          .crossJoin(broadcast(np))
+          .withColumn("p", expr(Portable.h64Spark(
+            "concat('neg:', cast(c as string), ':', cast(i as string))"))
+            % col("n_parts"))
+        cand.join(pos, Seq("c", "p"), "left_anti")
+          .groupBy(col("c").as("custkey"))
+          .agg(count(lit(1)).as("n_neg"),
+            sum(col("p")).cast("long").as("neg_pk_sum"),
+            min(col("i")).cast("long").as("first_slot"))
       })
   )
 }

@@ -1001,4 +1001,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     spark.catalog.clearCache()
   }
+
+  test("q212: span pairs join on the df-capped chunk fingerprint; the " +
+      "island windows partition on the pair diagonal") {
+    val df = Registry.byName("q212_shared_span").run(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("[fp#"), "the pair join keys on the fingerprint:\n" + p)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(s =>
+        s.contains("doc_a#") && s.contains("diag#")),
+      "island windows partition on (pair, diagonal):\n" + specs.mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
+  test("q213/q215: profile and CUPED grains collapse map-side; CUPED " +
+      "broadcasts only the 1-row theta") {
+    for (name <- Seq("q213_behavior_profiles", "q215_cuped")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(p.contains("partial_"),
+        s"$name grains must combine map-side:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q216: burst islands ride per-type windows over the bounded day " +
+      "grain") {
+    val df = Registry.byName("q216_bursts").run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type#")),
+      "burst windows partition on event_type:\n" + specs.mkString("\n"))
+  }
+
+  test("q217: negatives come from a hash explode + LeftAnti on the " +
+      "interaction key — no per-row RNG, no BNL") {
+    val p = plan("q217_negative_sampling")
+    assert(p.contains("LeftAnti"),
+      "the interaction filter must be an anti-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rand("), "sampling must be hash-gated, not RNG:\n" + p)
+  }
 }
