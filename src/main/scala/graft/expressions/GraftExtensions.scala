@@ -40,6 +40,12 @@ object GraftExtensions {
         require(args.length == 2, "morton2(x, y)")
         Morton2(args(0), args(1))
       }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b)")
+        JaroWinkler(args(0), args(1))
+      }),
     (new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) => {

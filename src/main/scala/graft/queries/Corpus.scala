@@ -668,6 +668,78 @@ object Corpus {
           .filter(levenshtein(col("term_a"), col("term_b")) <= 2)
           .withColumn("dist",
             levenshtein(col("term_a"), col("term_b")).cast("long"))
+      }),
+
+    // ---- PMI collocation mining --------------------------------------------
+    // Pointwise-mutual-information scoring of adjacent word pairs — the
+    // collocation detector (Church & Hanks): ranks pairs by association
+    // strength p(xy)/(p(x)p(y)) rather than q149's raw frequency, so
+    // "of the"-style high-frequency noise drops and genuinely bound
+    // pairs surface. All counts are exact integers; the PMI RATIO is
+    // emitted instead of its log — (c_xy/M)/((c_x/N)(c_y/N)) as three
+    // IEEE divisions and one multiply in a pinned order, bit-identical
+    // in both engines, where a libm log would not be. Support floor
+    // c_xy >= 5 (the sparse-pair variance gate), top 50 by ratio with
+    // a total tie-break order.
+    // 100 TB plan: bigram and unigram counts are partial-agg shuffles on
+    // the pair/term keys; the two unigram joins hit the VOCABULARY-grain
+    // table; final top-k is a global sort of the support-filtered pair
+    // list (already sparsified by the floor).
+    QuerySpec(
+      "q221_pmi_collocations",
+      Some("""WITH tok AS (SELECT u.t AS term, u.i AS i, doc_id FROM (
+            SELECT doc_id, unnest([{'t': t[i], 'i': i}
+                for i in range(1, len(t) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents) z) y),
+        uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        bi AS (SELECT a.term AS term_a, b.term AS term_b,
+            CAST(COUNT(*) AS BIGINT) AS c_xy
+          FROM tok a JOIN tok b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          GROUP BY 1, 2),
+        mm AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS m FROM bi),
+        sc AS (SELECT term_a, term_b, c_xy, ua.c AS c_x, ub.c AS c_y,
+            (c_xy / CAST(m AS DOUBLE)) /
+              ((ua.c / CAST(n AS DOUBLE)) * (ub.c / CAST(n AS DOUBLE)))
+              AS ratio
+          FROM bi CROSS JOIN mm CROSS JOIN nn
+          JOIN uni ua ON ua.term = bi.term_a
+          JOIN uni ub ON ub.term = bi.term_b
+          WHERE c_xy >= 5)
+        SELECT term_a, term_b, c_xy, c_x, c_y,
+          round(ratio, 4) AS pmi_ratio
+        FROM sc ORDER BY ratio DESC, term_a, term_b LIMIT 50"""),
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "term")))
+        val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val nn = uni.agg(sum(col("c")).cast("long").as("n"))
+        val bi = tok.select(col("doc_id"), col("i"), col("term").as("term_a"))
+          .join(tok.select(col("doc_id"), (col("i") - 1).as("i"),
+            col("term").as("term_b")), Seq("doc_id", "i"))
+          .groupBy(col("term_a"), col("term_b"))
+          .agg(count(lit(1)).as("c_xy"))
+        val mm = bi.agg(sum(col("c_xy")).cast("long").as("m"))
+        bi.filter(col("c_xy") >= 5)
+          .crossJoin(broadcast(mm)).crossJoin(broadcast(nn))
+          // Unigram joins stay SHUFFLE joins: `uni` is vocabulary-grain,
+          // which on a web-scale corpus is far past broadcast size.
+          .join(uni.select(col("term").as("term_a"), col("c").as("c_x")),
+            Seq("term_a"))
+          .join(uni.select(col("term").as("term_b"), col("c").as("c_y")),
+            Seq("term_b"))
+          .withColumn("ratio",
+            (col("c_xy") / col("m").cast("double")) /
+              ((col("c_x") / col("n").cast("double")) *
+                (col("c_y") / col("n").cast("double"))))
+          .orderBy(col("ratio").desc, col("term_a"), col("term_b"))
+          .limit(50)
+          .select(col("term_a"), col("term_b"), col("c_xy"),
+            col("c_x"), col("c_y"), round(col("ratio"), 4).as("pmi_ratio"))
       })
   )
 }

@@ -1711,6 +1711,65 @@ object Curation {
             max(col("m")).as("longest_run"),
             min(when(col("run_len") === col("m"), col("run_start")))
               .as("top_run_start"))
+      }),
+
+    // ---- Jaro-Winkler blocked linkage (native codegen expression) ----------
+    // Entity-resolution measure #3 next to Levenshtein (q110) and the
+    // LSH families: Jaro-Winkler over MULTI-PASS blocking (first token
+    // and last token — the classic record-linkage trick of unioning
+    // several cheap blocking keys so a single bad key can't hide true
+    // matches). Spark has no built-in Jaro-Winkler, so this is the
+    // SURVEY §7.3 native-Expression path: `graft.expressions.JaroWinkler`
+    // evaluates inside whole-stage codegen, bit-matched to the oracle's
+    // implementation (same match window, integer transposition halving,
+    // >0.7 boost gate — see the expression's scaladoc for the pinned
+    // semantics battery).
+    // 100 TB plan: pairs are generated on the DISTINCT-name grain
+    // (vocabulary-bounded, not row-bounded) and each blocking pass is a
+    // co-partitioned self-join on its token key; candidate count is
+    // Σ n_block² with token granularity as the occupancy knob.
+    QuerySpec(
+      "q218_jw_linkage",
+      Some("""WITH nm AS (SELECT DISTINCT p_name FROM part),
+          tk AS (SELECT p_name,
+              string_split(p_name, ' ')[1] AS tok_f,
+              string_split(p_name, ' ')[-1] AS tok_l
+            FROM nm),
+          cand AS (
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM tk a JOIN tk b
+                ON a.tok_f = b.tok_f AND a.p_name < b.p_name
+            UNION ALL
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM tk a JOIN tk b
+                ON a.tok_l = b.tok_l AND a.p_name < b.p_name),
+          pr AS (SELECT name_a, name_b,
+              CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM cand GROUP BY 1, 2)
+          SELECT name_a, name_b, n_blocks,
+            round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+          FROM pr
+          WHERE jaro_winkler_similarity(name_a, name_b) >= 0.5"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val tk = t(s, d, "part").select(col("p_name")).distinct()
+          .withColumn("toks", split(col("p_name"), " "))
+          .select(col("p_name"),
+            element_at(col("toks"), 1).as("tok_f"),
+            element_at(col("toks"), -1).as("tok_l"))
+        def pass(key: String) = {
+          val a = tk.select(col(key), col("p_name").as("name_a"))
+          val b = tk.select(col(key), col("p_name").as("name_b"))
+          a.join(b, key).filter(col("name_a") < col("name_b"))
+            .select(col("name_a"), col("name_b"))
+        }
+        pass("tok_f").unionAll(pass("tok_l"))
+          .groupBy(col("name_a"), col("name_b"))
+          .agg(count(lit(1)).as("n_blocks"))
+          .withColumn("jw_raw", expr("jaro_winkler(name_a, name_b)"))
+          .filter(col("jw_raw") >= 0.5)
+          .select(col("name_a"), col("name_b"), col("n_blocks"),
+            round(col("jw_raw"), 4).as("jw"))
       })
   )
 }

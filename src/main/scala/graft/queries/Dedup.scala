@@ -949,6 +949,88 @@ object Dedup {
             count(lit(1)).as("n_runs"),
             sum(col("run_len")).cast("long").as("shared_chunks"))
           .filter(col("max_run") >= 2)
+      }),
+
+    // ---- winnowing fingerprint selection (MOSS) ----------------------------
+    // The Schleimer-Wilkerson-Aiken winnowing scheme: hash every word
+    // 3-gram, slide a window of w=4 consecutive hashes, and keep each
+    // window's minimum (rightmost on ties). Guarantees: any shared run
+    // of >= w+k-1 tokens yields a shared fingerprint, and expected
+    // density is 2/(w+1) — a provable-recall sparsifier, unlike q33's
+    // whole-doc hashes or q49's fixed-stride chunks.
+    // The rightmost-argmin-of-some-window set is computed CLOSED-FORM:
+    // p is selected iff for some split j in [0,w), h[p] is strictly
+    // below the next j hashes and <= the previous w-1-j — four bounded
+    // window-min frames over the (doc, pos) grain, no per-window
+    // explode. 100 TB plan: windows partition by doc_id (bounded by doc
+    // length); one exchange to the doc grain for the summary.
+    QuerySpec(
+      "q219_winnowing",
+      Some(s"""WITH d AS (SELECT doc_id,
+            string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+            SELECT doc_id, unnest([{'pos': i,
+                'h': ${h64Duck("array_to_string(t[(i+1):(i+3)], ' ')")}}
+              for i in range(0, len(t) - 2)]) AS u
+            FROM d) z),
+        w AS (SELECT doc_id, pos, h,
+            CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS L,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS f1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS f2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS f3,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS p2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p3
+          FROM g),
+        sel AS (SELECT *,
+            ((pos + 3 <= L - 1 AND h < f3) OR
+             (pos >= 1 AND pos + 2 <= L - 1 AND h < f2 AND h <= p1) OR
+             (pos >= 2 AND pos + 1 <= L - 1 AND h < f1 AND h <= p2) OR
+             (pos >= 3 AND h <= p3)) AS keep
+          FROM w)
+        SELECT doc_id, CAST(MAX(L) AS BIGINT) AS n_kgrams,
+          CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_fp,
+          CAST(COALESCE(MIN(h) FILTER (keep), 0) AS BIGINT) AS fp_min,
+          CAST(COALESCE(SUM(h % 1000000007) FILTER (keep), 0) AS BIGINT)
+            AS fp_modsum
+        FROM sel GROUP BY 1"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(t) - 3), i -> " +
+              h64Spark("concat_ws(' ', t[i], t[i+1], t[i+2])") + ")"))
+            .as(Seq("pos", "h")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        def fmin(a: Int, b: Int) = min(col("h")).over(wd.rowsBetween(a, b))
+        val sel = g
+          .withColumn("L",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("f1", fmin(1, 1)).withColumn("f2", fmin(1, 2))
+          .withColumn("f3", fmin(1, 3)).withColumn("p1", fmin(-1, -1))
+          .withColumn("p2", fmin(-2, -1)).withColumn("p3", fmin(-3, -1))
+          .withColumn("keep",
+            (col("pos") + 3 <= col("L") - 1 && col("h") < col("f3")) ||
+            (col("pos") >= 1 && col("pos") + 2 <= col("L") - 1 &&
+              col("h") < col("f2") && col("h") <= col("p1")) ||
+            (col("pos") >= 2 && col("pos") + 1 <= col("L") - 1 &&
+              col("h") < col("f1") && col("h") <= col("p2")) ||
+            (col("pos") >= 3 && col("h") <= col("p3")))
+        sel.groupBy(col("doc_id"))
+          .agg(max(col("L")).cast("long").as("n_kgrams"),
+            count(when(col("keep"), lit(1))).as("n_fp"),
+            coalesce(min(when(col("keep"), col("h"))), lit(0L))
+              .as("fp_min"),
+            coalesce(sum(when(col("keep"), col("h") % 1000000007L)), lit(0L))
+              .cast("long").as("fp_modsum"))
       })
   )
 }

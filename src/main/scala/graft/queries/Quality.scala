@@ -356,6 +356,52 @@ object Quality {
             (col("global_ms") - col("last_ms")).as("lag_ms"),
             when(col("global_ms") - col("last_ms") <= 3600000L, 1)
               .otherwise(0).cast("int").as("within_sla"))
+      }),
+
+    // ---- k-anonymity / l-diversity audit -----------------------------------
+    // Privacy-readiness profiling before a data release: group rows by
+    // their quasi-identifier tuple (market segment, nation, account-
+    // balance band) and audit each equivalence class against k-anonymity
+    // (class size >= 5 — Sweeney's re-identification bound) and
+    // l-diversity (>= 2 distinct values of the sensitive attribute, the
+    // customer's dominant order priority — Machanavajjhala's homogeneity-
+    // attack guard). The balance band is floor(acctbal/1000): balances
+    // are 2-decimal doubles, so the only quotients landing exactly on an
+    // integer come from exactly-representable multiples of 1000 — the
+    // floor is engine-stable. Output is the per-class audit table, the
+    // shape a suppression/generalization pass consumes.
+    // 100 TB plan: one partial-agg shuffle to the QI grain plus one
+    // co-partitioned custkey join for the sensitive attribute; class
+    // count grows with the QI-combination space, not the row count.
+    QuerySpec(
+      "q220_k_anonymity",
+      Some("""WITH sens AS (SELECT o_custkey,
+            min(o_orderpriority) AS sensitive
+          FROM orders GROUP BY 1),
+        qi AS (SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+            CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+            COALESCE(sens.sensitive, 'NONE') AS sensitive
+          FROM customer c LEFT JOIN sens ON sens.o_custkey = c.c_custkey)
+        SELECT segment, nation, bal_band,
+          CAST(COUNT(*) AS BIGINT) AS class_size,
+          CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS n_sensitive,
+          (COUNT(*) >= 5) AS k_ok,
+          (COUNT(DISTINCT sensitive) >= 2) AS l_ok
+        FROM qi GROUP BY 1, 2, 3"""),
+      (s, d) => {
+        val sens = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(min(col("o_orderpriority")).as("sensitive"))
+        t(s, d, "customer")
+          .join(sens, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment").as("segment"),
+            col("c_nationkey").as("nation"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+            coalesce(col("sensitive"), lit("NONE")).as("sensitive"))
+          .groupBy(col("segment"), col("nation"), col("bal_band"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("sensitive")).as("n_sensitive"),
+            (count(lit(1)) >= 5).as("k_ok"),
+            (countDistinct(col("sensitive")) >= 2).as("l_ok"))
       })
   )
 }

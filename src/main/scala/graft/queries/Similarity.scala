@@ -719,6 +719,58 @@ object Similarity {
           ((lit(2L) * col("tp")).cast("double")
             / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
               .cast("double")).as("f1"))
+      }),
+
+    // ---- int8 scalar quantization + reconstruction error -------------------
+    // The vector-store compression step next to q200's product
+    // quantization: per-dimension min/max scalar quantization to 8-bit
+    // codes, with the reconstruction error accounted EXACTLY — all
+    // arithmetic stays on the integer grid. code = (q-mn)*255 div
+    // (mx-mn) (non-negative operands, so truncating division agrees in
+    // both engines), and the per-dim residual is measured on the
+    // 255-scaled grid: err = (q-mn)*255 - code*(mx-mn), giving integer
+    // squared error with headroom |err| < mx-mn <= ~2e3 -> sum of 64
+    // squares < 3e8, nowhere near int64. Output is the per-vector error
+    // ledger a recall-regression gate consumes.
+    // 100 TB plan: dim stats are one partial agg on the (dim) grain from
+    // the exploded (vector x dim) view; the 64-row stats table broadcasts
+    // back onto the same view (a true sub-aggregate broadcast); one
+    // exchange to the vec grain re-assembles. Vector data shuffles once.
+    QuerySpec(
+      "q223_int8_quantize",
+      Some(s"""WITH q AS (SELECT vec_id, ${qvecDuck("embedding", Dims)} AS q
+            FROM embeddings),
+          dims AS (SELECT unnest(range(1, ${Dims + 1})) AS i),
+          ex AS (SELECT vec_id, i, q[i] AS qd FROM q, dims),
+          st AS (SELECT i, CAST(MIN(qd) AS BIGINT) AS mn,
+              CAST(MAX(qd) AS BIGINT) AS mx
+            FROM ex GROUP BY 1),
+          c AS (SELECT vec_id, ex.i,
+              CASE WHEN mx = mn THEN 0
+                ELSE ((qd - mn) * 255) // (mx - mn) END AS code,
+              CASE WHEN mx = mn THEN 0
+                ELSE (qd - mn) * 255 -
+                  (((qd - mn) * 255) // (mx - mn)) * (mx - mn) END AS err
+            FROM ex JOIN st ON st.i = ex.i)
+          SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+            CAST(SUM(err * err) AS BIGINT) AS sq_err_grid
+          FROM c GROUP BY 1"""),
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(expr(qvecSpark("embedding")))
+            .as(Seq("i0", "qd")))
+          .select(col("vec_id"), (col("i0") + 1).as("i"), col("qd"))
+        val st = ex.groupBy(col("i"))
+          .agg(min(col("qd")).as("mn"), max(col("qd")).as("mx"))
+        ex.join(broadcast(st), Seq("i"))
+          .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+            .otherwise(expr("(qd - mn) * 255 div (mx - mn)")))
+          .withColumn("err", when(col("mx") === col("mn"), lit(0L))
+            .otherwise((col("qd") - col("mn")) * 255
+              - col("code") * (col("mx") - col("mn"))))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("code")).cast("long").as("code_sum"),
+            sum(col("err") * col("err")).cast("long").as("sq_err_grid"))
       })
   )
 }

@@ -1024,6 +1024,57 @@ object Warehouse {
               .as("n_buckets_used"),
             max(col("occ")).cast("long").as("max_bucket_occ"))
           .crossJoin(broadcast(coll))
+      }),
+
+    // ---- small-file compaction planner -------------------------------------
+    // The lakehouse table-maintenance step: given a partition's file
+    // inventory (simulated here as (ship-month, suppkey mod 16) files
+    // sized by row count), produce the bin-pack plan an OPTIMIZE job
+    // executes — files ordered largest-first inside each partition, then
+    // greedily packed into target bins of 256 rows by cumulative-sum
+    // division (the sorted-greedy approximation real compactors use;
+    // oversized files overflow their own bin rather than splitting).
+    // bin = (cumsum - size) // target on non-negative integers, so both
+    // engines' divisions agree. Output is the per-bin work order.
+    // 100 TB plan: the file inventory is metadata-grain (files, not
+    // rows): one partial agg builds it, and the pack window partitions
+    // by ship-month with per-partition width bounded by the file-count
+    // cap (16 here) — never a data-sized frame.
+    QuerySpec(
+      "q224_compaction_plan",
+      Some("""WITH f AS (SELECT CAST(date_trunc('month', l_shipdate)
+              AS DATE) AS mon,
+            l_suppkey % 16 AS file_id,
+            CAST(COUNT(*) AS BIGINT) AS size_rows
+          FROM lineitem GROUP BY 1, 2),
+        pk AS (SELECT mon, file_id, size_rows,
+            SUM(size_rows) OVER (PARTITION BY mon
+              ORDER BY size_rows DESC, file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+          FROM f),
+        asg AS (SELECT mon, file_id, size_rows,
+            CAST((csum - size_rows) // 256 AS BIGINT) AS bin FROM pk)
+        SELECT mon, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM(size_rows) AS BIGINT) AS bin_rows,
+          CAST(MAX(size_rows) AS BIGINT) AS largest_file,
+          CAST(MIN(file_id) AS BIGINT) AS first_file
+        FROM asg GROUP BY 1, 2"""),
+      (s, d) => {
+        val f = t(s, d, "lineitem")
+          .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+            .as("mon"),
+            (col("l_suppkey") % 16).as("file_id"))
+          .agg(count(lit(1)).as("size_rows"))
+        val w = Window.partitionBy(col("mon"))
+          .orderBy(col("size_rows").desc, col("file_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.withColumn("csum", sum(col("size_rows")).over(w))
+          .withColumn("bin", expr("(csum - size_rows) div 256"))
+          .groupBy(col("mon"), col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("size_rows")).cast("long").as("bin_rows"),
+            max(col("size_rows")).cast("long").as("largest_file"),
+            min(col("file_id")).cast("long").as("first_file"))
       })
   )
 }

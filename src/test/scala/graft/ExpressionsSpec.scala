@@ -96,4 +96,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT qcosine(array(2L), array(3L), 4L, 9L) AS c")
       .head().getDouble(0) == 1.0)
   }
+
+  test("jaro_winkler matches the oracle-pinned battery bit-for-bit") {
+    GraftExtensions.ensureRegistered(spark)
+    // Values measured from the DuckDB oracle's jaro_winkler_similarity
+    // (see JaroWinkler's scaladoc): they pin the match window, the
+    // INTEGER transposition halving, the >0.7 boost gate, the prefix cap
+    // at 4, and the empty-string convention.
+    val battery: Seq[(String, String, Double)] = Seq(
+      ("", "", 0.0), ("a", "", 0.0), ("ab", "ba", 0.0),
+      ("a", "a", 1.0), ("abcd", "abcd", 1.0),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abcdef", "bcadef", 0.9444444444444445), // odd mismatch count -> t=1
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("cold widget", "small widget", 0.7146464646464646),
+      ("large bolt", "large widget", 0.8566666666666667),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6), // prefix 4 but jaro <= 0.7: no boost
+      ("abcdefghij", "abcdxxxxxg", 0.6666666666666666),
+      ("arnab", "raanb", 0.8666666666666667),
+      ("aabbcc", "bbaacc", 0.8888888888888888))
+    battery.foreach { case (a, b, want) =>
+      val got = graft.expressions.JaroWinkler.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw($a, $b) = $got, oracle pins $want")
+    }
+    // Codegen path agrees with the static helper, and is null-safe.
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS m,
+           jaro_winkler(CAST(NULL AS STRING), 'x') AS nl""").head()
+    assert(r.getDouble(0) == 0.9611111111111111 && r.isNullAt(1))
+  }
 }

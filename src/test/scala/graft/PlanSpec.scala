@@ -1050,4 +1050,72 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("rand("), "sampling must be hash-gated, not RNG:\n" + p)
   }
+
+  test("q218: JW linkage pairs on token-block equi-joins over the " +
+      "distinct-name grain; the measure runs as the native expression") {
+    val p = plan("q218_jw_linkage")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must be equi-joins, not all-pairs:\n" + p)
+    assert(p.contains("jaro_winkler"),
+      "the native expression must appear in the plan:\n" + p)
+    assert(p.contains("partial_count"),
+      "the n_blocks pair count must combine map-side:\n" + p)
+  }
+
+  test("q219: winnowing windows partition by doc_id (bounded frames, " +
+      "never a data-sized sort)") {
+    val df = Registry.byName("q219_winnowing").run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      "all winnowing frames key on doc_id:\n" + specs.mkString("\n"))
+  }
+
+  test("q220/q224: audit grains combine map-side; no nested loops") {
+    for (name <- Seq("q220_k_anonymity", "q224_compaction_plan")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name must combine map-side:\n" + p)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p)
+    }
+  }
+
+  test("q221: PMI unigram lookups join the vocabulary grain WITHOUT " +
+      "broadcasting it (web-scale vocab is not a dim)") {
+    val p = plan("q221_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be TakeOrdered, not a global sort:\n" + p)
+  }
+
+  test("q222: corr matrix reduces to ONE row in a single partial+final " +
+      "aggregate pass (36 products ride the same scan)") {
+    val p = plan("q222_corr_matrix")
+    assert(p.contains("partial_sum"),
+      "sufficient stats must combine map-side:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a global agg needs no hash exchange, only the single-partition " +
+        "reduction:\n" + p)
+  }
+
+  test("q223: dim stats broadcast back as a sub-aggregate; vector rows " +
+      "shuffle once to the vec grain") {
+    val p = plan("q223_int8_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row dim-stats join must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the dim join must not shuffle the exploded fact side:\n" + p)
+  }
+
+  test("q225: assortativity builds edges via the co-partitioned order " +
+      "self-join; degree joins shuffle the node grain (no fact broadcast)") {
+    val p = plan("q225_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    // 1-row scalar attach joins (n_nodes/n_edges) are the only BNLs.
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"),
+      p)
+    assert(p.contains("partial_count"),
+      "degrees must combine map-side:\n" + p)
+  }
 }
