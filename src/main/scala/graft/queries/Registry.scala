@@ -9,7 +9,8 @@ object Registry {
       Similarity.all ++ PipelineQueries.all ++ Multimodal.all ++
       Sources.all ++ Sql.all ++ SqlTpch.all ++ Analytic.all ++
       TrainingPipeline.all ++ Curation.all ++ Warehouse.all ++ Quality.all ++
-      Statistics.all ++ Profiling.all ++ Corpus.all
+      Statistics.all ++ Profiling.all ++ Corpus.all ++ Inference.all ++
+      Mining.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

@@ -1075,6 +1075,126 @@ object Warehouse {
             sum(col("size_rows")).cast("long").as("bin_rows"),
             max(col("size_rows")).cast("long").as("largest_file"),
             min(col("file_id")).cast("long").as("first_file"))
+      }),
+
+    // ---- U-shaped (position-based) multi-touch attribution -----------------
+    // The third attribution model next to q127 (last-touch) and q180
+    // (linear): 40% of a user's conversion value to the FIRST touch, 40%
+    // to the LAST, the remaining 20% split across the middles (n=1 ->
+    // 100%, n=2 -> 50/50 — the standard degenerate cases). Positions come
+    // from one user-partitioned rank window with (ms, event_id) as the
+    // total order; weights are pinned rationals; per-channel credit sums
+    // on the decimal grid. 100 TB plan: ONE user_id exchange shared by
+    // the window pair, a user-keyed join against the per-user conversion
+    // aggregate, and a |channels|-row rollup. Credit covers users with
+    // >= 1 touch (a touchless purchase has no position to credit).
+    QuerySpec(
+      "q242_position_attribution",
+      Some(s"""WITH tv AS (SELECT user_id,
+            ${Exact.sqlDsum("value")} AS conv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        tc AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+          FROM events WHERE event_type IN ('click', 'view')),
+        pos AS (SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ms, event_id) AS p,
+            COUNT(*) OVER (PARTITION BY user_id) AS nt
+          FROM tc),
+        w AS (SELECT user_id, event_type,
+            CASE WHEN nt = 1 THEN 1.0
+              WHEN p = 1 OR p = nt THEN
+                CASE WHEN nt = 2 THEN 0.5 ELSE 0.4 END
+              ELSE 0.2 / CAST(nt - 2 AS DOUBLE) END AS wt
+          FROM pos),
+        j AS (SELECT w.event_type, w.wt * tv.conv AS credit
+          FROM w JOIN tv ON w.user_id = tv.user_id)
+        SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+          round(${Exact.sqlDsum("credit")}, 4) AS credit
+        FROM j GROUP BY 1"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val tv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(Exact.dsum(col("value")).as("conv"))
+        val uw = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val cw = Window.partitionBy(col("user_id"))
+        val pos = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+          .withColumn("p", row_number().over(uw))
+          .withColumn("nt", count(lit(1)).over(cw))
+        val w = pos.select(col("user_id"), col("event_type"),
+          when(col("nt") === 1, 1.0)
+            .when(col("p") === 1 || col("p") === col("nt"),
+              when(col("nt") === 2, 0.5).otherwise(0.4))
+            .otherwise(lit(0.2) / (col("nt") - 2).cast("double")).as("wt"))
+        w.join(tv, Seq("user_id"))
+          .select(col("event_type"), (col("wt") * col("conv")).as("credit"))
+          .groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            round(Exact.dsum(col("credit")), 4).as("credit"))
+      }),
+
+    // ---- top-k share movers (period-over-period) ---------------------------
+    // Which product types gained or lost revenue share between the two
+    // halves of the observation window — the "movers" report a category
+    // manager reads before the absolute-revenue one (share deltas are
+    // mix-adjusted). Revenue rides the exact cents grid; shares and the
+    // delta are pinned int64->double divides; the pick is TakeOrdered by
+    // |delta| with p_type as tie-break. 100 TB plan: lineitem joins
+    // orders co-partitioned on the order key and part on the part key
+    // (both fact-scaled — shuffle joins, never broadcast); everything
+    // after lives on the bounded |p_type| grain.
+    QuerySpec(
+      "q246_topk_movers",
+      Some("""WITH f AS (SELECT p.p_type,
+            CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per,
+            CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey),
+        r AS (SELECT p_type, per, CAST(SUM(cents) AS BIGINT) AS c
+          FROM f GROUP BY 1, 2),
+        s AS (SELECT p_type,
+            CAST(SUM(CASE WHEN per = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+            CAST(SUM(CASE WHEN per = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+          FROM r GROUP BY 1),
+        tt AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+            CAST(SUM(c1) AS BIGINT) AS t1 FROM s),
+        m AS (SELECT p_type, c0, c1,
+            CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+              - CAST(c0 AS DOUBLE) / CAST(t0 AS DOUBLE) AS dshare
+          FROM s, tt)
+        SELECT p_type, c0 AS cents_a, c1 AS cents_b,
+          round(dshare, 6) AS share_delta
+        FROM m ORDER BY abs(dshare) DESC, p_type LIMIT 10"""),
+      (s, d) => {
+        val f = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val r = f.groupBy(col("p_type"), col("per"))
+          .agg(sum(col("cents")).as("c"))
+        val sdf = r.groupBy(col("p_type"))
+          .agg(sum(when(col("per") === 0, col("c")).otherwise(0L)).as("c0"),
+            sum(when(col("per") === 1, col("c")).otherwise(0L)).as("c1"))
+          .cache() // bounded |p_type| grain; feeds the totals too
+        val tt = sdf.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+        val m = sdf.crossJoin(broadcast(tt)) // 1-row totals
+          .select(col("p_type"), col("c0"), col("c1"),
+            (col("c1").cast("double") / col("t1").cast("double")
+              - col("c0").cast("double") / col("t0").cast("double"))
+              .as("dshare"))
+        m.orderBy(abs(col("dshare")).desc, col("p_type")).limit(10)
+          .select(col("p_type"), col("c0").as("cents_a"),
+            col("c1").as("cents_b"), round(col("dshare"), 6).as("share_delta"))
       })
   )
 }

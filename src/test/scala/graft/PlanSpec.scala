@@ -1118,4 +1118,123 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "degrees must combine map-side:\n" + p)
   }
+
+  test("q226: rank-sum cumulative partitions on the block key; the " +
+      "block-offsets table broadcasts (q162 discipline)") {
+    val df = queries.Registry.byName("q226_mann_whitney").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      "the value-grain cumsum must partition on the block key:\n"
+        + specs.mkString("\n"))
+    val p = plan("q226_mann_whitney")
+    assert(!p.contains("SortMergeJoin"),
+      "the |blocks|-row offsets join must broadcast:\n" + p)
+  }
+
+  test("q227/q232: one-scan conditional aggregates — no join, one " +
+      "partial+final reduction") {
+    for (name <- Seq("q227_welch_ttest", "q232_cohens_kappa")) {
+      val p = plan(name)
+      assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+        s"$name must read its table exactly once:\n" + p)
+      assert(!p.contains("Join"), s"$name needs no join:\n" + p)
+    }
+  }
+
+  test("q228/q229: margins and totals ride broadcast off the cell/grid " +
+      "aggregate; the stump argmax is TakeOrdered, not a global sort") {
+    val cv = plan("q228_cramers_v")
+    assert(!cv.contains("SortMergeJoin"),
+      "group-grain margin joins must broadcast:\n" + cv)
+    assert(cv.contains("partial_count"), cv)
+    val ds = plan("q229_decision_stump")
+    assert(ds.contains("TakeOrderedAndProject"),
+      "best-split selection must be TakeOrdered(1), not a full sort:\n" + ds)
+    assert(!ds.contains("CartesianProduct"), ds)
+  }
+
+  test("q230/q231: bounded-grain pair/lag joins never shuffle or " +
+      "cartesian a fact side") {
+    for (name <- Seq("q230_theil_sen", "q231_acf")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: 1-row/bounded attaches must broadcast:\n" + p)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$name: grain aggregation must combine map-side:\n" + p)
+    }
+  }
+
+  test("q234/q235/q237/q239: every top-k pick is TakeOrdered, never a " +
+      "global sort; wedge/pair joins stay equi") {
+    for (name <- Seq("q234_link_pred", "q235_bpe_pairs",
+        "q237_kmv_distinct", "q239_naive_bayes")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: bounded top-k must be TakeOrdered:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
+
+  test("q240: hash-sign projection is fully row-local — no join, no " +
+      "exchange, one scan") {
+    val p = plan("q240_rand_proj")
+    assert(!p.contains("Join"), "projection must not join:\n" + p)
+    assert(!p.contains("Exchange"),
+      "projection must not shuffle (row-local transform):\n" + p)
+    assert(p.linesIterator.count(
+      _.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
+
+  test("q233: the peel loop's final plan aggregates degrees with " +
+      "map-side combine off checkpointed edges") {
+    val p = plan("q233_kcore")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q242: attribution windows all partition on user_id (one user " +
+      "exchange, never a global window)") {
+    val df = queries.Registry.byName("q242_position_attribution")
+      .run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "position/count windows must key on the user:\n" + specs.mkString("\n"))
+  }
+
+  test("q244: both rank prefix-sums partition on the block key " +
+      "(q226/q162 discipline — no value-grain global window)") {
+    val df = queries.Registry.byName("q244_spearman").run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    val valueGrain = specs.filterNot(_.contains("windowspecdefinition(g#"))
+    assert(valueGrain.forall(_.contains("g#")),
+      "value-grain cumsums must partition on the block key:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q243/q245/q246: runs/ANOVA/movers keep facts on shuffle paths " +
+      "and bounded picks on TakeOrdered") {
+    val rt = plan("q243_runs_test")
+    assert(!rt.contains("CartesianProduct"), rt)
+    assert(rt.contains("partial_sum"), rt)
+    val av = plan("q245_anova_f")
+    assert(!av.contains("Join"), "ANOVA needs no join:\n" + av)
+    assert(av.linesIterator.count(
+      _.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1, av)
+    val mv = plan("q246_topk_movers")
+    assert(mv.contains("TakeOrderedAndProject"), mv)
+    assert(!mv.contains("CartesianProduct"), mv)
+  }
+
+  test("q247: the 64-row dim-stats join broadcasts back onto the " +
+      "exploded frame (no shuffle of the fact side)") {
+    val p = plan("q247_embed_whitening")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "group-grain stats must broadcast, not shuffle the explode:\n" + p)
+  }
 }
