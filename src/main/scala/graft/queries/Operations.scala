@@ -1,0 +1,446 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Exact, Portable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operations analytics: hierarchy flattening (BOM closure), survey raking
+  * (IPF), mergeable sketch states, market bars (OHLC), survival curves
+  * (Kaplan-Meier with censoring), causal difference-in-differences, and
+  * statistical process control (I-MR charts).
+  *
+  * The iterative operators (closure, raking) pin the SAME bounded round
+  * count in both engines — the oracle as unrolled MATERIALIZED CTE stages
+  * (the q233 technique), Spark as loops with localCheckpoint truncation.
+  * Floats follow the house rules: decimal-grid sums, pinned IEEE
+  * expression trees, fold-left products over identically-ordered arrays.
+  */
+object Operations {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Doubling rounds for the ancestor closure: path lengths up to
+    * 2^DblRounds = 32 levels — covers a binary-tree hierarchy over any
+    * int32-sized key space (depth <= 31), at ANY scale factor.
+    */
+  private val DblRounds = 5
+
+  /** IPF (raking) iterations — pinned in both engines. */
+  private val IpfRounds = 3
+
+  /** HLL bucket split of the 60-bit portable hash: 64 buckets (top 6
+    * bits) x 54-bit remainder — mirrors q134's layout.
+    */
+  private val HllField = 1L << 54
+
+  /** alpha_64 * 64^2 * 2^56 for the scaled harmonic-mean estimate (the
+    * q134 literal, recomputed here to keep this file self-contained).
+    */
+  private val HllEstNum: Double = 0.709 * 64.0 * 64.0 * 7.2057594037927936e16
+
+  /** Fulfillment-observation cutoff for the survival curve: orders whose
+    * final shipment lands after this date are right-CENSORED at it.
+    */
+  private val KmCutoff = "2001-03-01"
+
+  /** Epoch-ms boundary (2024-01-16T00:00Z) splitting the events window
+    * into pre/post periods for the difference-in-differences readout —
+    * integer unix-ms compare, timezone-free in both engines.
+    */
+  private val DidSplitMs = 1705363200000L
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- BOM ancestor closure (iterative doubling) -------------------------
+    // Hierarchy flattening — the transitive-closure query behind
+    // bill-of-materials explosions and org-chart rollups, over the
+    // deterministic binary-tree hierarchy part k -> parent k div 2. The
+    // naive level-by-level walk is O(depth) joins; iterative DOUBLING
+    // (R ∪ R∘R per round) reaches depth 2^r in r rounds — 5 rounds
+    // cover any int32 key space, the same O(log) round discipline as
+    // q48's connected components. Every round is a keyed equi-join +
+    // distinct; the (desc, anc) pair count is N·depth ~ linearithmic.
+    // Oracle: the same 5 rounds as unrolled MATERIALIZED CTEs.
+    QuerySpec(
+      "q249_bom_closure", {
+        val rounds = (1 to DblRounds).map { k =>
+          s""",
+          r$k AS MATERIALIZED (SELECT DISTINCT c, a, d FROM (
+            SELECT c, a, d FROM r${k - 1}
+            UNION ALL SELECT x.c AS c, y.a AS a, x.d + y.d AS d
+              FROM r${k - 1} x JOIN r${k - 1} y ON x.a = y.c) z)"""
+        }.mkString
+        Some(s"""WITH r0 AS MATERIALIZED (SELECT p_partkey AS c,
+              p_partkey // 2 AS a, 1 AS d
+            FROM part WHERE p_partkey >= 2)$rounds
+          SELECT d AS depth, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM r$DblRounds GROUP BY 1""")
+      },
+      (s, d) => {
+        var r = t(s, d, "part")
+          .filter(col("p_partkey") >= 2)
+          .select(col("p_partkey").as("c"),
+            expr("p_partkey div 2").as("a"), lit(1).as("d"))
+          .localCheckpoint(true)
+        for (_ <- 1 to DblRounds) {
+          val hop = r.select(col("c"), col("a").as("m"), col("d").as("d1"))
+            .join(r.select(col("c").as("m"), col("a").as("a2"),
+              col("d").as("d2")), Seq("m"))
+            .select(col("c"), col("a2").as("a"),
+              (col("d1") + col("d2")).as("d"))
+          r = r.unionByName(hop).distinct().localCheckpoint(true)
+        }
+        r.groupBy(col("d").as("depth")).agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ---- IPF raking (survey weight calibration) ----------------------------
+    // Iterative proportional fitting: rescale the priority x status cell
+    // weights until both margins match uniform targets — the calibration
+    // step survey/panel pipelines run before any weighted estimate. Three
+    // pinned rounds of (row-scale, column-scale); every margin sum rides
+    // the decimal grid, every scale factor is the same two-divide IEEE
+    // tree. 100 TB plan: ONE fact aggregation to the bounded cell grain,
+    // then O(cells) arithmetic per round with broadcast margins.
+    QuerySpec(
+      "q250_ipf_raking", {
+        val rounds = (1 to IpfRounds).map { k =>
+          s""",
+          rk$k AS MATERIALIZED (SELECT p, ${Exact.sqlDsum("w")} AS rs
+            FROM w${k - 1} GROUP BY 1),
+          wa$k AS MATERIALIZED (SELECT w.p, w.st, w.w * (t.tr / r.rs) AS w
+            FROM w${k - 1} w JOIN rk$k r ON w.p = r.p, tgt t),
+          ck$k AS MATERIALIZED (SELECT st, ${Exact.sqlDsum("w")} AS cs
+            FROM wa$k GROUP BY 1),
+          w$k AS MATERIALIZED (SELECT w.p, w.st, w.w * (t.tc / c.cs) AS w
+            FROM wa$k w JOIN ck$k c ON w.st = c.st, tgt t)"""
+        }.mkString
+        Some(s"""WITH cells AS MATERIALIZED (SELECT o_orderpriority AS p,
+              o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2),
+          tgt AS MATERIALIZED (SELECT
+              CAST(SUM(n) AS DOUBLE) / CAST(COUNT(DISTINCT p) AS DOUBLE)
+                AS tr,
+              CAST(SUM(n) AS DOUBLE) / CAST(COUNT(DISTINCT st) AS DOUBLE)
+                AS tc
+            FROM cells),
+          w0 AS (SELECT p, st, CAST(n AS DOUBLE) AS w FROM cells)$rounds
+          SELECT c.p, c.st, c.n, round(w.w, 4) AS w_raked
+          FROM cells c JOIN w$IpfRounds w ON c.p = w.p AND c.st = w.st""")
+      },
+      (s, d) => {
+        val cells = t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("p"),
+            col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("n"))
+          .cache() // bounded cell grain; feeds targets, rounds, final join
+        val tgt = cells.agg(
+          (sum(col("n")).cast("double")
+            / countDistinct(col("p")).cast("double")).as("tr"),
+          (sum(col("n")).cast("double")
+            / countDistinct(col("st")).cast("double")).as("tc"))
+        var w = cells.select(col("p"), col("st"),
+          col("n").cast("double").as("w"))
+        for (_ <- 1 to IpfRounds) {
+          val rs = w.groupBy(col("p")).agg(Exact.dsum(col("w")).as("rs"))
+          w = w.join(broadcast(rs), Seq("p")).crossJoin(broadcast(tgt))
+            .select(col("p"), col("st"),
+              (col("w") * (col("tr") / col("rs"))).as("w"))
+          val cs = w.groupBy(col("st")).agg(Exact.dsum(col("w")).as("cs"))
+          w = w.join(broadcast(cs), Seq("st")).crossJoin(broadcast(tgt))
+            .select(col("p"), col("st"),
+              (col("w") * (col("tc") / col("cs"))).as("w"))
+        }
+        cells.join(broadcast(w), Seq("p", "st"))
+          .select(col("p"), col("st"), col("n"),
+            round(col("w"), 4).as("w_raked"))
+      }),
+
+    // ---- HLL register merge (mergeable sketch state) -----------------------
+    // The property that makes HyperLogLog THE 100 TB distinct counter:
+    // per-partition register states union by per-register MAX. q134
+    // builds per-group sketches; this merges the per-event-type user
+    // sketches into one global sketch and checks it against the exact
+    // global distinct — register states and the scaled harmonic sum stay
+    // exact integers (the q134 discipline), so the merged STATE
+    // hash-matches the oracle, not just the estimate.
+    QuerySpec(
+      "q251_hll_merge", {
+        val h = Portable.h64Duck("CAST(user_id AS VARCHAR)")
+        Some(s"""WITH x AS (SELECT event_type AS g,
+            ($h) // $HllField AS bucket, ($h) % $HllField AS rest
+          FROM events),
+        reg AS (SELECT g, bucket,
+            MAX(CASE WHEN rest = 0 THEN 55
+                ELSE 55 - length(bin(rest)) END) AS m
+          FROM x GROUP BY g, bucket),
+        mg AS (SELECT bucket, MAX(m) AS m FROM reg GROUP BY 1),
+        z AS (SELECT COUNT(*) AS present,
+            CAST(SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INTEGER))
+              AS BIGINT) AS zp
+          FROM mg),
+        gs AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups FROM reg),
+        e AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events)
+        SELECT gs.n_groups, e.exact_users,
+          zp + (64 - present) * (CAST(1 AS BIGINT) << 56) AS z_scaled,
+          CAST(64 - present AS BIGINT) AS n_empty,
+          (abs($HllEstNum
+              / (zp + (64 - present) * (CAST(1 AS BIGINT) << 56))
+            - exact_users) <= 0.25 * exact_users) AS est_ok
+        FROM z, gs, e""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("cast(user_id as string)")
+        val ev = t(s, d, "events")
+        val x = ev.select(col("event_type").as("g"),
+          expr(s"($h) div $HllField").as("bucket"),
+          expr(s"($h) % $HllField").as("rest"))
+        val reg = x.groupBy(col("g"), col("bucket"))
+          .agg(max(when(col("rest") === 0, 55)
+            .otherwise(lit(55) - length(bin(col("rest"))))).as("m"))
+          .cache() // |groups| x 64 registers; feeds merge AND group count
+        val mg = reg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        val z = mg.agg(count(lit(1)).as("present"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(56 - m as int))"))
+            .as("zp"))
+        val gs = reg.agg(countDistinct(col("g")).as("n_groups"))
+        val e = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+        val zScaled =
+          col("zp") + (lit(64) - col("present")) * lit(1L << 56)
+        z.crossJoin(broadcast(gs)).crossJoin(broadcast(e))
+          .select(col("n_groups"), col("exact_users"),
+            zScaled.as("z_scaled"),
+            (lit(64) - col("present")).cast("long").as("n_empty"),
+            (abs(lit(HllEstNum) / zScaled - col("exact_users"))
+              <= lit(0.25) * col("exact_users")).as("est_ok"))
+      }),
+
+    // ---- OHLC bars (market-data resampling) --------------------------------
+    // The canonical time-series downsample: per day, the first (open),
+    // max (high), min (low), and last (close) event value plus the trade
+    // count. First/last ride two rank windows over the SAME day-keyed
+    // exchange with (ms, event_id) as the total order — no self-join,
+    // no argmin ambiguity under timestamp ties. 100 TB plan: one
+    // day-partitioned window pass feeding one day-grain aggregate.
+    QuerySpec(
+      "q252_ohlc_bars",
+      Some("""WITH b AS (SELECT CAST(ts AS DATE) AS day, value,
+            epoch_ms(ts) AS ms, event_id FROM events),
+        r AS (SELECT day, value,
+            ROW_NUMBER() OVER (PARTITION BY day
+              ORDER BY ms, event_id) AS rn_a,
+            ROW_NUMBER() OVER (PARTITION BY day
+              ORDER BY ms DESC, event_id DESC) AS rn_d
+          FROM b)
+        SELECT day, MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+          MAX(value) AS high_v, MIN(value) AS low_v,
+          MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+          CAST(COUNT(*) AS BIGINT) AS n_trades
+        FROM r GROUP BY 1"""),
+      (s, d) => {
+        val b = t(s, d, "events")
+          .select(col("ts").cast("date").as("day"), col("value"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"),
+            col("event_id"))
+        val wa = Window.partitionBy(col("day"))
+          .orderBy(col("ms"), col("event_id"))
+        val wd = Window.partitionBy(col("day"))
+          .orderBy(col("ms").desc, col("event_id").desc)
+        b.withColumn("rn_a", row_number().over(wa))
+          .withColumn("rn_d", row_number().over(wd))
+          .groupBy(col("day"))
+          .agg(max(when(col("rn_a") === 1, col("value"))).as("open_v"),
+            max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+            max(when(col("rn_d") === 1, col("value"))).as("close_v"),
+            count(lit(1)).as("n_trades"))
+      }),
+
+    // ---- Kaplan-Meier survival (time-to-ship with censoring) ---------------
+    // The estimator that handles what a plain ECDF cannot: orders whose
+    // final shipment falls after the observation cutoff are right-
+    // CENSORED — they contribute to the at-risk denominator up to their
+    // censoring time without ever "dying". S(t) multiplies (1 - d/n)
+    // across death times; the survival product folds LEFT over the SAME
+    // t-ordered factor array in both engines (Spark `aggregate`, DuckDB
+    // `list_reduce` — identical association, bit-identical doubles).
+    // 100 TB plan: one order-key join + one t-grain aggregate (t is
+    // time-bounded); the factor array is |t|-bounded and broadcast.
+    QuerySpec(
+      "q253_kaplan_meier",
+      Some(s"""WITH ship AS (SELECT l_orderkey,
+            MAX(CAST(l_shipdate AS DATE)) AS ship
+          FROM lineitem GROUP BY 1),
+        ord AS (SELECT CAST(o.o_orderdate AS DATE) AS od, s.ship
+          FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+          WHERE CAST(o.o_orderdate AS DATE) <= DATE '$KmCutoff'),
+        ev AS (SELECT CAST(CASE WHEN ship <= DATE '$KmCutoff'
+              THEN datediff('day', od, ship)
+              ELSE datediff('day', od, DATE '$KmCutoff') END AS BIGINT) AS t,
+            CASE WHEN ship <= DATE '$KmCutoff' THEN 1 ELSE 0 END AS death
+          FROM ord),
+        g AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+            CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        rk AS (SELECT t, d, c,
+            n - CAST(COALESCE(SUM(c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS nr
+          FROM g, tot),
+        f AS (SELECT t, d, c, nr,
+            1.0 - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE) AS factor
+          FROM rk),
+        fl AS (SELECT list(factor ORDER BY t) AS fs,
+            list(t ORDER BY t) AS ts FROM f)
+        SELECT f.t, f.nr AS n_risk, f.d AS n_deaths,
+          f.c - f.d AS n_censored,
+          round(list_reduce(fs[1 : list_position(ts, f.t)],
+            (a, b) -> a * b), 6) AS survival
+        FROM f, fl"""),
+      (s, d) => {
+        val cutoff = lit(KmCutoff).cast("date")
+        val ship = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate").cast("date")).as("ship"))
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+          .filter(col("od") <= cutoff)
+          .join(ship, col("o_orderkey") === col("l_orderkey"))
+        val ev = ord.select(
+          when(col("ship") <= cutoff, datediff(col("ship"), col("od")))
+            .otherwise(datediff(cutoff, col("od"))).cast("long").as("t"),
+          when(col("ship") <= cutoff, 1L).otherwise(0L).as("death"))
+        val g = ev.groupBy(col("t"))
+          .agg(sum(col("death")).as("d"), count(lit(1)).as("c"))
+        val tot = g.agg(sum(col("c")).as("n"))
+        val rk = g.crossJoin(broadcast(tot)) // 1-row total
+          .withColumn("nr", col("n") - coalesce(sum(col("c")).over(
+            Window.orderBy(col("t"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val f = rk.select(col("t"), col("d"), col("c"), col("nr"),
+          (lit(1.0) - col("d").cast("double") / col("nr").cast("double"))
+            .as("factor")).cache() // bounded |t| grain; feeds rows + fold
+        val fl = f.agg(
+          expr("transform(array_sort(collect_list(struct(t, factor)))," +
+            " x -> x.factor)").as("fs"),
+          expr("transform(array_sort(collect_list(struct(t, factor)))," +
+            " x -> x.t)").as("ts"))
+        f.crossJoin(broadcast(fl)) // 1-row bounded factor arrays
+          .select(col("t"), col("nr").as("n_risk"), col("d").as("n_deaths"),
+            (col("c") - col("d")).as("n_censored"),
+            round(expr("aggregate(slice(fs, 1, cast(array_position(ts, t) as int))," +
+              " cast(1.0 as double), (a, b) -> a * b)"), 6).as("survival"))
+      }),
+
+    // ---- difference-in-differences ------------------------------------------
+    // The workhorse causal readout: (treatment post - pre) minus
+    // (control post - pre) on mean event value, with a deterministic
+    // treatment assignment (odd user ids) and an integer epoch-ms period
+    // split. Four cell means from ONE conditional-aggregate scan on the
+    // decimal grid; the DiD is a pinned three-subtract tree. Complements
+    // q182 (proportions z), q215 (CUPED), q227 (Welch): the
+    // panel-structure estimator of the experimentation kit.
+    QuerySpec(
+      "q254_diff_in_diff", {
+        def cell(tr: Int, po: Int): String =
+          s"user_id % 2 = $tr AND (CASE WHEN epoch_ms(ts) >= $DidSplitMs " +
+            s"THEN 1 ELSE 0 END) = $po"
+        def n(tr: Int, po: Int) =
+          s"CAST(COUNT(CASE WHEN ${cell(tr, po)} THEN 1 END) AS BIGINT)"
+        def sm(tr: Int, po: Int) =
+          Exact.sqlDsum(s"CASE WHEN ${cell(tr, po)} THEN value END")
+        Some(s"""WITH st AS (SELECT
+            ${n(1, 0)} AS n10, ${n(1, 1)} AS n11,
+            ${n(0, 0)} AS n00, ${n(0, 1)} AS n01,
+            ${sm(1, 0)} AS s10, ${sm(1, 1)} AS s11,
+            ${sm(0, 0)} AS s00, ${sm(0, 1)} AS s01
+          FROM events),
+        m AS (SELECT n10, n11, n00, n01,
+            s10 / CAST(n10 AS DOUBLE) AS m10,
+            s11 / CAST(n11 AS DOUBLE) AS m11,
+            s00 / CAST(n00 AS DOUBLE) AS m00,
+            s01 / CAST(n01 AS DOUBLE) AS m01
+          FROM st)
+        SELECT n10 AS n_treat_pre, n11 AS n_treat_post,
+          n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+          round(m10, 4) AS mean_treat_pre, round(m11, 4) AS mean_treat_post,
+          round(m00, 4) AS mean_ctrl_pre, round(m01, 4) AS mean_ctrl_post,
+          round((m11 - m10) - (m01 - m00), 4) AS did
+        FROM m""")
+      },
+      (s, d) => {
+        val tr = col("user_id") % 2
+        val po = when(expr("unix_millis(cast(ts as timestamp))")
+          >= DidSplitMs, 1).otherwise(0)
+        def cell(a: Int, b: Int) = tr === a && po === b
+        val st = t(s, d, "events").agg(
+          count(when(cell(1, 0), 1)).as("n10"),
+          count(when(cell(1, 1), 1)).as("n11"),
+          count(when(cell(0, 0), 1)).as("n00"),
+          count(when(cell(0, 1), 1)).as("n01"),
+          Exact.dsum(when(cell(1, 0), col("value"))).as("s10"),
+          Exact.dsum(when(cell(1, 1), col("value"))).as("s11"),
+          Exact.dsum(when(cell(0, 0), col("value"))).as("s00"),
+          Exact.dsum(when(cell(0, 1), col("value"))).as("s01"))
+        val m = st.select(col("n10"), col("n11"), col("n00"), col("n01"),
+          (col("s10") / col("n10").cast("double")).as("m10"),
+          (col("s11") / col("n11").cast("double")).as("m11"),
+          (col("s00") / col("n00").cast("double")).as("m00"),
+          (col("s01") / col("n01").cast("double")).as("m01"))
+        m.select(col("n10").as("n_treat_pre"), col("n11").as("n_treat_post"),
+          col("n00").as("n_ctrl_pre"), col("n01").as("n_ctrl_post"),
+          round(col("m10"), 4).as("mean_treat_pre"),
+          round(col("m11"), 4).as("mean_treat_post"),
+          round(col("m00"), 4).as("mean_ctrl_pre"),
+          round(col("m01"), 4).as("mean_ctrl_post"),
+          round((col("m11") - col("m10")) - (col("m01") - col("m00")), 4)
+            .as("did"))
+      }),
+
+    // ---- I-MR control chart (statistical process control) ------------------
+    // Shewhart individuals + moving-range chart over the daily mean event
+    // value: center line, the 2.66·MRbar control limits, and per-day
+    // out-of-control flags — the drift monitor a data-quality pipeline
+    // runs on every metric stream. Daily means come off the decimal grid;
+    // the moving range is one lag over the bounded day grain; limits are
+    // scalar broadcasts. 100 TB plan: one day-grain partial agg, then
+    // O(|days|) arithmetic.
+    QuerySpec(
+      "q255_imr_chart",
+      Some(s"""WITH dayx AS (SELECT CAST(ts AS DATE) AS day,
+            ${Exact.sqlDavg("value")} AS xbar
+          FROM events GROUP BY 1),
+        mr AS (SELECT day, xbar,
+            abs(xbar - lag(xbar) OVER (ORDER BY day)) AS mrv
+          FROM dayx),
+        lim AS (SELECT ${Exact.sqlDavg("xbar")} AS center,
+            ${Exact.sqlDsum("mrv")} / CAST(COUNT(mrv) AS DOUBLE) AS mrbar
+          FROM mr)
+        SELECT day, round(xbar, 4) AS xbar, round(mrv, 4) AS mr,
+          round(center + 2.66 * mrbar, 4) AS ucl,
+          round(center - 2.66 * mrbar, 4) AS lcl,
+          (xbar > center + 2.66 * mrbar OR xbar < center - 2.66 * mrbar)
+            AS out_of_control
+        FROM mr, lim"""),
+      (s, d) => {
+        val dayx = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(Exact.davg(col("value")).as("xbar"))
+        val mr = dayx.withColumn("mrv",
+          abs(col("xbar") - lag(col("xbar"), 1)
+            .over(Window.orderBy(col("day")))))
+          .cache() // bounded |days| grain; feeds rows AND limits
+        val lim = mr.agg(Exact.davg(col("xbar")).as("center"),
+          (Exact.dsum(col("mrv")) / count(col("mrv")).cast("double"))
+            .as("mrbar"))
+        val ucl = col("center") + lit(2.66) * col("mrbar")
+        val lcl = col("center") - lit(2.66) * col("mrbar")
+        mr.crossJoin(broadcast(lim)) // 1-row scalar limits
+          .select(col("day"), round(col("xbar"), 4).as("xbar"),
+            round(col("mrv"), 4).as("mr"), round(ucl, 4).as("ucl"),
+            round(lcl, 4).as("lcl"),
+            (col("xbar") > ucl || col("xbar") < lcl).as("out_of_control"))
+      })
+  )
+}

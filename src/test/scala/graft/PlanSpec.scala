@@ -1237,4 +1237,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "group-grain stats must broadcast, not shuffle the explode:\n" + p)
   }
+
+  test("q249/q250: iterative closure and raking keep every round on " +
+      "keyed joins with broadcast margins (no cartesian, no global sort)") {
+    for (name <- Seq("q249_bom_closure", "q250_ipf_raking")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      assert(!p.contains("GlobalSort") && !p.contains("\n Sort "),
+        s"$name: no global sort belongs in the final plan:\n" + p)
+    }
+  }
+
+  test("q251: HLL registers combine map-side (partial_max) — the " +
+      "mergeable-state shuffle is bounded by groups x 64") {
+    val p = plan("q251_hll_merge")
+    assert(p.contains("partial_max"),
+      "register max must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q252/q253/q255: bars partition windows on the day; survival " +
+      "and control-chart windows read bounded grains only") {
+    val bars = queries.Registry.byName("q252_ohlc_bars").run(spark, sfDir)
+    val specs = bars.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("day#")),
+      "OHLC rank windows must key on the day:\n" + specs.mkString("\n"))
+    for (name <- Seq("q253_kaplan_meier", "q255_imr_chart")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
 }
