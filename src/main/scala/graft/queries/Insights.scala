@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Profiling / engagement / decomposition operators: window co-occurrence
+  * mining (word2vec-style skip-grams), foreign-key inclusion auditing,
+  * rolling distinct engagement (WAU), period-over-period mix/rate
+  * decomposition, and candidate-key uniqueness profiling.
+  *
+  * House determinism rules throughout: exact integer counts, decimal-grid
+  * double sums, pinned IEEE expression trees, total-order tie-breaks on
+  * every top-k.
+  */
+object Insights {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Skip-gram window radius (positions 1..W to the right). */
+  private val SkipWindow = 3
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- skip-gram co-occurrence mining ------------------------------------
+    // The corpus statistic word2vec/GloVe training consumes: unordered
+    // word pairs within a +-3 position window, counted corpus-wide —
+    // q149's adjacent bigrams are the W=1 special case. The pair
+    // explode is ROW-LOCAL (fan-out = W per position); one (pair)
+    // partial-agg shuffle bounded by vocabulary^2 with the observed
+    // long-tail far smaller; top-20 is TakeOrdered with the pair string
+    // as tie-break. Pair canonicalization via least/greatest keeps the
+    // count symmetric without a second pass.
+    QuerySpec(
+      "q256_skipgram_cooc",
+      Some(s"""WITH sp AS (SELECT string_split(lower(text), ' ') AS ws
+            FROM documents),
+        z AS (SELECT ws, j, unnest([1, 2, 3]) AS k FROM
+          (SELECT ws, unnest(range(1, len(ws) + 1)) AS j FROM sp) y),
+        p AS (SELECT least(ws[j], ws[j + k]) || ' '
+            || greatest(ws[j], ws[j + k]) AS pair
+          FROM z WHERE j + k <= len(ws)
+            AND ws[j] <> '' AND ws[j + k] <> ''),
+        c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM p GROUP BY 1)
+        SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20"""),
+      (s, d) => {
+        val sp = t(s, d, "documents")
+          .select(split(lower(col("text")), " ").as("ws"))
+        val z = sp
+          .select(col("ws"), explode(expr("sequence(1, size(ws))")).as("j"))
+          .select(col("ws"), col("j"),
+            explode(lit((1 to SkipWindow).toArray)).as("k"))
+          .filter(col("j") + col("k") <= size(col("ws")))
+        val p = z
+          .select(expr("element_at(ws, j)").as("a"),
+            expr("element_at(ws, j + k)").as("b"))
+          .filter(col("a") =!= "" && col("b") =!= "")
+          .select(concat(least(col("a"), col("b")), lit(" "),
+            greatest(col("a"), col("b"))).as("pair"))
+        p.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)
+      }),
+
+    // ---- foreign-key inclusion audit ---------------------------------------
+    // Referential-integrity profiling across the star schema: for each
+    // declared (plus one negative-control) child->parent pair, the
+    // distinct child key count, the orphan count (child values with no
+    // parent), and the containment fraction — the inclusion-dependency
+    // check FK discovery tools run before trusting any join. Each pair
+    // is a distinct + anti-join on the key (the q58 ledger shape); all
+    // five pairs union into one report. 100 TB plan: per pair, one
+    // child-key distinct shuffle and one key-equi anti-join — nothing
+    // broadcast except nothing; parents stream through the join.
+    QuerySpec(
+      "q257_fk_audit", {
+        def pair(nm: String, child: String, ck: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$nm' AS fk, CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+            CAST(COUNT(CASE WHEN p.$pk IS NULL THEN 1 END) AS BIGINT)
+              AS n_orphans,
+            round(1.0 - CAST(COUNT(CASE WHEN p.$pk IS NULL THEN 1 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS containment
+          FROM (SELECT DISTINCT $ck FROM $child) c
+          LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk"""
+        Some(Seq(
+          pair("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          pair("lineitem.partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          pair("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          pair("orders.custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          pair("part.partkey->supplier (negative control)", "part",
+            "p_partkey", "supplier", "s_suppkey")).mkString(" UNION ALL "))
+      },
+      (s, d) => {
+        def pair(nm: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+          val c = child.select(col(ck)).distinct()
+          val j = c.join(parent.select(col(pk)).distinct(),
+            col(ck) === col(pk), "left")
+          j.agg(count(lit(1)).as("n_child_keys"),
+            count(when(col(pk).isNull, 1)).as("n_orphans"))
+            .select(lit(nm).as("fk"), col("n_child_keys"), col("n_orphans"),
+              round(lit(1.0) - col("n_orphans").cast("double")
+                / col("n_child_keys").cast("double"), 6).as("containment"))
+        }
+        val li = t(s, d, "lineitem")
+        pair("lineitem.orderkey->orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+          .unionByName(pair("lineitem.partkey->part", li, "l_partkey",
+            t(s, d, "part"), "p_partkey"))
+          .unionByName(pair("lineitem.suppkey->supplier", li, "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey"))
+          .unionByName(pair("orders.custkey->customer", t(s, d, "orders"),
+            "o_custkey", t(s, d, "customer"), "c_custkey"))
+          .unionByName(pair("part.partkey->supplier (negative control)",
+            t(s, d, "part"), "p_partkey", t(s, d, "supplier"), "s_suppkey"))
+      }),
+
+    // ---- rolling weekly active users (WAU) ---------------------------------
+    // Distinct users in each trailing 7-day window — the engagement
+    // denominator behind DAU/WAU stickiness. Distinct-over-sliding-
+    // window does NOT partial-aggregate, so the scale shape is the
+    // window EXPLODE: each (user, active-day) pair posts to the 7
+    // windows it falls in, then one distinct + count per window day —
+    // fan-out exactly 7, every stage keyed. Published per observed day
+    // with DAU and the stickiness ratio.
+    QuerySpec(
+      "q258_rolling_wau",
+      Some("""WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+        ex AS (SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS w
+          FROM ad, (SELECT unnest(range(0, 7)) AS k) ks),
+        cnt AS (SELECT w AS day, CAST(COUNT(*) AS BIGINT) AS wau
+          FROM ex GROUP BY 1),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM ad GROUP BY 1)
+        SELECT d.day, d.dau, c.wau,
+          round(CAST(d.dau AS DOUBLE) / CAST(c.wau AS DOUBLE), 4)
+            AS stickiness
+        FROM dau d JOIN cnt c ON d.day = c.day"""),
+      (s, d) => {
+        import s.implicits._
+        val ad = t(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+          .cache() // (user, day) grain; feeds the explode AND the DAU agg
+        val ks = (0 until 7).toDF("k")
+        val ex = ad.crossJoin(broadcast(ks))
+          .select(col("user_id"), date_add(col("day"), col("k")).as("w"))
+          .distinct()
+        val cnt = ex.groupBy(col("w").as("day"))
+          .agg(count(lit(1)).as("wau"))
+        val dau = ad.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        dau.join(cnt, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 4)
+              .as("stickiness"))
+      }),
+
+    // ---- mix/rate decomposition (Oaxaca-style) -----------------------------
+    // WHY did average order value move between the two halves of the
+    // window: per market segment, the contribution of segment-mix shift
+    // ((share1 - share0) * rate0) vs within-segment rate change
+    // (share1 * (rate1 - rate0)) — summing both columns reproduces the
+    // overall delta exactly (the standard first-order decomposition,
+    // base-period rates convention). Counts are exact int64, revenue
+    // sums decimal-grid; shares and rates are pinned divides. 100 TB
+    // plan: one (segment, period) fact aggregate, then bounded-grain
+    // arithmetic with 1-row period totals broadcast.
+    QuerySpec(
+      "q259_mix_decomposition",
+      Some(s"""WITH f AS (SELECT c.c_mktsegment AS seg,
+            CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per,
+            o.o_totalprice AS v
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (SELECT seg, per, CAST(COUNT(*) AS BIGINT) AS n,
+            ${Exact.sqlDsum("v")} AS sv
+          FROM f GROUP BY 1, 2),
+        w AS (SELECT seg,
+            CAST(SUM(CASE WHEN per = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN per = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+            ${Exact.sqlDsum("CASE WHEN per = 0 THEN sv END")} AS s0,
+            ${Exact.sqlDsum("CASE WHEN per = 1 THEN sv END")} AS s1
+          FROM g GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+            CAST(SUM(n1) AS BIGINT) AS t1 FROM w),
+        m AS (SELECT seg, n0, n1,
+            CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE) AS sh0,
+            CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS sh1,
+            s0 / CAST(n0 AS DOUBLE) AS r0,
+            s1 / CAST(n1 AS DOUBLE) AS r1
+          FROM w, tt)
+        SELECT seg, n0, n1, round(sh0, 6) AS share_pre,
+          round(sh1, 6) AS share_post, round(r0, 4) AS rate_pre,
+          round(r1, 4) AS rate_post,
+          round((sh1 - sh0) * r0, 4) AS mix_effect,
+          round(sh1 * (r1 - r0), 4) AS rate_effect
+        FROM m"""),
+      (s, d) => {
+        val f = t(s, d, "orders")
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"),
+            col("o_totalprice").as("v"))
+        val g = f.groupBy(col("seg"), col("per"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("v")).as("sv"))
+        val w = g.groupBy(col("seg"))
+          .agg(sum(when(col("per") === 0, col("n")).otherwise(0L)).as("n0"),
+            sum(when(col("per") === 1, col("n")).otherwise(0L)).as("n1"),
+            Exact.dsum(when(col("per") === 0, col("sv"))).as("s0"),
+            Exact.dsum(when(col("per") === 1, col("sv"))).as("s1"))
+          .cache() // bounded |segments| grain; feeds totals too
+        val tt = w.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+        val m = w.crossJoin(broadcast(tt)) // 1-row period totals
+          .select(col("seg"), col("n0"), col("n1"),
+            (col("n0").cast("double") / col("t0").cast("double")).as("sh0"),
+            (col("n1").cast("double") / col("t1").cast("double")).as("sh1"),
+            (col("s0") / col("n0").cast("double")).as("r0"),
+            (col("s1") / col("n1").cast("double")).as("r1"))
+        m.select(col("seg"), col("n0"), col("n1"),
+          round(col("sh0"), 6).as("share_pre"),
+          round(col("sh1"), 6).as("share_post"),
+          round(col("r0"), 4).as("rate_pre"),
+          round(col("r1"), 4).as("rate_post"),
+          round((col("sh1") - col("sh0")) * col("r0"), 4).as("mix_effect"),
+          round(col("sh1") * (col("r1") - col("r0")), 4).as("rate_effect"))
+      }),
+
+    // ---- candidate-key uniqueness profile ----------------------------------
+    // Which column (combinations) could serve as a key: distinct-to-row
+    // ratio per candidate over orders — the uniqueness profile a schema-
+    // discovery pass computes before declaring constraints. Each
+    // candidate is one COUNT(DISTINCT ...) against the shared row count;
+    // the dedup shuffles key on the candidate itself. Exact int64
+    // counts; the ratio is one divide.
+    QuerySpec(
+      "q260_key_profile", {
+        def cand(nm: String, e: String): String =
+          s"""SELECT '$nm' AS candidate,
+            CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            round(CAST(COUNT(DISTINCT $e) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS uniqueness,
+            (COUNT(DISTINCT $e) = COUNT(*)) AS is_key
+          FROM orders"""
+        Some(Seq(
+          cand("o_orderkey", "o_orderkey"),
+          cand("o_custkey", "o_custkey"),
+          cand("o_orderdate", "o_orderdate"),
+          cand("o_custkey+o_orderdate", "(o_custkey, o_orderdate)"))
+          .mkString(" UNION ALL "))
+      },
+      (s, d) => {
+        val o = t(s, d, "orders").cache() // four profile passes, one scan
+        def cand(nm: String, cols: Seq[String]): DataFrame =
+          o.agg(countDistinct(col(cols.head),
+            cols.tail.map(col): _*).as("n_distinct"),
+            count(lit(1)).as("n_rows"))
+            .select(lit(nm).as("candidate"), col("n_distinct"),
+              col("n_rows"),
+              round(col("n_distinct").cast("double")
+                / col("n_rows").cast("double"), 6).as("uniqueness"),
+              (col("n_distinct") === col("n_rows")).as("is_key"))
+        cand("o_orderkey", Seq("o_orderkey"))
+          .unionByName(cand("o_custkey", Seq("o_custkey")))
+          .unionByName(cand("o_orderdate", Seq("o_orderdate")))
+          .unionByName(cand("o_custkey+o_orderdate",
+            Seq("o_custkey", "o_orderdate")))
+      })
+  )
+}

@@ -173,7 +173,36 @@ object Plans {
     "q200_pq_assign" ->
       ("PQ assignment: 4-way subspace explode, fixed codebook broadcast, "
         + "exact integer L2 in a codegen'd lambda, min-then-min argmin, "
-        + "32-row occupancy aggregate."))
+        + "32-row occupancy aggregate."),
+    "q226_mann_whitney" ->
+      ("Rank-sum WITHOUT ranks: value-grain histogram, per-block cumsum "
+        + "(partitioned on v div 2^16), broadcast block offsets, one "
+        + "reduction to five int64 sufficient stats."),
+    "q244_spearman" ->
+      ("Two block-decomposed 2*avgRank passes, value-keyed rank joins "
+        + "back onto the fact, single (ex,ey) product reduction — "
+        + "Pearson-on-ranks with zero float ranks."),
+    "q233_kcore" ->
+      ("Iterative peel: per round one degree partial-agg + two left-semi "
+        + "joins on the node key, localCheckpoint-truncated lineage, "
+        + "edge-count early exit (monotonicity makes it oracle-equal)."),
+    "q249_bom_closure" ->
+      ("Transitive closure by iterative DOUBLING: 5 rounds of keyed "
+        + "self-join + distinct reach depth 32 — O(log depth) rounds, "
+        + "the q48 discipline applied to hierarchies."),
+    "q250_ipf_raking" ->
+      ("Three pinned IPF rounds over the bounded cell grain: decimal-grid "
+        + "margin sums broadcast back, per-round localCheckpoint keeps "
+        + "the six-stage plan constant-size (7.8 s -> 1.7 s)."),
+    "q253_kaplan_meier" ->
+      ("Survival: order-key join, t-grain aggregate, reverse prefix "
+        + "at-risk window over the bounded grain, and a broadcast "
+        + "t-ordered factor array folded row-locally (identical "
+        + "association in both engines)."),
+    "q258_rolling_wau" ->
+      ("Distinct-over-sliding-window via the window EXPLODE: (user, day) "
+        + "distinct, fan-out 7 into trailing windows, distinct + count "
+        + "per window day — no holistic window aggregate anywhere."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

@@ -1268,4 +1268,26 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
     }
   }
+
+  test("q256/q258: corpus/engagement explodes stay row-local into one " +
+      "keyed partial agg; top-k is TakeOrdered") {
+    val sg = plan("q256_skipgram_cooc")
+    assert(sg.contains("TakeOrderedAndProject"), sg)
+    assert(sg.contains("partial_count"), sg)
+    assert(!sg.contains("CartesianProduct"), sg)
+    val wau = plan("q258_rolling_wau")
+    assert(wau.contains("partial_count"), wau)
+    assert(!wau.contains("CartesianProduct"),
+      "the 7-row window-offset list must broadcast:\n" + wau)
+  }
+
+  test("q257/q259/q260: audits join on keys (no cartesian); the " +
+      "uniqueness profile needs no join at all") {
+    for (name <- Seq("q257_fk_audit", "q259_mix_decomposition")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+    val kp = plan("q260_key_profile")
+    assert(!kp.contains("Join"), "profiling is aggregate-only:\n" + kp)
+  }
 }
