@@ -274,6 +274,245 @@ object Insights {
           .unionByName(cand("o_orderdate", Seq("o_orderdate")))
           .unionByName(cand("o_custkey+o_orderdate",
             Seq("o_custkey", "o_orderdate")))
+      }),
+
+    // ---- accounts-receivable aging (open-order buckets) --------------------
+    // The finance close report: orders still unshipped at the cutoff,
+    // bucketed by how long they have been open (0-30/31-60/61-90/90+
+    // days), with order counts and open value on the exact cents grid.
+    // One order-key join (final ship date per order), a row-local age
+    // bucket CASE, one bounded aggregate.
+    QuerySpec(
+      "q262_ar_aging",
+      Some("""WITH ship AS (SELECT l_orderkey,
+            MAX(CAST(l_shipdate AS DATE)) AS ship
+          FROM lineitem GROUP BY 1),
+        open_o AS (SELECT CAST(o.o_orderdate AS DATE) AS od,
+            CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+          WHERE CAST(o.o_orderdate AS DATE) <= DATE '2001-03-01'
+            AND s.ship > DATE '2001-03-01'),
+        ag AS (SELECT datediff('day', od, DATE '2001-03-01') AS age, cents
+          FROM open_o)
+        SELECT CASE WHEN age <= 30 THEN '0-30' WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90' ELSE '90+' END AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(cents) AS BIGINT) AS open_cents
+        FROM ag GROUP BY 1"""),
+      (s, d) => {
+        val cutoff = lit("2001-03-01").cast("date")
+        val ship = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate").cast("date")).as("ship"))
+        val openO = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .filter(col("od") <= cutoff)
+          .join(ship, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("ship") > cutoff)
+        openO.select(datediff(cutoff, col("od")).as("age"), col("cents"))
+          .select(when(col("age") <= 30, "0-30")
+            .when(col("age") <= 60, "31-60")
+            .when(col("age") <= 90, "61-90")
+            .otherwise("90+").as("bucket"), col("cents"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).cast("long").as("open_cents"))
+      }),
+
+    // ---- compressibility profile (distinct 4-gram rate) --------------------
+    // A compression-ratio proxy per document — the LZ-style redundancy
+    // signal quality filters use alongside q57's repetition gates: the
+    // fraction of DISTINCT character 4-grams among all 4-grams, fully
+    // ROW-LOCAL via an array comprehension + distinct (no shuffle until
+    // the per-source rollup). Low ratio = highly repetitive text. The
+    // per-source average rides the decimal grid; min/max are order-free.
+    QuerySpec(
+      "q263_compressibility", {
+        val u4 = "len(list_distinct([substr(text, i, 4) " +
+          "for i in range(1, length(text) - 2)]))"
+        Some(s"""WITH r AS (SELECT source,
+            CAST($u4 AS DOUBLE)
+              / CAST(length(text) - 3 AS DOUBLE) AS ratio
+          FROM documents WHERE length(text) >= 4)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            round(${Exact.sqlDsum("ratio")} / COUNT(*), 6) AS avg_ratio,
+            round(MIN(ratio), 4) AS min_ratio,
+            round(MAX(ratio), 4) AS max_ratio
+          FROM r GROUP BY 1""")
+      },
+      (s, d) => {
+        val u4 = "size(array_distinct(transform(" +
+          "sequence(1, length(text) - 3), i -> substring(text, i, 4))))"
+        val r = t(s, d, "documents")
+          .filter(length(col("text")) >= 4)
+          .select(col("source"),
+            (expr(u4).cast("double")
+              / (length(col("text")) - 3).cast("double")).as("ratio"))
+        r.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(Exact.dsum(col("ratio")) / count(lit(1)), 6)
+              .as("avg_ratio"),
+            round(min(col("ratio")), 4).as("min_ratio"),
+            round(max(col("ratio")), 4).as("max_ratio"))
+      }),
+
+    // ---- customer percentile rank (block-decomposed cume_dist) -------------
+    // Every customer's revenue percentile — the score a lifecycle/
+    // segmentation system attaches to each account. cume_dist over a
+    // customer-grain frame is the classic data-sized global window; here
+    // the rank is the q226/q162 block prefix sum on the cents-value
+    // grain (per-block cumsum + broadcast block offsets), joined back on
+    // the value — no single-task window at any scale. The oracle mirrors
+    // the SAME explicit arithmetic (inclusive count / n), not the
+    // engine's cume_dist builtin, so both sides share one divide tree.
+    QuerySpec(
+      "q264_percentile_rank",
+      Some("""WITH cust AS (SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        h AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM cust GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS le
+          FROM h)
+        SELECT c.o_custkey, c.cents,
+          round(CAST(cum.le AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+            AS pct_rank
+        FROM cust c JOIN cum ON c.cents = cum.v, tot"""),
+      (s, d) => {
+        val cust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+          .cache() // customer grain; feeds the histogram AND the join back
+        val h = cust.groupBy(col("cents").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("g", expr(s"v div ${1L << 16}"))
+          .cache()
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val within = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+        val offs = h.groupBy(col("g")).agg(sum(col("cnt")).as("gc"))
+          .withColumn("off", coalesce(sum(col("gc")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("g"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("off"))
+        val tot = h.agg(sum(col("cnt")).as("n"))
+        val cum = within.join(broadcast(offs), "g")
+          .select(col("v"), (col("off") + col("cum_in")).as("le"))
+        cust.join(cum, col("cents") === col("v"))
+          .crossJoin(broadcast(tot)) // 1-row count
+          .select(col("o_custkey"), col("cents"),
+            round(col("le").cast("double") / col("n").cast("double"), 6)
+              .as("pct_rank"))
+      }),
+
+    // ---- Kneser-Ney continuation counts ------------------------------------
+    // The statistic KN smoothing is built on: for each word, how many
+    // DISTINCT left contexts precede it (continuation count) vs its raw
+    // bigram frequency — words with high raw count but few contexts
+    // ("francisco") get discounted. Bigram extraction is row-local; the
+    // continuation count is one distinct + count per word; top-20 by
+    // continuation with the word as tie-break.
+    QuerySpec(
+      "q265_kn_counts",
+      Some("""WITH sp AS (SELECT string_split(lower(text), ' ') AS ws
+            FROM documents),
+        bg AS (SELECT ws[j] AS prev, ws[j + 1] AS w FROM
+          (SELECT ws, unnest(range(1, len(ws))) AS j FROM sp) z
+          WHERE ws[j] <> '' AND ws[j + 1] <> ''),
+        cc AS (SELECT w, CAST(COUNT(DISTINCT prev) AS BIGINT)
+            AS continuation,
+            CAST(COUNT(*) AS BIGINT) AS raw_cnt
+          FROM bg GROUP BY 1)
+        SELECT w AS word, continuation, raw_cnt
+        FROM cc ORDER BY continuation DESC, w LIMIT 20"""),
+      (s, d) => {
+        val sp = t(s, d, "documents")
+          .select(split(lower(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val bg = sp
+          .select(col("ws"), explode(expr("sequence(1, size(ws) - 1)"))
+            .as("j"))
+          .select(expr("element_at(ws, j)").as("prev"),
+            expr("element_at(ws, j + 1)").as("w"))
+          .filter(col("prev") =!= "" && col("w") =!= "")
+        bg.groupBy(col("w"))
+          .agg(countDistinct(col("prev")).as("continuation"),
+            count(lit(1)).as("raw_cnt"))
+          .orderBy(col("continuation").desc, col("w")).limit(20)
+          .select(col("w").as("word"), col("continuation"), col("raw_cnt"))
+      }),
+
+    // ---- Simpson's paradox detector ----------------------------------------
+    // Flags segments whose period-over-period rate change CONTRADICTS
+    // the pooled change — the aggregation trap q259's decomposition
+    // explains and this audit surfaces automatically. Per-segment and
+    // pooled rates come from the same (segment, period) exact
+    // sufficient statistics; the flag is a sign comparison of two
+    // pinned deltas. 100 TB plan: one fact aggregate to the bounded
+    // (segment, period) grain; pooled totals broadcast.
+    QuerySpec(
+      "q266_simpson_flags",
+      Some(s"""WITH f AS (SELECT c.c_mktsegment AS seg,
+            CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per,
+            o.o_totalprice AS v
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (SELECT seg, per, CAST(COUNT(*) AS BIGINT) AS n,
+            ${Exact.sqlDsum("v")} AS sv
+          FROM f GROUP BY 1, 2),
+        w AS (SELECT seg,
+            CAST(SUM(CASE WHEN per = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN per = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+            ${Exact.sqlDsum("CASE WHEN per = 0 THEN sv END")} AS s0,
+            ${Exact.sqlDsum("CASE WHEN per = 1 THEN sv END")} AS s1
+          FROM g GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+            CAST(SUM(n1) AS BIGINT) AS t1,
+            ${Exact.sqlDsum("s0")} AS g0, ${Exact.sqlDsum("s1")} AS g1
+          FROM w),
+        m AS (SELECT seg,
+            s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE) AS ds,
+            g1 / CAST(t1 AS DOUBLE) - g0 / CAST(t0 AS DOUBLE) AS dp
+          FROM w, tt)
+        SELECT seg, round(ds, 4) AS segment_delta,
+          round(dp, 4) AS pooled_delta,
+          ((ds > 0 AND dp < 0) OR (ds < 0 AND dp > 0)) AS simpson
+        FROM m"""),
+      (s, d) => {
+        val f = t(s, d, "orders")
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"),
+            col("o_totalprice").as("v"))
+        val g = f.groupBy(col("seg"), col("per"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("v")).as("sv"))
+        val w = g.groupBy(col("seg"))
+          .agg(sum(when(col("per") === 0, col("n")).otherwise(0L)).as("n0"),
+            sum(when(col("per") === 1, col("n")).otherwise(0L)).as("n1"),
+            Exact.dsum(when(col("per") === 0, col("sv"))).as("s0"),
+            Exact.dsum(when(col("per") === 1, col("sv"))).as("s1"))
+          .cache() // bounded |segments| grain
+        val tt = w.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+          Exact.dsum(col("s0")).as("g0"), Exact.dsum(col("s1")).as("g1"))
+        val m = w.crossJoin(broadcast(tt)) // 1-row pooled totals
+          .select(col("seg"),
+            (col("s1") / col("n1").cast("double")
+              - col("s0") / col("n0").cast("double")).as("ds"),
+            (col("g1") / col("t1").cast("double")
+              - col("g0") / col("t0").cast("double")).as("dp"))
+        m.select(col("seg"), round(col("ds"), 4).as("segment_delta"),
+          round(col("dp"), 4).as("pooled_delta"),
+          ((col("ds") > 0 && col("dp") < 0)
+            || (col("ds") < 0 && col("dp") > 0)).as("simpson"))
       })
   )
 }

@@ -624,6 +624,62 @@ object Mining {
             .localCheckpoint(true)
         }
         out
+      }),
+
+    // ---- HITS hubs/authorities (bipartite, max-norm) -----------------------
+    // Kleinberg's HITS on the order-part bipartite graph: orders are
+    // hubs, parts authorities; three pinned alternations from h=1 with
+    // MAX-normalization after every half-step (max over exact/decimal-
+    // grid scores is order-free, unlike an L2 norm's square-root-of-sum).
+    // Per-node score sums ride the decimal grid; each normalization is
+    // one broadcast scalar divide. The top-10 authority list is the
+    // "structurally important products" ranking PageRank (q115) gives
+    // for the unipartite projection. 100 TB plan: each half-step is one
+    // edge-keyed join + node-grain partial agg — bounded rounds, the
+    // q115 shape on the bipartite edge list.
+    QuerySpec(
+      "q261_hits", {
+        def half(from: String, key: String, out: String, prev: String,
+            score: String): String =
+          s""",
+          $out AS MATERIALIZED (SELECT $key, ${Exact.sqlDsum(score)} AS s
+            FROM ed JOIN $prev USING ($from) GROUP BY 1),
+          m_$out AS (SELECT MAX(s) AS m FROM $out),
+          n_$out AS MATERIALIZED (SELECT $key, s / m AS sn
+            FROM $out, m_$out)"""
+        Some(s"""WITH ed AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+              l_partkey AS p FROM lineitem),
+          a1 AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS DOUBLE) AS s
+            FROM ed GROUP BY 1),
+          m_a1 AS (SELECT MAX(s) AS m FROM a1),
+          n_a1 AS MATERIALIZED (SELECT p, s / m AS sn FROM a1, m_a1)
+          ${half("p", "o", "h2", "n_a1", "sn")}
+          ${half("o", "p", "a2", "n_h2", "sn")}
+          ${half("p", "o", "h3", "n_a2", "sn")}
+          ${half("o", "p", "a3", "n_h3", "sn")}
+          SELECT p AS part, round(sn, 6) AS authority
+          FROM n_a3 ORDER BY sn DESC, p LIMIT 10""")
+      },
+      (s, d) => {
+        val ed = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct().cache() // the bipartite edge list, reused 5x
+        def norm(df: DataFrame, key: String): DataFrame = {
+          val m = df.agg(max(col("s")).as("m"))
+          df.crossJoin(broadcast(m)) // 1-row max
+            .select(col(key), (col("s") / col("m")).as("sn"))
+        }
+        def half(prev: DataFrame, from: String, key: String): DataFrame =
+          norm(ed.join(prev, Seq(from))
+            .groupBy(col(key)).agg(Exact.dsum(col("sn")).as("s")), key)
+        val a1 = norm(ed.groupBy(col("p"))
+          .agg(count(lit(1)).cast("double").as("s")), "p")
+        val h2 = half(a1, "p", "o")
+        val a2 = half(h2, "o", "p")
+        val h3 = half(a2, "p", "o")
+        val a3 = half(h3, "o", "p")
+        a3.orderBy(col("sn").desc, col("p")).limit(10)
+          .select(col("p").as("part"), round(col("sn"), 6).as("authority"))
       })
   )
 }

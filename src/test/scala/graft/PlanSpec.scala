@@ -1290,4 +1290,33 @@ class PlanSpec extends SparkSpec {
     val kp = plan("q260_key_profile")
     assert(!kp.contains("Join"), "profiling is aggregate-only:\n" + kp)
   }
+
+  test("q261: every HITS half-step joins on the edge key and " +
+      "normalizes via a broadcast scalar (no cartesian, no global sort)") {
+    val p = plan("q261_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 authorities must be TakeOrdered:\n" + p)
+  }
+
+  test("q264: percentile rank runs on the block prefix sum — the " +
+      "value-grain cumsum partitions on the block key") {
+    val df = queries.Registry.byName("q264_percentile_rank")
+      .run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    val unblocked = specs.filterNot(_.contains("windowspecdefinition(g#"))
+    assert(unblocked.forall(_.contains("g#")),
+      "customer-grain cume_dist must block-decompose:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q263/q265: row-local array mining feeds one keyed partial agg; " +
+      "top-k picks are TakeOrdered") {
+    val cp = plan("q263_compressibility")
+    assert(!cp.contains("Join"), "compressibility is row-local + agg:\n" + cp)
+    val kn = plan("q265_kn_counts")
+    assert(kn.contains("TakeOrderedAndProject"), kn)
+    assert(!kn.contains("CartesianProduct"), kn)
+  }
 }
