@@ -513,6 +513,137 @@ object Insights {
           round(col("dp"), 4).as("pooled_delta"),
           ((col("ds") > 0 && col("dp") < 0)
             || (col("ds") < 0 && col("dp") > 0)).as("simpson"))
+      }),
+
+    // ---- Lorenz curve (cumulative revenue concentration) -------------------
+    // The curve behind q183's Gini number: customers ranked by revenue,
+    // cut into deciles, each reporting its cumulative share of total
+    // revenue — "the top 10% hold X%" chart. Decile assignment uses the
+    // block-decomposed inclusive rank (q264's discipline — no
+    // data-sized window); shares are exact-cents ratios; the 10-row
+    // cumulative is group-grain. Ties share a rank and therefore a
+    // decile, so the cut is deterministic without a row_number.
+    QuerySpec(
+      "q269_lorenz_curve",
+      Some("""WITH cust AS (SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        h AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(cents) AS BIGINT) AS vsum FROM cust GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+            CAST(SUM(vsum) AS BIGINT) AS tc FROM h),
+        cum AS (SELECT v, cnt, vsum,
+            CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS le FROM h),
+        dec AS (SELECT (10 * (le - 1)) // n AS decile, cnt, vsum
+          FROM cum, tot),
+        g AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_cust,
+            CAST(SUM(vsum) AS BIGINT) AS cents FROM dec GROUP BY 1)
+        SELECT decile, n_cust, cents,
+          round(CAST(CAST(SUM(cents) OVER (ORDER BY decile) AS BIGINT)
+            AS DOUBLE) / CAST(tot.tc AS DOUBLE), 6) AS cum_share
+        FROM g, tot"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val h = cust.groupBy(col("cents").as("v"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("vsum"))
+          .withColumn("g", expr(s"v div ${1L << 16}"))
+          .cache()
+        val tot = h.agg(sum(col("cnt")).as("n"), sum(col("vsum")).as("tc"))
+        val wIn = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = h.withColumn("cum_in", sum(col("cnt")).over(wIn))
+        val offs = h.groupBy(col("g")).agg(sum(col("cnt")).as("gc"))
+          .withColumn("off", coalesce(sum(col("gc")).over(
+            Window.orderBy(col("g"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("off"))
+        val dec = within.join(broadcast(offs), "g")
+          .crossJoin(broadcast(tot)) // 1-row totals
+          .select(expr("(10 * (off + cum_in - 1)) div n").as("decile"),
+            col("cnt"), col("vsum"))
+        val gdf = dec.groupBy(col("decile"))
+          .agg(sum(col("cnt")).as("n_cust"), sum(col("vsum")).as("cents"))
+        gdf.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("cents")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("decile"), col("n_cust"), col("cents"),
+            round(col("cum").cast("double") / col("tc").cast("double"), 6)
+              .as("cum_share"))
+      }),
+
+    // ---- per-user feature-store assembly -----------------------------------
+    // The materialization step before any churn/LTV model: one wide
+    // feature row per user — activity counts, span, recency against the
+    // corpus horizon, monetary sums on the decimal grid, purchase rate,
+    // and a pre/post activity trend on the same epoch-ms split as q254.
+    // value_avg publishes through floor(x*1e4)/1e4, NOT round(x,4): the
+    // quotient of a 1e-4-grid total by an integer lands on exact decimal
+    // ties, where Spark's BigDecimal HALF_UP and DuckDB's multiply-based
+    // double rounding disagree by 1 ulp (observed at sf0.1) — floor of
+    // the identical IEEE product is bit-stable in both engines.
+    // Everything reduces in ONE user-keyed conditional aggregate plus a
+    // broadcast corpus-horizon scalar — the shape a feature store runs
+    // nightly over billions of users.
+    QuerySpec(
+      "q270_feature_store",
+      Some(s"""WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS maxd
+            FROM events),
+        u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS n_purchases,
+            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+            MIN(CAST(ts AS DATE)) AS first_day,
+            MAX(CAST(ts AS DATE)) AS last_day,
+            ${Exact.sqlDsum("value")} AS value_sum,
+            CAST(COUNT(CASE WHEN epoch_ms(ts) >= 1705363200000 THEN 1 END)
+              AS BIGINT) AS n_post,
+            CAST(COUNT(CASE WHEN epoch_ms(ts) < 1705363200000 THEN 1 END)
+              AS BIGINT) AS n_pre
+          FROM events GROUP BY 1)
+        SELECT user_id, n_events, n_purchases, days_active,
+          CAST(datediff('day', first_day, last_day) AS BIGINT) AS span_days,
+          CAST(datediff('day', last_day, maxd) AS BIGINT) AS recency_days,
+          round(value_sum, 4) AS value_sum,
+          floor(value_sum / CAST(n_events AS DOUBLE) * 10000.0) / 10000.0
+            AS value_avg,
+          round(CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+            AS purchase_rate,
+          n_post - n_pre AS activity_trend
+        FROM u, horizon"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val horizon = ev.agg(max(col("ts").cast("date")).as("maxd"))
+        val post = expr("unix_millis(cast(ts as timestamp))") >=
+          1705363200000L
+        val u = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("event_type") === "purchase", 1))
+              .as("n_purchases"),
+            countDistinct(col("ts").cast("date")).as("days_active"),
+            min(col("ts").cast("date")).as("first_day"),
+            max(col("ts").cast("date")).as("last_day"),
+            Exact.dsum(col("value")).as("value_sum"),
+            count(when(post, 1)).as("n_post"),
+            count(when(!post, 1)).as("n_pre"))
+        u.crossJoin(broadcast(horizon)) // 1-row corpus horizon
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            col("days_active"),
+            datediff(col("last_day"), col("first_day")).cast("long")
+              .as("span_days"),
+            datediff(col("maxd"), col("last_day")).cast("long")
+              .as("recency_days"),
+            round(col("value_sum"), 4).as("value_sum"),
+            (floor(col("value_sum") / col("n_events").cast("double")
+              * lit(10000.0)) / lit(10000.0)).as("value_avg"),
+            round(col("n_purchases").cast("double")
+              / col("n_events").cast("double"), 6).as("purchase_rate"),
+            (col("n_post") - col("n_pre")).as("activity_trend"))
       })
   )
 }

@@ -93,6 +93,61 @@ object Sources {
         s.read.parquet(paths: _*)
           .groupBy(col("l_linestatus"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      }),
+
+    // ---- ORC sink + schema'd ORC scan --------------------------------------
+    // The columnar-format sibling of q51's CSV round-trip: ORC is the
+    // other table format a lakehouse migration encounters (Hive
+    // heritage); Spark's writer/reader are built in. The aggregate
+    // after read-back proves type-preserving round-trip for long /
+    // string / double columns; the oracle recomputes from parquet.
+    QuerySpec(
+      "q267_orc_roundtrip",
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+            AS sum_qty,
+          ${sqlDsum("l_extendedprice")} AS total
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-orc").toString
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            col("l_extendedprice"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            dsum(col("l_extendedprice")).as("total"))
+      }),
+
+    // ---- text sink + line-oriented text scan -------------------------------
+    // The lowest-common-denominator interchange: one tab-separated line
+    // per document through `spark.read.text` (the raw-crawl entry
+    // format), re-parsed with split(). The fixture's texts carry no
+    // tabs/newlines (verified), so the round-trip is lossless and the
+    // per-language char totals must match the parquet recomputation.
+    QuerySpec(
+      "q268_text_roundtrip",
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang"""),
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-text").toString
+        Tables.load(s, d, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t", 3).as("f"))
+          .select(col("f").getItem(1).as("lang"),
+            col("f").getItem(2).as("text"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).cast("long").as("n_chars"))
       })
   )
 }
