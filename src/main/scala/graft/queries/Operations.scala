@@ -445,6 +445,171 @@ object Operations {
             round(col("mrv"), 4).as("mr"), round(ucl, 4).as("ucl"),
             round(lcl, 4).as("lcl"),
             (col("xbar") > ucl || col("xbar") < lcl).as("out_of_control"))
+      }),
+
+    // ---- incremental JOIN-view maintenance ---------------------------------
+    // The delta identity materialized-view engines apply: for V =
+    // agg(orders ⋈ customer), V_new = V_base ⊎ agg(Δorders ⋈ customer)
+    // — only the DELTA re-joins, never the base fact. The fixture
+    // splits orders 90/10 by key, maintains the per-nation revenue view
+    // incrementally, and publishes both the incrementally-maintained
+    // and the from-scratch totals with a consistency flag (exact cents,
+    // so the flag is a true equality, not a tolerance). 100 TB plan:
+    // base state is a |nations|-grain table; maintenance cost is
+    // |Δ| ⋈ customer — one delta-sized keyed join.
+    QuerySpec(
+      "q272_join_ivm",
+      Some("""WITH base AS (SELECT c_nationkey AS nation,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderkey % 10 <> 0 GROUP BY 1),
+        delta AS (SELECT c_nationkey AS nation,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderkey % 10 = 0 GROUP BY 1),
+        incr AS (SELECT COALESCE(b.nation, d.nation) AS nation,
+            COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents
+          FROM base b FULL OUTER JOIN delta d ON b.nation = d.nation),
+        full_v AS (SELECT c_nationkey AS nation,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        SELECT f.nation, f.cents AS full_cents,
+          CAST(i.cents AS BIGINT) AS incr_cents,
+          f.cents = i.cents AS consistent
+        FROM full_v f JOIN incr i ON f.nation = i.nation"""),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        def view(o: DataFrame): DataFrame = o
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val orders = t(s, d, "orders").cache() // split twice + full view
+        val base = view(orders.filter(col("o_orderkey") % 10 =!= 0))
+        val delta = view(orders.filter(col("o_orderkey") % 10 === 0))
+        val incr = base.select(col("nation"), col("cents").as("bc"))
+          .join(delta.select(col("nation"), col("cents").as("dc")),
+            Seq("nation"), "full_outer")
+          .select(col("nation"),
+            (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("ic"))
+        view(orders)
+          .join(incr, Seq("nation"))
+          .select(col("nation"), col("cents").as("full_cents"),
+            col("ic").as("incr_cents"),
+            (col("cents") === col("ic")).as("consistent"))
+      }),
+
+    // ---- out-of-order arrival audit ----------------------------------------
+    // The metric that sizes a streaming pipeline's watermark: how often
+    // do events ARRIVE (event_id order) with timestamps behind the
+    // user's running maximum, and by how much. One user-partitioned
+    // running-max window in arrival order; per-type late counts, rates,
+    // and the worst disorder in ms — exactly the statistic that decides
+    // `withWatermark`'s delay. 100 TB plan: one user-keyed exchange
+    // shared by the window, then a |types|-grain rollup.
+    QuerySpec(
+      "q273_ooo_audit",
+      Some("""WITH b AS (SELECT user_id, event_type, event_id,
+            epoch_ms(ts) AS ms FROM events),
+        w AS (SELECT event_type, ms,
+            MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM b)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(CASE WHEN ms < pm THEN 1 END) AS BIGINT) AS n_late,
+          round(CAST(COUNT(CASE WHEN ms < pm THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS late_rate,
+          MAX(CASE WHEN ms < pm THEN pm - ms END) AS max_disorder_ms
+        FROM w GROUP BY 1"""),
+      (s, d) => {
+        val b = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ms"))
+        val win = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val w = b.withColumn("pm", max(col("ms")).over(win))
+        w.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("ms") < col("pm"), 1)).as("n_late"),
+            round(count(when(col("ms") < col("pm"), 1)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("late_rate"),
+            max(when(col("ms") < col("pm"), col("pm") - col("ms")))
+              .as("max_disorder_ms"))
+      }),
+
+    // ---- group-sequential A/B monitoring (O'Brien-Fleming looks) -----------
+    // The peeking-safe experiment readout: the purchase-rate z between
+    // the deterministic arms is evaluated at three interim looks (the
+    // first/middle/last thirds of the event-id range) against the
+    // O'Brien-Fleming boundaries (3.471 / 2.454 / 2.004 for K=3) — wide
+    // early, nominal late, so cumulative alpha stays 0.05. Each look is
+    // a conditional aggregate over the id prefix; z is the q182 pooled
+    // two-proportion tree. 100 TB plan: events fan out to <= 3 looks
+    // (broadcast look table), ONE (look) partial agg, O(3) arithmetic.
+    QuerySpec(
+      "q274_group_sequential",
+      Some("""WITH bounds AS (SELECT CAST(MIN(event_id) AS BIGINT) AS mn,
+            CAST(MAX(event_id) AS BIGINT) AS mx FROM events),
+        looks AS (SELECT unnest([1, 2, 3]) AS look,
+            unnest([3.471, 2.454, 2.004]) AS bd),
+        e AS (SELECT event_id, user_id % 2 AS tr,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+          FROM events),
+        x AS (SELECT l.look, l.bd, e.tr, e.c
+          FROM e, looks l, bounds b
+          WHERE e.event_id < b.mn + ((b.mx - b.mn + 1) * l.look) // 3 + 1),
+        a AS (SELECT look, bd,
+            CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN tr = 1 THEN c ELSE 0 END) AS BIGINT) AS ka,
+            CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN tr = 0 THEN c ELSE 0 END) AS BIGINT) AS kb
+          FROM x GROUP BY 1, 2)
+        SELECT look, na, ka, nb, kb,
+          round(((CAST(ka AS DOUBLE) / CAST(na AS DOUBLE))
+            - (CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 - (CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+              * ((1.0 / CAST(na AS DOUBLE)) + (1.0 / CAST(nb AS DOUBLE)))),
+            4) AS z,
+          abs(((CAST(ka AS DOUBLE) / CAST(na AS DOUBLE))
+            - (CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+              * (1.0 - (CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+              * ((1.0 / CAST(na AS DOUBLE)) + (1.0 / CAST(nb AS DOUBLE)))))
+            > bd AS significant
+        FROM a"""),
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+        val bounds = ev.agg(min(col("event_id")).as("mn"),
+          max(col("event_id")).as("mx"))
+        val looks = Seq((1, 3.471), (2, 2.454), (3, 2.004))
+          .toDF("look", "bd")
+        val e = ev.select(col("event_id"), (col("user_id") % 2).as("tr"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
+        val x = e.crossJoin(broadcast(looks))
+          .crossJoin(broadcast(bounds)) // 1-row id range
+          .filter(col("event_id") < col("mn")
+            + expr("((mx - mn + 1) * look) div 3") + 1)
+        val a = x.groupBy(col("look"), col("bd"))
+          .agg(sum(when(col("tr") === 1, 1L).otherwise(0L)).as("na"),
+            sum(when(col("tr") === 1, col("c")).otherwise(0L)).as("ka"),
+            sum(when(col("tr") === 0, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("tr") === 0, col("c")).otherwise(0L)).as("kb"))
+        val pool = (col("ka") + col("kb")).cast("double") /
+          (col("na") + col("nb")).cast("double")
+        val z = ((col("ka").cast("double") / col("na").cast("double"))
+          - (col("kb").cast("double") / col("nb").cast("double"))) /
+          sqrt(pool * (lit(1.0) - pool)
+            * (lit(1.0) / col("na").cast("double")
+              + lit(1.0) / col("nb").cast("double")))
+        a.select(col("look"), col("na"), col("ka"), col("nb"), col("kb"),
+          round(z, 4).as("z"), (abs(z) > col("bd")).as("significant"))
       })
   )
 }

@@ -148,6 +148,38 @@ object Sources {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"),
             sum(length(col("text")).cast("long")).cast("long").as("n_chars"))
+      }),
+
+    // ---- dynamic partition pruning through a dim join ----------------------
+    // The partition-layout payoff at 100 TB: a fact partitioned on the
+    // join key is pruned at RUNTIME by the dim side's filter (Spark DPP
+    // — the dim filter's values flow into the fact scan's
+    // PartitionFilters before any fact bytes are read). The fixture
+    // writes lineitem partitioned on l_suppkey % 25 and joins nation
+    // filtered to one name: only 1 of 25 partitions is scanned.
+    // PlanSpec asserts the dynamicpruning expression; the oracle
+    // recomputes the filtered join from the raw table.
+    QuerySpec(
+      "q271_dpp_prune",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+            AS sum_qty
+        FROM lineitem JOIN nation ON l_suppkey % 25 = n_nationkey
+        WHERE n_name = 'FRANCE'"""),
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-dpp").toString
+        Tables.load(s, d, "lineitem")
+          .select((col("l_suppkey") % 25).as("nk"),
+            round(col("l_quantity"), 0).cast("long").as("qty"))
+          .write.mode("overwrite").partitionBy("nk").parquet(out)
+        val dim = Tables.load(s, d, "nation")
+          .filter(col("n_name") === "FRANCE")
+          .select(col("n_nationkey"))
+        s.read.parquet(out)
+          .join(dim, col("nk") === col("n_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast("long").as("sum_qty"))
       })
   )
 }

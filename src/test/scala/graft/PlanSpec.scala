@@ -1319,4 +1319,27 @@ class PlanSpec extends SparkSpec {
     assert(kn.contains("TakeOrderedAndProject"), kn)
     assert(!kn.contains("CartesianProduct"), kn)
   }
+
+  test("q271: the dim filter prunes the partitioned fact scan at " +
+      "runtime (dynamic partition pruning reaches PartitionFilters)") {
+    val p = plan("q271_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      "the nation filter must flow into the fact scan's partition " +
+        "filters before any fact bytes are read:\n" + p)
+  }
+
+  test("q272/q273/q274: IVM joins on the view key; the arrival window " +
+      "partitions on the user; looks fan out via broadcast") {
+    val ivm = plan("q272_join_ivm")
+    assert(!ivm.contains("CartesianProduct"), ivm)
+    val ooo = queries.Registry.byName("q273_ooo_audit").run(spark, sfDir)
+    val specs = ooo.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      "the running max must key on the user:\n" + specs.mkString("\n"))
+    val gs = plan("q274_group_sequential")
+    assert(!gs.contains("CartesianProduct"),
+      "look/bounds attaches must broadcast:\n" + gs)
+    assert(gs.contains("partial_sum"), gs)
+  }
 }
