@@ -681,6 +681,85 @@ object Inference {
           round((col("ssb") / (col("k") - 1).cast("double"))
             / (col("ssw") / (col("nn") - col("k")).cast("double")), 4)
             .as("f_stat"))
+      }),
+
+    // ---- L-moments (order-statistics moments) ------------------------------
+    // Hosking's L-moments: the robust alternative to q156's power
+    // moments — linear in the data, so a single outlier moves L-skewness
+    // boundedly where classical skewness explodes. The probability-
+    // weighted moments b0/b1/b2 need rank-weighted sums; tie blocks make
+    // every rank assignment sum-equivalent, so both weights collapse to
+    // CLOSED FORMS on the distinct-value grain (S1 = sum of (r-1),
+    // S2 = sum of (r-1)(r-2) over the block — exact integer arithmetic,
+    // the divisions by 2 and 6 always exact). Ranks come from the q226
+    // block prefix sum; each per-value term normalizes by n(n-1)(n-2)
+    // BEFORE the decimal-grid fold so magnitudes stay inside the 1e17
+    // headroom. Headroom: c*rank^2 must fit int64 — fine for any
+    // near-distinct value column; an all-equal column is degenerate for
+    // L-moments anyway.
+    QuerySpec(
+      "q277_l_moments",
+      Some(s"""WITH h AS (SELECT
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+            CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        cum AS (SELECT v, c,
+            CAST(SUM(c) OVER (ORDER BY v) - c AS BIGINT) AS m FROM h),
+        w AS (SELECT CAST(v AS DOUBLE) / 100.0 AS x, c, m,
+            c * m + (c * (c - 1)) // 2 AS s1,
+            c * m * m + m * c * (c - 1)
+              + ((c - 1) * c * (2 * c - 1)) // 6
+              - (c * m + (c * (c - 1)) // 2) AS s2
+          FROM cum),
+        b AS (SELECT
+            ${Exact.sqlDsum(
+        "CAST(c AS DOUBLE) * x / CAST(n AS DOUBLE)")} AS b0,
+            ${Exact.sqlDsum("CAST(s1 AS DOUBLE) * x / (CAST(n AS DOUBLE) "
+        + "* CAST(n - 1 AS DOUBLE))")} AS b1,
+            ${Exact.sqlDsum("CAST(s2 AS DOUBLE) * x / (CAST(n AS DOUBLE) "
+        + "* CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE))")} AS b2
+          FROM w, tot)
+        SELECT tot.n, round(b0, 4) AS l1, round(2 * b1 - b0, 4) AS l2,
+          round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS t3
+        FROM b, tot"""),
+      (s, d) => {
+        val h = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("g", expr(s"v div ${1L << BlockBits}"))
+          .cache()
+        val tot = h.agg(sum(col("c")).as("n"))
+        val wIn = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = h.withColumn("cum_in", sum(col("c")).over(wIn))
+        val offs = h.groupBy(col("g")).agg(sum(col("c")).as("gc"))
+          .withColumn("off", coalesce(sum(col("gc")).over(
+            Window.orderBy(col("g"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("off"))
+        val w = within.join(broadcast(offs), "g")
+          .withColumn("m", col("off") + col("cum_in") - col("c"))
+          .select((col("v").cast("double") / lit(100.0)).as("x"),
+            col("c"), col("m"),
+            expr("c * m + (c * (c - 1)) div 2").as("s1"),
+            expr("c * m * m + m * c * (c - 1) " +
+              "+ ((c - 1) * c * (2 * c - 1)) div 6 " +
+              "- (c * m + (c * (c - 1)) div 2)").as("s2"))
+        val b = w.crossJoin(broadcast(tot)) // 1-row count
+          .agg(
+            Exact.dsum(col("c").cast("double") * col("x")
+              / col("n").cast("double")).as("b0"),
+            Exact.dsum(col("s1").cast("double") * col("x")
+              / (col("n").cast("double") * (col("n") - 1).cast("double")))
+              .as("b1"),
+            Exact.dsum(col("s2").cast("double") * col("x")
+              / (col("n").cast("double") * (col("n") - 1).cast("double")
+                * (col("n") - 2).cast("double"))).as("b2"))
+        b.crossJoin(broadcast(tot))
+          .select(col("n"), round(col("b0"), 4).as("l1"),
+            round(lit(2) * col("b1") - col("b0"), 4).as("l2"),
+            round((lit(6) * col("b2") - lit(6) * col("b1") + col("b0"))
+              / (lit(2) * col("b1") - col("b0")), 6).as("t3"))
       })
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Exact
+import graft.functions.{Exact, Portable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -644,6 +644,156 @@ object Insights {
             round(col("n_purchases").cast("double")
               / col("n_events").cast("double"), 6).as("purchase_rate"),
             (col("n_post") - col("n_pre")).as("activity_trend"))
+      }),
+
+    // ---- spatial grid join (neighbor-cell proximity pairs) -----------------
+    // The 1-bucket-9-probe pattern behind every geohash/S2 proximity
+    // join: deterministic 2D coordinates (portable hash of the key, so
+    // the oracle reproduces them), cells of side R, candidates only
+    // from the 3x3 neighbor cells, exact Chebyshev filter — the
+    // all-pairs O(n^2) becomes O(n * density). Published as a
+    // distance-bucket histogram of close pairs. 100 TB plan: one cell
+    // shuffle + 9-fanout neighbor join; no cross join anywhere (the
+    // q104 Z-order key makes the same cells RANGE-compact at rest).
+    QuerySpec(
+      "q275_grid_join", {
+        val hx = Portable.h64Duck("'gx:' || CAST(c_custkey AS VARCHAR)")
+        val hy = Portable.h64Duck("'gy:' || CAST(c_custkey AS VARCHAR)")
+        Some(s"""WITH pt AS (SELECT c_custkey AS id, ($hx) % 10000 AS x,
+              ($hy) % 10000 AS y FROM customer),
+          cl AS (SELECT id, x, y, x // 200 AS cx, y // 200 AS cy FROM pt),
+          nb AS (SELECT a.id AS ida, b.id AS idb,
+              abs(a.x - b.x) AS dx, abs(a.y - b.y) AS dy
+            FROM cl a JOIN cl b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND a.id < b.id),
+          pr AS (SELECT CASE WHEN dx > dy THEN dx ELSE dy END AS cheb
+            FROM nb WHERE dx < 200 AND dy < 200)
+          SELECT cheb // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pr GROUP BY 1""")
+      },
+      (s, d) => {
+        import s.implicits._
+        val hx = Portable.h64Spark("concat('gx:', cast(c_custkey as string))")
+        val hy = Portable.h64Spark("concat('gy:', cast(c_custkey as string))")
+        val pt = t(s, d, "customer")
+          .select(col("c_custkey").as("id"),
+            (expr(hx) % 10000).as("x"), (expr(hy) % 10000).as("y"))
+          .select(col("id"), col("x"), col("y"),
+            expr("x div 200").as("cx"), expr("y div 200").as("cy"))
+          .cache() // both sides of the neighbor join
+        val off = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy =>
+          (dx, dy))).toDF("dx", "dy")
+        // left side fans out to its 9 neighbor cells, then the join is
+        // pure EQUI on the (cell) key — no BNL range probes
+        val probes = pt.crossJoin(broadcast(off))
+          .select(col("id"), col("x"), col("y"),
+            (col("cx") + col("dx")).as("pcx"), (col("cy") + col("dy"))
+              .as("pcy"))
+        val nb = probes.join(pt.select(col("id").as("idb"),
+            col("x").as("xb"), col("y").as("yb"), col("cx").as("pcx"),
+            col("cy").as("pcy")), Seq("pcx", "pcy"))
+          .filter(col("id") < col("idb"))
+          .select(abs(col("x") - col("xb")).as("dx"),
+            abs(col("y") - col("yb")).as("dy"))
+        nb.filter(col("dx") < 200 && col("dy") < 200)
+          .select(when(col("dx") > col("dy"), col("dx")).otherwise(col("dy"))
+            .as("cheb"))
+          .select(expr("cheb div 50").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ---- functional-dependency audit ---------------------------------------
+    // Schema discovery's other half (q260 finds keys; this finds
+    // determinants): for each candidate A -> B, how many A-values map
+    // to MORE than one B — zero violators means the FD holds and B can
+    // be normalized out. One (A) aggregate with countDistinct(B) per
+    // candidate; exact counts. The fourth candidate is the composite
+    // key, included as a positive control.
+    QuerySpec(
+      "q276_fd_audit", {
+        def cand(nm: String, tbl: String, a: String, b: String): String =
+          s"""SELECT '$nm' AS fd,
+            CAST(COUNT(*) AS BIGINT) AS n_keys,
+            CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+              AS n_violating,
+            (COUNT(CASE WHEN nd > 1 THEN 1 END) = 0) AS holds
+          FROM (SELECT $a, COUNT(DISTINCT $b) AS nd FROM $tbl
+            GROUP BY $a) z"""
+        Some(Seq(
+          cand("o_orderkey->o_orderdate", "orders", "o_orderkey",
+            "o_orderdate"),
+          cand("o_custkey->o_orderpriority", "orders", "o_custkey",
+            "o_orderpriority"),
+          cand("o_orderdate->o_orderstatus", "orders", "o_orderdate",
+            "o_orderstatus"),
+          cand("l_orderkey->l_returnflag", "lineitem", "l_orderkey",
+            "l_returnflag")).mkString(" UNION ALL "))
+      },
+      (s, d) => {
+        def cand(nm: String, tbl: DataFrame, a: String, b: String)
+            : DataFrame =
+          tbl.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
+            .agg(count(lit(1)).as("n_keys"),
+              count(when(col("nd") > 1, 1)).as("n_violating"))
+            .select(lit(nm).as("fd"), col("n_keys"), col("n_violating"),
+              (col("n_violating") === 0).as("holds"))
+        val o = t(s, d, "orders")
+        cand("o_orderkey->o_orderdate", o, "o_orderkey", "o_orderdate")
+          .unionByName(cand("o_custkey->o_orderpriority", o, "o_custkey",
+            "o_orderpriority"))
+          .unionByName(cand("o_orderdate->o_orderstatus", o, "o_orderdate",
+            "o_orderstatus"))
+          .unionByName(cand("l_orderkey->l_returnflag",
+            t(s, d, "lineitem"), "l_orderkey", "l_returnflag"))
+      }),
+
+    // ---- calendar dimension build (date spine) -----------------------------
+    // The warehouse utility every star schema needs: a continuous date
+    // spine over the fact's range with conformed attributes (epoch-day
+    // weekday arithmetic — the q173 lesson: the engines' dayofweek()
+    // builtins disagree, (epochDay + 4) % 7 does not), zero-filled
+    // daily order counts. Bounded output (one row per calendar day);
+    // the spine generates from a broadcast min/max and the fact joins
+    // back on the day key.
+    QuerySpec(
+      "q278_date_spine",
+      Some("""WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+            MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        attrs AS (SELECT day,
+            CAST(month(day) AS BIGINT) AS month,
+            CAST(quarter(day) AS BIGINT) AS quarter,
+            CAST((datediff('day', DATE '1970-01-01', day) + 4) % 7
+              AS BIGINT) AS dow
+          FROM spine),
+        oc AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        SELECT a.day, a.month, a.quarter, a.dow,
+          (a.dow = 0 OR a.dow = 6) AS is_weekend,
+          COALESCE(oc.n_orders, 0) AS n_orders
+        FROM attrs a LEFT JOIN oc ON a.day = oc.day"""),
+      (s, d) => {
+        val bounds = t(s, d, "orders")
+          .agg(min(col("o_orderdate").cast("date")).as("mn"),
+            max(col("o_orderdate").cast("date")).as("mx"))
+        val spine = bounds
+          .select(explode(expr("sequence(mn, mx, interval 1 day)"))
+            .as("day"))
+        val attrs = spine.select(col("day"),
+          month(col("day")).cast("long").as("month"),
+          quarter(col("day")).cast("long").as("quarter"),
+          ((datediff(col("day"), lit("1970-01-01")) + 4) % 7).cast("long")
+            .as("dow"))
+        val oc = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        attrs.join(oc, Seq("day"), "left")
+          .select(col("day"), col("month"), col("quarter"), col("dow"),
+            (col("dow") === 0 || col("dow") === 6).as("is_weekend"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
       })
   )
 }

@@ -1342,4 +1342,23 @@ class PlanSpec extends SparkSpec {
       "look/bounds attaches must broadcast:\n" + gs)
     assert(gs.contains("partial_sum"), gs)
   }
+
+  test("q275: the spatial proximity join is EQUI on the cell key " +
+      "(9-fanout probes), never a range BNL") {
+    val p = plan("q275_grid_join")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q277: L-moment rank weights ride the block prefix sum " +
+      "(no value-grain global window)") {
+    val df = queries.Registry.byName("q277_l_moments").run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      "the rank cumsum must partition on the block key:\n"
+        + specs.mkString("\n"))
+  }
 }
