@@ -680,6 +680,68 @@ object Mining {
         val a3 = half(h3, "o", "p")
         a3.orderBy(col("sn").desc, col("p")).limit(10)
           .select(col("p").as("part"), round(col("sn"), 6).as("authority"))
+      }),
+
+    // ---- k-hop reachability (seeded frontier BFS) --------------------------
+    // Influence-spread measurement: from the 5 highest-degree products,
+    // how much of the co-purchase graph is reachable within 3 hops —
+    // frontier BFS where each hop is one edge-keyed join + two
+    // anti/dedup steps, the bounded-round discipline shared with q48 /
+    // q233 / q249. The oracle unrolls the same 3 hops as MATERIALIZED
+    // stages; seeds pick by (degree DESC, node) so the start set is a
+    // total order. Output: per hop, the frontier size and cumulative
+    // reach.
+    QuerySpec(
+      "q279_khop_reach", {
+        val hops = (1 to 3).map { k =>
+          s""",
+          f$k AS MATERIALIZED (SELECT DISTINCT nb.u AS v FROM nb
+            JOIN f${k - 1} ON nb.v = f${k - 1}.v
+            WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} r
+              WHERE r.v = nb.u)),
+          r$k AS MATERIALIZED (SELECT v FROM r${k - 1}
+            UNION SELECT v FROM f$k)"""
+        }.mkString
+        val rows = (0 to 3).map { k =>
+          s"""SELECT $k AS hop,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS n_frontier,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM r$k) AS n_reached"""
+        }.mkString(" UNION ALL ")
+        Some(s"""WITH $EdgeSql,
+          dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0)
+              z GROUP BY 1),
+          nb AS MATERIALIZED (SELECT pa AS v, pb AS u FROM e0
+            UNION ALL SELECT pb AS v, pa AS u FROM e0),
+          f0 AS MATERIALIZED (SELECT v FROM dg
+            ORDER BY deg DESC, v LIMIT 5),
+          r0 AS MATERIALIZED (SELECT v FROM f0)$hops
+          $rows""")
+      },
+      (s, d) => {
+        val e = supportEdges(s, d).cache()
+        val nb = e.select(col("pa").as("v"), col("pb").as("u"))
+          .unionAll(e.select(col("pb").as("v"), col("pa").as("u")))
+          .localCheckpoint(true)
+        val dg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        var frontier = dg.orderBy(col("deg").desc, col("v")).limit(5)
+          .select(col("v")).localCheckpoint(true)
+        var reached = frontier
+        def row(k: Int, f: DataFrame, r: DataFrame): DataFrame =
+          f.agg(count(lit(1)).as("n_frontier"))
+            .crossJoin(broadcast(r.agg(count(lit(1)).as("n_reached"))))
+            .select(lit(k).as("hop"), col("n_frontier"), col("n_reached"))
+        var out = row(0, frontier, reached)
+        for (k <- 1 to 3) {
+          frontier = nb.join(frontier, Seq("v"), "left_semi")
+            .select(col("u").as("v")).distinct()
+            .join(reached, Seq("v"), "left_anti")
+            .localCheckpoint(true)
+          reached = reached.unionByName(frontier).distinct()
+            .localCheckpoint(true)
+          out = out.unionByName(row(k, frontier, reached))
+        }
+        out
       })
   )
 }

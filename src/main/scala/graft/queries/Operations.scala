@@ -610,6 +610,201 @@ object Operations {
               + lit(1.0) / col("nb").cast("double")))
         a.select(col("look"), col("na"), col("ka"), col("nb"), col("kb"),
           round(z, 4).as("z"), (abs(z) > col("bd")).as("significant"))
+      }),
+
+    // ---- arc price elasticity (period-over-period) -------------------------
+    // The log-free elasticity every pricing team actually computes: the
+    // midpoint (arc) formula %Δqty / %Δprice between the two halves of
+    // the window per product type — no transcendentals, so it
+    // hash-matches where a log-log regression cannot. Quantities are
+    // exact int64; average unit prices are decimal-grid revenue over
+    // integer quantity; the elasticity is one pinned ratio-of-ratios.
+    // 100 TB plan: one (type, period) fact aggregate (lineitem joins
+    // orders co-partitioned on the order key, part on the part key),
+    // then bounded-grain arithmetic.
+    QuerySpec(
+      "q280_elasticity",
+      Some(s"""WITH f AS (SELECT p.p_type,
+            CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per,
+            CAST(round(l.l_quantity, 0) AS BIGINT) AS qty,
+            l.l_extendedprice AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey),
+        g AS (SELECT p_type, per, CAST(SUM(qty) AS BIGINT) AS q,
+            ${Exact.sqlDsum("rev")} AS r
+          FROM f GROUP BY 1, 2),
+        w AS (SELECT p_type,
+            CAST(SUM(CASE WHEN per = 0 THEN q ELSE 0 END) AS BIGINT) AS q0,
+            CAST(SUM(CASE WHEN per = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+            ${Exact.sqlDsum("CASE WHEN per = 0 THEN r END")} AS r0,
+            ${Exact.sqlDsum("CASE WHEN per = 1 THEN r END")} AS r1
+          FROM g GROUP BY 1),
+        m AS (SELECT p_type, q0, q1,
+            r0 / CAST(q0 AS DOUBLE) AS p0, r1 / CAST(q1 AS DOUBLE) AS p1
+          FROM w)
+        SELECT p_type, q0, q1, round(p0, 4) AS price_pre,
+          round(p1, 4) AS price_post,
+          round((CAST(q1 - q0 AS DOUBLE)
+              / (CAST(q1 + q0 AS DOUBLE) / 2.0))
+            / ((p1 - p0) / ((p1 + p0) / 2.0)), 4) AS elasticity
+        FROM m"""),
+      (s, d) => {
+        val f = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"),
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            col("l_extendedprice").as("rev"))
+        val g = f.groupBy(col("p_type"), col("per"))
+          .agg(sum(col("qty")).as("q"), Exact.dsum(col("rev")).as("r"))
+        val w = g.groupBy(col("p_type"))
+          .agg(sum(when(col("per") === 0, col("q")).otherwise(0L)).as("q0"),
+            sum(when(col("per") === 1, col("q")).otherwise(0L)).as("q1"),
+            Exact.dsum(when(col("per") === 0, col("r"))).as("r0"),
+            Exact.dsum(when(col("per") === 1, col("r"))).as("r1"))
+        val m = w.select(col("p_type"), col("q0"), col("q1"),
+          (col("r0") / col("q0").cast("double")).as("p0"),
+          (col("r1") / col("q1").cast("double")).as("p1"))
+        m.select(col("p_type"), col("q0"), col("q1"),
+          round(col("p0"), 4).as("price_pre"),
+          round(col("p1"), 4).as("price_post"),
+          round(((col("q1") - col("q0")).cast("double")
+              / ((col("q1") + col("q0")).cast("double") / lit(2.0)))
+            / ((col("p1") - col("p0"))
+              / ((col("p1") + col("p0")) / lit(2.0))), 4).as("elasticity"))
+      }),
+
+    // ---- cohort LTV curve ---------------------------------------------------
+    // Cumulative revenue per customer by cohort age — the matrix a
+    // growth team reads next to q109's retention counts: cohort = first
+    // order month, age = months since, cumulative exact-cents revenue
+    // divided by the cohort's customer count. The cumulative window
+    // partitions on the cohort and orders over the bounded age axis
+    // (months — time-bounded, GuardSpec-clean). 100 TB plan: one
+    // customer-keyed first-order aggregate, one (cohort, age) fact
+    // aggregate, a broadcast cohort-size join, windows on bounded
+    // frames.
+    QuerySpec(
+      "q281_cohort_ltv",
+      Some("""WITH fo AS (SELECT o_custkey,
+            MIN((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1)
+              AS cohort
+          FROM orders GROUP BY 1),
+        cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM fo GROUP BY 1),
+        r AS (SELECT fo.cohort,
+            (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1
+              - fo.cohort AS age,
+            CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+          GROUP BY 1, 2),
+        c AS (SELECT cohort, age, cents,
+            CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age)
+              AS BIGINT) AS cum_cents
+          FROM r)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort,
+          CAST(c.age AS BIGINT) AS age, c.cents, c.cum_cents, cs.n_cust,
+          floor(CAST(c.cum_cents AS DOUBLE) / 100.0
+            / CAST(cs.n_cust AS DOUBLE) * 10000.0) / 10000.0
+            AS ltv_per_cust
+        FROM c JOIN cs ON c.cohort = cs.cohort"""),
+      (s, d) => {
+        val mIdx = (c: org.apache.spark.sql.Column) =>
+          (year(c) - 1995) * 12 + month(c) - 1
+        val o = t(s, d, "orders").cache() // first-order agg + revenue agg
+        val fo = o.groupBy(col("o_custkey"))
+          .agg(min(mIdx(col("o_orderdate"))).as("cohort"))
+        val cs = fo.groupBy(col("cohort")).agg(count(lit(1)).as("n_cust"))
+        val r = o.join(fo, Seq("o_custkey"))
+          .groupBy(col("cohort"),
+            (mIdx(col("o_orderdate")) - col("cohort")).as("age"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val c = r.withColumn("cum_cents",
+          sum(col("cents")).over(Window.partitionBy(col("cohort"))
+            .orderBy(col("age"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        c.join(broadcast(cs), Seq("cohort"))
+          .select(col("cohort").cast("long").as("cohort"),
+            col("age").cast("long").as("age"), col("cents"),
+            col("cum_cents"), col("n_cust"),
+            // floor-grid publish (the q270 rule): grid-total / integer
+            // quotients land on decimal ties where the engines' round()
+            // implementations disagree by 1 ulp
+            (floor(col("cum_cents").cast("double") / lit(100.0)
+              / col("n_cust").cast("double") * lit(10000.0))
+              / lit(10000.0)).as("ltv_per_cust"))
+      }),
+
+    // ---- presence funnel with Wilson lower bounds --------------------------
+    // q107's funnel reports point rates; decision-makers need the
+    // uncertainty: each step's conversion carries its Wilson-score 95%
+    // lower bound (the interval that behaves at small n and extreme p,
+    // unlike the naive normal one). Step membership is one conditional
+    // user-grain aggregate; the Wilson bound is a pinned sqrt tree on
+    // exact counts. Steps: any view -> also clicked -> also purchased.
+    QuerySpec(
+      "q282_funnel_wilson", {
+        def wilson(k: String, n: String): String =
+          s"""((CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+            + 1.9208 / CAST($n AS DOUBLE)
+            - 1.96 * sqrt((CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+              * (1.0 - CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
+              + 0.9604 / CAST($n AS DOUBLE)) / CAST($n AS DOUBLE)))
+            / (1.0 + 3.8416 / CAST($n AS DOUBLE)))"""
+        Some(s"""WITH u AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p1
+          FROM events GROUP BY 1),
+        st AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+            CAST(SUM(s1 * c1) AS BIGINT) AS n2,
+            CAST(SUM(s1 * c1 * p1) AS BIGINT) AS n3
+          FROM u)
+        SELECT 1 AS step, n1 AS n_users, round(CAST(n1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE), 6) AS rate,
+          round(${wilson("n1", "n1")}, 6) AS wilson_lo FROM st
+        UNION ALL SELECT 2, n2, round(CAST(n2 AS DOUBLE)
+            / CAST(n1 AS DOUBLE), 6),
+          round(${wilson("n2", "n1")}, 6) FROM st
+        UNION ALL SELECT 3, n3, round(CAST(n3 AS DOUBLE)
+            / CAST(n2 AS DOUBLE), 6),
+          round(${wilson("n3", "n2")}, 6) FROM st""")
+      },
+      (s, d) => {
+        def wilson(k: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val p = k.cast("double") / n.cast("double")
+          (p + lit(1.9208) / n.cast("double")
+            - lit(1.96) * sqrt((p * (lit(1.0) - p)
+              + lit(0.9604) / n.cast("double")) / n.cast("double"))) /
+            (lit(1.0) + lit(3.8416) / n.cast("double"))
+        }
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("s1"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("c1"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p1"))
+        val st = u.agg(sum(col("s1")).as("n1"),
+          sum(col("s1") * col("c1")).as("n2"),
+          sum(col("s1") * col("c1") * col("p1")).as("n3")).cache()
+        def row(step: Int, k: String, n: String): DataFrame =
+          st.select(lit(step).as("step"), col(k).as("n_users"),
+            round(col(k).cast("double") / col(n).cast("double"), 6)
+              .as("rate"),
+            round(wilson(col(k), col(n)), 6).as("wilson_lo"))
+        row(1, "n1", "n1").unionByName(row(2, "n2", "n1"))
+          .unionByName(row(3, "n3", "n2"))
       })
   )
 }

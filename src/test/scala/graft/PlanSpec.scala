@@ -1361,4 +1361,19 @@ class PlanSpec extends SparkSpec {
       "the rank cumsum must partition on the block key:\n"
         + specs.mkString("\n"))
   }
+
+  test("q279-q282: frontier BFS, elasticity, cohort LTV, and Wilson " +
+      "funnel keep facts on keyed paths (no cartesian anywhere)") {
+    for (name <- Seq("q279_khop_reach", "q280_elasticity",
+        "q282_funnel_wilson")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+    val ltv = queries.Registry.byName("q281_cohort_ltv").run(spark, sfDir)
+    val specs = ltv.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("cohort#")),
+      "the LTV cumulative must partition on the cohort:\n"
+        + specs.mkString("\n"))
+  }
 }
