@@ -760,6 +760,171 @@ object Inference {
             round(lit(2) * col("b1") - col("b0"), 4).as("l2"),
             round((lit(6) * col("b2") - lit(6) * col("b1") + col("b0"))
               / (lit(2) * col("b1") - col("b0")), 6).as("t3"))
+      }),
+
+    // ---- index of dispersion (Fano factor) ---------------------------------
+    // Overdispersion diagnostic per event type: the variance-to-mean
+    // ratio of DAILY counts — 1 under a Poisson arrival model, above it
+    // for bursty streams (the statistic that decides whether q216's
+    // burst detector has anything to find). Exact int64 sufficient
+    // stats on the (type, day) grain; the ratio is one pinned tree.
+    QuerySpec(
+      "q283_dispersion",
+      Some("""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY 1)
+        SELECT g AS event_type, n AS n_days, sx AS n_events,
+          round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE))
+            / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS fano
+        FROM st"""),
+      (s, d) => {
+        val dd = t(s, d, "events")
+          .groupBy(col("event_type").as("g"), col("ts").cast("date")
+            .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val st = dd.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        st.select(col("g").as("event_type"), col("n").as("n_days"),
+          col("sx").as("n_events"),
+          round(((col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("n").cast("double"))
+            / (col("n") - 1).cast("double"))
+            / (col("sx").cast("double") / col("n").cast("double")), 4)
+            .as("fano"))
+      }),
+
+    // ---- survey design effect (clustered sampling DEFF) --------------------
+    // How much information a nation-clustered sample of order values
+    // loses vs simple random sampling: the one-way ANOVA variance
+    // components give the intraclass correlation, and DEFF =
+    // 1 + (mbar - 1)*ICC is the factor to inflate sample sizes by —
+    // q245's machinery pointed at sampling design. Per-cluster exact
+    // stats, decimal-grid folds across the bounded cluster set, pinned
+    // ratios (m0 is the ANOVA-weighted mean cluster size).
+    QuerySpec(
+      "q284_design_effect",
+      Some(s"""WITH j AS (SELECT c.c_nationkey AS cl, o.o_totalprice AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n,
+            ${Exact.sqlDsum("y")} AS sy, ${Exact.sqlDsum("y * y")} AS qy
+          FROM j GROUP BY 1),
+        tm AS (SELECT cl, n, sy, qy,
+            qy - sy * sy / CAST(n AS DOUBLE) AS ssw,
+            sy * sy / CAST(n AS DOUBLE) AS bterm,
+            CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS nsq
+          FROM g),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(COUNT(*) AS BIGINT) AS k,
+            ${Exact.sqlDsum("sy")} AS gs, ${Exact.sqlDsum("ssw")} AS sswt,
+            ${Exact.sqlDsum("bterm")} AS bt, ${Exact.sqlDsum("nsq")} AS nsq
+          FROM tm),
+        ms AS (SELECT nn, k,
+            (bt - gs * gs / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+              AS msb,
+            sswt / CAST(nn - k AS DOUBLE) AS msw,
+            (CAST(nn AS DOUBLE) - nsq / CAST(nn AS DOUBLE))
+              / CAST(k - 1 AS DOUBLE) AS m0
+          FROM tot),
+        icc AS (SELECT nn, k, msb, msw, m0,
+            (msb - msw) / (msb + (m0 - 1.0) * msw) AS icc FROM ms)
+        SELECT k AS n_clusters, nn AS n, round(msb, 4) AS msb,
+          round(msw, 4) AS msw, round(icc, 6) AS icc,
+          round(1.0 + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0)
+            * icc, 4) AS deff
+        FROM icc"""),
+      (s, d) => {
+        val j = t(s, d, "orders")
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("cl"), col("o_totalprice").as("y"))
+        val g = j.groupBy(col("cl"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("y")).as("sy"),
+            Exact.dsum(col("y") * col("y")).as("qy"))
+        val tm = g.select(col("cl"), col("n"), col("sy"), col("qy"),
+          (col("qy") - col("sy") * col("sy") / col("n").cast("double"))
+            .as("ssw"),
+          (col("sy") * col("sy") / col("n").cast("double")).as("bterm"),
+          (col("n").cast("double") * col("n").cast("double")).as("nsq"))
+        val tot = tm.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+          Exact.dsum(col("sy")).as("gs"), Exact.dsum(col("ssw")).as("sswt"),
+          Exact.dsum(col("bterm")).as("bt"), Exact.dsum(col("nsq"))
+            .as("nsq"))
+        val ms = tot.select(col("nn"), col("k"),
+          ((col("bt") - col("gs") * col("gs") / col("nn").cast("double"))
+            / (col("k") - 1).cast("double")).as("msb"),
+          (col("sswt") / (col("nn") - col("k")).cast("double")).as("msw"),
+          ((col("nn").cast("double") - col("nsq") / col("nn").cast("double"))
+            / (col("k") - 1).cast("double")).as("m0"))
+        val icc = ms.select(col("nn"), col("k"), col("msb"), col("msw"),
+          col("m0"),
+          ((col("msb") - col("msw"))
+            / (col("msb") + (col("m0") - lit(1.0)) * col("msw"))).as("icc"))
+        icc.select(col("k").as("n_clusters"), col("nn").as("n"),
+          round(col("msb"), 4).as("msb"), round(col("msw"), 4).as("msw"),
+          round(col("icc"), 6).as("icc"),
+          round(lit(1.0) + (col("nn").cast("double")
+            / col("k").cast("double") - lit(1.0)) * col("icc"), 4)
+            .as("deff"))
+      }),
+
+    // ---- seasonal-naive forecast error (MASE) ------------------------------
+    // The M-competition's scale-free forecast metric: the seasonal-naive
+    // forecast's MAE (x_hat = x_{t-12}) scaled by the one-step naive MAE
+    // (x_hat = x_{t-1}) over monthly revenue — below 1 means seasonality
+    // carries real signal (q203's strength number, expressed as forecast
+    // skill). Exact-cents lags over the bounded month grain; integer
+    // absolute-error sums; one pinned ratio-of-means.
+    QuerySpec(
+      "q288_mase",
+      Some("""WITH m AS (SELECT (year(o_orderdate) - 1995) * 12
+              + month(o_orderdate) - 1 AS i,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        lg AS (SELECT i, c, lag(c, 1) OVER (ORDER BY i) AS c1,
+            lag(c, 12) OVER (ORDER BY i) AS c12 FROM m),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+            CAST(COUNT(c1) AS BIGINT) AS n1,
+            CAST(SUM(abs(c - c1)) AS BIGINT) AS s1,
+            CAST(COUNT(c12) AS BIGINT) AS n12,
+            CAST(SUM(abs(c - c12)) AS BIGINT) AS s12
+          FROM lg)
+        SELECT n_months,
+          round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 4)
+            AS mae_naive,
+          round(CAST(s12 AS DOUBLE) / CAST(n12 AS DOUBLE) / 100.0, 4)
+            AS mae_seasonal,
+          round((CAST(s12 AS DOUBLE) / CAST(n12 AS DOUBLE))
+            / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 4) AS mase
+        FROM st"""),
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).as("i"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("c"))
+        val w = Window.orderBy(col("i"))
+        val lg = m.withColumn("c1", lag(col("c"), 1).over(w))
+          .withColumn("c12", lag(col("c"), 12).over(w))
+        val st = lg.agg(count(lit(1)).as("n_months"),
+          count(col("c1")).as("n1"),
+          sum(abs(col("c") - col("c1"))).as("s1"),
+          count(col("c12")).as("n12"),
+          sum(abs(col("c") - col("c12"))).as("s12"))
+        st.select(col("n_months"),
+          round(col("s1").cast("double") / col("n1").cast("double")
+            / lit(100.0), 4).as("mae_naive"),
+          round(col("s12").cast("double") / col("n12").cast("double")
+            / lit(100.0), 4).as("mae_seasonal"),
+          round((col("s12").cast("double") / col("n12").cast("double"))
+            / (col("s1").cast("double") / col("n1").cast("double")), 4)
+            .as("mase"))
       })
   )
 }

@@ -794,6 +794,106 @@ object Insights {
           .select(col("day"), col("month"), col("quarter"), col("dow"),
             (col("dow") === 0 || col("dow") === 6).as("is_weekend"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      }),
+
+    // ---- event study (holiday window effect) -------------------------------
+    // The event-study readout around a recurring anchor (Dec 25 of each
+    // fixture year): average daily revenue at each offset in [-7, +7],
+    // indexed against the all-offset baseline — how demand bends around
+    // the event. The (year x offset) spine is bounded and broadcast;
+    // daily revenue is exact cents; the index is a pinned ratio. Years
+    // whose anchor window falls outside the data simply contribute no
+    // days (both engines identically).
+    QuerySpec(
+      "q285_event_study",
+      Some(s"""WITH yr AS (SELECT DISTINCT year(o_orderdate) AS y
+            FROM orders),
+        offs AS (SELECT unnest(range(-7, 8)) AS off),
+        spine AS (SELECT y, off,
+            make_date(CAST(y AS INTEGER), 12, 25)
+              + CAST(off AS INTEGER) AS day
+          FROM yr, offs),
+        oc AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        w AS (SELECT s.off, oc.cents FROM spine s
+          JOIN oc ON s.day = oc.day),
+        g AS (SELECT off, CAST(COUNT(*) AS BIGINT) AS n_years,
+            CAST(SUM(cents) AS BIGINT) AS cents FROM w GROUP BY 1),
+        base AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+            CAST(SUM(n_years) AS BIGINT) AS tn FROM g)
+        SELECT CAST(g.off AS BIGINT) AS off, g.n_years, g.cents,
+          round((CAST(g.cents AS DOUBLE) / CAST(g.n_years AS DOUBLE))
+            / (CAST(base.tc AS DOUBLE) / CAST(base.tn AS DOUBLE)), 4)
+            AS index_vs_baseline
+        FROM g, base"""),
+      (s, d) => {
+        import s.implicits._
+        val yr = t(s, d, "orders")
+          .select(year(col("o_orderdate")).as("y")).distinct()
+        val offs = (-7 to 7).toDF("off")
+        val spine = yr.crossJoin(broadcast(offs))
+          .select(col("y"), col("off"),
+            date_add(make_date(col("y"), lit(12), lit(25)), col("off"))
+              .as("day"))
+        val oc = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val w = spine.join(oc, Seq("day"))
+        val g = w.groupBy(col("off"))
+          .agg(count(lit(1)).as("n_years"), sum(col("cents")).as("cents"))
+          .cache() // 15 offset rows; feeds the baseline too
+        val base = g.agg(sum(col("cents")).as("tc"),
+          sum(col("n_years")).as("tn"))
+        g.crossJoin(broadcast(base)) // 1-row baseline
+          .select(col("off").cast("long").as("off"), col("n_years"),
+            col("cents"),
+            round((col("cents").cast("double")
+              / col("n_years").cast("double"))
+              / (col("tc").cast("double") / col("tn").cast("double")), 4)
+              .as("index_vs_baseline"))
+      }),
+
+    // ---- audience overlap matrix (Jaccard of user sets) --------------------
+    // Which event types reach the same users: pairwise Jaccard of the
+    // per-type audience sets — the channel-planning overlap matrix. The
+    // (type, user) distinct grain self-joins on the USER key (fan-out
+    // bounded by types-per-user <= |types|), sizes broadcast back onto
+    // the bounded pair grid; Jaccard is exact-integer |A-and-B| over
+    // inclusion-exclusion.
+    QuerySpec(
+      "q286_audience_overlap",
+      Some("""WITH ut AS (SELECT DISTINCT event_type AS g, user_id
+            FROM events),
+        sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        pr AS (SELECT a.g AS ga, b.g AS gb,
+            CAST(COUNT(*) AS BIGINT) AS inter
+          FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.g < b.g
+          GROUP BY 1, 2)
+        SELECT pr.ga, pr.gb, sa.n AS n_a, sb.n AS n_b, pr.inter,
+          round(CAST(pr.inter AS DOUBLE)
+            / CAST(sa.n + sb.n - pr.inter AS DOUBLE), 6) AS jaccard
+        FROM pr JOIN sz sa ON pr.ga = sa.g JOIN sz sb ON pr.gb = sb.g"""),
+      (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("event_type").as("g"), col("user_id"))
+          .distinct().cache() // feeds sizes AND the user-keyed self-join
+        val sz = ut.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        val pr = ut.join(ut.select(col("g").as("gb"), col("user_id")),
+            Seq("user_id"))
+          .filter(col("g") < col("gb"))
+          .groupBy(col("g").as("ga"), col("gb"))
+          .agg(count(lit(1)).as("inter"))
+        pr.join(broadcast(sz.select(col("g").as("ga"), col("n").as("n_a"))),
+            Seq("ga"))
+          .join(broadcast(sz.select(col("g").as("gb"), col("n").as("n_b"))),
+            Seq("gb"))
+          .select(col("ga"), col("gb"), col("n_a"), col("n_b"), col("inter"),
+            round(col("inter").cast("double")
+              / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+              .as("jaccard"))
       })
   )
 }

@@ -742,6 +742,45 @@ object Mining {
           out = out.unionByName(row(k, frontier, reached))
         }
         out
+      }),
+
+    // ---- global clustering coefficient -------------------------------------
+    // How cliquish the co-purchase graph is: 3*triangles / wedges — the
+    // one-number transitivity summary next to q135's raw triangle count
+    // and q225's assortativity. Triangles enumerate over the oriented
+    // (pa<pb) edge list with two keyed joins (each closing edge looked
+    // up by equi-key); wedges are a degree-grain aggregate
+    // sum(deg*(deg-1)/2). All exact integers; one pinned divide.
+    QuerySpec(
+      "q287_clustering_coeff",
+      Some(s"""WITH $EdgeSql,
+        dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0) z
+          GROUP BY 1),
+        tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+          FROM e0 x JOIN e0 y ON x.pb = y.pa
+          JOIN e0 z ON z.pa = x.pa AND z.pb = y.pb),
+        wg AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w
+          FROM dg)
+        SELECT tr.t AS n_triangles, wg.w AS n_wedges,
+          round(3.0 * CAST(tr.t AS DOUBLE) / CAST(wg.w AS DOUBLE), 6)
+            AS clustering_coeff
+        FROM tr, wg"""),
+      (s, d) => {
+        val e = supportEdges(s, d).cache() // three triangle probes + degs
+        val dg = e.select(col("pa").as("v"))
+          .unionAll(e.select(col("pb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val tr = e.select(col("pa").as("a"), col("pb").as("b"))
+          .join(e.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+          .join(e.select(col("pa").as("a"), col("pb").as("c")),
+            Seq("a", "c"))
+          .agg(count(lit(1)).as("t"))
+        val wg = dg.agg(sum(expr("deg * (deg - 1) div 2")).as("w"))
+        tr.crossJoin(broadcast(wg)) // 1-row wedge total
+          .select(col("t").as("n_triangles"), col("w").as("n_wedges"),
+            round(lit(3.0) * col("t").cast("double")
+              / col("w").cast("double"), 6).as("clustering_coeff"))
       })
   )
 }

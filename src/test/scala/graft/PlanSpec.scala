@@ -1376,4 +1376,16 @@ class PlanSpec extends SparkSpec {
       "the LTV cumulative must partition on the cohort:\n"
         + specs.mkString("\n"))
   }
+
+  test("q283-q288: dispersion/DEFF/event-study/overlap/transitivity/" +
+      "MASE stay on keyed aggregates (no cartesian, map-side combine)") {
+    for (name <- Seq("q283_dispersion", "q284_design_effect",
+        "q285_event_study", "q286_audience_overlap",
+        "q287_clustering_coeff", "q288_mase")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$name: grain aggregation must combine map-side:\n" + p)
+    }
+  }
 }
