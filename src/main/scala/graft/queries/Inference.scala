@@ -925,6 +925,118 @@ object Inference {
           round((col("s12").cast("double") / col("n12").cast("double"))
             / (col("s1").cast("double") / col("n1").cast("double")), 4)
             .as("mase"))
+      }),
+
+    // ---- empirical-Bayes rate shrinkage ------------------------------------
+    // The baseball-averages estimator applied to per-part return rates:
+    // a method-of-moments Beta prior fit on the population of raw rates
+    // (parts with n >= 5), then each part's rate shrinks to
+    // (k + alpha) / (n + alpha + beta) — small-n parts pull hard toward
+    // the prior mean, high-n parts barely move. Rate moments ride the
+    // decimal grid; alpha/beta and every shrunk rate are pinned trees.
+    // 100 TB plan: one (part) fact aggregate; the prior is a broadcast
+    // scalar; top-20 is TakeOrdered.
+    QuerySpec(
+      "q291_eb_shrinkage",
+      Some(s"""WITH g AS (SELECT l_partkey,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+              AS k
+          FROM lineitem GROUP BY 1),
+        f AS (SELECT l_partkey, n, k,
+            CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS r
+          FROM g WHERE n >= 5),
+        mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+            ${Exact.sqlDsum("r")} AS sr, ${Exact.sqlDsum("r * r")} AS qr
+          FROM f),
+        pv AS (SELECT np, sr / CAST(np AS DOUBLE) AS m,
+            (qr - sr * sr / CAST(np AS DOUBLE)) / CAST(np - 1 AS DOUBLE)
+              AS v
+          FROM mo),
+        ab AS (SELECT np, m, v,
+            m * (m * (1.0 - m) / v - 1.0) AS alpha,
+            (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+          FROM pv)
+        SELECT f.l_partkey, f.n, f.k, round(f.r, 6) AS raw_rate,
+          round((CAST(f.k AS DOUBLE) + ab.alpha)
+            / (CAST(f.n AS DOUBLE) + ab.alpha + ab.beta), 6)
+            AS shrunk_rate
+        FROM f, ab
+        ORDER BY (CAST(f.k AS DOUBLE) + ab.alpha)
+          / (CAST(f.n AS DOUBLE) + ab.alpha + ab.beta) DESC, f.l_partkey
+        LIMIT 20"""),
+      (s, d) => {
+        val g = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("l_returnflag") === "R", 1)).as("k"))
+        val f = g.filter(col("n") >= 5)
+          .select(col("l_partkey"), col("n"), col("k"),
+            (col("k").cast("double") / col("n").cast("double")).as("r"))
+          .cache() // part grain; feeds the prior fit AND the shrink pass
+        val mo = f.agg(count(lit(1)).as("np"), Exact.dsum(col("r")).as("sr"),
+          Exact.dsum(col("r") * col("r")).as("qr"))
+        val pv = mo.select(col("np"),
+          (col("sr") / col("np").cast("double")).as("m"),
+          ((col("qr") - col("sr") * col("sr") / col("np").cast("double"))
+            / (col("np") - 1).cast("double")).as("v"))
+        val ab = pv.select(col("np"), col("m"), col("v"),
+          (col("m") * (col("m") * (lit(1.0) - col("m")) / col("v")
+            - lit(1.0))).as("alpha"),
+          ((lit(1.0) - col("m")) * (col("m") * (lit(1.0) - col("m"))
+            / col("v") - lit(1.0))).as("beta"))
+        val shrunk = (col("k").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta"))
+        f.crossJoin(broadcast(ab)) // 1-row prior
+          .orderBy(shrunk.desc, col("l_partkey")).limit(20)
+          .select(col("l_partkey"), col("n"), col("k"),
+            round(col("r"), 6).as("raw_rate"),
+            round(shrunk, 6).as("shrunk_rate"))
+      }),
+
+    // ---- minimum detectable effect (A/B power analysis) --------------------
+    // The planning half of q182's test: with the observed arm sizes and
+    // pooled purchase rate, what's the smallest absolute (and relative)
+    // lift detectable at alpha=0.05, power=80% — the number that
+    // decides whether an experiment is worth running BEFORE it runs.
+    // (z_{alpha/2} + z_{power}) = 1.96 + 0.8416 pinned constants; one
+    // conditional aggregate, one pinned sqrt tree.
+    QuerySpec(
+      "q292_mde",
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS tr,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT
+            CAST(COUNT(CASE WHEN tr = 1 THEN 1 END) AS BIGINT) AS na,
+            CAST(COUNT(CASE WHEN tr = 0 THEN 1 END) AS BIGINT) AS nb,
+            CAST(SUM(c) AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n
+          FROM u),
+        p AS (SELECT na, nb, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+          FROM a)
+        SELECT na, nb, round(pr, 6) AS pooled_rate,
+          round(2.8016 * sqrt(pr * (1.0 - pr)
+            * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+            AS mde_abs,
+          round(2.8016 * sqrt(pr * (1.0 - pr)
+            * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+            / pr, 4) AS mde_rel
+        FROM p"""),
+      (s, d) => {
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), (col("user_id") % 2).as("tr"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("c"))
+        val a = u.agg(count(when(col("tr") === 1, 1)).as("na"),
+          count(when(col("tr") === 0, 1)).as("nb"),
+          sum(col("c")).as("k"), count(lit(1)).as("n"))
+        val p = a.select(col("na"), col("nb"),
+          (col("k").cast("double") / col("n").cast("double")).as("pr"))
+        val mde = lit(2.8016) * sqrt(col("pr") * (lit(1.0) - col("pr"))
+          * (lit(1.0) / col("na").cast("double")
+            + lit(1.0) / col("nb").cast("double")))
+        p.select(col("na"), col("nb"), round(col("pr"), 6).as("pooled_rate"),
+          round(mde, 6).as("mde_abs"),
+          round(mde / col("pr"), 4).as("mde_rel"))
       })
   )
 }

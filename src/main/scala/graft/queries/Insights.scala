@@ -894,6 +894,103 @@ object Insights {
             round(col("inter").cast("double")
               / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
               .as("jaccard"))
+      }),
+
+    // ---- stylometric source similarity --------------------------------------
+    // Authorship-attribution's workhorse: per-source relative
+    // frequencies of the corpus's top-20 (function) words, compared by
+    // cosine between source profiles — near-identical profiles flag
+    // same-pipeline or templated sources. Rates live on an exact
+    // per-million integer grid (cnt*1e6 div totalTokens) so dots and
+    // norms are exact int64 and the cosine is one pinned divide. The
+    // profile join keys on the word; the pair grid is |sources|^2
+    // bounded. Top-10 most similar pairs, tie-broken by the pair.
+    QuerySpec(
+      "q289_stylometry",
+      Some("""WITH tok AS (SELECT source,
+            unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        t2 AS (SELECT source, w FROM tok WHERE w <> ''),
+        topw AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM t2 GROUP BY 1)
+          z ORDER BY c DESC, w LIMIT 20),
+        st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+          FROM t2 GROUP BY 1),
+        cw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM t2 JOIN topw USING (w) GROUP BY 1, 2),
+        r AS (SELECT cw.source, cw.w, (cw.c * 1000000) // st.tot AS rate
+          FROM cw JOIN st ON cw.source = st.source),
+        nrm AS (SELECT source, CAST(SUM(rate * rate) AS BIGINT) AS nsq
+          FROM r GROUP BY 1),
+        dot AS (SELECT a.source AS sa, b.source AS sb,
+            CAST(SUM(a.rate * b.rate) AS BIGINT) AS dp
+          FROM r a JOIN r b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT dot.sa, dot.sb,
+          round(CAST(dp AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE))
+            * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+        FROM dot JOIN nrm na ON dot.sa = na.source
+        JOIN nrm nb ON dot.sb = nb.source
+        ORDER BY CAST(dp AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE))
+          * sqrt(CAST(nb.nsq AS DOUBLE))) DESC, dot.sa, dot.sb
+        LIMIT 10"""),
+      (s, d) => {
+        val t2 = t(s, d, "documents")
+          .select(col("source"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .cache() // feeds top-words, totals, and per-source counts
+        val topw = t2.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(20).select(col("w"))
+        val st = t2.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+        val cw = t2.join(broadcast(topw), Seq("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        val r = cw.join(broadcast(st), Seq("source"))
+          .select(col("source"), col("w"),
+            expr("(c * 1000000) div tot").as("rate"))
+          .cache() // bounded |sources| x 20 profile grid
+        val nrm = r.groupBy(col("source"))
+          .agg(sum(col("rate") * col("rate")).as("nsq"))
+        val dot = r.join(r.select(col("w"), col("source").as("sb"),
+            col("rate").as("rb")), Seq("w"))
+          .filter(col("source") < col("sb"))
+          .groupBy(col("source").as("sa"), col("sb"))
+          .agg(sum(col("rate") * col("rb")).as("dp"))
+        val cosine = col("dp").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+        dot.join(broadcast(nrm.select(col("source").as("sa"),
+            col("nsq").as("na"))), Seq("sa"))
+          .join(broadcast(nrm.select(col("source").as("sb"),
+            col("nsq").as("nb"))), Seq("sb"))
+          .orderBy(cosine.desc, col("sa"), col("sb")).limit(10)
+          .select(col("sa"), col("sb"), round(cosine, 6).as("cosine"))
+      }),
+
+    // ---- price-ending audit (psychological pricing) ------------------------
+    // The retail pricing audit: the distribution of cents endings
+    // (price mod 100) — a spike at .99/.95 reveals charm pricing, a
+    // uniform spread reveals computed prices. One row-local mod + one
+    // bounded (<=100 endings) aggregate with exact shares.
+    QuerySpec(
+      "q290_price_endings",
+      Some("""WITH e AS (SELECT
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100 AS ending
+          FROM orders),
+        g AS (SELECT ending, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+        SELECT ending, n,
+          round(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
+        FROM g, tot"""),
+      (s, d) => {
+        val g = t(s, d, "orders")
+          .select((round(col("o_totalprice") * 100, 0).cast("long") % 100)
+            .as("ending"))
+          .groupBy(col("ending")).agg(count(lit(1)).as("n"))
+          .cache() // <=100 rows; feeds the total too
+        val tot = g.agg(sum(col("n")).as("t"))
+        g.crossJoin(broadcast(tot)) // 1-row total
+          .select(col("ending"), col("n"),
+            round(col("n").cast("double") / col("t").cast("double"), 6)
+              .as("share"))
       })
   )
 }

@@ -1388,4 +1388,14 @@ class PlanSpec extends SparkSpec {
         s"$name: grain aggregation must combine map-side:\n" + p)
     }
   }
+
+  test("q289/q291: stylometry and EB shrinkage pick tops via " +
+      "TakeOrdered with broadcast scalar priors/norms") {
+    for (name <- Seq("q289_stylometry", "q291_eb_shrinkage")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must be TakeOrdered:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
 }
