@@ -34,6 +34,12 @@ object Inference {
     */
   private val BlockBits = 16
 
+  /** Epoch-ms midpoint (2024-01-16T00:00Z) splitting the events window
+    * into the two capture occasions — integer unix-ms compare,
+    * timezone-free in both engines.
+    */
+  private val CrSplitMs = 1705363200000L
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- Mann-Whitney U (Wilcoxon rank-sum) --------------------------------
@@ -1037,6 +1043,99 @@ object Inference {
         p.select(col("na"), col("nb"), round(col("pr"), 6).as("pooled_rate"),
           round(mde, 6).as("mde_abs"),
           round(mde / col("pr"), 4).as("mde_rel"))
+      }),
+
+    // ---- capture-recapture population estimate -----------------------------
+    // Lincoln-Petersen/Chapman applied to audience sizing: treat the two
+    // halves of the window as independent "captures" of the user
+    // population; the overlap estimates the total — the ecology
+    // estimator that also powers dedup-cardinality and census
+    // undercount work. Chapman's (n1+1)(n2+1)/(m+1) - 1 is exact
+    // integer arithmetic (floor division identical in both engines);
+    // the true distinct count rides along as the fixture-scale check.
+    QuerySpec(
+      "q293_capture_recapture",
+      Some(s"""WITH u AS (SELECT user_id,
+            MAX(CASE WHEN epoch_ms(ts) < $CrSplitMs THEN 1 ELSE 0 END)
+              AS pre,
+            MAX(CASE WHEN epoch_ms(ts) >= $CrSplitMs THEN 1 ELSE 0 END)
+              AS post
+          FROM events GROUP BY 1),
+        a AS (SELECT CAST(SUM(pre) AS BIGINT) AS n1,
+            CAST(SUM(post) AS BIGINT) AS n2,
+            CAST(SUM(pre * post) AS BIGINT) AS m,
+            CAST(COUNT(*) AS BIGINT) AS true_users
+          FROM u)
+        SELECT n1, n2, m, true_users,
+          ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS est_users
+        FROM a"""),
+      (s, d) => {
+        val pre = expr("unix_millis(cast(ts as timestamp))") < CrSplitMs
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(pre, 1L).otherwise(0L)).as("pre"),
+            max(when(!pre, 1L).otherwise(0L)).as("post"))
+        val a = u.agg(sum(col("pre")).as("n1"), sum(col("post")).as("n2"),
+          sum(col("pre") * col("post")).as("m"),
+          count(lit(1)).as("true_users"))
+        a.select(col("n1"), col("n2"), col("m"), col("true_users"),
+          (expr("((n1 + 1) * (n2 + 1)) div (m + 1)") - 1).as("est_users"))
+      }),
+
+    // ---- Kendall's tau (ranking agreement) ---------------------------------
+    // Do the quantity ranking and the revenue ranking of the top-20
+    // parts agree: tau-a = (concordant - discordant) / C(n,2) over the
+    // bounded ranking — the pair-counting complement of q244's
+    // Spearman. Ranks are row_number with the part key as tie-break
+    // (total order); the 20x20 pair join is group-grain; all counts
+    // exact.
+    QuerySpec(
+      "q294_kendall_tau",
+      Some("""WITH g AS (SELECT l_partkey,
+            CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+              AS qty,
+            CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1),
+        top AS (SELECT l_partkey, qty, cents FROM g
+          ORDER BY cents DESC, l_partkey LIMIT 20),
+        r AS (SELECT l_partkey,
+            ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS rq,
+            ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rc
+          FROM top),
+        pr AS (SELECT CASE WHEN (a.rq - b.rq) * (a.rc - b.rc) > 0 THEN 1
+              ELSE 0 END AS conc
+          FROM r a JOIN r b ON a.l_partkey < b.l_partkey),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+            CAST(SUM(conc) AS BIGINT) AS c FROM pr)
+        SELECT np AS n_pairs, c AS concordant, np - c AS discordant,
+          round(CAST(c - (np - c) AS DOUBLE) / CAST(np AS DOUBLE), 6)
+            AS kendall_tau
+        FROM st"""),
+      (s, d) => {
+        val g = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_quantity"), 0).cast("long")).cast("long")
+            .as("qty"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .cast("long").as("cents"))
+        val top = g.orderBy(col("cents").desc, col("l_partkey")).limit(20)
+        val r = top
+          .withColumn("rq", row_number().over(
+            Window.orderBy(col("qty").desc, col("l_partkey"))))
+          .withColumn("rc", row_number().over(
+            Window.orderBy(col("cents").desc, col("l_partkey"))))
+          .select(col("l_partkey"), col("rq"), col("rc"))
+        val pr = r.join(r.select(col("l_partkey").as("pk2"),
+            col("rq").as("rq2"), col("rc").as("rc2")),
+            col("l_partkey") < col("pk2"))
+          .select(when((col("rq") - col("rq2"))
+            * (col("rc") - col("rc2")) > 0, 1L).otherwise(0L).as("conc"))
+        val st = pr.agg(count(lit(1)).as("np"), sum(col("conc")).as("c"))
+        st.select(col("np").as("n_pairs"), col("c").as("concordant"),
+          (col("np") - col("c")).as("discordant"),
+          round((col("c") - (col("np") - col("c"))).cast("double")
+            / col("np").cast("double"), 6).as("kendall_tau"))
       })
   )
 }

@@ -991,6 +991,47 @@ object Insights {
           .select(col("ending"), col("n"),
             round(col("n").cast("double") / col("t").cast("double"), 6)
               .as("share"))
+      }),
+
+    // ---- column content fingerprints (dataset diffing) ---------------------
+    // The primitive behind data-diff tools: an ORDER-INDEPENDENT
+    // content hash per column (sum of portable row hashes modulo the
+    // Mersenne prime 2^61-1 — associative, so any partitioning yields
+    // the same fingerprint) plus row and distinct counts. Two tables
+    // are content-equal per column iff the fingerprint rows match — no
+    // sort, no full compare. The wide sum rides HUGEINT/DECIMAL(38)
+    // exactly before the one modulo.
+    QuerySpec(
+      "q295_content_fingerprint", {
+        def fp(nm: String, e: String): String = {
+          val h = Portable.h64Duck(s"'fp:' || CAST($e AS VARCHAR)")
+          s"""SELECT '$nm' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT $e) AS BIGINT) AS ndv,
+            CAST(SUM(CAST($h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+              AS fingerprint
+          FROM orders"""
+        }
+        Some(Seq(
+          fp("o_orderkey", "o_orderkey"),
+          fp("o_custkey", "o_custkey"),
+          fp("o_orderstatus", "o_orderstatus"),
+          fp("o_orderpriority", "o_orderpriority"))
+          .mkString(" UNION ALL "))
+      },
+      (s, d) => {
+        val o = t(s, d, "orders").cache() // four column passes, one scan
+        def fp(nm: String, e: String): DataFrame = {
+          val h = Portable.h64Spark(s"concat('fp:', cast($e as string))")
+          o.agg(count(lit(1)).as("n"), countDistinct(col(e)).as("ndv"),
+            expr(s"cast(sum(cast(($h) as decimal(38,0))) " +
+              "% 2305843009213693951 as bigint)").as("fingerprint"))
+            .select(lit(nm).as("col_name"), col("n"), col("ndv"),
+              col("fingerprint"))
+        }
+        fp("o_orderkey", "o_orderkey")
+          .unionByName(fp("o_custkey", "o_custkey"))
+          .unionByName(fp("o_orderstatus", "o_orderstatus"))
+          .unionByName(fp("o_orderpriority", "o_orderpriority"))
       })
   )
 }
