@@ -805,6 +805,286 @@ object Operations {
             round(wilson(col(k), col(n)), 6).as("wilson_lo"))
         row(1, "n1", "n1").unionByName(row(2, "n2", "n1"))
           .unionByName(row(3, "n3", "n2"))
+      }),
+
+    // ---- supervised lag-feature assembly -----------------------------------
+    // The forecasting feature matrix: per day, the target plus its
+    // lag-1 / lag-7 / lag-28 values and the trailing-7 moving average —
+    // the columns a gradient-boosted forecaster trains on. Exact cents
+    // throughout; the moving average divides an exact 7-day integer sum.
+    // All windows read the bounded day grain.
+    QuerySpec(
+      "q296_lag_features",
+      Some("""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT day, cents,
+          lag(cents, 1) OVER w AS lag1,
+          lag(cents, 7) OVER w AS lag7,
+          lag(cents, 28) OVER w AS lag28,
+          round(CAST(SUM(cents) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 7.0 / 100.0, 4) AS ma7
+        FROM day WINDOW w AS (ORDER BY day)"""),
+      (s, d) => {
+        val day = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val w = Window.orderBy(col("day"))
+        val ma = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        day.select(col("day"), col("cents"),
+          lag(col("cents"), 1).over(w).as("lag1"),
+          lag(col("cents"), 7).over(w).as("lag7"),
+          lag(col("cents"), 28).over(w).as("lag28"),
+          round(sum(col("cents")).over(ma).cast("double") / lit(7.0)
+            / lit(100.0), 4).as("ma7"))
+      }),
+
+    // ---- purged temporal split (leakage-safe holdout) ----------------------
+    // The time-series answer to q146's hash split: train strictly
+    // before the embargo, an EMBARGO month dropped entirely (so
+    // label-horizon leakage cannot straddle the boundary), then
+    // validation and test — the purged-split discipline from financial
+    // ML. One row-local CASE assignment, one bounded rollup with
+    // per-split ranges and exact-cents mass.
+    QuerySpec(
+      "q297_purged_split",
+      Some("""WITH a AS (SELECT
+            CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'train'
+              WHEN o_orderdate < TIMESTAMP '2000-02-01' THEN 'embargo'
+              WHEN o_orderdate < TIMESTAMP '2000-08-01' THEN 'valid'
+              ELSE 'test' END AS split,
+            CAST(o_orderdate AS DATE) AS day,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders)
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          MIN(day) AS first_day, MAX(day) AS last_day,
+          CAST(SUM(cents) AS BIGINT) AS cents
+        FROM a GROUP BY 1"""),
+      (s, d) => {
+        val a = t(s, d, "orders").select(
+          when(col("o_orderdate") < lit("2000-01-01").cast("timestamp"),
+            "train")
+            .when(col("o_orderdate") < lit("2000-02-01").cast("timestamp"),
+              "embargo")
+            .when(col("o_orderdate") < lit("2000-08-01").cast("timestamp"),
+              "valid")
+            .otherwise("test").as("split"),
+          col("o_orderdate").cast("date").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        a.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_orders"), min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"),
+            sum(col("cents")).cast("long").as("cents"))
+      }),
+
+    // ---- near-zero-variance feature filter ---------------------------------
+    // caret's preprocessing classic: a feature is near-zero-variance
+    // when its most common value dwarfs the second (freq ratio > 19 ~
+    // 95/5) AND distinct values are rare (< 10% unique) — such columns
+    // destabilize resampled models. Per column: value-grain counts,
+    // the top-2 frequencies (TakeOrdered over the bounded value grain),
+    // distinct and row counts, one pinned ratio pair.
+    QuerySpec(
+      "q298_nzv_filter", {
+        def cand(nm: String, e: String): String =
+          s"""SELECT '$nm' AS col_name, n, ndv, f1, f2,
+            round(CAST(f1 AS DOUBLE) / CAST(f2 AS DOUBLE), 4)
+              AS freq_ratio,
+            round(CAST(ndv AS DOUBLE) / CAST(n AS DOUBLE), 6)
+              AS pct_unique,
+            (CAST(f1 AS DOUBLE) / CAST(f2 AS DOUBLE) > 19.0
+              AND CAST(ndv AS DOUBLE) / CAST(n AS DOUBLE) < 0.1) AS nzv
+          FROM (SELECT CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS ndv,
+              CAST(MAX(c) AS BIGINT) AS f1,
+              CAST(MAX(CASE WHEN rk = 2 THEN c END) AS BIGINT) AS f2
+            FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, v) AS rk
+              FROM (SELECT CAST($e AS VARCHAR) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1) z) y) x"""
+        Some(Seq(
+          cand("o_orderstatus", "o_orderstatus"),
+          cand("o_orderpriority", "o_orderpriority"),
+          cand("o_custkey", "o_custkey")).mkString(" UNION ALL "))
+      },
+      (s, d) => {
+        val o = t(s, d, "orders").cache() // three column profiles
+        def cand(nm: String, e: String): DataFrame = {
+          val vc = o.select(col(e).cast("string").as("v"))
+            .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          val rk = vc.withColumn("rk", row_number().over(
+            Window.orderBy(col("c").desc, col("v"))))
+          val x = rk.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"),
+            max(col("c")).as("f1"),
+            max(when(col("rk") === 2, col("c"))).as("f2"))
+          val fr = col("f1").cast("double") / col("f2").cast("double")
+          val pu = col("ndv").cast("double") / col("n").cast("double")
+          x.select(lit(nm).as("col_name"), col("n"), col("ndv"),
+            col("f1"), col("f2"), round(fr, 4).as("freq_ratio"),
+            round(pu, 6).as("pct_unique"),
+            (fr > 19.0 && pu < 0.1).as("nzv"))
+        }
+        cand("o_orderstatus", "o_orderstatus")
+          .unionByName(cand("o_orderpriority", "o_orderpriority"))
+          .unionByName(cand("o_custkey", "o_custkey"))
+      }),
+
+    // ---- Cohen's d / Hedges' g (standardized effect size) ------------------
+    // The effect-size number a test report owes next to its p-value:
+    // the purchase-vs-error mean gap in pooled-SD units, with Hedges'
+    // small-sample correction (the rational 1 - 3/(4n-9) approximation
+    // — no gamma function, so it hash-matches). Same one-scan
+    // conditional sufficient statistics as q227.
+    QuerySpec(
+      "q299_cohens_d",
+      Some(s"""WITH st AS (SELECT
+            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS na,
+            CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+              AS BIGINT) AS nb,
+            ${Exact.sqlDsum("CASE WHEN event_type = 'purchase' " +
+        "THEN value END")} AS sa,
+            ${Exact.sqlDsum("CASE WHEN event_type = 'error' " +
+        "THEN value END")} AS sb,
+            ${Exact.sqlDsum("CASE WHEN event_type = 'purchase' " +
+        "THEN value * value END")} AS qa,
+            ${Exact.sqlDsum("CASE WHEN event_type = 'error' " +
+        "THEN value * value END")} AS qb
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        m AS (SELECT na, nb,
+            sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+            (qa - sa * sa / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)
+              AS va,
+            (qb - sb * sb / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)
+              AS vb
+          FROM st),
+        dd AS (SELECT na, nb,
+            (ma - mb) / sqrt((CAST(na - 1 AS DOUBLE) * va
+              + CAST(nb - 1 AS DOUBLE) * vb)
+              / CAST(na + nb - 2 AS DOUBLE)) AS dv
+          FROM m)
+        SELECT na AS n_a, nb AS n_b, round(dv, 6) AS cohens_d,
+          round(dv * (1.0 - 3.0 / CAST(4 * (na + nb) - 9 AS DOUBLE)), 6)
+            AS hedges_g
+        FROM dd"""),
+      (s, d) => {
+        val st = t(s, d, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .agg(count(when(col("event_type") === "purchase", 1)).as("na"),
+            count(when(col("event_type") === "error", 1)).as("nb"),
+            Exact.dsum(when(col("event_type") === "purchase", col("value")))
+              .as("sa"),
+            Exact.dsum(when(col("event_type") === "error", col("value")))
+              .as("sb"),
+            Exact.dsum(when(col("event_type") === "purchase",
+              col("value") * col("value"))).as("qa"),
+            Exact.dsum(when(col("event_type") === "error",
+              col("value") * col("value"))).as("qb"))
+        val m = st.select(col("na"), col("nb"),
+          (col("sa") / col("na").cast("double")).as("ma"),
+          (col("sb") / col("nb").cast("double")).as("mb"),
+          ((col("qa") - col("sa") * col("sa") / col("na").cast("double"))
+            / (col("na") - 1).cast("double")).as("va"),
+          ((col("qb") - col("sb") * col("sb") / col("nb").cast("double"))
+            / (col("nb") - 1).cast("double")).as("vb"))
+        val dd = m.select(col("na"), col("nb"),
+          ((col("ma") - col("mb")) /
+            sqrt(((col("na") - 1).cast("double") * col("va")
+              + (col("nb") - 1).cast("double") * col("vb"))
+              / (col("na") + col("nb") - 2).cast("double"))).as("dv"))
+        dd.select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("dv"), 6).as("cohens_d"),
+          round(col("dv") * (lit(1.0) - lit(3.0)
+            / (lit(4) * (col("na") + col("nb")) - 9).cast("double")), 6)
+            .as("hedges_g"))
+      }),
+
+    // ---- corpus overview dashboard -----------------------------------------
+    // The one-row health summary an operator reads first: row counts
+    // across the star schema, audience size, document and vocabulary
+    // counts, and total exact-cents revenue — seven scalar aggregates,
+    // each a 1-row broadcast, composed without a single shuffle wider
+    // than its own partial agg.
+    QuerySpec(
+      "q300_overview_dashboard",
+      Some("""SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+          (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+            AS n_users,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+          (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM
+            (SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents) z WHERE w <> '') AS vocab,
+          (SELECT CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) FROM orders) AS revenue_cents"""),
+      (s, d) => {
+        def one(df: DataFrame, nm: String): DataFrame =
+          df.toDF(nm)
+        val o = t(s, d, "orders")
+        val parts = Seq(
+          one(o.agg(count(lit(1))), "n_orders"),
+          one(t(s, d, "lineitem").agg(count(lit(1))), "n_lineitems"),
+          one(t(s, d, "customer").agg(count(lit(1))), "n_customers"),
+          one(t(s, d, "events").agg(countDistinct(col("user_id"))),
+            "n_users"),
+          one(t(s, d, "documents").agg(count(lit(1))), "n_docs"),
+          one(t(s, d, "documents")
+            .select(explode(split(lower(col("text")), " ")).as("w"))
+            .filter(col("w") =!= "")
+            .agg(countDistinct(col("w"))), "vocab"),
+          one(o.agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")), "revenue_cents"))
+        parts.reduce((a, b) => a.crossJoin(broadcast(b)))
+      }),
+
+    // ---- peak detection (local maxima with prominence) ---------------------
+    // Signal-processing on the daily revenue series: days strictly
+    // above every neighbor in a +-3 window, with prominence = height
+    // over the taller shoulder — the spike detector behind anomaly
+    // review queues (q117 flags z-outliers; this finds SHAPE maxima).
+    // Two bounded-frame windows over the day grain; edges without a
+    // full neighborhood are excluded deterministically.
+    QuerySpec(
+      "q301_peak_detection",
+      Some("""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        w AS (SELECT day, cents,
+            MAX(cents) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ml,
+            MAX(cents) OVER (ORDER BY day
+              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mr,
+            CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS nl,
+            CAST(COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS nr
+          FROM day)
+        SELECT day, cents,
+          cents - CASE WHEN ml > mr THEN ml ELSE mr END AS prominence
+        FROM w
+        WHERE nl = 3 AND nr = 3 AND cents > ml AND cents > mr"""),
+      (s, d) => {
+        val day = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents"))
+        val wl = Window.orderBy(col("day")).rowsBetween(-3, -1)
+        val wr = Window.orderBy(col("day")).rowsBetween(1, 3)
+        day.withColumn("ml", max(col("cents")).over(wl))
+          .withColumn("mr", max(col("cents")).over(wr))
+          .withColumn("nl", count(lit(1)).over(wl))
+          .withColumn("nr", count(lit(1)).over(wr))
+          .filter(col("nl") === 3 && col("nr") === 3
+            && col("cents") > col("ml") && col("cents") > col("mr"))
+          .select(col("day"), col("cents"),
+            (col("cents") - when(col("ml") > col("mr"), col("ml"))
+              .otherwise(col("mr"))).as("prominence"))
       })
   )
 }

@@ -1398,4 +1398,15 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
     }
   }
+
+  test("q296-q301: ML-prep, effect-size, dashboard, and peak queries " +
+      "keep bounded windows and broadcast scalars only") {
+    for (name <- Seq("q293_capture_recapture", "q294_kendall_tau",
+        "q295_content_fingerprint", "q296_lag_features",
+        "q297_purged_split", "q298_nzv_filter", "q299_cohens_d",
+        "q300_overview_dashboard", "q301_peak_detection")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
 }
