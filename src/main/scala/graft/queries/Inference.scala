@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Exact
+import graft.functions.{Exact, Portable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1136,6 +1136,137 @@ object Inference {
           (col("np") - col("c")).as("discordant"),
           round((col("c") - (col("np") - col("c"))).cast("double")
             / col("np").cast("double"), 6).as("kendall_tau"))
+      }),
+
+    // ---- sample-ratio mismatch check (SRM) ---------------------------------
+    // The experiment-health gate that runs BEFORE any readout: does the
+    // hash randomizer actually deliver 50/50 arms? The 1-df chi-square
+    // against the even split reduces to (na-nb)^2/n; above 3.841 the
+    // assignment itself is broken and every downstream metric is
+    // invalid. One distinct-user aggregate over the portable-hash
+    // assignment; exact integers, one pinned ratio.
+    QuerySpec(
+      "q302_srm_check", {
+        val h = Portable.h64Duck("'ab:' || CAST(user_id AS VARCHAR)")
+        Some(s"""WITH u AS (SELECT DISTINCT user_id, ($h) % 2 AS grp
+            FROM events),
+          a AS (SELECT
+              CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS na,
+              CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS nb
+            FROM u)
+          SELECT na, nb,
+            round(CAST((na - nb) * (na - nb) AS DOUBLE)
+              / CAST(na + nb AS DOUBLE), 4) AS chi2,
+            (CAST((na - nb) * (na - nb) AS DOUBLE)
+              / CAST(na + nb AS DOUBLE) > 3.841) AS srm
+          FROM a""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("concat('ab:', cast(user_id as string))")
+        val u = t(s, d, "events")
+          .select(col("user_id"), (expr(h) % 2).as("grp")).distinct()
+        val a = u.agg(count(when(col("grp") === 0, 1)).as("na"),
+          count(when(col("grp") === 1, 1)).as("nb"))
+        val chi2 = ((col("na") - col("nb")) * (col("na") - col("nb")))
+          .cast("double") / (col("na") + col("nb")).cast("double")
+        a.select(col("na"), col("nb"), round(chi2, 4).as("chi2"),
+          (chi2 > 3.841).as("srm"))
+      }),
+
+    // ---- 1-NN caliper matching (observational ATT) -------------------------
+    // Causal matching with replacement: each treated user pairs with its
+    // nearest control on the average-event-value feature, candidates
+    // restricted to +-1 feature buckets (the caliper AND the scale
+    // bound — the q275 1D grid-join pattern), argmin by (distance,
+    // control id) so every match is a total-order pick. Matching WITH
+    // replacement keeps the estimator order-free (greedy 1:1 without
+    // replacement is sequential and engine-dependent). ATT is the mean
+    // matched difference on the exact cents grid.
+    QuerySpec(
+      "q305_nn_matching",
+      Some(s"""WITH u AS (SELECT user_id, user_id % 2 AS tr,
+            CAST(floor(${Exact.sqlDsum("value")} / COUNT(*) * 100.0)
+              AS BIGINT) AS f
+          FROM events GROUP BY 1, 2),
+        tr1 AS (SELECT user_id AS tid, f AS ft, f // 500 AS b FROM u
+          WHERE tr = 1),
+        c0 AS (SELECT user_id AS cid, f AS fc, f // 500 AS b FROM u
+          WHERE tr = 0),
+        cand AS (SELECT t.tid, t.ft, c.cid, c.fc, abs(t.ft - c.fc) AS dist
+          FROM tr1 t JOIN c0 c ON c.b BETWEEN t.b - 1 AND t.b + 1),
+        best AS (SELECT tid, ft, cid, fc, dist FROM (SELECT tid, ft, cid,
+              fc, dist, ROW_NUMBER() OVER (PARTITION BY tid
+                ORDER BY dist, cid) AS rn
+            FROM cand) z WHERE rn = 1),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+            CAST(SUM(ft - fc) AS BIGINT) AS sdiff,
+            CAST(SUM(dist) AS BIGINT) AS sdist FROM best),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_treated FROM tr1)
+        SELECT nt.n_treated, st.n_matched,
+          round(CAST(sdiff AS DOUBLE) / CAST(n_matched AS DOUBLE)
+            / 100.0, 4) AS att,
+          round(CAST(sdist AS DOUBLE) / CAST(n_matched AS DOUBLE)
+            / 100.0, 4) AS mean_match_dist
+        FROM st, nt"""),
+      (s, d) => {
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), (col("user_id") % 2).as("tr"))
+          .agg(floor(Exact.dsum(col("value")) / count(lit(1)) * lit(100.0))
+            .cast("long").as("f"))
+        val tr1 = u.filter(col("tr") === 1)
+          .select(col("user_id").as("tid"), col("f").as("ft"),
+            expr("f div 500").as("b"))
+        val c0 = u.filter(col("tr") === 0)
+          .select(col("user_id").as("cid"), col("f").as("fc"),
+            expr("f div 500").as("b"))
+        import s.implicits._
+        val off = Seq(-1, 0, 1).toDF("db")
+        val cand = tr1.crossJoin(broadcast(off))
+          .select(col("tid"), col("ft"), (col("b") + col("db")).as("b"))
+          .join(c0, Seq("b"))
+          .select(col("tid"), col("ft"), col("cid"), col("fc"),
+            abs(col("ft") - col("fc")).as("dist"))
+        val best = cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("tid")).orderBy(col("dist"), col("cid"))))
+          .filter(col("rn") === 1)
+        val st = best.agg(count(lit(1)).as("n_matched"),
+          sum(col("ft") - col("fc")).as("sdiff"),
+          sum(col("dist")).as("sdist"))
+        val nt = tr1.agg(count(lit(1)).as("n_treated"))
+        st.crossJoin(broadcast(nt)) // 1-row treated count
+          .select(col("n_treated"), col("n_matched"),
+            round(col("sdiff").cast("double")
+              / col("n_matched").cast("double") / lit(100.0), 4).as("att"),
+            round(col("sdist").cast("double")
+              / col("n_matched").cast("double") / lit(100.0), 4)
+              .as("mean_match_dist"))
+      }),
+
+    // ---- Kish effective sample size ----------------------------------------
+    // What a weighted sample is actually worth: n_eff = (sum w)^2 /
+    // sum(w^2) — the survey-statistics number that turns any weighting
+    // scheme (here revenue weights) into an equivalent simple-random-
+    // sample size, with efficiency = n_eff/n. Decimal-grid weight sums,
+    // one pinned ratio pair.
+    QuerySpec(
+      "q307_kish_neff",
+      Some(s"""WITH w AS (SELECT o_totalprice AS wt FROM orders),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ${Exact.sqlDsum("wt")} AS sw,
+            ${Exact.sqlDsum("wt * wt")} AS sww
+          FROM w)
+        SELECT n, round(sw * sw / sww, 2) AS n_eff,
+          round(sw * sw / sww / CAST(n AS DOUBLE), 6) AS efficiency
+        FROM st"""),
+      (s, d) => {
+        val st = t(s, d, "orders")
+          .select(col("o_totalprice").as("wt"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("wt")).as("sw"),
+            Exact.dsum(col("wt") * col("wt")).as("sww"))
+        st.select(col("n"),
+          round(col("sw") * col("sw") / col("sww"), 2).as("n_eff"),
+          round(col("sw") * col("sw") / col("sww")
+            / col("n").cast("double"), 6).as("efficiency"))
       })
   )
 }

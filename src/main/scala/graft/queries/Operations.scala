@@ -1085,6 +1085,185 @@ object Operations {
           .select(col("day"), col("cents"),
             (col("cents") - when(col("ml") > col("mr"), col("ml"))
               .otherwise(col("mr"))).as("prominence"))
+      }),
+
+    // ---- shift-share decomposition (regional growth accounting) ------------
+    // The regional-economics classic: each region's revenue change
+    // between the two window halves decomposes into the NATIONAL effect
+    // (base x overall growth), the MIX effect (the region's segment
+    // composition growing faster/slower than average), and the residual
+    // SHIFT (local competitiveness). Exact cents at the bounded
+    // (region, segment) grain; growth rates and components are pinned
+    // doubles; the three components sum to the actual delta by
+    // construction. 100 TB plan: one fact aggregate, broadcast national
+    // rates, group-grain arithmetic.
+    QuerySpec(
+      "q303_shift_share",
+      Some(s"""WITH f AS (SELECT n.n_regionkey AS region,
+            c.c_mktsegment AS seg,
+            CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per,
+            CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        g AS (SELECT region, seg,
+            CAST(SUM(CASE WHEN per = 0 THEN cents ELSE 0 END) AS BIGINT)
+              AS c0,
+            CAST(SUM(CASE WHEN per = 1 THEN cents ELSE 0 END) AS BIGINT)
+              AS c1
+          FROM f GROUP BY 1, 2),
+        sg AS (SELECT seg, CAST(SUM(c0) AS BIGINT) AS s0,
+            CAST(SUM(c1) AS BIGINT) AS s1 FROM g GROUP BY 1),
+        nat AS (SELECT CAST(SUM(s0) AS BIGINT) AS t0,
+            CAST(SUM(s1) AS BIGINT) AS t1 FROM sg),
+        r AS (SELECT g.region,
+            CAST(SUM(g.c0) AS BIGINT) AS base,
+            CAST(SUM(g.c1 - g.c0) AS BIGINT) AS delta,
+            ${Exact.sqlDsum("CAST(g.c0 AS DOUBLE) "
+        + "* (CAST(nat.t1 AS DOUBLE) / CAST(nat.t0 AS DOUBLE) - 1.0)")}
+              AS national_eff,
+            ${Exact.sqlDsum("CAST(g.c0 AS DOUBLE) "
+        + "* (CAST(sg.s1 AS DOUBLE) / CAST(sg.s0 AS DOUBLE) "
+        + "- CAST(nat.t1 AS DOUBLE) / CAST(nat.t0 AS DOUBLE))")}
+              AS mix_eff
+          FROM g JOIN sg ON g.seg = sg.seg, nat GROUP BY 1)
+        SELECT region, base, delta,
+          round(national_eff / 100.0, 2) AS national_eff,
+          round(mix_eff / 100.0, 2) AS mix_eff,
+          round((CAST(delta AS DOUBLE) - national_eff - mix_eff)
+            / 100.0, 2) AS shift_eff
+        FROM r"""),
+      (s, d) => {
+        val f = t(s, d, "orders")
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+            col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("region"),
+            col("c_mktsegment").as("seg"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val g = f.groupBy(col("region"), col("seg"))
+          .agg(sum(when(col("per") === 0, col("cents")).otherwise(0L))
+            .as("c0"),
+            sum(when(col("per") === 1, col("cents")).otherwise(0L))
+              .as("c1"))
+          .cache() // bounded (region, segment) grain
+        val sg = g.groupBy(col("seg"))
+          .agg(sum(col("c0")).as("s0"), sum(col("c1")).as("s1"))
+        val nat = sg.agg(sum(col("s0")).as("t0"), sum(col("s1")).as("t1"))
+        val natR = col("t1").cast("double") / col("t0").cast("double")
+        val r = g.join(broadcast(sg), Seq("seg"))
+          .crossJoin(broadcast(nat)) // 1-row national totals
+          .groupBy(col("region"))
+          .agg(sum(col("c0")).as("base"),
+            sum(col("c1") - col("c0")).as("delta"),
+            Exact.dsum(col("c0").cast("double") * (natR - lit(1.0)))
+              .as("national_eff"),
+            Exact.dsum(col("c0").cast("double")
+              * (col("s1").cast("double") / col("s0").cast("double")
+                - natR)).as("mix_eff"))
+        r.select(col("region"), col("base").cast("long").as("base"),
+          col("delta").cast("long").as("delta"),
+          round(col("national_eff") / lit(100.0), 2).as("national_eff"),
+          round(col("mix_eff") / lit(100.0), 2).as("mix_eff"),
+          round((col("delta").cast("double") - col("national_eff")
+            - col("mix_eff")) / lit(100.0), 2).as("shift_eff"))
+      }),
+
+    // ---- quota sampling (per-stratum deterministic fill) -------------------
+    // The field-survey sampling mode: fill a fixed per-stratum quota by
+    // a deterministic hash order (so re-running the pipeline re-selects
+    // the SAME panel — membership is a pure function of the key, the
+    // q103/q146 discipline applied to fixed quotas instead of rates).
+    // One stratum-partitioned rank window; output is the panel roster.
+    QuerySpec(
+      "q304_quota_sample", {
+        val h = Portable.h64Duck("'qs:' || CAST(c_custkey AS VARCHAR)")
+        Some(s"""WITH r AS (SELECT c_mktsegment AS stratum, c_custkey,
+              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY ($h), c_custkey) AS rk
+            FROM customer)
+          SELECT stratum, c_custkey, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 20""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("concat('qs:', cast(c_custkey as string))")
+        t(s, d, "customer")
+          .select(col("c_mktsegment").as("stratum"), col("c_custkey"),
+            expr(h).as("hv"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("stratum"))
+              .orderBy(col("hv"), col("c_custkey"))))
+          .filter(col("rk") <= 20)
+          .select(col("stratum"), col("c_custkey"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+    // ---- growth accounting (new / retained / resurrected / churned) --------
+    // THE startup-metrics decomposition: each month's active customers
+    // split into new (first month), retained (also active last month),
+    // and resurrected (returning after a gap); churned counts last
+    // month's actives who went quiet. Monthly active sets live on the
+    // (customer, month) distinct grain; adjacency is a customer-keyed
+    // self-join on month+1; firsts are one min-aggregate. Identity
+    // check by construction: active = new + retained + resurrected.
+    QuerySpec(
+      "q306_growth_accounting",
+      Some("""WITH cm AS (SELECT DISTINCT o_custkey AS c,
+            (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m
+          FROM orders),
+        fm AS (SELECT c, MIN(m) AS fm FROM cm GROUP BY 1),
+        fl AS (SELECT cm.c, cm.m, (cm.m = fm.fm) AS is_new,
+            EXISTS (SELECT 1 FROM cm p WHERE p.c = cm.c
+              AND p.m = cm.m - 1) AS was_prev
+          FROM cm JOIN fm ON cm.c = fm.c),
+        act AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS active,
+            CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS new_c,
+            CAST(COUNT(CASE WHEN NOT is_new AND was_prev THEN 1 END)
+              AS BIGINT) AS retained,
+            CAST(COUNT(CASE WHEN NOT is_new AND NOT was_prev THEN 1 END)
+              AS BIGINT) AS resurrected
+          FROM fl GROUP BY 1),
+        ch AS (SELECT a.m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS churned
+          FROM cm a LEFT JOIN cm b ON a.c = b.c AND b.m = a.m + 1
+          WHERE b.c IS NULL GROUP BY 1)
+        SELECT CAST(act.m AS BIGINT) AS month, act.active, act.new_c,
+          act.retained, act.resurrected,
+          CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned
+        FROM act LEFT JOIN ch ON act.m = ch.m"""),
+      (s, d) => {
+        val cm = t(s, d, "orders")
+          .select(col("o_custkey").as("c"),
+            ((year(col("o_orderdate")) - 1995) * 12
+              + month(col("o_orderdate")) - 1).as("m"))
+          .distinct().cache() // (customer, month) grain, reused 4x
+        val fm = cm.groupBy(col("c")).agg(min(col("m")).as("fm"))
+        val prev = cm.select(col("c"), (col("m") + 1).as("m"),
+          lit(1).as("wp"))
+        val fl = cm.join(fm, Seq("c"))
+          .join(prev, Seq("c", "m"), "left")
+          .select(col("m"), (col("m") === col("fm")).as("is_new"),
+            col("wp").isNotNull.as("was_prev"))
+        val act = fl.groupBy(col("m"))
+          .agg(count(lit(1)).as("active"),
+            count(when(col("is_new"), 1)).as("new_c"),
+            count(when(!col("is_new") && col("was_prev"), 1)).as("retained"),
+            count(when(!col("is_new") && !col("was_prev"), 1))
+              .as("resurrected"))
+        val ch = cm.join(cm.select(col("c"), (col("m") - 1).as("m"),
+            lit(1).as("nx")), Seq("c", "m"), "left")
+          .filter(col("nx").isNull)
+          .groupBy((col("m") + 1).as("m"))
+          .agg(count(lit(1)).as("churned"))
+        act.join(ch, Seq("m"), "left")
+          .select(col("m").cast("long").as("month"), col("active"),
+            col("new_c"), col("retained"), col("resurrected"),
+            coalesce(col("churned"), lit(0L)).cast("long").as("churned"))
       })
   )
 }

@@ -1409,4 +1409,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
     }
   }
+
+  test("q302-q307: SRM/matching/quota/shift-share/growth-accounting " +
+      "keep keyed paths; the match argmin and quota windows partition") {
+    for (name <- Seq("q302_srm_check", "q303_shift_share",
+        "q306_growth_accounting", "q307_kish_neff")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+    val nn = queries.Registry.byName("q305_nn_matching").run(spark, sfDir)
+    val specs = nn.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("tid#")),
+      "the 1-NN argmin must partition on the treated unit:\n"
+        + specs.mkString("\n"))
+    val qs = queries.Registry.byName("q304_quota_sample").run(spark, sfDir)
+    val specs2 = qs.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs2.nonEmpty && specs2.forall(_.contains("stratum#")),
+      "quota ranks must partition on the stratum:\n" + specs2.mkString("\n"))
+  }
 }
