@@ -1264,6 +1264,262 @@ object Operations {
           .select(col("m").cast("long").as("month"), col("active"),
             col("new_c"), col("retained"), col("resurrected"),
             coalesce(col("churned"), lit(0L)).cast("long").as("churned"))
+      }),
+
+    // ---- distribution distances (TV / Bhattacharyya / Hellinger) -----------
+    // Three log-free distances between the pre- and post-period order-
+    // value distributions on a fixed $50k bucket grid — the drift
+    // metrics that complement q140's PSI (which needs logs and was
+    // rationalized) and q162's KS (which needs the full CDF). Total
+    // variation is EXACT: 0.5*sum|n0*N1 - n1*N0|/(N0*N1) stays in
+    // int64; Bhattacharyya folds per-bucket sqrt(p*q) on the decimal
+    // grid; Hellinger is one more pinned sqrt. Bounded bucket grain.
+    QuerySpec(
+      "q308_dist_distance",
+      Some(s"""WITH b AS (SELECT
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000
+              AS bucket,
+            CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 0
+              ELSE 1 END AS per
+          FROM orders),
+        g AS (SELECT bucket,
+            CAST(COUNT(CASE WHEN per = 0 THEN 1 END) AS BIGINT) AS n0,
+            CAST(COUNT(CASE WHEN per = 1 THEN 1 END) AS BIGINT) AS n1
+          FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+            CAST(SUM(n1) AS BIGINT) AS t1 FROM g),
+        tv AS (SELECT CAST(SUM(abs(n0 * t1 - n1 * t0)) AS BIGINT) AS s
+          FROM g, tot),
+        bc AS (SELECT ${Exact.sqlDsum(
+        "sqrt((CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE)) "
+          + "* (CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)))")} AS bc
+          FROM g, tot)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_buckets,
+          round(CAST(tv.s AS DOUBLE)
+            / (2.0 * CAST(tot.t0 AS DOUBLE) * CAST(tot.t1 AS DOUBLE)), 6)
+            AS total_variation,
+          round(bc.bc, 6) AS bhattacharyya,
+          round(sqrt(1.0 - bc.bc), 6) AS hellinger
+        FROM tv, bc, tot"""),
+      (s, d) => {
+        val b = t(s, d, "orders")
+          .select(expr("cast(round(o_totalprice * 100, 0) as bigint) " +
+            "div 5000000").as("bucket"),
+            when(col("o_orderdate") < lit("1998-07-01").cast("timestamp"),
+              0L).otherwise(1L).as("per"))
+        val g = b.groupBy(col("bucket"))
+          .agg(count(when(col("per") === 0, 1)).as("n0"),
+            count(when(col("per") === 1, 1)).as("n1"))
+          .cache() // bounded bucket grain; feeds totals, tv, bc
+        val tot = g.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+        val wt = g.crossJoin(broadcast(tot)) // 1-row totals
+        val tv = wt.agg(sum(abs(col("n0") * col("t1")
+          - col("n1") * col("t0"))).as("s"))
+        val bc = wt.agg(Exact.dsum(
+          sqrt((col("n0").cast("double") / col("t0").cast("double"))
+            * (col("n1").cast("double") / col("t1").cast("double"))))
+          .as("bc"))
+        val nb = g.agg(count(lit(1)).as("n_buckets"))
+        nb.crossJoin(broadcast(tv)).crossJoin(broadcast(bc))
+          .crossJoin(broadcast(tot))
+          .select(col("n_buckets"),
+            round(col("s").cast("double")
+              / (lit(2.0) * col("t0").cast("double")
+                * col("t1").cast("double")), 6).as("total_variation"),
+            round(col("bc"), 6).as("bhattacharyya"),
+            round(sqrt(lit(1.0) - col("bc")), 6).as("hellinger"))
+      }),
+
+    // ---- moving-average crossover signals ----------------------------------
+    // The oldest trend-following signal: days where the 7-day moving
+    // average of revenue crosses the 28-day ('golden' up, 'death'
+    // down). Both averages divide exact integer window sums; the cross
+    // test compares the SAME pinned differences on adjacent days (lag
+    // over the bounded day grain), so signal days are bit-stable.
+    QuerySpec(
+      "q309_ma_crossover",
+      Some("""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        ma AS (SELECT day,
+            CAST(SUM(c) OVER w7 AS BIGINT) AS s7,
+            CAST(COUNT(*) OVER w7 AS BIGINT) AS k7,
+            CAST(SUM(c) OVER w28 AS BIGINT) AS s28,
+            CAST(COUNT(*) OVER w28 AS BIGINT) AS k28
+          FROM day WINDOW
+            w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+            w28 AS (ORDER BY day ROWS BETWEEN 27 PRECEDING
+              AND CURRENT ROW)),
+        df AS (SELECT day,
+            CAST(s7 AS DOUBLE) / 7.0 AS ma7,
+            CAST(s28 AS DOUBLE) / 28.0 AS ma28,
+            CAST(s7 AS DOUBLE) / 7.0 - CAST(s28 AS DOUBLE) / 28.0 AS diff
+          FROM ma WHERE k7 = 7 AND k28 = 28),
+        lg AS (SELECT day, ma7, ma28, diff,
+            lag(diff) OVER (ORDER BY day) AS pdiff FROM df)
+        SELECT day, floor(ma7 / 100.0 * 100.0) / 100.0 AS ma7,
+          floor(ma28 / 100.0 * 100.0) / 100.0 AS ma28,
+          CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS crossover
+        FROM lg
+        WHERE pdiff IS NOT NULL
+          AND ((diff > 0 AND pdiff <= 0) OR (diff < 0 AND pdiff >= 0))"""),
+      (s, d) => {
+        val day = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("c"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        val w28 = Window.orderBy(col("day")).rowsBetween(-27, 0)
+        val ma = day
+          .withColumn("s7", sum(col("c")).over(w7))
+          .withColumn("k7", count(lit(1)).over(w7))
+          .withColumn("s28", sum(col("c")).over(w28))
+          .withColumn("k28", count(lit(1)).over(w28))
+        val df = ma.filter(col("k7") === 7 && col("k28") === 28)
+          .select(col("day"),
+            (col("s7").cast("double") / lit(7.0)).as("ma7"),
+            (col("s28").cast("double") / lit(28.0)).as("ma28"),
+            (col("s7").cast("double") / lit(7.0)
+              - col("s28").cast("double") / lit(28.0)).as("diff"))
+        val lg = df.withColumn("pdiff",
+          lag(col("diff"), 1).over(Window.orderBy(col("day"))))
+        lg.filter(col("pdiff").isNotNull
+            && ((col("diff") > 0 && col("pdiff") <= 0)
+              || (col("diff") < 0 && col("pdiff") >= 0)))
+          .select(col("day"),
+            (floor(col("ma7") / lit(100.0) * lit(100.0)) / lit(100.0))
+              .as("ma7"),
+            (floor(col("ma28") / lit(100.0) * lit(100.0)) / lit(100.0))
+              .as("ma28"),
+            when(col("diff") > 0, "golden").otherwise("death")
+              .as("crossover"))
+      }),
+
+    // ---- VWAP (volume-weighted average price) ------------------------------
+    // The execution-quality benchmark: per ship-day, total notional
+    // over total quantity — both exact integer sums, one divide. The
+    // simplest finance aggregate, included because every market-data
+    // engine must have it.
+    QuerySpec(
+      "q310_vwap",
+      Some("""WITH l AS (SELECT CAST(l_shipdate AS DATE) AS day,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+            CAST(round(l_quantity, 0) AS BIGINT) AS qty
+          FROM lineitem),
+        g AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS notional,
+            CAST(SUM(qty) AS BIGINT) AS volume FROM l GROUP BY 1)
+        SELECT day, notional, volume,
+          floor(CAST(notional AS DOUBLE) / CAST(volume AS DOUBLE)
+            / 100.0 * 10000.0) / 10000.0 AS vwap
+        FROM g"""),
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_shipdate").cast("date").as("day"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+            round(col("l_quantity"), 0).cast("long").as("qty"))
+          .groupBy(col("day"))
+          .agg(sum(col("cents")).cast("long").as("notional"),
+            sum(col("qty")).cast("long").as("volume"))
+          .select(col("day"), col("notional"), col("volume"),
+            // floor-grid publish (q270 rule): integer-quotient prices
+            // land on decimal ties where the engines' round() differs
+            (floor(col("notional").cast("double")
+              / col("volume").cast("double") / lit(100.0) * lit(10000.0))
+              / lit(10000.0)).as("vwap"))
+      }),
+
+    // ---- Sharpe and Sortino ratios -----------------------------------------
+    // Risk-adjusted "return" of the daily revenue series: simple
+    // day-over-day returns (pinned divides on exact cents), mean over
+    // total and DOWNSIDE deviation (Sortino penalizes only negative
+    // days), annualized by the pinned sqrt(252). Return moments fold on
+    // the decimal grid; every published number is one IEEE tree.
+    QuerySpec(
+      "q311_sharpe_sortino",
+      Some(s"""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        r AS (SELECT CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE) AS ret
+          FROM (SELECT c, lag(c) OVER (ORDER BY day) AS pc FROM day) z
+          WHERE pc IS NOT NULL),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ${Exact.sqlDsum("ret")} AS sr,
+            ${Exact.sqlDsum("ret * ret")} AS qr,
+            ${Exact.sqlDsum(
+        "CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END")} AS dq
+          FROM r),
+        m AS (SELECT n, sr / CAST(n AS DOUBLE) AS mu,
+            sqrt((qr - sr * sr / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) AS sd,
+            sqrt(dq / CAST(n AS DOUBLE)) AS dd
+          FROM st)
+        SELECT n AS n_days, round(mu, 6) AS mean_ret,
+          round(sd, 6) AS sd_ret,
+          round(mu / sd * sqrt(252.0), 4) AS sharpe,
+          round(mu / dd * sqrt(252.0), 4) AS sortino
+        FROM m"""),
+      (s, d) => {
+        val day = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("c"))
+        val r = day
+          .withColumn("pc", lag(col("c"), 1).over(Window.orderBy(col("day"))))
+          .filter(col("pc").isNotNull)
+          .select(((col("c") - col("pc")).cast("double")
+            / col("pc").cast("double")).as("ret"))
+        val st = r.agg(count(lit(1)).as("n"), Exact.dsum(col("ret")).as("sr"),
+          Exact.dsum(col("ret") * col("ret")).as("qr"),
+          Exact.dsum(when(col("ret") < 0, col("ret") * col("ret"))
+            .otherwise(0.0)).as("dq"))
+        val m = st.select(col("n"),
+          (col("sr") / col("n").cast("double")).as("mu"),
+          sqrt((col("qr") - col("sr") * col("sr") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")).as("sd"),
+          sqrt(col("dq") / col("n").cast("double")).as("dd"))
+        m.select(col("n").as("n_days"), round(col("mu"), 6).as("mean_ret"),
+          round(col("sd"), 6).as("sd_ret"),
+          round(col("mu") / col("sd") * sqrt(lit(252.0)), 4).as("sharpe"),
+          round(col("mu") / col("dd") * sqrt(lit(252.0)), 4).as("sortino"))
+      }),
+
+    // ---- maximum drawdown ---------------------------------------------------
+    // Peak-to-trough of the daily revenue level: the running maximum
+    // over the bounded day grain gives each day's drawdown; the worst
+    // one publishes with its trough day and the peak it fell from —
+    // the risk number read next to q311's ratios. TakeOrdered(1) by
+    // (drawdown DESC, day) pins the pick under ties.
+    QuerySpec(
+      "q312_max_drawdown",
+      Some("""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        rm AS (SELECT day, c,
+            CAST(MAX(c) OVER (ORDER BY day) AS BIGINT) AS peak FROM day),
+        dd AS (SELECT day, c, peak,
+            CAST(peak - c AS DOUBLE) / CAST(peak AS DOUBLE) AS ddown
+          FROM rm)
+        SELECT day AS trough_day, c AS trough_cents, peak AS peak_cents,
+          round(ddown, 6) AS max_drawdown
+        FROM dd ORDER BY ddown DESC, day LIMIT 1"""),
+      (s, d) => {
+        val day = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("c"))
+        val rm = day.withColumn("peak", max(col("c")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val dd = rm.select(col("day"), col("c"), col("peak"),
+          ((col("peak") - col("c")).cast("double")
+            / col("peak").cast("double")).as("ddown"))
+        dd.orderBy(col("ddown").desc, col("day")).limit(1)
+          .select(col("day").as("trough_day"), col("c").as("trough_cents"),
+            col("peak").as("peak_cents"),
+            round(col("ddown"), 6).as("max_drawdown"))
       })
   )
 }

@@ -1429,4 +1429,16 @@ class PlanSpec extends SparkSpec {
     assert(specs2.nonEmpty && specs2.forall(_.contains("stratum#")),
       "quota ranks must partition on the stratum:\n" + specs2.mkString("\n"))
   }
+
+  test("q308-q312: distance/finance queries aggregate on bounded " +
+      "grains with broadcast totals; the drawdown pick is TakeOrdered") {
+    for (name <- Seq("q308_dist_distance", "q309_ma_crossover",
+        "q310_vwap", "q311_sharpe_sortino")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+    val md = plan("q312_max_drawdown")
+    assert(md.contains("TakeOrderedAndProject"),
+      "the worst-drawdown pick must be TakeOrdered(1):\n" + md)
+  }
 }
