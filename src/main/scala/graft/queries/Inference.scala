@@ -1176,8 +1176,11 @@ object Inference {
     // ---- 1-NN caliper matching (observational ATT) -------------------------
     // Causal matching with replacement: each treated user pairs with its
     // nearest control on the average-event-value feature, candidates
-    // restricted to +-1 feature buckets (the caliper AND the scale
-    // bound — the q275 1D grid-join pattern), argmin by (distance,
+    // restricted to +-1 one-dollar feature buckets (the caliper AND
+    // the scale bound — the q275 1D grid-join pattern; candidate count
+    // scales with bucket DENSITY, so the caliper width is the knob a
+    // 100 TB run tightens, exactly like q275's grid resolution and
+    // q98's cell count), argmin by (distance,
     // control id) so every match is a total-order pick. Matching WITH
     // replacement keeps the estimator order-free (greedy 1:1 without
     // replacement is sequential and engine-dependent). ATT is the mean
@@ -1188,9 +1191,9 @@ object Inference {
             CAST(floor(${Exact.sqlDsum("value")} / COUNT(*) * 100.0)
               AS BIGINT) AS f
           FROM events GROUP BY 1, 2),
-        tr1 AS (SELECT user_id AS tid, f AS ft, f // 500 AS b FROM u
+        tr1 AS (SELECT user_id AS tid, f AS ft, f // 100 AS b FROM u
           WHERE tr = 1),
-        c0 AS (SELECT user_id AS cid, f AS fc, f // 500 AS b FROM u
+        c0 AS (SELECT user_id AS cid, f AS fc, f // 100 AS b FROM u
           WHERE tr = 0),
         cand AS (SELECT t.tid, t.ft, c.cid, c.fc, abs(t.ft - c.fc) AS dist
           FROM tr1 t JOIN c0 c ON c.b BETWEEN t.b - 1 AND t.b + 1),
@@ -1215,10 +1218,10 @@ object Inference {
             .cast("long").as("f"))
         val tr1 = u.filter(col("tr") === 1)
           .select(col("user_id").as("tid"), col("f").as("ft"),
-            expr("f div 500").as("b"))
+            expr("f div 100").as("b"))
         val c0 = u.filter(col("tr") === 0)
           .select(col("user_id").as("cid"), col("f").as("fc"),
-            expr("f div 500").as("b"))
+            expr("f div 100").as("b"))
         import s.implicits._
         val off = Seq(-1, 0, 1).toDF("db")
         val cand = tr1.crossJoin(broadcast(off))
