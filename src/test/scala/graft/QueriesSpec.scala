@@ -945,4 +945,125 @@ class QueriesSpec extends SparkSpec {
         r.getLong(3)))).toMap
     assert(got == expect)
   }
+
+  // ---- driver-side reference recomputation of the round-8 operators ------
+  // Same rationale as above: the DuckDB differential gate is the primary
+  // oracle, but a plain-Scala third implementation catches a defect that
+  // somehow landed identically in both SQL dialects.
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q226_mann_whitney matches a driver-side rank-sum reference") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "value").collect()
+      .filter(r => Seq("click", "view").contains(r.getString(0)))
+      .map(r => (r.getString(0) == "click",
+        math.round(r.getDouble(1) * 100)))
+    val byV = ev.groupBy(_._2).toSeq.sortBy(_._1)
+    var cb = 0L; var u2 = 0L; var tc = 0L
+    var naT = 0L; var nbT = 0L
+    byV.foreach { case (_, xs) =>
+      val na = xs.count(_._1).toLong
+      val nb = xs.length - na
+      u2 += na * (2 * cb + nb)
+      val t = na + nb
+      tc += t * t * t - t
+      naT += na; nbT += nb; cb += nb
+    }
+    val n = naT + nbT
+    val z = (u2 - naT * nbT).toDouble /
+      (2.0 * math.sqrt(naT.toDouble * nbT.toDouble *
+        ((n + 1).toDouble - tc.toDouble / (n * (n - 1)).toDouble) / 12.0))
+    val r = Registry.byName("q226_mann_whitney").run(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == naT && r.getLong(1) == nbT)
+    assert(r.getDouble(2) == u2.toDouble / 2.0)
+    assert(r.getDouble(3) == round4(z))
+  }
+
+  test("q249_bom_closure depths match the closed-form binary-tree count") {
+    // ancestor at distance d exists iff k >= 2^d (k div 2^d >= 1), so
+    // n_pairs(d) = #{partkeys k >= max(2, 2^d)}
+    val keys = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ >= 2)
+    val expect = (1 to 31).map { d =>
+      d -> keys.count(k => (k >> d) >= 1).toLong
+    }.filter(_._2 > 0).toMap
+    val got = Registry.byName("q249_bom_closure").run(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q293_capture_recapture matches a driver-side Chapman reference") {
+    val split = 1705363200000L
+    val byUser = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) as ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val n1 = byUser.count(_._2.exists(_ < split)).toLong
+    val n2 = byUser.count(_._2.exists(_ >= split)).toLong
+    val m = byUser.count(u => u._2.exists(_ < split)
+      && u._2.exists(_ >= split)).toLong
+    val est = ((n1 + 1) * (n2 + 1)) / (m + 1) - 1
+    val r = Registry.byName("q293_capture_recapture").run(spark, sfDir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((n1, n2, m, byUser.size.toLong, est)))
+  }
+
+  test("q294_kendall_tau matches a driver-side pair-counting reference") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1)),
+        math.round(r.getDouble(2) * 100)))
+    val g = li.groupBy(_._1).view.mapValues(xs =>
+      (xs.map(_._2).sum, xs.map(_._3).sum)).toSeq
+    val top = g.sortBy { case (k, (_, c)) => (-c, k) }.take(20)
+    val rq = top.sortBy { case (k, (q, _)) => (-q, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val rc = top.sortBy { case (k, (_, c)) => (-c, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val ks = top.map(_._1)
+    val pairs = for {
+      a <- ks; b <- ks if a < b
+    } yield if ((rq(a) - rq(b)).toLong * (rc(a) - rc(b)) > 0) 1L else 0L
+    val np = pairs.length.toLong
+    val c = pairs.sum
+    val tau = (c - (np - c)).toDouble / np.toDouble
+    val r = Registry.byName("q294_kendall_tau").run(spark, sfDir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      == ((np, c, np - c)))
+    assert(r.getDouble(3) == round6(tau))
+  }
+
+  test("q295_content_fingerprint matches a driver-side hash-sum " +
+      "reference for every profiled column") {
+    val P = BigInt("2305843009213693951")
+    def h64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fp:$s".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("cast(o_orderkey as string)",
+        "cast(o_custkey as string)", "o_orderstatus", "o_orderpriority")
+      .collect()
+    val got = Registry.byName("q295_content_fingerprint").run(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((nm, idx) <- Seq("o_orderkey" -> 0, "o_custkey" -> 1,
+        "o_orderstatus" -> 2, "o_orderpriority" -> 3)) {
+      val vals = rows.map(_.getString(idx))
+      val fp = (vals.map(v => BigInt(h64(v))).sum mod P).toLong
+      val (n, ndv, gfp) = got(nm)
+      assert(n == vals.length.toLong && ndv == vals.distinct.length.toLong
+        && gfp == fp, nm)
+    }
+  }
 }
