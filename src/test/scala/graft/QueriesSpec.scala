@@ -1066,4 +1066,64 @@ class QueriesSpec extends SparkSpec {
         && gfp == fp, nm)
     }
   }
+
+  test("q287_clustering_coeff matches a driver-side brute-force " +
+      "triangle/wedge count on the support graph") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val byOrder = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.Set[Long]]()
+    li.foreach { case (o, p) =>
+      byOrder.getOrElseUpdate(o,
+        scala.collection.mutable.Set[Long]()) += p
+    }
+    val cnt = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { ps0 =>
+      val ps = ps0.toSeq.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val e = (ps(i), ps(j))
+        cnt(e) = cnt.getOrElse(e, 0) + 1
+      }
+    }
+    // NB: Map#collect with a tuple-valued function rebuilds a MAP and
+    // silently collapses edges by their first endpoint — iterate instead
+    val edges = cnt.iterator.filter(_._2 >= 2).map(_._1).toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val es = edges.toSeq
+    val adj = es.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val triangles = es.map { case (a, b) =>
+      (adj.getOrElse(a, Set.empty[Long])
+        & adj.getOrElse(b, Set.empty[Long])).size.toLong
+    }.sum
+    val r = Registry.byName("q287_clustering_coeff").run(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == triangles && r.getLong(1) == wedges,
+      s"ref li=${li.length} orders=${byOrder.size} pairs=${cnt.size} " +
+        s"inst=${cnt.values.sum} edges=${edges.size} tri=$triangles " +
+        s"wedges=$wedges")
+    assert(r.getDouble(2) ==
+      round6(3.0 * triangles.toDouble / wedges.toDouble))
+  }
+
+  test("q308_dist_distance total variation matches an exact integer " +
+      "reference") {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("cast(round(o_totalprice * 100, 0) as bigint) as cents",
+        "o_orderdate < timestamp'1998-07-01' as pre").collect()
+      .map(r => (r.getLong(0) / 5000000L, r.getBoolean(1)))
+    val g = rows.groupBy(_._1).view.mapValues(xs =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong))
+    val t0 = g.values.map(_._1).sum
+    val t1 = g.values.map(_._2).sum
+    val s = g.values.map { case (n0, n1) => (n0 * t1 - n1 * t0).abs }.sum
+    val tv = s.toDouble / (2.0 * t0.toDouble * t1.toDouble)
+    val r = Registry.byName("q308_dist_distance").run(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == g.size.toLong)
+    assert(r.getDouble(1) == round6(tv))
+  }
 }
