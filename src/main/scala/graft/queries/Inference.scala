@@ -841,8 +841,7 @@ object Inference {
             (msb - msw) / (msb + (m0 - 1.0) * msw) AS icc FROM ms)
         SELECT k AS n_clusters, nn AS n, round(msb, 4) AS msb,
           round(msw, 4) AS msw, round(icc, 6) AS icc,
-          round(1.0 + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0)
-            * icc, 4) AS deff
+          round(1.0 + (m0 - 1.0) * icc, 4) AS deff
         FROM icc"""),
       (s, d) => {
         val j = t(s, d, "orders")
@@ -871,11 +870,13 @@ object Inference {
           col("m0"),
           ((col("msb") - col("msw"))
             / (col("msb") + (col("m0") - lit(1.0)) * col("msw"))).as("icc"))
+        // DEFF uses the same ANOVA-weighted mean cluster size m0 as the
+        // ICC denominator (mixing in the simple average nn/k would be
+        // internally inconsistent between the two statistics)
         icc.select(col("k").as("n_clusters"), col("nn").as("n"),
           round(col("msb"), 4).as("msb"), round(col("msw"), 4).as("msw"),
           round(col("icc"), 6).as("icc"),
-          round(lit(1.0) + (col("nn").cast("double")
-            / col("k").cast("double") - lit(1.0)) * col("icc"), 4)
+          round(lit(1.0) + (col("m0") - lit(1.0)) * col("icc"), 4)
             .as("deff"))
       }),
 

@@ -683,14 +683,17 @@ object Insights {
           .select(col("id"), col("x"), col("y"),
             expr("x div 200").as("cx"), expr("y div 200").as("cy"))
           .cache() // both sides of the neighbor join
-        val off = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy =>
-          (dx, dy))).toDF("dx", "dy")
-        // left side fans out to its 9 neighbor cells, then the join is
-        // pure EQUI on the (cell) key — no BNL range probes
-        val probes = pt.crossJoin(broadcast(off))
+        // left side fans out to its 9 neighbor cells via a row-local
+        // explode of the literal offset array (no join node at all), then
+        // the pairing is pure EQUI on the (cell) key — no BNL range probes
+        val offsets = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy =>
+          s"struct($dx as dx, $dy as dy)")).mkString(", ")
+        val probes = pt
+          .select(col("id"), col("x"), col("y"), col("cx"), col("cy"),
+            explode(expr(s"array($offsets)")).as("o"))
           .select(col("id"), col("x"), col("y"),
-            (col("cx") + col("dx")).as("pcx"), (col("cy") + col("dy"))
-              .as("pcy"))
+            (col("cx") + col("o.dx")).as("pcx"),
+            (col("cy") + col("o.dy")).as("pcy"))
         val nb = probes.join(pt.select(col("id").as("idb"),
             col("x").as("xb"), col("y").as("yb"), col("cx").as("pcx"),
             col("cy").as("pcy")), Seq("pcx", "pcy"))

@@ -14,6 +14,20 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** Fixed scratch dir per (dataset dir, query tag): repeated verify/bench
+    * runs (median-of-3) reuse the same path, so overwrite-mode writes
+    * reclaim the space instead of accumulating one fresh temp dir per
+    * execution. Keyed on the dataset dir so sf0.001/sf0.01/sf0.1 runs
+    * don't clobber each other within a session.
+    */
+  private def scratch(d: String, tag: String): String = {
+    val key = java.lang.Integer.toHexString(d.hashCode)
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", key, tag)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- CSV sink + schema'd CSV scan --------------------------------------
@@ -24,8 +38,7 @@ object Sources {
           MAX(CAST(o_orderdate AS DATE)) AS max_day
         FROM orders GROUP BY o_orderstatus"""),
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-csv").toString
+        val out = scratch(d, "csv")
         Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"), col("o_orderdate").cast("date").as("o_day"))
@@ -53,8 +66,7 @@ object Sources {
             AS BIGINT) AS sum_k
         FROM events GROUP BY event_type"""),
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-json").toString
+        val out = scratch(d, "json")
         Tables.load(s, d, "events")
           .select(col("event_id"), col("event_type"),
             from_json(col("props"), StructType(Seq(
@@ -81,8 +93,7 @@ object Sources {
           ${sqlDsum("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY l_linestatus"""),
       (s: SparkSession, d: String) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-multi").toString
+        val base = scratch(d, "multi")
         val li = Tables.load(s, d, "lineitem")
         val paths = (0 until 3).map { i =>
           val p = s"$base/part$i"
@@ -109,8 +120,7 @@ object Sources {
           ${sqlDsum("l_extendedprice")} AS total
         FROM lineitem GROUP BY l_returnflag"""),
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-orc").toString
+        val out = scratch(d, "orc")
         Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag"),
             round(col("l_quantity"), 0).cast("long").as("qty"),
@@ -135,8 +145,7 @@ object Sources {
           CAST(SUM(length(text)) AS BIGINT) AS n_chars
         FROM documents GROUP BY lang"""),
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-text").toString
+        val out = scratch(d, "text")
         Tables.load(s, d, "documents")
           .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
             .as("value"))
@@ -167,8 +176,7 @@ object Sources {
         FROM lineitem JOIN nation ON l_suppkey % 25 = n_nationkey
         WHERE n_name = 'FRANCE'"""),
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-dpp").toString
+        val out = scratch(d, "dpp")
         Tables.load(s, d, "lineitem")
           .select((col("l_suppkey") % 25).as("nk"),
             round(col("l_quantity"), 0).cast("long").as("qty"))

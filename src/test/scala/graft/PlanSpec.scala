@@ -1241,10 +1241,20 @@ class PlanSpec extends SparkSpec {
   test("q249/q250: iterative closure and raking keep every round on " +
       "keyed joins with broadcast margins (no cartesian, no global sort)") {
     for (name <- Seq("q249_bom_closure", "q250_ipf_raking")) {
-      val p = plan(name)
+      val df = queries.Registry.byName(name).run(spark, sfDir)
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
-      assert(!p.contains("GlobalSort") && !p.contains("\n Sort "),
-        s"$name: no global sort belongs in the final plan:\n" + p)
+      // assert on the optimized logical plan's Sort(global = true) nodes —
+      // string-matching the formatted output is fragile (sort nodes print
+      // as "(N) Sort", and local SMJ sorts are fine)
+      val globalSorts = df.queryExecution.optimizedPlan.collect {
+        case srt: org.apache.spark.sql.catalyst.plans.logical.Sort
+            if srt.global => srt
+      }
+      assert(globalSorts.isEmpty,
+        s"$name: no global sort belongs in the final plan:\n"
+          + globalSorts.mkString("\n"))
     }
   }
 
@@ -1346,8 +1356,8 @@ class PlanSpec extends SparkSpec {
   test("q275: the spatial proximity join is EQUI on the cell key " +
       "(9-fanout probes), never a range BNL") {
     val p = plan("q275_grid_join")
-    assert(!p.contains("BroadcastNestedLoopJoin")
-      || p.contains("BuildRight"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the proximity pairing must stay on the cell-key equi join:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
   }
