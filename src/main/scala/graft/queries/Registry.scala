@@ -10,7 +10,7 @@ object Registry {
       Sources.all ++ Sql.all ++ SqlTpch.all ++ Analytic.all ++
       TrainingPipeline.all ++ Curation.all ++ Warehouse.all ++ Quality.all ++
       Statistics.all ++ Profiling.all ++ Corpus.all ++ Inference.all ++
-      Mining.all ++ Operations.all ++ Insights.all
+      Mining.all ++ Operations.all ++ Insights.all ++ Selection.all
 
   def byName(name: String): QuerySpec =
     all.find(_.name == name)

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Exact, Portable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data *selection* operators — the decision layer a curation
+  * pipeline runs after dedup/scoring: a trained quality classifier gating
+  * keep/drop (the C4/CCNet centerpiece), hybrid retrieval fusion, tokenizer
+  * merge training, and coverage-driven k-center selection. The reference
+  * pipeline (src/glue_scripts/bronze_to_silver.py:44-85) promotes everything
+  * it scans; these operators are what "promote" becomes when the corpus is
+  * 100 TB of crawl and only part of it should reach training.
+  *
+  * Determinism: every float leaves via the [[Exact]] decimal grid or a
+  * pinned single-rounded IEEE tree over exact integers; hashes are the
+  * portable 60-bit md5 prefix ([[Portable]]).
+  */
+object Selection {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- trained quality-classifier gate (NB-weighted linear) --------------
+    // The CCNet/C4 move: fit a linear classifier on hashed token features
+    // (q196's 256-bucket hashing trick) against a supervised proxy label
+    // (lang = 'en' — "looks like the target corpus"), then SCORE every
+    // document and gate keep/drop. Training is closed-form Naive Bayes:
+    // per-bucket add-one-smoothed class likelihoods, whose RATIO is the
+    // per-bucket weight (the log-free [[Exact]] discipline — log's last
+    // ulp differs across libms; the rational is monotone-identical). A
+    // document's score is its bucket-count vector dotted with the weight
+    // vector on the decimal grid; keep = mean weight per token >= 1
+    // (more target-like than background on average); published floats
+    // truncate via floor(x*1e6)/1e6 (round() on DOUBLE hits half-tie
+    // skew across engines; floor is one pinned op). 100 TB plan: one
+    // row-local tokenize+hash explode → ONE (doc, bucket) partial-agg
+    // shuffle; training counts re-aggregate that table on the 256-bucket
+    // grain; the 256-row weight table and the 1-row totals BROADCAST back;
+    // the per-doc score is a second keyed partial agg. Nothing
+    // corpus-sized is ever broadcast, sorted, or windowed.
+    QuerySpec(
+      "q313_quality_gate", {
+        val h = Portable.h64Duck("'qg:' || term")
+        Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS pos,
+              unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, pos, ($h) % 256 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY 1, 2, 3),
+          bk AS (SELECT bucket,
+              CAST(COALESCE(SUM(CASE WHEN pos THEN tf END), 0) AS BIGINT)
+                AS c1,
+              CAST(COALESCE(SUM(CASE WHEN NOT pos THEN tf END), 0)
+                AS BIGINT) AS c0
+            FROM tf GROUP BY 1),
+          tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+              CAST(SUM(c0) AS BIGINT) AS t0 FROM bk),
+          w AS (SELECT bucket,
+              floor((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 256 AS DOUBLE))
+                / (CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 256 AS DOUBLE))
+                * 1000000.0) / 1000000.0 AS w
+            FROM bk, tot),
+          sc AS (SELECT tf.doc_id,
+              ${Exact.sqlDsum("tf.tf * w.w")} AS score,
+              CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+            FROM tf JOIN w USING (bucket) GROUP BY 1)
+          SELECT doc_id, n_tokens, score,
+            floor(score / CAST(n_tokens AS DOUBLE) * 1000000.0)
+              / 1000000.0 AS avg_w,
+            (score / CAST(n_tokens AS DOUBLE)) >= 1.0 AS keep
+          FROM sc""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("concat('qg:', term)")
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = tok
+          .groupBy(col("doc_id"), col("pos"), (expr(h) % 256).as("bucket"))
+          .agg(count(lit(1)).as("tf"))
+          .cache() // feeds both the 256-bucket training agg and scoring
+        val bk = tf.groupBy(col("bucket"))
+          .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("c1"),
+            coalesce(sum(when(!col("pos"), col("tf"))), lit(0L)).as("c0"))
+        val tot = bk.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+        val w = bk.crossJoin(broadcast(tot)) // 1-row class totals
+          .select(col("bucket"),
+            (floor(((col("c1") + 1).cast("double")
+                / (col("t1") + 256).cast("double"))
+              / ((col("c0") + 1).cast("double")
+                / (col("t0") + 256).cast("double")) * lit(1000000.0))
+              / lit(1000000.0)).as("w"))
+        val sc = tf.join(broadcast(w), "bucket") // 256-row model
+          .groupBy(col("doc_id"))
+          .agg(Exact.dsum(col("tf") * col("w")).as("score"),
+            sum(col("tf")).as("n_tokens"))
+        sc.select(col("doc_id"), col("n_tokens"), col("score"),
+          (floor(col("score") / col("n_tokens").cast("double")
+            * lit(1000000.0)) / lit(1000000.0)).as("avg_w"),
+          (col("score") / col("n_tokens").cast("double") >= 1.0).as("keep"))
+      })
+  )
+}

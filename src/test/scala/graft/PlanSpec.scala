@@ -1451,4 +1451,16 @@ class PlanSpec extends SparkSpec {
     assert(md.contains("TakeOrderedAndProject"),
       "the worst-drawdown pick must be TakeOrdered(1):\n" + md)
   }
+
+  test("q313: the 256-row trained model broadcasts back onto the " +
+      "feature table; scoring is keyed partial aggs only") {
+    val p = plan("q313_quality_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weight table must broadcast, never shuffle the features:\n" + p)
+    assert(p.contains("partial_sum"),
+      "the per-doc score agg must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the scoring path may shuffle-join:\n" + p)
+  }
 }
