@@ -26,6 +26,75 @@ object Corpus {
     */
   private val VocabK = 500
 
+  // ---- BM25 primitive (q209; reused by q314's RRF fusion) -----------------
+
+  /** The fixed retrieval query for BM25 (and the sparse leg of RRF). */
+  private[graft] val Bm25Terms = Seq("spark", "merge", "window")
+
+  /** Okapi BM25 scores for [[Bm25Terms]]: (doc_id, dl, score), rational
+    * idf (log-free), k1=1.2 / b=0.75, decimal-grid per-doc sum. Shape: tf
+    * only for the query terms (filter BEFORE the tf shuffle), doc lengths
+    * from one token-count pass, df/N/T broadcast scalars.
+    */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n"),
+      sum(col("dl")).cast("long").as("t"))
+    val tf = tok.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val sat = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double")
+        + lit(1.2) * (lit(0.25) + lit(0.75)
+          * ((col("dl") * col("n")).cast("double")
+            / col("t").cast("double"))))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .withColumn("s", idf * sat)
+      .groupBy(col("doc_id"))
+      .agg(Exact.dsum(col("s")).as("score"))
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25Scores]]; emits
+    * `bm(doc_id, dl, score)`.
+    */
+  private[graft] val bm25DuckCte: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (SELECT doc_id,
+          unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM tok GROUP BY 1),
+      g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term IN ($inList) GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+      sc AS (SELECT tf.doc_id,
+          ((CAST(g.n - df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5))
+          * (CAST(tf.tf AS DOUBLE) * 2.2
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * g.n AS DOUBLE)
+                 / CAST(g.t AS DOUBLE))))) AS s
+        FROM tf JOIN df USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id, g),
+      agg AS (SELECT doc_id, ${Exact.sqlDsum("s")} AS score
+        FROM sc GROUP BY 1),
+      bm AS (SELECT agg.doc_id, dl.dl, agg.score
+        FROM agg JOIN dl ON dl.doc_id = agg.doc_id)"""
+  }
+
   // Email / phone patterns shared by both engines. Kept to the regex
   // subset where Java's engine and RE2 agree exactly (char classes,
   // bounded reps — no lookaround, no backrefs).
@@ -525,65 +594,16 @@ object Corpus {
     // TakeOrdered.
     QuerySpec(
       "q209_bm25_topk",
-      {
-        val terms = Seq("spark", "merge", "window")
-        val inList = terms.map(t => s"'$t'").mkString(", ")
-        Some(s"""WITH tok AS (SELECT doc_id,
-              unnest(string_split(lower(text), ' ')) AS term
-            FROM documents),
-          dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-            FROM tok GROUP BY 1),
-          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM tok WHERE term IN ($inList) GROUP BY 1, 2),
-          df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-            FROM tf GROUP BY 1),
-          sc AS (SELECT tf.doc_id,
-              ((CAST(g.n - df.df AS DOUBLE) + 0.5)
-                / (CAST(df.df AS DOUBLE) + 0.5))
-              * (CAST(tf.tf AS DOUBLE) * 2.2
-                / (CAST(tf.tf AS DOUBLE)
-                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * g.n AS DOUBLE)
-                     / CAST(g.t AS DOUBLE))))) AS s
-            FROM tf JOIN df USING (term)
-              JOIN dl ON dl.doc_id = tf.doc_id, g),
-          agg AS (SELECT doc_id, ${Exact.sqlDsum("s")} AS score
-            FROM sc GROUP BY 1)
-          SELECT agg.doc_id, dl.dl, agg.score,
-            CAST(ROW_NUMBER() OVER (ORDER BY agg.score DESC, agg.doc_id)
+      Some(s"""WITH $bm25DuckCte
+          SELECT doc_id, dl, score,
+            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
               AS INT) AS rk
-          FROM agg JOIN dl ON dl.doc_id = agg.doc_id
-          QUALIFY rk <= 10""")
-      },
+          FROM bm
+          QUALIFY rk <= 10"""),
       (s, d) => {
-        val terms = Seq("spark", "merge", "window")
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("term"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val g = dl.agg(count(lit(1)).as("n"),
-          sum(col("dl")).cast("long").as("t"))
-        val tf = tok.filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val sat = col("tf").cast("double") * lit(2.2) /
-          (col("tf").cast("double")
-            + lit(1.2) * (lit(0.25) + lit(0.75)
-              * ((col("dl") * col("n")).cast("double")
-                / col("t").cast("double"))))
-        val agg = tf.join(broadcast(df), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(g))
-          .withColumn("s", idf * sat)
-          .groupBy(col("doc_id"))
-          .agg(Exact.dsum(col("s")).as("score"))
         // top-10 via TakeOrdered (orderBy+limit), never a doc-grain
         // global rank window; the rk labels attach on the 10-row result
-        agg.join(dl, "doc_id")
+        bm25Scores(s, d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
           .withColumn("rk", row_number().over(

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Exact, Portable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data *selection* operators — the decision layer a curation
@@ -20,6 +21,12 @@ import org.apache.spark.sql.functions._
 object Selection {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** RRF fusion: dense-leg query vector (doc-aligned vec_id) and the
+    * per-leg list depth. k is a product constant, not a corpus function.
+    */
+  private val RrfQueryVec = 0
+  private val RrfK = 10
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -102,6 +109,59 @@ object Selection {
           (floor(col("score") / col("n_tokens").cast("double")
             * lit(1000000.0)) / lit(1000000.0)).as("avg_w"),
           (col("score") / col("n_tokens").cast("double") >= 1.0).as("keep"))
+      }),
+
+    // ---- hybrid retrieval fusion (reciprocal-rank fusion) ------------------
+    // The standard RAG-time retrieval shape: a sparse lexical list (q209's
+    // BM25 over the fixed query terms) and a dense embedding list (q46's
+    // LSH-candidate exact-cosine top-k for the doc-aligned query vector)
+    // fused by RRF: score(d) = Σ 1/(60 + rank_list(d)). Ranks are exact
+    // ints, so each reciprocal is ONE IEEE divide and the fused score one
+    // add — a pinned tree, no reduction. 100 TB plan: both legs are
+    // k-bounded TakeOrdered lists (the corpus-sized work is inside the
+    // BM25 term-filtered aggs and the LSH bucket join, both already
+    // scale-audited under q209/q46); the fusion itself joins two k-row
+    // lists full-outer on doc_id and ranks <= 2k rows — driver-trivial at
+    // any corpus size.
+    QuerySpec(
+      "q314_rrf_fusion", {
+        Some(s"""WITH ${Corpus.bm25DuckCte},
+          ${Similarity.denseListDuck(RrfQueryVec, RrfK)},
+          sp AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                AS rk_sparse
+            FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+              LIMIT $RrfK) zz),
+          fu AS (SELECT doc_id, rk_sparse, rk_dense
+            FROM sp FULL JOIN dense USING (doc_id)),
+          rr AS (SELECT doc_id, rk_sparse, rk_dense,
+              COALESCE(CAST(1 AS DOUBLE)
+                  / CAST(60 + rk_sparse AS DOUBLE), 0.0)
+              + COALESCE(CAST(1 AS DOUBLE)
+                  / CAST(60 + rk_dense AS DOUBLE), 0.0) AS rrf
+            FROM fu)
+          SELECT doc_id, rk_sparse, rk_dense, rrf,
+            CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+              AS rk
+          FROM rr""")
+      },
+      (s, d) => {
+        val sparse = Corpus.bm25Scores(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(RrfK)
+          .withColumn("rk_sparse", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .select(col("doc_id"), col("rk_sparse"))
+        val dense = Similarity.denseList(s, d, RrfQueryVec, RrfK)
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rk_sparse"), col("rk_dense"),
+            (coalesce(lit(1.0) / (lit(60) + col("rk_sparse")).cast("double"),
+              lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rk_dense")).cast("double"),
+              lit(0.0))).as("rrf"))
+          // <= 2k fused rows: the unpartitioned rank window reads the
+          // union of two GlobalLimit legs, never corpus-sized data
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
       })
   )
 }

@@ -138,6 +138,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id")).distinct()
   }
 
+  /** Dense leg of hybrid retrieval (q314 RRF): exact-cosine top-k over
+    * the LSH band-bucket candidates of ONE query vector, k-bounded via
+    * TakeOrdered — (doc_id, rk_dense). The embeddings fixture's vec_id
+    * is doc-aligned (TESTDATA.md), so the list joins BM25's by doc_id.
+    */
+  private[graft] def denseList(s: SparkSession, d: String, qId: Int,
+      k: Int): DataFrame = {
+    val e = quantized(s, d, withSig = true)
+    val qe = e.filter(col("vec_id") === qId)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"))
+    lshCandidates(s, d).filter(col("q_id") === qId)
+      .join(e, "vec_id")
+      .join(broadcast(qe), "q_id")
+      .withColumn("cosine", cosineCol)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .withColumn("rk_dense", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("rk_dense"))
+  }
+
+  /** DuckDB CTE chain mirroring [[denseList]]; emits
+    * `dense(doc_id, rk_dense)`.
+    */
+  private[graft] def denseListDuck(qId: Int, k: Int): String =
+    s"""$duckQuantCte,
+      es AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+      bl AS (SELECT vec_id, j, (sig >> (4*j)) & 15 AS band
+        FROM es, (SELECT unnest(range(0, 4)) AS j) z),
+      dcand AS (SELECT DISTINCT b.vec_id
+        FROM bl a JOIN bl b ON b.j = a.j AND b.band = a.band
+        WHERE a.vec_id = $qId AND b.vec_id <> $qId),
+      dsc AS (SELECT c.vec_id AS doc_id,
+          CAST(${qdotDuck("x.qv", "y.qv", Dims)} AS DOUBLE)
+            / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+            AS cosine
+        FROM dcand c JOIN es x ON x.vec_id = $qId
+                     JOIN es y ON y.vec_id = c.vec_id),
+      dense AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+            AS rk_dense
+        FROM (SELECT * FROM dsc ORDER BY cosine DESC, doc_id LIMIT $k) zz)"""
+
   /** Corpus with IVF cell + least-confident-plane assignments. */
   private def celled(s: SparkSession, d: String): DataFrame =
     quantized(s, d, withSig = false)

@@ -92,7 +92,10 @@ class GuardSpec extends SparkSpec {
     // huge corpus"). Structurally each is a Filter over the cached
     // quantized corpus, which this sweep cannot prove bounded.
     val allow = Set("q45_cosine_topk", "q46_ann_lsh", "q47_ann_ivf",
-      "q108_kmeans_step", "q199_knn_classify", "q200_pq_assign")
+      "q108_kmeans_step", "q199_knn_classify", "q200_pq_assign",
+      // q314's dense leg reuses q46's machinery: the broadcast sides are
+      // the SINGLE query vector and its band keys (vec_id = const)
+      "q314_rrf_fusion")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

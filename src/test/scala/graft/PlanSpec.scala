@@ -1463,4 +1463,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "nothing in the scoring path may shuffle-join:\n" + p)
   }
+
+  test("q314: both retrieval legs are k-bounded TakeOrdered lists; " +
+      "the fusion joins lists, never corpus-sized frames") {
+    val p = plan("q314_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each leg's top-k must be TakeOrdered, not a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
