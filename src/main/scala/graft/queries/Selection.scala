@@ -28,6 +28,11 @@ object Selection {
   private val RrfQueryVec = 0
   private val RrfK = 10
 
+  /** BPE merge rounds — pinned in both engines (q185/q249 bounded-round
+    * discipline).
+    */
+  private val BpeRounds = 6
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- trained quality-classifier gate (NB-weighted linear) --------------
@@ -162,6 +167,94 @@ object Selection {
           // union of two GlobalLimit legs, never corpus-sized data
           .withColumn("rk", row_number().over(
             Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      }),
+
+    // ---- iterative BPE merge training (q235 taken to N rounds) -------------
+    // The tokenizer-training loop itself: N rounds of (count adjacent
+    // symbol pairs, merge the argmax pair corpus-wide), producing the
+    // merge table plus the compression curve (weighted symbol count after
+    // each round). Everything runs on the WORD-FREQUENCY grain — the
+    // classic Sennrich formulation — so per-round work is vocab-bounded,
+    // not corpus-bounded: at 100 TB the one corpus-sized pass is the
+    // initial (word, n) aggregate; the N iterations touch only |vocab|
+    // rows with a broadcast 1-row argmax per round (localCheckpoint per
+    // round truncates the lineage, the q185/q249/q250 discipline).
+    // Encoding: a word's symbol sequence is '(s1)(s2)...' — replace of
+    // '(a)(b)' by '(ab)' is both engines' left-to-right non-overlapping
+    // replace, which IS greedy BPE merging, and adjacent occurrences
+    // share no characters so 'l l l l' correctly merges to 'll ll'.
+    // Pair counts include within-word overlaps (the reference BPE
+    // get_stats convention); ties break (cnt desc, pair asc).
+    QuerySpec(
+      "q315_bpe_merges", {
+        val rounds = (1 to BpeRounds).map { k =>
+          s""",
+          sy$k AS (SELECT n, string_split(substr(enc, 2,
+              length(enc) - 2), ')(') AS sy FROM v${k - 1}),
+          pr$k AS (SELECT sy[j] AS a, sy[j + 1] AS b,
+              CAST(SUM(n) AS BIGINT) AS cnt
+            FROM (SELECT n, sy, unnest(range(1, len(sy))) AS j
+              FROM sy$k) z
+            GROUP BY 1, 2),
+          tp$k AS MATERIALIZED (SELECT a, b, cnt FROM pr$k
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          v$k AS MATERIALIZED (SELECT replace(enc,
+              '(' || a || ')(' || b || ')', '(' || a || b || ')') AS enc,
+              n
+            FROM v${k - 1}, tp$k),
+          st$k AS (SELECT CAST(SUM(n * len(string_split(substr(enc, 2,
+              length(enc) - 2), ')('))) AS BIGINT) AS n_symbols
+            FROM v$k),
+          r$k AS (SELECT CAST($k AS INT) AS round, a AS sym_a,
+              b AS sym_b, cnt, n_symbols
+            FROM tp$k, st$k)"""
+        }.mkString
+        val union = (1 to BpeRounds).map(k => s"SELECT * FROM r$k")
+          .mkString(" UNION ALL ")
+        // RE2 backreference written via an escape-free concat: the
+        // s-interpolator would reject a literal \1 escape in source
+        val bref = "(" + "\\1" + ")"
+        Some(s"""WITH v0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '(.)', '$bref', 'g') AS enc,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) z
+            WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+            GROUP BY 1)$rounds
+          $union""")
+      },
+      (s, d) => {
+        val symsOf = (enc: org.apache.spark.sql.Column) =>
+          split(enc.substr(lit(2), length(enc) - 2), "\\)\\(")
+        var v = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+          .groupBy(regexp_replace(col("w"), "(.)", "($1)").as("enc"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // the one corpus-sized pass
+        val out = Seq.newBuilder[DataFrame]
+        for (k <- 1 to BpeRounds) {
+          val pr = v
+            .select(col("n"), symsOf(col("enc")).as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("n"), col("sy"),
+              explode(expr("sequence(0, size(sy) - 2)")).as("j"))
+            .select(expr("sy[j]").as("a"), expr("sy[j + 1]").as("b"),
+              col("n"))
+          val top = pr.groupBy(col("a"), col("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          v = v.crossJoin(broadcast(top)) // 1-row argmax pair
+            .select(expr("""replace(enc, concat('(', a, ')(', b, ')'),
+                concat('(', a, b, ')'))""").as("enc"), col("n"))
+            .localCheckpoint(true)
+          val st = v.agg(sum(col("n")
+            * size(symsOf(col("enc")))).cast("long").as("n_symbols"))
+          out += top.crossJoin(broadcast(st))
+            .select(lit(k).as("round"), col("a").as("sym_a"),
+              col("b").as("sym_b"), col("cnt"), col("n_symbols"))
+        }
+        out.result().reduce(_ unionByName _)
       })
   )
 }

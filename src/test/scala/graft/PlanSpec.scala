@@ -1471,4 +1471,14 @@ class PlanSpec extends SparkSpec {
       "each leg's top-k must be TakeOrdered, not a global sort:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q315: per-round BPE argmax is TakeOrdered(1) over a map-side " +
+      "combined pair agg; merges ride broadcast 1-row joins") {
+    val p = plan("q315_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the round argmax must be TakeOrdered, never a global sort:\n" + p)
+    assert(p.contains("partial_sum"),
+      "pair counts must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.Registry
+
+/** Semantics of the round-9 selection operators beyond the oracle gate:
+  * the BPE paren-encoding law that makes string replace() equal greedy
+  * merging, and the monotone compression curve of the merge loop.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("BPE paren encoding: non-overlapping replace IS greedy merging " +
+      "(adjacent runs share no characters)") {
+    def merge(enc: String, a: String, b: String): String =
+      spark.sql(s"SELECT replace('$enc', '($a)($b)', '($a$b)') AS e")
+        .head.getString(0)
+    // four-symbol run merges PAIRWISE, not just the head pair — the
+    // property a separator-based encoding (' l l l l ') gets wrong
+    assert(merge("(l)(l)(l)(l)", "l", "l") === "(ll)(ll)")
+    // odd run: greedy left-to-right leaves the trailing symbol
+    assert(merge("(l)(l)(l)", "l", "l") === "(ll)(l)")
+    // interleaved occurrences both merge
+    assert(merge("(a)(b)(a)(a)(b)(a)", "a", "b") === "(ab)(a)(ab)(a)")
+    // no false positives across symbol boundaries
+    assert(merge("(al)(lb)", "l", "l") === "(al)(lb)")
+  }
+
+  test("q315: one merge per round, weighted symbol count strictly " +
+      "decreases (the compression curve)") {
+    val rows = Registry.byName("q315_bpe_merges").run(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length === 6)
+    val syms = rows.map(_.getAs[Long]("n_symbols"))
+    assert(syms.zip(syms.tail).forall { case (a, b) => b < a },
+      "each merge must shrink the corpus: " + syms.mkString(","))
+    // each round's merge count bounds the shrink from below: greedy
+    // non-overlap application can apply at most cnt times
+    for (r <- rows.indices.tail) {
+      val cnt = rows(r - 1).getAs[Long]("n_symbols") -
+        rows(r).getAs[Long]("n_symbols")
+      assert(cnt <= rows(r).getAs[Long]("cnt"),
+        s"round ${r + 1}: applied merges exceed counted pairs")
+    }
+  }
+}
