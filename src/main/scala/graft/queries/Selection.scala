@@ -33,6 +33,13 @@ object Selection {
     */
   private val BpeRounds = 6
 
+  /** k-center selection: total centers (seed + picks) and the fixed seed
+    * vector id (q108's deterministic-seed discipline).
+    */
+  private val KCenters = 6
+  private val KCenterSeed = 0
+  private val KCenterDims = 64
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- trained quality-classifier gate (NB-weighted linear) --------------
@@ -253,6 +260,79 @@ object Selection {
           out += top.crossJoin(broadcast(st))
             .select(lit(k).as("round"), col("a").as("sym_a"),
               col("b").as("sym_b"), col("cnt"), col("n_symbols"))
+        }
+        out.result().reduce(_ unionByName _)
+      }),
+
+    // ---- greedy k-center data selection (coverage-based curation) ----------
+    // The Gonzalez 2-approximation farthest-point traversal: pick the
+    // point farthest from the selected set, k-1 times from a fixed seed —
+    // the coverage-based selection family (k-center / facility location)
+    // that complements dedup's redundancy removal: dedup removes what's
+    // too CLOSE, k-center keeps what SPANS. Distances are exact int64
+    // squared-L2 over the quantized grid ([[Portable]] — |diff|² ≤ 1e8 ×
+    // 64 dims ≈ 6e9, far under 2^63), so the traversal is bit-identical
+    // in both engines. Each round r publishes (r, center, radius) where
+    // radius = the chosen point's distance to the prior set — the
+    // k-center objective curve. 100 TB plan: k linear passes, each ONE
+    // broadcast of the single new center + a running least() column +
+    // TakeOrdered(1) argmax; no pairwise join ever materializes, and
+    // localCheckpoint truncates the k-deep lineage (q249 discipline).
+    QuerySpec(
+      "q316_kcenter_select", {
+        import graft.functions.Portable.qvecDuck
+        val qd = (a: String, b: String) =>
+          s"""list_sum([($a[i] - $b[i]) * ($a[i] - $b[i])
+              for i in range(1, ${KCenterDims + 1})])"""
+        val rounds = (2 to KCenters).map { r =>
+          s""",
+          t$r AS MATERIALIZED (SELECT vec_id, qv, md FROM p${r - 1}
+            ORDER BY md DESC, vec_id LIMIT 1),
+          p$r AS MATERIALIZED (SELECT p.vec_id, p.qv,
+              LEAST(p.md, ${qd("p.qv", "t.qv")}) AS md
+            FROM p${r - 1} p, t$r t)"""
+        }.mkString
+        val union = (2 to KCenters).map(r =>
+          s"""UNION ALL SELECT CAST($r AS INT) AS round,
+            vec_id AS center_id, CAST(md AS BIGINT) AS radius FROM t$r""")
+          .mkString(" ")
+        Some(s"""WITH e AS (SELECT vec_id,
+              ${qvecDuck("embedding", KCenterDims)} AS qv FROM embeddings),
+          sd AS (SELECT qv FROM e WHERE vec_id = $KCenterSeed),
+          p1 AS MATERIALIZED (SELECT e.vec_id, e.qv,
+              ${qd("e.qv", "s.qv")} AS md
+            FROM e, sd s)$rounds
+          SELECT CAST(1 AS INT) AS round,
+            CAST($KCenterSeed AS BIGINT) AS center_id,
+            CAST(0 AS BIGINT) AS radius
+          $union""")
+      },
+      (s, d) => {
+        val qdist = "aggregate(zip_with(qv, cqv, (x, y) -> " +
+          "(x - y) * (x - y)), 0L, (a, v) -> a + v)"
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr(graft.functions.Portable.qvecSpark("embedding")).as("qv"))
+        val seed = e.filter(col("vec_id") === KCenterSeed)
+          .select(col("qv").as("cqv"))
+        var pts = e.crossJoin(broadcast(seed)) // 1-row seed vector
+          .select(col("vec_id"), col("qv"), expr(qdist).as("md"))
+          .localCheckpoint(true)
+        val out = Seq.newBuilder[DataFrame]
+        out += pts.sparkSession.range(1)
+          .select(lit(1).as("round"),
+            lit(KCenterSeed.toLong).as("center_id"), lit(0L).as("radius"))
+        for (r <- 2 to KCenters) {
+          val top = pts.orderBy(col("md").desc, col("vec_id")).limit(1)
+          out += top.select(lit(r).as("round"),
+            col("vec_id").as("center_id"), col("md").as("radius"))
+          if (r < KCenters) {
+            pts = pts
+              .crossJoin(broadcast(top.select(col("qv").as("cqv"))))
+              .select(col("vec_id"), col("qv"),
+                least(col("md"), expr(qdist)).as("md"))
+              .localCheckpoint(true)
+          }
         }
         out.result().reduce(_ unionByName _)
       })

@@ -195,7 +195,10 @@ object ScaleProbe {
       // block-decomposed KS, and the chunk-fingerprint overlap matrix
       "q161_snapshot_diff", "q162_ks_test", "q171_source_overlap",
       // round-8: the co-partitioned distinct self-join degree histogram
-      "q166_degree_hist")
+      "q166_degree_hist",
+      // round-9: greedy k-center — k linear passes, argmax via
+      // TakeOrdered; drift certifies the per-round pass stays linear
+      "q316_kcenter_select")
     println()
     println("| query | rows@base | rows@10x | wall@base s | wall@10x s " +
       "| per-row drift |")

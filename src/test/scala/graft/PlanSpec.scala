@@ -1472,6 +1472,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q316: the farthest-point argmax is TakeOrdered(1); center " +
+      "updates broadcast a single vector (no pairwise join)") {
+    val p = plan("q316_kcenter_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the per-round argmax must be TakeOrdered, never a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized join belongs in the traversal:\n" + p)
+  }
+
   test("q315: per-round BPE argmax is TakeOrdered(1) over a map-side " +
       "combined pair agg; merges ride broadcast 1-row joins") {
     val p = plan("q315_bpe_merges")

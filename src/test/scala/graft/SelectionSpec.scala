@@ -26,6 +26,19 @@ class SelectionSpec extends SparkSpec {
     assert(merge("(al)(lb)", "l", "l") === "(al)(lb)")
   }
 
+  test("q316: k-center radii are non-increasing (farthest-point " +
+      "traversal invariant) and centers are distinct") {
+    val rows = Registry.byName("q316_kcenter_select").run(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length === 6)
+    val radii = rows.drop(1).map(_.getAs[Long]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      "each pick covers the previous farthest point, so the next " +
+        "farthest distance cannot grow: " + radii.mkString(","))
+    val ids = rows.map(_.getAs[Long]("center_id"))
+    assert(ids.distinct.length === ids.length, "centers must be distinct")
+  }
+
   test("q315: one merge per round, weighted symbol count strictly " +
       "decreases (the compression curve)") {
     val rows = Registry.byName("q315_bpe_merges").run(spark, sfDir)
