@@ -421,4 +421,76 @@ class StreamingSpec extends SparkSpec {
       spark.createDataFrame(Seq.empty[UserState.Event]), 2L)
     assert(snap() == before, "an empty batch must be a snapshot no-op")
   }
+
+  test("streaming incremental dedup == q58 batch when arrival order is " +
+      "doc order (ledger as initial state)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val ledger = DedupStream
+      .fingerprinted(docs.filter(col("doc_id") < 250))
+      .select(col("fp")).distinct()
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    // three micro-batches in doc order — the regime where streaming
+    // first-arrival equals the batch operator's smallest-doc_id rule
+    val batches = incoming.grouped((incoming.length + 2) / 3).toSeq
+
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val q = DedupStream.admitted(spark, mem.toDF(), ledger)
+      .writeStream.format("memory").queryName("t_incdedup")
+      .outputMode("append").start()
+    batches.foreach { b =>
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("t_incdedup")
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expected = queries.Registry.byName("q58_incremental_dedup")
+      .run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"stream/batch divergence: only-stream=${got -- expected} " +
+        s"only-batch=${expected -- got}")
+  }
+
+  test("streaming incremental dedup: cross-batch and ledger duplicates " +
+      "drop; first arrival wins within a batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(id: Long, text: String) =
+      DedupStream.RawDoc(id, text, "en", text.length.toLong)
+    val ledger = DedupStream.fingerprinted(
+      Seq(doc(1, "known corpus text")).toDF())
+      .select(col("fp"))
+
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val q = DedupStream.admitted(spark, mem.toDF(), ledger)
+      .writeStream.format("memory").queryName("t_incdedup2")
+      .outputMode("append").start()
+    // batch 1: a ledger dup (token-set match incl. order/multiplicity
+    // normalization), a fresh doc, and an in-batch dup pair
+    mem.addData(
+      doc(10, "corpus known text known"), // ledger dup (normalized)
+      doc(11, "fresh document one"),
+      doc(13, "pair text"), doc(12, "text pair text"))
+    q.processAllAvailable()
+    // batch 2: cross-batch dup of doc 11's content + one new doc
+    mem.addData(doc(20, "one document fresh"), doc(21, "brand new"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("t_incdedup2").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(11L, 12L, 21L),
+      s"expected ledger/cross-batch dups dropped, min-id in-batch win: $ids")
+  }
 }
