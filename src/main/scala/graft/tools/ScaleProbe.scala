@@ -91,11 +91,25 @@ object ScaleProbe {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     (0 until reps).map { k =>
       if (k == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), " +
-          s"slice(embedding, 1, $k))").as("embedding"),
-        col("label"))
+      else {
+        // rotate by k mod 64; past one full cycle (k >= 64, the 100x
+        // probe) additionally NEGATE the vector — norm-preserving and
+        // intra-replica geometry identical, but every hyperplane sign
+        // flips, so negated replicas land in complement-signature
+        // buckets instead of duplicating a rotated replica's buckets
+        val rot = k % 64
+        val rotated =
+          if (rot == 0) "embedding"
+          else s"concat(slice(embedding, ${rot + 1}, ${64 - rot}), " +
+            s"slice(embedding, 1, $rot))"
+        val trans =
+          if ((k / 64) % 2 == 0) rotated
+          else s"transform($rotated, x -> -x)"
+        emb.select(
+          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(trans).as("embedding"),
+          col("label"))
+      }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
@@ -116,13 +130,92 @@ object ScaleProbe {
     val out = if (args.length > 2) args(2) else "/tmp/graft-scale/up10"
     val mode = if (args.length > 3) args(3) else "all"
     val spark = GraftSession.local()
-    upsample(spark, base, reps, out)
+    // The 100x upsample takes minutes to write; reuse an existing out dir
+    // (delete it to force a rebuild).
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      upsample(spark, base, reps, out)
+    if (mode == "candidates100") {
+      // round-9 verdict: one more decade for the candidate families only
+      // — the linearity claim measured where the 100 TB argument lives
+      runCandidate100(spark, base, reps, out)
+      spark.stop(); return
+    }
     if (mode != "candidates") upsampleRelational(spark, base, reps, out)
     if (mode == "tables") { spark.stop(); return }
 
     if (mode != "iterative") runCandidateProbes(spark, base, reps, out)
     if (mode != "candidates") runIterativeProbes(spark, base, reps, out)
     spark.stop()
+  }
+
+  /** Candidate-count growth at an arbitrary (large) replica factor —
+    * counts only, one run each (the counts are deterministic; the 10x
+    * mode owns wall-time drift). `growth vs linear` = cand@Nx / (N *
+    * cand@base); the acceptance bar is ≤ 1.3.
+    */
+  private def runCandidate100(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
+    val probes: Seq[(String, String => Long)] = Seq(
+      "q41_minhash_lsh" -> (d =>
+        Dedup.minhashCandidates(
+          Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()),
+      "q42_simhash" -> (d =>
+        Dedup.simhashCandidates(Dedup.simhashSignatures(spark, d)).count()),
+      "q43_ngram_jaccard" -> (d =>
+        Dedup.ngramCandidates(
+          Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()),
+      "q46_ann_lsh" -> (d => Similarity.lshCandidates(spark, d).count()),
+      "q47_ann_ivf" -> (d => Similarity.ivfCandidates(spark, d).count()))
+    println(s"| query | cand@base | cand@${reps}x | growth | vs linear |")
+    println("|---|---|---|---|---|")
+    probes.foreach { case (name, cand) =>
+      val t0 = System.nanoTime(); val cB = cand(base)
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime(); val cU = cand(out)
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val g = cU.toDouble / math.max(1, cB)
+      println(f"| $name | $cB | $cU | $g%.1fx | ${g / reps}%.2f | " +
+        f"(walls ${(t1 - t0) / 1e9}%.1f / ${(t2 - t1) / 1e9}%.1f s)")
+    }
+    // q42's growth law is CAPPED-linear, not flat-constant: candidates
+    // are bounded by Σ_b n_b² ≤ cap · Σ_b n_b (cap = 64), so per-doc
+    // candidates may RISE toward the cap ceiling as fixed 15-bit buckets
+    // fill, then plateau. Print the occupancy evidence: the share of
+    // band entries in capped-out buckets and the per-doc candidate rate
+    // vs the ceiling, at both scales.
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val sig = Dedup.simhashSignatures(spark, dir)
+      val bl = sig.select(
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> (shiftright(sig, 15*j) & 32767))")))
+        .toDF("band_j", "band")
+      val occ = bl.groupBy(col("band_j"), col("band")).count()
+      val tot = occ.agg(sum(col("count")).as("entries"),
+        sum(when(col("count") > 64, col("count"))).as("hot"),
+        max(col("count")).as("maxocc")).head()
+      println(s"| q42 occupancy@$label | entries=${tot.getLong(0)} " +
+        s"hot-excluded=${Option(tot.get(1)).getOrElse(0L)} " +
+        s"max-bucket=${tot.getLong(2)} |")
+      spark.catalog.clearCache()
+    }
+    // adaptive-cell family (q44/q98): plane count grows with log(corpus)
+    // — 4 planes at base → 4 + ceil(log2(reps)) at the Nx corpus, the
+    // same occupancy-targeting rule the 10x probe applies (4 → 7)
+    val planesUp = 4 + (64 - java.lang.Long
+      .numberOfLeadingZeros(math.max(1, reps - 1).toLong)).toInt
+    val cB98 = Similarity.semCandidates(spark, base, 4).count()
+    spark.catalog.clearCache()
+    val cU98 = Similarity.semCandidates(spark, out, planesUp).count()
+    spark.catalog.clearCache()
+    val nB = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val nU = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val g98 = cU98.toDouble / math.max(1, cB98)
+    println(f"| q98_semantic_dedup (4→$planesUp planes) | $cB98 | $cU98 " +
+      f"| $g98%.1fx | ${g98 / reps}%.2f | " +
+      f"per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
   }
 
   private def runCandidateProbes(spark: SparkSession, base: String,
