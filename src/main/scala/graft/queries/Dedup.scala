@@ -229,12 +229,26 @@ object Dedup {
     * per bucket: Σ_b n_b² over surviving buckets is <= cap · Σ_b n_b,
     * i.e. linear in corpus size by construction.
     */
-  private[graft] def simhashCandidates(sim: DataFrame): DataFrame = {
+  private[graft] def simhashCandidates(sim: DataFrame): DataFrame =
+    simhashBandCandidates(sim, nBands = 4, width = 15)
+
+  /** Generalized band-bucket candidates over the 60-bit signature:
+    * `nBands` bands of `width` bits (nBands*width <= 60), occupancy cap
+    * as in [[simhashCandidates]]. Fewer, WIDER bands is the corpus-scale
+    * knob (q317): 20-bit bands have 32× more buckets than 15-bit ones, so
+    * occupancy — and with it the capped-linear constant — drops, at the
+    * pigeonhole price of guaranteeing hamming <= nBands-1 instead of <= 3.
+    */
+  private[graft] def simhashBandCandidates(sim: DataFrame, nBands: Int,
+      width: Int): DataFrame = {
+    require(nBands * width <= 60, s"bands $nBands x $width exceed 60 bits")
+    val mask = (1L << width) - 1
     val bl = sim.select(col("doc_id"), col("sig"),
-        posexplode(expr(
-          "transform(sequence(0, 3), j -> (shiftright(sig, 15*j) & 32767))")))
+        posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"j -> (shiftright(sig, $width*j) & ${mask}L))")))
       .toDF("doc_id", "sig", "band_j", "band")
-    // Band-stats table: at most 4 * 2^15 rows — always broadcastable.
+    // Band-stats table: at most nBands * 2^width rows — always
+    // broadcastable at the widths in use (<= 3 * 2^20).
     val cool = bl.groupBy(col("band_j"), col("band")).count()
       .filter(col("count") <= SimhashBucketCap)
       .select(col("band_j"), col("band"))
@@ -635,6 +649,57 @@ object Dedup {
           .withColumn("hamming",
             bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
           .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+      }),
+
+    // ---- SimHash near-dup, wide-band variant (the corpus-scale knob) -------
+    // q42 at 100× measured capped-linear growth with a rising constant
+    // (SCALE.md): fixed 15-bit buckets densify as the corpus grows. The
+    // SAME 60-bit signature banded as 3 × 20 bits gives 2^20 buckets per
+    // band (32× lower expected occupancy); measured at 100×, the
+    // candidate CONSTANT drops ~3.2× while relative densification tracks
+    // q42's — signature clustering is a property of the corpus, and the
+    // occupancy cap stays the linearity guarantee at any width (SCALE.md
+    // 100× table). The pigeonhole guarantee narrows from hamming<=3 to
+    // hamming<=2 (<=2 differing bits leave >=1 of 3 bands intact —
+    // LawsCheck property). Both widths share one signature, so a
+    // pipeline can pick width per corpus size for free.
+    QuerySpec(
+      "q317_simhash_wide",
+      Some(s"""WITH docs AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+        ths AS (SELECT doc_id,
+            [${h64Duck("t")} for t in toks] AS ths FROM docs),
+        sim AS (SELECT doc_id,
+            list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
+                  THEN 1 ELSE -1 END for h in ths]) >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 60)]) AS sig
+          FROM ths),
+        bl AS (SELECT doc_id, j, (sig >> (20*j)) & 1048575 AS band
+          FROM sim, (SELECT unnest(range(0, 3)) AS j) z),
+        cool AS (SELECT j, band FROM bl GROUP BY j, band
+          HAVING COUNT(*) <= $SimhashBucketCap),
+        blc AS (SELECT bl.doc_id, bl.j, bl.band
+          FROM bl JOIN cool ON cool.j = bl.j AND cool.band = bl.band),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blc a JOIN blc b ON a.j = b.j AND a.band = b.band
+            AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+        FROM cand JOIN sim x ON x.doc_id = doc_a
+                  JOIN sim y ON y.doc_id = doc_b
+        WHERE bit_count(xor(x.sig, y.sig)) <= 2"""),
+      (s, d) => {
+        val sim = simhashSignatures(s, d).cache()
+        val cand = simhashBandCandidates(sim, nBands = 3, width = 20)
+        val xa = sim.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+        val xb = sim.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+        cand.join(xa, "doc_a").join(xb, "doc_b")
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+          .filter(col("hamming") <= 2)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
       }),
 

