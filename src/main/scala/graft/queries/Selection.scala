@@ -40,6 +40,151 @@ object Selection {
   private val KCenterSeed = 0
   private val KCenterDims = 64
 
+  // ---- quality-gate primitive (q313; reused by q319's calibration) --------
+
+  /** NB-weighted per-doc quality scores: (doc_id, pos, n_tokens, score).
+    * See q313's header comment for the model and determinism notes.
+    */
+  private def gateScores(s: SparkSession, d: String): DataFrame = {
+    val h = Portable.h64Spark("concat('qg:', term)")
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("pos"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok
+      .groupBy(col("doc_id"), col("pos"), (expr(h) % 256).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .cache() // feeds both the 256-bucket training agg and scoring
+    val bk = tf.groupBy(col("bucket"))
+      .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("c1"),
+        coalesce(sum(when(!col("pos"), col("tf"))), lit(0L)).as("c0"))
+    val tot = bk.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+    val w = bk.crossJoin(broadcast(tot)) // 1-row class totals
+      .select(col("bucket"),
+        (floor(((col("c1") + 1).cast("double")
+            / (col("t1") + 256).cast("double"))
+          / ((col("c0") + 1).cast("double")
+            / (col("t0") + 256).cast("double")) * lit(1000000.0))
+          / lit(1000000.0)).as("w"))
+    tf.join(broadcast(w), "bucket") // 256-row model
+      .groupBy(col("doc_id"), col("pos")) // pos is functional on doc_id
+      .agg(Exact.dsum(col("tf") * col("w")).as("score"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** DuckDB CTE chain mirroring [[gateScores]]; emits
+    * `gsc(doc_id, pos, n_tokens, score)`.
+    */
+  private val gateDuckCte: String = {
+    val h = Portable.h64Duck("'qg:' || term")
+    s"""tok AS (SELECT doc_id, lang = 'en' AS pos,
+          unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, pos, ($h) % 256 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2, 3),
+      bk AS (SELECT bucket,
+          CAST(COALESCE(SUM(CASE WHEN pos THEN tf END), 0) AS BIGINT)
+            AS c1,
+          CAST(COALESCE(SUM(CASE WHEN NOT pos THEN tf END), 0)
+            AS BIGINT) AS c0
+        FROM tf GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+          CAST(SUM(c0) AS BIGINT) AS t0 FROM bk),
+      w AS (SELECT bucket,
+          floor((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 256 AS DOUBLE))
+            / (CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 256 AS DOUBLE))
+            * 1000000.0) / 1000000.0 AS w
+        FROM bk, tot),
+      gsc AS (SELECT tf.doc_id, tf.pos,
+          ${Exact.sqlDsum("tf.tf * w.w")} AS score,
+          CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+        FROM tf JOIN w USING (bucket) GROUP BY 1, 2)"""
+  }
+
+  // ---- BPE primitive (q315 training; q318 segmentation apply) -------------
+
+  /** DuckDB CTE prefix shared by q315/q318: alphabetic word-frequency
+    * vocab v0 plus the unrolled merge rounds, emitting v$BpeRounds (the
+    * final segmented vocab) and per-round tp$k / st$k / r$k CTEs.
+    */
+  private val bpeDuckPrefix: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s""",
+      sy$k AS (SELECT n, string_split(substr(enc, 2,
+          length(enc) - 2), ')(') AS sy FROM v${k - 1}),
+      pr$k AS (SELECT sy[j] AS a, sy[j + 1] AS b,
+          CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, sy, unnest(range(1, len(sy))) AS j
+          FROM sy$k) z
+        GROUP BY 1, 2),
+      tp$k AS MATERIALIZED (SELECT a, b, cnt FROM pr$k
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      v$k AS MATERIALIZED (SELECT replace(enc,
+          '(' || a || ')(' || b || ')', '(' || a || b || ')') AS enc,
+          n
+        FROM v${k - 1}, tp$k),
+      st$k AS (SELECT CAST(SUM(n * len(string_split(substr(enc, 2,
+          length(enc) - 2), ')('))) AS BIGINT) AS n_symbols
+        FROM v$k),
+      r$k AS (SELECT CAST($k AS INT) AS round, a AS sym_a,
+          b AS sym_b, cnt, n_symbols
+        FROM tp$k, st$k)"""
+    }.mkString
+    // RE2 backreference written via an escape-free concat: the
+    // s-interpolator would reject a literal \1 escape in source
+    val bref = "(" + "\\1" + ")"
+    s"""v0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '$bref', 'g') AS enc,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents) z
+        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+        GROUP BY 1)$rounds"""
+  }
+
+  /** Splits a paren-encoded word into its symbol array. */
+  private def bpeSymsOf(enc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    split(enc.substr(lit(2), length(enc) - 2), "\\)\\(")
+
+  /** Runs the BPE merge loop: (per-round merge-table rows, final
+    * segmented vocab (enc, n)). See q315's header for the encoding and
+    * scale discipline.
+    */
+  private def bpeRun(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    var v = t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(regexp_replace(col("w"), "(.)", "($1)").as("enc"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // the one corpus-sized pass
+    val out = Seq.newBuilder[DataFrame]
+    for (k <- 1 to BpeRounds) {
+      val pr = v
+        .select(col("n"), bpeSymsOf(col("enc")).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), col("sy"),
+          explode(expr("sequence(0, size(sy) - 2)")).as("j"))
+        .select(expr("sy[j]").as("a"), expr("sy[j + 1]").as("b"),
+          col("n"))
+      val top = pr.groupBy(col("a"), col("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      v = v.crossJoin(broadcast(top)) // 1-row argmax pair
+        .select(expr("""replace(enc, concat('(', a, ')(', b, ')'),
+            concat('(', a, b, ')'))""").as("enc"), col("n"))
+        .localCheckpoint(true)
+      val st = v.agg(sum(col("n")
+        * size(bpeSymsOf(col("enc")))).cast("long").as("n_symbols"))
+      out += top.crossJoin(broadcast(st))
+        .select(lit(k).as("round"), col("a").as("sym_a"),
+          col("b").as("sym_b"), col("cnt"), col("n_symbols"))
+    }
+    (out.result(), v)
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- trained quality-classifier gate (NB-weighted linear) --------------
@@ -61,66 +206,20 @@ object Selection {
     // the per-doc score is a second keyed partial agg. Nothing
     // corpus-sized is ever broadcast, sorted, or windowed.
     QuerySpec(
-      "q313_quality_gate", {
-        val h = Portable.h64Duck("'qg:' || term")
-        Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS pos,
-              unnest(string_split(lower(text), ' ')) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, pos, ($h) % 256 AS bucket,
-              CAST(COUNT(*) AS BIGINT) AS tf
-            FROM tok WHERE term <> '' GROUP BY 1, 2, 3),
-          bk AS (SELECT bucket,
-              CAST(COALESCE(SUM(CASE WHEN pos THEN tf END), 0) AS BIGINT)
-                AS c1,
-              CAST(COALESCE(SUM(CASE WHEN NOT pos THEN tf END), 0)
-                AS BIGINT) AS c0
-            FROM tf GROUP BY 1),
-          tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
-              CAST(SUM(c0) AS BIGINT) AS t0 FROM bk),
-          w AS (SELECT bucket,
-              floor((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 256 AS DOUBLE))
-                / (CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 256 AS DOUBLE))
-                * 1000000.0) / 1000000.0 AS w
-            FROM bk, tot),
-          sc AS (SELECT tf.doc_id,
-              ${Exact.sqlDsum("tf.tf * w.w")} AS score,
-              CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
-            FROM tf JOIN w USING (bucket) GROUP BY 1)
+      "q313_quality_gate",
+      Some(s"""WITH $gateDuckCte
           SELECT doc_id, n_tokens, score,
             floor(score / CAST(n_tokens AS DOUBLE) * 1000000.0)
               / 1000000.0 AS avg_w,
             (score / CAST(n_tokens AS DOUBLE)) >= 1.0 AS keep
-          FROM sc""")
-      },
+          FROM gsc"""),
       (s, d) => {
-        val h = Portable.h64Spark("concat('qg:', term)")
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), (col("lang") === "en").as("pos"),
-            explode(split(lower(col("text")), " ")).as("term"))
-          .filter(col("term") =!= "")
-        val tf = tok
-          .groupBy(col("doc_id"), col("pos"), (expr(h) % 256).as("bucket"))
-          .agg(count(lit(1)).as("tf"))
-          .cache() // feeds both the 256-bucket training agg and scoring
-        val bk = tf.groupBy(col("bucket"))
-          .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("c1"),
-            coalesce(sum(when(!col("pos"), col("tf"))), lit(0L)).as("c0"))
-        val tot = bk.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
-        val w = bk.crossJoin(broadcast(tot)) // 1-row class totals
-          .select(col("bucket"),
-            (floor(((col("c1") + 1).cast("double")
-                / (col("t1") + 256).cast("double"))
-              / ((col("c0") + 1).cast("double")
-                / (col("t0") + 256).cast("double")) * lit(1000000.0))
-              / lit(1000000.0)).as("w"))
-        val sc = tf.join(broadcast(w), "bucket") // 256-row model
-          .groupBy(col("doc_id"))
-          .agg(Exact.dsum(col("tf") * col("w")).as("score"),
-            sum(col("tf")).as("n_tokens"))
-        sc.select(col("doc_id"), col("n_tokens"), col("score"),
-          (floor(col("score") / col("n_tokens").cast("double")
-            * lit(1000000.0)) / lit(1000000.0)).as("avg_w"),
-          (col("score") / col("n_tokens").cast("double") >= 1.0).as("keep"))
+        gateScores(s, d)
+          .select(col("doc_id"), col("n_tokens"), col("score"),
+            (floor(col("score") / col("n_tokens").cast("double")
+              * lit(1000000.0)) / lit(1000000.0)).as("avg_w"),
+            (col("score") / col("n_tokens").cast("double") >= 1.0)
+              .as("keep"))
       }),
 
     // ---- hybrid retrieval fusion (reciprocal-rank fusion) ------------------
@@ -193,76 +292,11 @@ object Selection {
     // Pair counts include within-word overlaps (the reference BPE
     // get_stats convention); ties break (cnt desc, pair asc).
     QuerySpec(
-      "q315_bpe_merges", {
-        val rounds = (1 to BpeRounds).map { k =>
-          s""",
-          sy$k AS (SELECT n, string_split(substr(enc, 2,
-              length(enc) - 2), ')(') AS sy FROM v${k - 1}),
-          pr$k AS (SELECT sy[j] AS a, sy[j + 1] AS b,
-              CAST(SUM(n) AS BIGINT) AS cnt
-            FROM (SELECT n, sy, unnest(range(1, len(sy))) AS j
-              FROM sy$k) z
-            GROUP BY 1, 2),
-          tp$k AS MATERIALIZED (SELECT a, b, cnt FROM pr$k
-            ORDER BY cnt DESC, a, b LIMIT 1),
-          v$k AS MATERIALIZED (SELECT replace(enc,
-              '(' || a || ')(' || b || ')', '(' || a || b || ')') AS enc,
-              n
-            FROM v${k - 1}, tp$k),
-          st$k AS (SELECT CAST(SUM(n * len(string_split(substr(enc, 2,
-              length(enc) - 2), ')('))) AS BIGINT) AS n_symbols
-            FROM v$k),
-          r$k AS (SELECT CAST($k AS INT) AS round, a AS sym_a,
-              b AS sym_b, cnt, n_symbols
-            FROM tp$k, st$k)"""
-        }.mkString
-        val union = (1 to BpeRounds).map(k => s"SELECT * FROM r$k")
-          .mkString(" UNION ALL ")
-        // RE2 backreference written via an escape-free concat: the
-        // s-interpolator would reject a literal \1 escape in source
-        val bref = "(" + "\\1" + ")"
-        Some(s"""WITH v0 AS MATERIALIZED (
-            SELECT regexp_replace(w, '(.)', '$bref', 'g') AS enc,
-              CAST(COUNT(*) AS BIGINT) AS n
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-              FROM documents) z
-            WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
-            GROUP BY 1)$rounds
-          $union""")
-      },
-      (s, d) => {
-        val symsOf = (enc: org.apache.spark.sql.Column) =>
-          split(enc.substr(lit(2), length(enc) - 2), "\\)\\(")
-        var v = t(s, d, "documents")
-          .select(explode(split(lower(col("text")), " ")).as("w"))
-          .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-          .groupBy(regexp_replace(col("w"), "(.)", "($1)").as("enc"))
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // the one corpus-sized pass
-        val out = Seq.newBuilder[DataFrame]
-        for (k <- 1 to BpeRounds) {
-          val pr = v
-            .select(col("n"), symsOf(col("enc")).as("sy"))
-            .filter(size(col("sy")) >= 2)
-            .select(col("n"), col("sy"),
-              explode(expr("sequence(0, size(sy) - 2)")).as("j"))
-            .select(expr("sy[j]").as("a"), expr("sy[j + 1]").as("b"),
-              col("n"))
-          val top = pr.groupBy(col("a"), col("b"))
-            .agg(sum(col("n")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          v = v.crossJoin(broadcast(top)) // 1-row argmax pair
-            .select(expr("""replace(enc, concat('(', a, ')(', b, ')'),
-                concat('(', a, b, ')'))""").as("enc"), col("n"))
-            .localCheckpoint(true)
-          val st = v.agg(sum(col("n")
-            * size(symsOf(col("enc")))).cast("long").as("n_symbols"))
-          out += top.crossJoin(broadcast(st))
-            .select(lit(k).as("round"), col("a").as("sym_a"),
-              col("b").as("sym_b"), col("cnt"), col("n_symbols"))
-        }
-        out.result().reduce(_ unionByName _)
-      }),
+      "q315_bpe_merges",
+      Some(s"""WITH $bpeDuckPrefix
+          ${(1 to BpeRounds).map(k => s"SELECT * FROM r$k")
+            .mkString(" UNION ALL ")}"""),
+      (s, d) => bpeRun(s, d)._1.reduce(_ unionByName _)),
 
     // ---- greedy k-center data selection (coverage-based curation) ----------
     // The Gonzalez 2-approximation farthest-point traversal: pick the
@@ -335,6 +369,80 @@ object Selection {
           }
         }
         out.result().reduce(_ unionByName _)
+      }),
+
+    // ---- BPE segmentation apply (the trained tokenizer in use) -------------
+    // The q315 merge table APPLIED: after the 6 merges, every word is a
+    // segmented symbol sequence; publish the emergent subword vocabulary
+    // — top-20 symbols by corpus-weighted occurrence with symbol length
+    // and the number of distinct words containing each. This is the
+    // readout a tokenizer-training pipeline ships (the learned vocab +
+    // usage stats), and multi-char symbols appearing ABOVE single chars
+    // is the visible proof the merges produce real subwords. Shape: the
+    // final vocab is |vocab|-bounded; one explode + one (symbol)
+    // partial agg; top-20 is TakeOrdered.
+    QuerySpec(
+      "q318_bpe_segment",
+      Some(s"""WITH $bpeDuckPrefix,
+          seg AS (SELECT enc, n,
+              unnest(string_split(substr(enc, 2, length(enc) - 2),
+                ')(')) AS sym
+            FROM v$BpeRounds),
+          ag AS (SELECT sym, CAST(SUM(n) AS BIGINT) AS n_occ,
+              CAST(COUNT(DISTINCT enc) AS BIGINT) AS n_words
+            FROM seg GROUP BY 1)
+          SELECT sym, CAST(length(sym) AS INT) AS len, n_occ, n_words
+          FROM ag ORDER BY n_occ DESC, sym LIMIT 20"""),
+      (s, d) => {
+        val vocab = bpeRun(s, d)._2
+        vocab
+          .select(col("enc"), col("n"),
+            explode(bpeSymsOf(col("enc"))).as("sym"))
+          .groupBy(col("sym"))
+          .agg(sum(col("n")).as("n_occ"),
+            countDistinct(col("enc")).as("n_words"))
+          .select(col("sym"), length(col("sym")).cast("int").as("len"),
+            col("n_occ"), col("n_words"))
+          .orderBy(col("n_occ").desc, col("sym")).limit(20)
+      }),
+
+    // ---- quality-gate calibration (reliability readout) --------------------
+    // The QA step after q313's classifier: bin documents by mean token
+    // weight (the gate statistic) and report, per bin, how often the
+    // supervised proxy label actually holds — the reliability diagram
+    // that decides whether the gate threshold is trustworthy before
+    // 100 TB of corpus is filtered by it. Monotone positive rate across
+    // bins = a well-ordered score. Bins are exact integer floors of the
+    // pinned avg; the rate is one floor-truncated divide. Shape: reuses
+    // the q313 scoring aggregates, then ONE bounded-grain (bin) agg.
+    QuerySpec(
+      "q319_gate_calibration",
+      Some(s"""WITH $gateDuckCte,
+          bins AS (SELECT
+              CAST(LEAST(19, GREATEST(0, CAST(floor(
+                score / CAST(n_tokens AS DOUBLE) * 10.0) AS BIGINT)))
+                AS INT) AS bin,
+              pos
+            FROM gsc)
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(CASE WHEN pos THEN 1 END) AS BIGINT) AS n_pos,
+            floor(CAST(COUNT(CASE WHEN pos THEN 1 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0
+              AS pos_rate
+          FROM bins GROUP BY 1"""),
+      (s, d) => {
+        gateScores(s, d)
+          .select(least(lit(19), greatest(lit(0),
+              floor(col("score") / col("n_tokens").cast("double")
+                * lit(10.0)).cast("long"))).cast("int").as("bin"),
+            col("pos"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("pos"), 1)).as("n_pos"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            (floor(col("n_pos").cast("double")
+              / col("n_docs").cast("double") * lit(1000000.0))
+              / lit(1000000.0)).as("pos_rate"))
       })
   )
 }

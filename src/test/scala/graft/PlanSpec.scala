@@ -1491,4 +1491,18 @@ class PlanSpec extends SparkSpec {
       "pair counts must combine map-side:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q318/q319: segmentation top-20 is TakeOrdered; calibration is " +
+      "one bounded-grain agg over the scoring aggregates") {
+    val sg = plan("q318_bpe_segment")
+    assert(sg.contains("TakeOrderedAndProject"),
+      "the vocab top-20 must be TakeOrdered:\n" + sg)
+    assert(!sg.contains("CartesianProduct"), sg)
+    val cal = plan("q319_gate_calibration")
+    assert(cal.contains("partial_count"),
+      "bin counts must combine map-side:\n" + cal)
+    assert(!cal.contains("CartesianProduct"), cal)
+    assert(!cal.contains("SortMergeJoin"),
+      "the model join must stay broadcast:\n" + cal)
+  }
 }

@@ -39,6 +39,30 @@ class SelectionSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length, "centers must be distinct")
   }
 
+  test("q318: the applied merge table yields real subwords (multi-char " +
+      "symbols rank inside the top-20)") {
+    val rows = Registry.byName("q318_bpe_segment").run(spark, sfDir)
+      .collect()
+    assert(rows.length === 20)
+    val multis = rows.filter(_.getAs[Int]("len") >= 2)
+    assert(multis.nonEmpty,
+      "after 6 merges some learned subword must out-rank single chars")
+    // every symbol's occurrence count is positive and word support <= occ
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_occ") >= r.getAs[Long]("n_words")))
+  }
+
+  test("q319: calibration bins are well-ordered (positive rate rises " +
+      "with the gate score)") {
+    val rows = Registry.byName("q319_gate_calibration").run(spark, sfDir)
+      .orderBy("bin").collect()
+    assert(rows.length >= 2, "the score must spread over >= 2 bins")
+    val rates = rows.map(_.getAs[Double]("pos_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => b >= a },
+      "a well-ordered gate score has monotone bin positive rates: " +
+        rates.mkString(","))
+  }
+
   test("q315: one merge per round, weighted symbol count strictly " +
       "decreases (the compression curve)") {
     val rows = Registry.byName("q315_bpe_merges").run(spark, sfDir)
