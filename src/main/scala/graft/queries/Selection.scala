@@ -40,6 +40,9 @@ object Selection {
   private val KCenterSeed = 0
   private val KCenterDims = 64
 
+  /** q321 context window length (tokens) — a model constant. */
+  private val ChunkLen = 512
+
   // ---- quality-gate primitive (q313; reused by q319's calibration) --------
 
   /** NB-weighted per-doc quality scores: (doc_id, pos, n_tokens, score).
@@ -443,6 +446,81 @@ object Selection {
             (floor(col("n_pos").cast("double")
               / col("n_docs").cast("double") * lit(1000000.0))
               / lit(1000000.0)).as("pos_rate"))
+      }),
+
+    // ---- context-window packing audit (concatenate-and-chunk) --------------
+    // GPT-style pretraining packing: concatenate the corpus in doc order,
+    // chunk into fixed context windows, and report what falls out — chunk
+    // count, how many documents straddle a boundary (the cross-doc
+    // attention contamination a packer trades off), the straddle rate,
+    // and the densest chunk. Doc offsets are a corpus-grain PREFIX SUM,
+    // so the cumsum is block-decomposed exactly as q176/q264: per-block
+    // cumsums partition on g = doc_id div 4096; only the bounded
+    // block-totals table crosses an unpartitioned window; offsets
+    // broadcast back (GuardSpec-compliant by construction). Everything
+    // else is exact integer floor division.
+    QuerySpec(
+      "q321_chunk_packing",
+      Some(s"""WITH dt AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS BIGINT) AS nt
+          FROM documents),
+        pos AS (SELECT doc_id, nt,
+            CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS e
+          FROM dt WHERE nt > 0),
+        pp AS (SELECT doc_id, nt, e, e - nt AS st FROM pos),
+        base AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+            CAST(SUM(nt) AS BIGINT) AS total_tokens,
+            CAST((MAX(e) + $ChunkLen - 1) // $ChunkLen AS BIGINT)
+              AS n_chunks,
+            CAST(COUNT(CASE WHEN st // $ChunkLen <> (e - 1) // $ChunkLen
+              THEN 1 END) AS BIGINT) AS n_split_docs
+          FROM pp),
+        mx AS (SELECT CAST(MAX(c) AS BIGINT) AS max_chunk_starts
+          FROM (SELECT st // $ChunkLen AS ch, COUNT(*) AS c
+            FROM pp GROUP BY 1) z)
+        SELECT total_docs, total_tokens, n_chunks, n_split_docs,
+          floor(CAST(n_split_docs AS DOUBLE)
+            / CAST(total_docs AS DOUBLE) * 1000000.0) / 1000000.0
+            AS split_rate,
+          max_chunk_starts
+        FROM base, mx"""),
+      (s, d) => {
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(filter(split(lower(col("text")), " "),
+              x => x =!= "")).cast("long").as("nt"))
+          .filter(col("nt") > 0)
+          .withColumn("g", expr("doc_id div 4096"))
+          .cache() // feeds the per-block cumsum AND the block totals
+        val wb = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val bc = dt.withColumn("bcum", sum(col("nt")).over(wb))
+        // bounded block-totals table: the ONLY unpartitioned window
+        val wg = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = dt.groupBy(col("g")).agg(sum(col("nt")).as("bt"))
+          .withColumn("off", coalesce(sum(col("bt")).over(wg), lit(0L)))
+          .select(col("g"), col("off"))
+        val pp = bc.join(broadcast(off), "g")
+          .select(col("doc_id"), col("nt"),
+            (col("off") + col("bcum")).as("e"))
+          .withColumn("st", col("e") - col("nt"))
+        val base = pp.agg(count(lit(1)).as("total_docs"),
+          sum(col("nt")).as("total_tokens"),
+          expr(s"(max(e) + $ChunkLen - 1) div $ChunkLen").as("n_chunks"),
+          count(when(expr(s"st div $ChunkLen != (e - 1) div $ChunkLen"), 1))
+            .as("n_split_docs"))
+        val mx = pp.groupBy(expr(s"st div $ChunkLen").as("ch"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("max_chunk_starts"))
+        base.crossJoin(broadcast(mx)) // 1-row densest-chunk stat
+          .select(col("total_docs"), col("total_tokens"), col("n_chunks"),
+            col("n_split_docs"),
+            (floor(col("n_split_docs").cast("double")
+              / col("total_docs").cast("double") * lit(1000000.0))
+              / lit(1000000.0)).as("split_rate"),
+            col("max_chunk_starts"))
       })
   )
 }

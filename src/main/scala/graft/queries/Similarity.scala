@@ -814,6 +814,78 @@ object Similarity {
           .groupBy(col("vec_id"))
           .agg(sum(col("code")).cast("long").as("code_sum"),
             sum(col("err") * col("err")).cast("long").as("sq_err_grid"))
+      }),
+
+    // ---- ANN recall audit (LSH candidates vs exact top-k) ------------------
+    // The QA metric every ANN deployment publishes: per query,
+    // |approx top-k ∩ exact top-k| / k. Both lists come from the
+    // EXISTING primitives (q45's broadcast brute-force, q46's LSH band
+    // buckets + exact re-rank), so this measures the candidate
+    // generator's recall, per query and exactly — integer hit counts,
+    // one pinned divide. Zero-hit queries are zero-filled through the
+    // left join from the bounded query set. 100 TB plan: the exact leg
+    // is the one full-corpus pass (a fixed broadcast query set against
+    // the corpus — the audit is SAMPLED by construction, NumQueries
+    // deep); the approx leg and intersection are k-bounded.
+    QuerySpec(
+      "q322_ann_recall",
+      Some(s"""WITH $duckQuantCte,
+          q AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq
+            FROM en WHERE vec_id < $NumQueries),
+          xsc AS (SELECT q_id AS query_id, en.vec_id AS neighbor_id,
+              CAST(${qdotDuck("q_qv", "en.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(en.nsq AS DOUBLE)))
+                AS cosine
+            FROM q JOIN en ON en.vec_id <> q_id),
+          xtop AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rk FROM xsc) z
+            WHERE rk <= $K),
+          es AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+          bl AS (SELECT vec_id, j, (sig >> (4*j)) & 15 AS band
+            FROM es, (SELECT unnest(range(0, 4)) AS j) z),
+          acand AS (SELECT DISTINCT q.q_id, b.vec_id
+            FROM q JOIN bl a ON a.vec_id = q.q_id
+                   JOIN bl b ON b.j = a.j AND b.band = a.band
+            WHERE b.vec_id <> q.q_id),
+          asc2 AS (SELECT c.q_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(${qdotDuck("x.qv", "y.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+                AS cosine
+            FROM acand c JOIN es x ON x.vec_id = c.q_id
+                         JOIN es y ON y.vec_id = c.vec_id),
+          atop AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rk FROM asc2) z
+            WHERE rk <= $K),
+          hits AS (SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM xtop x JOIN atop a ON a.query_id = x.query_id
+              AND a.neighbor_id = x.neighbor_id
+            GROUP BY 1)
+          SELECT q.q_id AS query_id,
+            CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits,
+            CAST(COALESCE(hits.n, 0) AS DOUBLE) / $K AS recall
+          FROM q LEFT JOIN hits ON hits.query_id = q.q_id"""),
+      (s, d) => {
+        val e = quantized(s, d, withSig = true).cache()
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val exact = topkCosine(
+          e.join(broadcast(q), col("vec_id") =!= col("q_id")))
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = topkCosine(lshCandidates(s, d)
+          .join(e, "vec_id")
+          .join(broadcast(q), "q_id"))
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+        q.select(col("q_id").as("query_id"))
+          .join(broadcast(hits), Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            (coalesce(col("n"), lit(0L)).cast("double") / K).as("recall"))
       })
   )
 }

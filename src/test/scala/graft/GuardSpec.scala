@@ -95,7 +95,10 @@ class GuardSpec extends SparkSpec {
       "q108_kmeans_step", "q199_knn_classify", "q200_pq_assign",
       // q314's dense leg reuses q46's machinery: the broadcast sides are
       // the SINGLE query vector and its band keys (vec_id = const)
-      "q314_rrf_fusion")
+      "q314_rrf_fusion",
+      // q322 audits q46's recall against q45's exact list — same fixed
+      // probe-set broadcasts as both allowlisted parents
+      "q322_ann_recall")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

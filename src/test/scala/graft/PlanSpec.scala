@@ -1505,4 +1505,25 @@ class PlanSpec extends SparkSpec {
     assert(!cal.contains("SortMergeJoin"),
       "the model join must stay broadcast:\n" + cal)
   }
+
+  test("q321: the corpus-grain offset cumsum partitions on the block " +
+      "key; only the block-totals window is unpartitioned") {
+    val df = queries.Registry.byName("q321_chunk_packing")
+      .run(spark, sfDir)
+    val specs = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(g#")),
+      "the doc-grain prefix sum must block-decompose:\n"
+        + specs.mkString("\n"))
+    val p = plan("q321_chunk_packing")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q322: recall audit joins two k-bounded lists; the probe set " +
+      "broadcasts (no cartesian, no corpus self-shuffle)") {
+    val p = plan("q322_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNested"),
+      "the fixed query set must broadcast:\n" + p)
+  }
 }
