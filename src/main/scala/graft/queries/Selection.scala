@@ -43,6 +43,13 @@ object Selection {
   /** q321 context window length (tokens) — a model constant. */
   private val ChunkLen = 512
 
+  /** q320 training token budget and the repetition red-line (epochs over
+    * which a source is flagged as over-repeated) — training-run
+    * constants.
+    */
+  private val TokenBudget = 1000000L
+  private val EpochCap = 4L
+
   // ---- quality-gate primitive (q313; reused by q319's calibration) --------
 
   /** NB-weighted per-doc quality scores: (doc_id, pos, n_tokens, score).
@@ -446,6 +453,54 @@ object Selection {
             (floor(col("n_pos").cast("double")
               / col("n_docs").cast("double") * lit(1000000.0))
               / lit(1000000.0)).as("pos_rate"))
+      }),
+
+    // ---- token-budget epoch allocator (repetition planner) -----------------
+    // The Chinchilla-era question a mixture design must answer BEFORE
+    // training: given a fixed token budget split by temperature-sampled
+    // source weights (q100's isqrt discipline, here on TOKEN counts),
+    // how many epochs of each source does the allocation imply, and
+    // which sources cross the over-repetition red line? Epochs publish
+    // as exact integer milli-epochs (alloc*1000 div n_tokens) — no
+    // float division anywhere. 100 TB plan: ONE corpus pass to the
+    // |sources| grain, then constant-size arithmetic with a broadcast
+    // 1-row denominator.
+    QuerySpec(
+      "q320_token_budget",
+      Some(s"""WITH st AS (SELECT source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+              x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs, n_tokens,
+            CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wsq FROM st),
+        tot AS (SELECT CAST(SUM(wsq) AS BIGINT) AS denom FROM w),
+        a AS (SELECT source, n_docs, n_tokens, wsq,
+            ($TokenBudget * wsq) // denom AS alloc_tokens
+          FROM w, tot)
+        SELECT source, n_docs, n_tokens, wsq,
+          CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+          CAST(alloc_tokens * 1000 // n_tokens AS BIGINT)
+            AS milli_epochs,
+          (alloc_tokens > $EpochCap * n_tokens) AS over_cap
+        FROM a"""),
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(filter(split(lower(col("text")), " "),
+              x => x =!= "")).cast("long")).cast("long").as("n_tokens"))
+          .withColumn("wsq", floor(sqrt(col("n_tokens"))).cast("long"))
+          .cache() // |sources| rows; feeds the denominator and the plan
+        val tot = st.agg(sum(col("wsq")).as("denom"))
+        st.crossJoin(broadcast(tot)) // 1-row denominator
+          .withColumn("alloc_tokens",
+            expr(s"($TokenBudget * wsq) div denom"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("wsq"), col("alloc_tokens"),
+            expr("alloc_tokens * 1000 div n_tokens").as("milli_epochs"),
+            (col("alloc_tokens") > lit(EpochCap) * col("n_tokens"))
+              .as("over_cap"))
       }),
 
     // ---- context-window packing audit (concatenate-and-chunk) --------------
