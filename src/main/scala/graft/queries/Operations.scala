@@ -1520,6 +1520,73 @@ object Operations {
           .select(col("day").as("trough_day"), col("c").as("trough_cents"),
             col("peak").as("peak_cents"),
             round(col("ddown"), 6).as("max_drawdown"))
+      }),
+
+    // ---- Holt linear-trend exponential smoothing ---------------------------
+    // The trend-aware sibling of q198's EWMA: level and trend update with
+    // α = β = 1/2, so every smoothing step is halvings (EXACT in binary
+    // floating point) plus single-rounded adds/subs over exact month
+    // cents — the recursion is bit-identical in both engines as long as
+    // the op tree matches, which it does: the Spark side folds the
+    // SORTED month array with an `aggregate` HOF, the oracle runs the
+    // same tree as a RECURSIVE CTE (Spark has no recursive CTE; the
+    // bounded-month fold is the Spark-native shape). Init l0 = x0,
+    // b0 = 0 (documented convention). 100 TB plan: ONE fact pass to the
+    // bounded month grain; the fold is group-grain arithmetic on <=
+    // ~100 elements — never a corpus-sized window.
+    QuerySpec(
+      "q323_holt_trend",
+      Some("""WITH RECURSIVE m AS (SELECT (year(o_orderdate) - 1992) * 12
+              + month(o_orderdate) - 1 AS i,
+            CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        mi AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY i) - 1 AS INT)
+            AS t, c FROM m),
+        h AS (SELECT t, c, CAST(c AS DOUBLE) AS level,
+            CAST(0 AS DOUBLE) AS trend
+          FROM mi WHERE t = 0
+          UNION ALL
+          SELECT mi.t, mi.c,
+            CAST(mi.c AS DOUBLE) / 2 + (h.level + h.trend) / 2,
+            ((CAST(mi.c AS DOUBLE) / 2 + (h.level + h.trend) / 2)
+              - h.level) / 2 + h.trend / 2
+          FROM h JOIN mi ON mi.t = h.t + 1)
+        SELECT t, c, level, trend FROM h"""),
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy((expr("(year(o_orderdate) - 1992) * 12") +
+            month(col("o_orderdate")) - 1).as("i"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("c"))
+        // bounded month grain: the unpartitioned rank window reads an
+        // Aggregate child (GuardSpec-compliant)
+        val mi = m
+          .withColumn("t", (row_number().over(
+            Window.orderBy(col("i"))) - 1).cast("int"))
+          .select(struct(col("t"), col("c")).as("e"))
+          .agg(sort_array(collect_list(col("e"))).as("ms"))
+        val step =
+          """named_struct(
+            'out', concat(st.out, array(named_struct(
+              't', e.t, 'c', e.c,
+              'level', cast(e.c as double) / 2 + (st.l + st.b) / 2,
+              'trend', ((cast(e.c as double) / 2 + (st.l + st.b) / 2)
+                - st.l) / 2 + st.b / 2))),
+            'l', cast(e.c as double) / 2 + (st.l + st.b) / 2,
+            'b', ((cast(e.c as double) / 2 + (st.l + st.b) / 2)
+              - st.l) / 2 + st.b / 2)"""
+        val fold = s"""aggregate(slice(ms, 2, size(ms) - 1),
+            named_struct(
+              'out', array(named_struct('t', ms[0].t, 'c', ms[0].c,
+                'level', cast(ms[0].c as double),
+                'trend', cast(0 as double))),
+              'l', cast(ms[0].c as double), 'b', cast(0 as double)),
+            (st, e) -> $step,
+            st -> st.out)"""
+        mi.select(explode(expr(fold)).as("r"))
+          .select(col("r.t").as("t"), col("r.c").as("c"),
+            col("r.level").as("level"), col("r.trend").as("trend"))
       })
   )
 }
