@@ -52,31 +52,51 @@ object Selection {
 
   // ---- quality-gate primitive (q313; reused by q319's calibration) --------
 
-  /** NB-weighted per-doc quality scores: (doc_id, pos, n_tokens, score).
-    * See q313's header comment for the model and determinism notes.
+  /** The q313 hashed feature: 256-bucket salted portable hash of a term
+    * column expression (Spark SQL fragment).
     */
-  private def gateScores(s: SparkSession, d: String): DataFrame = {
-    val h = Portable.h64Spark("concat('qg:', term)")
-    val tok = t(s, d, "documents")
+  private[graft] def gateBucketSpark(termExpr: String): String =
+    s"(${Portable.h64Spark(s"concat('qg:', $termExpr)")} % 256)"
+
+  /** Per-doc (doc_id, pos, bucket, tf) hashed feature counts. */
+  private def gateFeatures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .select(col("doc_id"), (col("lang") === "en").as("pos"),
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
-    val tf = tok
-      .groupBy(col("doc_id"), col("pos"), (expr(h) % 256).as("bucket"))
+      .groupBy(col("doc_id"), col("pos"),
+        expr(gateBucketSpark("term")).as("bucket"))
       .agg(count(lit(1)).as("tf"))
-      .cache() // feeds both the 256-bucket training agg and scoring
+
+  /** Trained 256-row model (bucket, w) — the frozen artifact a
+    * deployment broadcasts; reused by the streaming scorer's parity
+    * test ([[graft.streaming.GateStream]]).
+    */
+  private[graft] def gateWeights(tf: DataFrame): DataFrame = {
     val bk = tf.groupBy(col("bucket"))
       .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("c1"),
         coalesce(sum(when(!col("pos"), col("tf"))), lit(0L)).as("c0"))
     val tot = bk.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
-    val w = bk.crossJoin(broadcast(tot)) // 1-row class totals
+    bk.crossJoin(broadcast(tot)) // 1-row class totals
       .select(col("bucket"),
         (floor(((col("c1") + 1).cast("double")
             / (col("t1") + 256).cast("double"))
           / ((col("c0") + 1).cast("double")
             / (col("t0") + 256).cast("double")) * lit(1000000.0))
           / lit(1000000.0)).as("w"))
-    tf.join(broadcast(w), "bucket") // 256-row model
+  }
+
+  /** Trains on the fixture corpus: (bucket, w). */
+  private[graft] def gateWeights(s: SparkSession, d: String): DataFrame =
+    gateWeights(gateFeatures(s, d))
+
+  /** NB-weighted per-doc quality scores: (doc_id, pos, n_tokens, score).
+    * See q313's header comment for the model and determinism notes.
+    */
+  private def gateScores(s: SparkSession, d: String): DataFrame = {
+    val tf = gateFeatures(s, d)
+      .cache() // feeds both the 256-bucket training agg and scoring
+    tf.join(broadcast(gateWeights(tf)), "bucket") // 256-row model
       .groupBy(col("doc_id"), col("pos")) // pos is functional on doc_id
       .agg(Exact.dsum(col("tf") * col("w")).as("score"),
         sum(col("tf")).as("n_tokens"))

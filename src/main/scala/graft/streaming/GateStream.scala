@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming deployment of q313's trained quality gate: the model is
+  * trained ONCE in batch (graft.queries.Selection.gateWeights — the
+  * 256-bucket NB likelihood-ratio weights) and frozen as a literal map;
+  * scoring a document stream is then a row-local expression — no state
+  * store, no watermark, no shuffle — because a document's tokens live in
+  * its own row. That is the production shape for corpus gating: training
+  * is the corpus-sized batch job, admission is a stateless map over the
+  * ingest stream, and the model redeploys by restarting the query with
+  * new weights (the same split the reference draws between its Glue batch
+  * job and its event-driven ingest path).
+  *
+  * StreamingSpec proves stream==batch equality of the scored output and
+  * that the streaming plan carries no stateful operator.
+  */
+object GateStream {
+
+  /** Row-local score columns for a frame with a `text` column, given the
+    * frozen model. Per-doc fold order is the token array order, so the
+    * same expression is bit-identical in batch and per-micro-batch.
+    */
+  def scored(docs: DataFrame, weights: Map[Int, Double]): DataFrame = {
+    val wmap: Column = typedlit(weights)
+    val toks = "filter(split(lower(text), ' '), x -> x != '')"
+    val bucket = graft.queries.Selection.gateBucketSpark("t")
+    val scoreExpr =
+      s"""aggregate($toks, cast(0 as double),
+          (acc, t) -> acc + coalesce(element_at(wm, cast($bucket as int)),
+            cast(0 as double)))"""
+    docs
+      .withColumn("wm", wmap)
+      .withColumn("n_tokens", expr(s"size($toks)").cast("long"))
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("keep",
+        col("score") / col("n_tokens").cast("double") >= 1.0)
+      .drop("wm")
+  }
+}

@@ -493,4 +493,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(11L, 12L, 21L),
       s"expected ledger/cross-batch dups dropped, min-id in-batch win: $ids")
   }
+
+  test("streaming quality gate: frozen batch-trained model scores the " +
+      "stream statelessly, bit-equal to batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // train once in batch; freeze as the deployable 256-entry map
+    val weights = queries.Selection.gateWeights(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("bucket").toInt ->
+        r.getAs[Double]("w")).toMap
+    // only OCCUPIED buckets carry weights (31 at sf0.001's vocab);
+    // unseen buckets score 0 via the scorer's coalesce — the documented
+    // cold-bucket policy
+    assert(weights.nonEmpty && weights.size <= 256)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val stream = GateStream.scored(mem.toDF(), weights)
+      .select("doc_id", "n_tokens", "score", "keep")
+    // stateless: append mode with NO watermark must be accepted
+    val q = stream.writeStream.format("memory").queryName("t_gate")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("t_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    val expect = GateStream.scored(
+        spark.read.parquet(s"$sfDir/documents.parquet"), weights)
+      .select("doc_id", "n_tokens", "score", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    assert(got.size === expect.size)
+    assert(got == expect, "per-doc stream scores must be bit-equal to " +
+      "the same expression in batch")
+    // the streaming plan must be a stateless map — no state store op
+    val p = GateStream.scored(mem.toDF(), weights)
+      .queryExecution.analyzed.toString
+    assert(!p.contains("flatMapGroupsWithState") && !p.contains("Dedup"),
+      "scoring must not introduce stateful operators:\n" + p)
+  }
 }
