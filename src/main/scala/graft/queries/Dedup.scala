@@ -703,6 +703,73 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
       }),
 
+    // ---- incremental MinHash near-dup (new batch vs corpus index) ----------
+    // q58's incremental gate lifted from exact fingerprints to NEAR
+    // duplicates — the daily-crawl production shape: today's batch
+    // (doc_id >= 250) generates band-bucket candidates against the
+    // WHOLE corpus, but the probe side is pre-filtered to new docs, so
+    // old x old pairs — already resolved when the index was built —
+    // never materialize. Since corpus ids < 250 <= new ids, the single
+    // condition doc_a < doc_b with doc_b new covers both match kinds:
+    // doc_a is either a corpus doc ('corpus') or an earlier doc of the
+    // same batch ('batch'). Verify is q41's exact length-prefiltered
+    // Jaccard at 0.8. 100 TB plan: the corpus side contributes only its
+    // (band, key) index rows (narrow, pre-built at rest); the join fans
+    // out from the BATCH side — per-day work scales with the batch, not
+    // the corpus.
+    QuerySpec(
+      "q324_incremental_neardup", {
+        val mhs = (0 until NumHashes)
+          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
+        val bks = (0 until Bands)
+          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
+        val bkCase = (0 until Bands - 1)
+          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
+        Some(s"""WITH $shingledDuckCte,
+          mh AS (SELECT doc_id, $mhs FROM sh),
+          bands AS (SELECT doc_id, $bks FROM mh),
+          bl AS (SELECT doc_id, j,
+              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
+            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bl a JOIN bl b
+              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            WHERE b.doc_id >= 250),
+          pairs AS (SELECT doc_a, doc_b,
+              x.shingles AS sh_a, y.shingles AS sh_b
+            FROM cand JOIN sh x ON x.doc_id = doc_a
+                      JOIN sh y ON y.doc_id = doc_b),
+          ${verifyCteDuck(0.8)}
+          SELECT doc_b AS new_doc, doc_a AS matched_doc, jaccard,
+            CASE WHEN doc_a < 250 THEN 'corpus' ELSE 'batch' END
+              AS match_src
+          FROM verified""")
+      },
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache() // band index + both verify sides
+        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"mh$k", expr(minhashSpark(k)))
+        }
+        val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+        val bl = mh
+          .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+          .toDF("doc_id", "band", "bkey")
+        // probe side pre-filtered to the NEW batch before the band join
+        val cand = bl.filter(col("doc_id") >= 250).as("y")
+          .join(bl.as("x"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(sh, cand, 0.8)
+          .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"),
+            col("jaccard"),
+            when(col("doc_a") < 250, "corpus").otherwise("batch")
+              .as("match_src"))
+      }),
+
     // ---- n-gram Jaccard similarity join (inverted index) -------------------
     // Candidates from an inverted index over a *content-keyed sample* of
     // shingles (h(s) % 8 == 0, so both docs of a pair sample the same
