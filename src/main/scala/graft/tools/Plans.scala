@@ -213,12 +213,42 @@ object Plans {
         + "(order-free, unlike an L2 norm)."),
     "q275_grid_join" ->
       ("Spatial proximity as EQUI joins: each point fans out to its 9 "
-        + "neighbor cells (broadcast offset list), candidates join on "
-        + "the cell key, exact Chebyshev residual filter — no range BNL."),
+        + "neighbor cells (row-local explode of the literal offset "
+        + "array — no join node at all for the fan-out), candidates "
+        + "join on the cell key, exact Chebyshev residual — no BNL."),
     "q295_content_fingerprint" ->
       ("Order-independent column fingerprints: per-row portable hashes "
         + "summed exactly (decimal widening) then one modulo — "
-        + "partitioning cannot move the result."))
+        + "partitioning cannot move the result."),
+    "q313_quality_gate" ->
+      ("Trained-model scoring: one (doc, bucket) partial-agg shuffle, "
+        + "the 256-row NB weight table and 1-row class totals broadcast "
+        + "back, per-doc decimal-grid dot product — no SMJ anywhere in "
+        + "the scoring path."),
+    "q315_bpe_merges" ->
+      ("Iterative merge training on the word-frequency grain: per round "
+        + "one vocab-bounded pair agg, TakeOrdered(1) argmax broadcast "
+        + "back as a 1-row join, localCheckpoint truncating the lineage "
+        + "(plan shown is the final round's)."),
+    "q316_kcenter_select" ->
+      ("Farthest-point traversal: a running least() distance column, "
+        + "per-round TakeOrdered(1) argmax, single-center broadcast "
+        + "update — k linear passes, no pairwise join ever exists."),
+    "q321_chunk_packing" ->
+      ("Corpus-grain prefix sum, block-decomposed: per-block cumsums "
+        + "partition on g = doc_id div 4096; only the bounded "
+        + "block-totals table crosses an unpartitioned window; offsets "
+        + "broadcast back (the q176/q264 discipline)."),
+    "q323_holt_trend" ->
+      ("Bounded-grain recursion as a group-grain HOF fold: one fact "
+        + "pass to the month grain, sorted struct array collected on a "
+        + "1-row frame, aggregate() lambda carrying (level, trend) — "
+        + "the Spark-native recursive-CTE substitute."),
+    "q324_incremental_neardup" ->
+      ("Asymmetric incremental candidate join: the band index's probe "
+        + "side is pre-filtered to the new batch BEFORE the bucket "
+        + "join, so old x old candidates never materialize — per-day "
+        + "cost scales with the batch, not the corpus."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
