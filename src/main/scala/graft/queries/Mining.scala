@@ -60,6 +60,11 @@ object Mining {
     */
   private val DegCap = 50
 
+  /** q325 Apriori frequent-item floor: items below this basket support
+    * are pruned before the triple fan-out.
+    */
+  private val TripleItemSupport = 5
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- k-core decomposition (bounded peel) -------------------------------
@@ -786,6 +791,60 @@ object Mining {
           .select(col("t").as("n_triangles"), col("w").as("n_wedges"),
             round(lit(3.0) * col("t").cast("double")
               / col("w").cast("double"), 6).as("clustering_coeff"))
+      }),
+
+    // ---- frequent 3-itemsets (Apriori level 3) -----------------------------
+    // q112's pair co-occurrence taken one level up: top-20 supplier
+    // TRIPLES co-occurring in order baskets. Apriori pruning makes the
+    // explode safe at scale: items below the frequent-item support floor
+    // drop BEFORE the combination fan-out, and TPC-H baskets are <= 7
+    // lineitems, so per-basket fan-out is C(7,3) worst-case — row-local
+    // and bounded. One (triple) partial-agg shuffle over sorted distinct
+    // in-basket item arrays (sorted → each triple emitted once, i<j<k);
+    // top-20 is TakeOrdered with the full triple as tie-break.
+    QuerySpec(
+      "q325_frequent_triples",
+      Some(s"""WITH bi AS (SELECT DISTINCT l_orderkey AS o,
+            l_suppkey AS it FROM lineitem),
+        fi AS (SELECT it FROM bi GROUP BY it
+          HAVING COUNT(*) >= $TripleItemSupport),
+        bk AS (SELECT o, list_sort(list(it)) AS a
+          FROM (SELECT o, bi.it FROM bi JOIN fi ON fi.it = bi.it) z
+          GROUP BY o),
+        tr AS (SELECT a[i] AS s1, a[j] AS s2, a[k] AS s3
+          FROM bk,
+            (SELECT unnest(range(1, 8)) AS i) x,
+            (SELECT unnest(range(1, 8)) AS j) y,
+            (SELECT unnest(range(1, 8)) AS k) w
+          WHERE i < j AND j < k AND k <= len(a))
+        SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS support
+        FROM tr GROUP BY 1, 2, 3
+        ORDER BY support DESC, s1, s2, s3 LIMIT 20"""),
+      (s, d) => {
+        val bi = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_suppkey").as("it"))
+          .distinct()
+        val fi = bi.groupBy(col("it")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= TripleItemSupport).select(col("it"))
+        val bk = bi.join(fi, "it")
+          .groupBy(col("o"))
+          .agg(sort_array(collect_list(col("it"))).as("a"))
+        // bounded triple fan-out: baskets are <= 7 items (TPC-H), and
+        // the i<j<k filter on the sorted array emits each triple once
+        val tr = bk
+          .select(col("a"), explode(expr("sequence(1, 7)")).as("i"))
+          .select(col("a"), col("i"),
+            explode(expr("sequence(1, 7)")).as("j"))
+          .filter(col("i") < col("j"))
+          .select(col("a"), col("i"), col("j"),
+            explode(expr("sequence(1, 7)")).as("k"))
+          .filter(col("j") < col("k") && col("k") <= size(col("a")))
+          .select(expr("a[i - 1]").as("s1"), expr("a[j - 1]").as("s2"),
+            expr("a[k - 1]").as("s3"))
+        tr.groupBy(col("s1"), col("s2"), col("s3"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("s1"), col("s2"), col("s3"))
+          .limit(20)
       })
   )
 }

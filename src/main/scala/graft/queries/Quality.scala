@@ -19,6 +19,14 @@ object Quality {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** q326 Bloom geometry: m bits / k hashes. 2^16 bits as 2048 32-bit
+    * words (in int64 cells — DuckDB's checked BIGINT shift forbids bit
+    * 63) keeps the state one broadcastable row group; k=3 puts the
+    * fixture's load factor in the few-percent FPR regime.
+    */
+  private val BloomBits = 65536
+  private val BloomHashes = 3
+
   /** Count-min sketch geometry: D hash rows of W counters. W is the
     * accuracy knob (eps ≈ e/W); D drives the confidence. 3x1024 keeps the
     * sketch 24 KB — broadcastable state for a stream of any cardinality.
@@ -402,6 +410,97 @@ object Quality {
             countDistinct(col("sensitive")).as("n_sensitive"),
             (count(lit(1)) >= 5).as("k_ok"),
             (countDistinct(col("sensitive")) >= 2).as("l_ok"))
+      }),
+
+    // ---- Bloom filter build + probe (mergeable bitmap state) ---------------
+    // The membership sketch behind the engine's own runtime join pruning
+    // (GraftSession pins spark.sql.optimizer.runtime.bloomFilter), built
+    // HERE in the expression language so the state itself oracle-checks:
+    // k=3 portable-hash bit positions per member key over m=2^16 bits,
+    // stored as 64-bit words combined with bit_or — per-partition word
+    // maps union-merge associatively, the property that lets 100 TB of
+    // partitions build one filter with a bounded shuffle (<= 1024 word
+    // rows). The probe set is half members / half known non-members, so
+    // the output pins BOTH guarantees: zero false negatives (structural)
+    // and the measured false-positive rate at this load factor.
+    QuerySpec(
+      "q326_bloom_filter", {
+        def pos(i: Int, key: String) =
+          s"(${Portable.h64Duck(s"'bf$i:' || CAST($key AS VARCHAR)")}) " +
+            s"% $BloomBits"
+        Some(s"""WITH mem AS (SELECT c_custkey AS key FROM customer),
+          mx AS (SELECT CAST(MAX(key) AS BIGINT) AS mxk FROM mem),
+          bits AS (SELECT p // 32 AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bm
+            FROM (SELECT unnest([${(0 until BloomHashes)
+              .map(i => pos(i, "key")).mkString(", ")}]) AS p FROM mem) z
+            GROUP BY 1),
+          pr AS (SELECT key, TRUE AS is_member FROM mem WHERE key <= 500
+            UNION ALL
+            SELECT mxk + k AS key, FALSE AS is_member
+            FROM mx, (SELECT unnest(range(1, 501)) AS k) z),
+          pp AS (SELECT key, is_member,
+              unnest([${(0 until BloomHashes)
+                .map(i => pos(i, "key")).mkString(", ")}]) AS p
+            FROM pr),
+          hit AS (SELECT pp.key, pp.is_member,
+              CAST(COUNT(CASE WHEN (bm >> CAST(p % 32 AS INT)) & 1 = 1
+                THEN 1 END) AS BIGINT) AS n_set
+            FROM pp JOIN bits ON bits.word = p // 32
+            GROUP BY 1, 2),
+          v AS (SELECT key, is_member,
+              (n_set = $BloomHashes) AS reported FROM hit)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+            CAST(COUNT(CASE WHEN is_member THEN 1 END) AS BIGINT)
+              AS n_members,
+            CAST(COUNT(CASE WHEN is_member AND NOT reported THEN 1 END)
+              AS BIGINT) AS n_false_neg,
+            CAST(COUNT(CASE WHEN NOT is_member AND reported THEN 1 END)
+              AS BIGINT) AS n_false_pos,
+            floor(CAST(COUNT(CASE WHEN NOT is_member AND reported
+                THEN 1 END) AS DOUBLE)
+              / CAST(COUNT(CASE WHEN NOT is_member THEN 1 END) AS DOUBLE)
+              * 1000000.0) / 1000000.0 AS fpr
+          FROM v""")
+      },
+      (s, d) => {
+        def pos(i: Int, key: String) =
+          s"(${Portable.h64Spark(s"concat('bf$i:', cast($key as string))")}" +
+            s" % $BloomBits)"
+        val posArr = (0 until BloomHashes).map(i => pos(i, "key"))
+          .mkString("array(", ", ", ")")
+        val mem = t(s, d, "customer").select(col("c_custkey").as("key"))
+        val bits = mem
+          .select(explode(expr(posArr)).as("p"))
+          .groupBy(expr("p div 32").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bm"))
+        val mx = mem.agg(max(col("key")).as("mxk"))
+        val nonMem = mx
+          .select(explode(expr("sequence(1, 500)")).as("k"), col("mxk"))
+          .select((col("mxk") + col("k")).as("key"),
+            lit(false).as("is_member"))
+        val pr = mem.filter(col("key") <= 500)
+          .select(col("key"), lit(true).as("is_member"))
+          .unionByName(nonMem)
+        val hit = pr
+          .select(col("key"), col("is_member"),
+            explode(expr(posArr)).as("p"))
+          .join(broadcast(bits), col("word") === expr("p div 32"))
+          .groupBy(col("key"), col("is_member"))
+          .agg(count(when(
+            expr("(bm >> cast(p % 32 as int)) & 1 = 1"), 1)).as("n_set"))
+        val v = hit.select(col("is_member"),
+          (col("n_set") === BloomHashes).as("reported"))
+        v.agg(count(lit(1)).as("n_probes"),
+          count(when(col("is_member"), 1)).as("n_members"),
+          count(when(col("is_member") && !col("reported"), 1))
+            .as("n_false_neg"),
+          count(when(!col("is_member") && col("reported"), 1))
+            .as("n_false_pos"),
+          (floor(count(when(!col("is_member") && col("reported"), 1))
+            .cast("double")
+            / count(when(!col("is_member"), 1)).cast("double")
+            * lit(1000000.0)) / lit(1000000.0)).as("fpr"))
       })
   )
 }

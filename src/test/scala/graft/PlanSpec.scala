@@ -1526,4 +1526,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNested"),
       "the fixed query set must broadcast:\n" + p)
   }
+
+  test("q325/q326: the triple top-20 is TakeOrdered over a map-side " +
+      "agg; the bloom word table broadcasts onto the probes") {
+    val tr = plan("q325_frequent_triples")
+    assert(tr.contains("TakeOrderedAndProject"),
+      "frequent-triple top-20 must be TakeOrdered:\n" + tr)
+    assert(tr.contains("partial_count"), tr)
+    assert(!tr.contains("CartesianProduct"), tr)
+    val bf = plan("q326_bloom_filter")
+    assert(bf.contains("BroadcastHashJoin"),
+      "the <=2048-row word table must broadcast:\n" + bf)
+    assert(!bf.contains("CartesianProduct"), bf)
+    assert(!bf.contains("SortMergeJoin"),
+      "probing must never shuffle on the word key:\n" + bf)
+  }
 }
