@@ -1271,6 +1271,78 @@ object Inference {
           round(col("sw") * col("sw") / col("sww"), 2).as("n_eff"),
           round(col("sw") * col("sw") / col("sww")
             / col("n").cast("double"), 6).as("efficiency"))
+      }),
+
+    // ---- per-group closed-form OLS (slope / intercept / R²) ----------------
+    // The GROUPED simple linear regression every metrics warehouse runs
+    // (trend per segment): order value in whole DOLLARS (exact longs —
+    // the dollar grid keeps Σy² ≈ 2e15 far inside int64, where the cents
+    // grid would overflow at sf1+) against the month index, grouped by
+    // the customer's nation. All six sufficient statistics are exact
+    // int64 sums; slope/intercept/R² are pinned IEEE trees over them
+    // (numerators cast to double BEFORE squaring — the int square would
+    // overflow); published floats truncate via floor (half-tie
+    // discipline). 100 TB plan: the customer attach is a keyed shuffle
+    // join (customer grows with SF — never broadcast, the q179 rule),
+    // then ONE bounded-grain partial-agg shuffle and arithmetic on 25
+    // rows.
+    QuerySpec(
+      "q327_group_ols",
+      Some("""WITH j AS (SELECT c.c_nationkey AS nk,
+            (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1
+              AS x,
+            CAST(round(o.o_totalprice, 0) AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        st AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY 1),
+        c AS (SELECT nk, n,
+            CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+            CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+            CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+            CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+          FROM st)
+        SELECT nk AS nation, n,
+          floor(cxy / cxx * 1000000.0) / 1000000.0 AS slope,
+          floor((dy - cxy / cxx * dx) / CAST(n AS DOUBLE) * 10000.0)
+            / 10000.0 AS intercept,
+          floor(cxy * cxy / (cxx * cyy) * 1000000.0) / 1000000.0 AS r2
+        FROM c"""),
+      (s, d) => {
+        // customer grows with SF — keyed join, never broadcast (q179)
+        val j = t(s, d, "orders")
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nk")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("nk"),
+            (expr("(year(o_orderdate) - 1992) * 12")
+              + month(col("o_orderdate")) - 1).as("x"),
+            round(col("o_totalprice"), 0).cast("long").as("y"))
+        val st = j.groupBy(col("nk"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val c = st.select(col("nk"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            .as("cxy"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            .as("cxx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            .as("cyy"),
+          col("sx").cast("double").as("dx"), col("sy").cast("double")
+            .as("dy"))
+        c.select(col("nk").as("nation"), col("n"),
+          (floor(col("cxy") / col("cxx") * lit(1000000.0))
+            / lit(1000000.0)).as("slope"),
+          (floor((col("dy") - col("cxy") / col("cxx") * col("dx"))
+            / col("n").cast("double") * lit(10000.0)) / lit(10000.0))
+            .as("intercept"),
+          (floor(col("cxy") * col("cxy") / (col("cxx") * col("cyy"))
+            * lit(1000000.0)) / lit(1000000.0)).as("r2"))
       })
   )
 }
