@@ -770,6 +770,86 @@ object Dedup {
               .as("match_src"))
       }),
 
+    // ---- MinHash estimator calibration (sketch vs exact Jaccard) -----------
+    // The estimator audit for the q41 sketch, the same loop q322 closes
+    // for LSH recall and q131/q134 for CMS/HLL: over the band-bucket
+    // candidate pairs, how does the 16-hash agreement count (the MinHash
+    // Jaccard estimate, est = matches/16) track the EXACT Jaccard? Rows
+    // are the 17 possible agreement counts with pair counts and the
+    // decimal-grid mean exact Jaccard — E[matches/16] = J is the
+    // property being measured, per agreement bucket. Candidates stay
+    // band-bounded (never all pairs); per-pair work is one zip_with
+    // over 16 ints + one merge-scan intersect.
+    QuerySpec(
+      "q328_minhash_calibration", {
+        val mhsA = (0 until NumHashes)
+          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
+        val mhList = (0 until NumHashes).map(k => s"mh$k").mkString(", ")
+        val bks = (0 until Bands)
+          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
+        val bkCase = (0 until Bands - 1)
+          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
+        Some(s"""WITH $shingledDuckCte,
+          mh AS (SELECT doc_id, $mhsA FROM sh),
+          ml AS (SELECT doc_id, [$mhList] AS ma FROM mh),
+          bands AS (SELECT doc_id, $bks FROM mh),
+          bl AS (SELECT doc_id, j,
+              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
+            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bl a JOIN bl b
+              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          pr AS (SELECT doc_a, doc_b,
+              CAST(list_sum([CASE WHEN x.ma[i] = y.ma[i] THEN 1 ELSE 0
+                END for i in range(1, ${NumHashes + 1})]) AS BIGINT)
+                AS n_match,
+              sx.shingles AS sh_a, sy.shingles AS sh_b
+            FROM cand JOIN ml x ON x.doc_id = doc_a
+                      JOIN ml y ON y.doc_id = doc_b
+                      JOIN sh sx ON sx.doc_id = doc_a
+                      JOIN sh sy ON sy.doc_id = doc_b),
+          jx AS (SELECT n_match,
+              CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                / (len(sh_a) + len(sh_b)
+                   - len(list_intersect(sh_a, sh_b))) AS j
+            FROM pr)
+          SELECT n_match, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            floor(${graft.functions.Exact.sqlDsum("j")} / COUNT(*) * 1000000.0)
+              / 1000000.0 AS mean_jaccard
+          FROM jx GROUP BY 1""")
+      },
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"mh$k", expr(minhashSpark(k)))
+        }
+        val ml = mh.select(col("doc_id"),
+          array((0 until NumHashes).map(k => col(s"mh$k")): _*).as("ma"))
+        val cand = minhashCandidates(sh)
+        val pr = cand
+          .join(ml.select(col("doc_id").as("doc_a"), col("ma")), "doc_a")
+          .join(ml.select(col("doc_id").as("doc_b"),
+            col("ma").as("mb")), "doc_b")
+          .join(sh.select(col("doc_id").as("doc_a"),
+            col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"),
+            col("shingles").as("sh_b")), "doc_b")
+          .select(
+            expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), " +
+              "b -> b))").cast("long").as("n_match"),
+            expr("sorted_intersect_count(sh_a, sh_b)").as("i"),
+            size(col("sh_a")).as("la"), size(col("sh_b")).as("lb"))
+          .select(col("n_match"),
+            (col("i").cast("double")
+              / (col("la") + col("lb") - col("i"))).as("j"))
+        pr.groupBy(col("n_match"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (floor(graft.functions.Exact.dsum(col("j"))
+              / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+              .as("mean_jaccard"))
+      }),
+
     // ---- n-gram Jaccard similarity join (inverted index) -------------------
     // Candidates from an inverted index over a *content-keyed sample* of
     // shingles (h(s) % 8 == 0, so both docs of a pair sample the same
