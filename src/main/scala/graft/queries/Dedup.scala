@@ -123,31 +123,57 @@ object Dedup {
           CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
         FROM inter WHERE CAST(i AS DOUBLE) / (la + lb - i) >= $threshold)"""
 
+  /** DuckDB signature chain shared by q42/q317: emits `sim(doc_id, sig)`
+    * (the 60-bit simhash per doc). One definition — band layouts differ
+    * downstream, the signature must not drift between them.
+    */
+  private def simhashSigDuckCte: String =
+    s"""docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents),
+      ths AS (SELECT doc_id,
+          [${h64Duck("t")} for t in toks] AS ths FROM docs),
+      sim AS (SELECT doc_id,
+          list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
+                THEN 1 ELSE -1 END for h in ths]) >= 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+            for i in range(0, 60)]) AS sig
+        FROM ths)"""
+
   /** The full MinHash candidate+pair CTE chain (shingles → minhashes →
     * band keys → bucket self-join → shingle-joined pairs), shared by the
     * q41 and q48 oracles.
     */
-  private def minhashCteChain: String = {
+  /** MinHash band CTE block (expects `sh` in scope): emits mh/bands/bl
+    * and `cand(doc_a, doc_b)`; `candWhere` optionally restricts the
+    * probe side (q324's incremental filter). ONE definition — q41/q48/
+    * q324/q328 all draw their band logic from here.
+    */
+  private def minhashBandCandDuck(candWhere: String = ""): String = {
     val mhs = (0 until NumHashes)
       .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
     val bks = (0 until Bands)
       .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
     val bkCase = (0 until Bands - 1)
       .map(j => s"WHEN $j THEN bk$j").mkString(" ")
-    s"""$shingledDuckCte,
-      mh AS (SELECT doc_id, $mhs FROM sh),
+    s"""mh AS (SELECT doc_id, $mhs FROM sh),
       bands AS (SELECT doc_id, $bks FROM mh),
       bl AS (SELECT doc_id, j,
           CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
         FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bl a JOIN bl b
-          ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        $candWhere)"""
+  }
+
+  private def minhashCteChain: String =
+    s"""$shingledDuckCte,
+      ${minhashBandCandDuck()},
       pairs AS (SELECT doc_a, doc_b,
           x.shingles AS sh_a, y.shingles AS sh_b
         FROM cand JOIN sh x ON x.doc_id = doc_a
                   JOIN sh y ON y.doc_id = doc_b)"""
-  }
 
   /** documents → (doc_id, shingles) with the token/shingle prep shared by
     * the near-dup queries.
@@ -615,17 +641,7 @@ object Dedup {
     // signature table is cached: three downstream branches reuse it.
     QuerySpec(
       "q42_simhash",
-      Some(s"""WITH docs AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS toks
-          FROM documents),
-        ths AS (SELECT doc_id,
-            [${h64Duck("t")} for t in toks] AS ths FROM docs),
-        sim AS (SELECT doc_id,
-            list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
-                  THEN 1 ELSE -1 END for h in ths]) >= 0
-                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
-              for i in range(0, 60)]) AS sig
-          FROM ths),
+      Some(s"""WITH $simhashSigDuckCte,
         bl AS (SELECT doc_id, j, (sig >> (15*j)) & 32767 AS band
           FROM sim, (SELECT unnest(range(0, 4)) AS j) z),
         cool AS (SELECT j, band FROM bl GROUP BY j, band
@@ -666,17 +682,7 @@ object Dedup {
     // pipeline can pick width per corpus size for free.
     QuerySpec(
       "q317_simhash_wide",
-      Some(s"""WITH docs AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS toks
-          FROM documents),
-        ths AS (SELECT doc_id,
-            [${h64Duck("t")} for t in toks] AS ths FROM docs),
-        sim AS (SELECT doc_id,
-            list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
-                  THEN 1 ELSE -1 END for h in ths]) >= 0
-                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
-              for i in range(0, 60)]) AS sig
-          FROM ths),
+      Some(s"""WITH $simhashSigDuckCte,
         bl AS (SELECT doc_id, j, (sig >> (20*j)) & 1048575 AS band
           FROM sim, (SELECT unnest(range(0, 3)) AS j) z),
         cool AS (SELECT j, band FROM bl GROUP BY j, band
@@ -719,22 +725,8 @@ object Dedup {
     // the corpus.
     QuerySpec(
       "q324_incremental_neardup", {
-        val mhs = (0 until NumHashes)
-          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
-        val bks = (0 until Bands)
-          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
-        val bkCase = (0 until Bands - 1)
-          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
         Some(s"""WITH $shingledDuckCte,
-          mh AS (SELECT doc_id, $mhs FROM sh),
-          bands AS (SELECT doc_id, $bks FROM mh),
-          bl AS (SELECT doc_id, j,
-              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
-            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bl a JOIN bl b
-              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-            WHERE b.doc_id >= 250),
+          ${minhashBandCandDuck("WHERE b.doc_id >= 250")},
           pairs AS (SELECT doc_a, doc_b,
               x.shingles AS sh_a, y.shingles AS sh_b
             FROM cand JOIN sh x ON x.doc_id = doc_a
@@ -782,23 +774,10 @@ object Dedup {
     // over 16 ints + one merge-scan intersect.
     QuerySpec(
       "q328_minhash_calibration", {
-        val mhsA = (0 until NumHashes)
-          .map(k => s"${minhashDuck(k)} AS mh$k").mkString(", ")
         val mhList = (0 until NumHashes).map(k => s"mh$k").mkString(", ")
-        val bks = (0 until Bands)
-          .map(j => s"${bandKeyDuck(j)} AS bk$j").mkString(", ")
-        val bkCase = (0 until Bands - 1)
-          .map(j => s"WHEN $j THEN bk$j").mkString(" ")
         Some(s"""WITH $shingledDuckCte,
-          mh AS (SELECT doc_id, $mhsA FROM sh),
+          ${minhashBandCandDuck()},
           ml AS (SELECT doc_id, [$mhList] AS ma FROM mh),
-          bands AS (SELECT doc_id, $bks FROM mh),
-          bl AS (SELECT doc_id, j,
-              CASE j $bkCase ELSE bk${Bands - 1} END AS bkey
-            FROM bands, (SELECT unnest(range(0, $Bands)) AS j) z),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bl a JOIN bl b
-              ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
           pr AS (SELECT doc_a, doc_b,
               CAST(list_sum([CASE WHEN x.ma[i] = y.ma[i] THEN 1 ELSE 0
                 END for i in range(1, ${NumHashes + 1})]) AS BIGINT)

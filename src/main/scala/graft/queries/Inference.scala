@@ -1279,9 +1279,9 @@ object Inference {
     // the dollar grid keeps Σy² ≈ 2e15 far inside int64, where the cents
     // grid would overflow at sf1+) against the month index, grouped by
     // the customer's nation. All six sufficient statistics are exact
-    // int64 sums; slope/intercept/R² are pinned IEEE trees over them
-    // (numerators cast to double BEFORE squaring — the int square would
-    // overflow); published floats truncate via floor (half-tie
+    // int64 sums; slope/intercept/R² are pinned IEEE trees over them —
+    // every centered product forms in DOUBLE (n·Σy² ≈ 1e20 at sf1 would
+    // overflow int64); published floats truncate via floor (half-tie
     // discipline). 100 TB plan: the customer attach is a keyed shuffle
     // join (customer grows with SF — never broadcast, the q179 rule),
     // then ONE bounded-grain partial-agg shuffle and arithmetic on 25
@@ -1300,9 +1300,12 @@ object Inference {
             CAST(SUM(y * y) AS BIGINT) AS syy
           FROM j GROUP BY 1),
         c AS (SELECT nk, n,
-            CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
-            CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
-            CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
             CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
           FROM st)
         SELECT nk AS nation, n,
@@ -1326,12 +1329,18 @@ object Inference {
             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
+        // centered products in DOUBLE: n*syy ~ 1e20 at sf1 would
+        // overflow int64 (ANSI throws); each cast+multiply+subtract is
+        // single-rounded and identical in both engines
         val c = st.select(col("nk"), col("n"),
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
             .as("cxy"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
             .as("cxx"),
-          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))
             .as("cyy"),
           col("sx").cast("double").as("dx"), col("sy").cast("double")
             .as("dy"))

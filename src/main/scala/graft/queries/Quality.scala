@@ -446,7 +446,7 @@ object Quality {
           hit AS (SELECT pp.key, pp.is_member,
               CAST(COUNT(CASE WHEN (bm >> CAST(p % 32 AS INT)) & 1 = 1
                 THEN 1 END) AS BIGINT) AS n_set
-            FROM pp JOIN bits ON bits.word = p // 32
+            FROM pp LEFT JOIN bits ON bits.word = p // 32
             GROUP BY 1, 2),
           v AS (SELECT key, is_member,
               (n_set = $BloomHashes) AS reported FROM hit)
@@ -485,7 +485,10 @@ object Quality {
         val hit = pr
           .select(col("key"), col("is_member"),
             explode(expr(posArr)).as("p"))
-          .join(broadcast(bits), col("word") === expr("p div 32"))
+          // LEFT join: a probe position landing in a never-set word
+          // means bit unset — an inner join would DROP such probes and
+          // deflate the FPR denominator
+          .join(broadcast(bits), col("word") === expr("p div 32"), "left")
           .groupBy(col("key"), col("is_member"))
           .agg(count(when(
             expr("(bm >> cast(p % 32 as int)) & 1 = 1"), 1)).as("n_set"))

@@ -14,17 +14,22 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  /** Fixed scratch dir per (dataset dir, query tag): repeated verify/bench
-    * runs (median-of-3) reuse the same path, so overwrite-mode writes
-    * reclaim the space instead of accumulating one fresh temp dir per
-    * execution. Keyed on the dataset dir so sf0.001/sf0.01/sf0.1 runs
-    * don't clobber each other within a session.
+  /** Fixed scratch dir per (JVM, dataset dir, query tag): repeated
+    * verify/bench runs within a session (median-of-3) reuse the same
+    * path, so overwrite-mode writes reclaim the space instead of
+    * accumulating one fresh temp dir per execution. The pid segment
+    * keeps CONCURRENT processes (a bench and a verify on the same
+    * sfDir) from racing on one directory; the sfDir hash keeps scale
+    * factors apart within a session.
     */
   private def scratch(d: String, tag: String): String = {
     val key = java.lang.Integer.toHexString(d.hashCode)
+    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-scratch", key, tag)
+      System.getProperty("java.io.tmpdir"), "graft-scratch",
+      s"pid$pid-$key", tag)
     java.nio.file.Files.createDirectories(p)
+    p.toFile.deleteOnExit()
     p.toString
   }
 

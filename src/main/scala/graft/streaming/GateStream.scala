@@ -35,8 +35,13 @@ object GateStream {
       .withColumn("wm", wmap)
       .withColumn("n_tokens", expr(s"size($toks)").cast("long"))
       .withColumn("score", expr(scoreExpr))
+      // empty/whitespace-only docs have n_tokens = 0: guard the divide
+      // (ANSI mode throws on 0.0/0.0 and one bad ingest row must not
+      // kill the stream) — they never keep
       .withColumn("keep",
-        col("score") / col("n_tokens").cast("double") >= 1.0)
+        when(col("n_tokens") > 0,
+          col("score") / col("n_tokens").cast("double") >= 1.0)
+          .otherwise(lit(false)))
       .drop("wm")
   }
 }

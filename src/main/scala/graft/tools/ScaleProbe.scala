@@ -131,9 +131,15 @@ object ScaleProbe {
     val mode = if (args.length > 3) args(3) else "all"
     val spark = GraftSession.local()
     // The 100x upsample takes minutes to write; reuse an existing out dir
-    // (delete it to force a rebuild).
-    if (!new java.io.File(s"$out/documents.parquet").exists())
-      upsample(spark, base, reps, out)
+    // ONLY when its row count proves it was built with the same reps —
+    // a stale dir from a different replica factor would silently divide
+    // every growth ratio by the wrong N.
+    val reusable = new java.io.File(s"$out/documents.parquet").exists() && {
+      val nOut = spark.read.parquet(s"$out/documents.parquet").count()
+      val nBase = spark.read.parquet(s"$base/documents.parquet").count()
+      nOut == reps * nBase
+    }
+    if (!reusable) upsample(spark, base, reps, out)
     if (mode == "candidates100") {
       // round-9 verdict: one more decade for the candidate families only
       // — the linearity claim measured where the 100 TB argument lives

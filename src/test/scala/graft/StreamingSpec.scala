@@ -520,9 +520,17 @@ class StreamingSpec extends SparkSpec {
     docs.grouped(200).foreach { b =>
       mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
     }
+    // a whitespace-only ingest row must not kill the stream (ANSI
+    // divide-by-zero guard) and must score keep = false
+    mem.addData(DedupStream.RawDoc(-1L, "  ", "en", 2L))
+    q.processAllAvailable()
     q.stop()
 
-    val got = spark.table("t_gate").collect()
+    val empty = spark.table("t_gate").filter(col("doc_id") === -1L)
+      .select("n_tokens", "keep").head()
+    assert(empty.getLong(0) === 0L && !empty.getBoolean(1))
+
+    val got = spark.table("t_gate").filter(col("doc_id") >= 0).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
         r.getBoolean(3)))).toMap
     val expect = GateStream.scored(
