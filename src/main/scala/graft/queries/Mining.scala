@@ -845,6 +845,80 @@ object Mining {
           .agg(count(lit(1)).as("support"))
           .orderBy(col("support").desc, col("s1"), col("s2"), col("s3"))
           .limit(20)
+      }),
+
+    // ---- Newman modularity of an attribute partition ------------------------
+    // Does a KNOWN grouping explain the graph's edges? Modularity
+    // Q = Σ_c (m_c/m − (d_c/2m)²) of the brand partition over the
+    // co-purchase part graph — the metric that scores q185-style
+    // community detection, here applied to an attribute partition so the
+    // answer doubles as an audit ("do co-purchases follow brands?").
+    // Exact int inputs (within-community edge counts, community degree
+    // sums, 2m); each community's contribution is a pinned IEEE tree and
+    // the ≤5-term total rides the decimal grid. 100 TB plan: edges build
+    // once (the q112/q287 sparsifier); mfgr attaches via a keyed join
+    // (part grows with SF — never broadcast); everything after is
+    // community-grain.
+    QuerySpec(
+      "q329_modularity",
+      Some(s"""WITH $EdgeSql,
+        pm AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+        ec AS (SELECT x.c AS ca, y.c AS cb
+          FROM e0 JOIN pm x ON x.p = e0.pa JOIN pm y ON y.p = e0.pb),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ec),
+        wc AS (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS m_c
+          FROM ec WHERE ca = cb GROUP BY 1),
+        dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d_c
+          FROM (SELECT ca AS c FROM ec UNION ALL SELECT cb AS c FROM ec) z
+          GROUP BY 1),
+        ct AS (SELECT dc.c, COALESCE(wc.m_c, 0) AS m_c, dc.d_c,
+            CAST(COALESCE(wc.m_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+            - (CAST(dc.d_c AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+              * (CAST(dc.d_c AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+              AS contrib
+          FROM dc LEFT JOIN wc ON wc.c = dc.c, m)
+        SELECT c AS community, CAST(m_c AS BIGINT) AS n_edges_within,
+          d_c AS degree_sum,
+          floor(contrib * 1000000.0) / 1000000.0 AS contrib,
+          floor(q * 1000000.0) / 1000000.0 AS modularity
+        FROM ct, (SELECT ${graft.functions.Exact.sqlDsum("contrib")} AS q
+          FROM ct) z"""),
+      (s, d) => {
+        val e = supportEdges(s, d)
+        // part grows with SF: keyed join for the attribute attach
+        val pm = t(s, d, "part")
+          .select(col("p_partkey").as("p"), col("p_brand").as("c"))
+        val ec = e.join(pm.select(col("p").as("pa"), col("c").as("ca")),
+            "pa")
+          .join(pm.select(col("p").as("pb"), col("c").as("cb")), "pb")
+          .select(col("ca"), col("cb"))
+          .cache() // m, within-counts, and degree sums all read it
+        val m = ec.agg(count(lit(1)).as("m"))
+        val wc = ec.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("m_c"))
+        val dc = ec.select(col("ca").as("c"))
+          .unionByName(ec.select(col("cb").as("c")))
+          .groupBy(col("c")).agg(count(lit(1)).as("d_c"))
+        // coalesce FIRST (a community can have zero internal edges),
+        // then the pinned contribution arithmetic
+        val ct2 = dc.join(broadcast(wc), Seq("c"), "left")
+          .crossJoin(broadcast(m)) // 1-row edge total
+          .select(col("c"), coalesce(col("m_c"), lit(0L)).as("m_c"),
+            col("d_c"), col("m"))
+          .select(col("c"), col("m_c"), col("d_c"),
+            (col("m_c").cast("double") / col("m").cast("double")
+              - (col("d_c").cast("double") / (lit(2) * col("m"))
+                  .cast("double"))
+                * (col("d_c").cast("double") / (lit(2) * col("m"))
+                  .cast("double"))).as("contrib"))
+        val q = ct2.agg(graft.functions.Exact.dsum(col("contrib")).as("q"))
+        ct2.crossJoin(broadcast(q)) // 1-row modularity total
+          .select(col("c").as("community"), col("m_c").as("n_edges_within"),
+            col("d_c").as("degree_sum"),
+            (floor(col("contrib") * lit(1000000.0)) / lit(1000000.0))
+              .as("contrib"),
+            (floor(col("q") * lit(1000000.0)) / lit(1000000.0))
+              .as("modularity"))
       })
   )
 }
