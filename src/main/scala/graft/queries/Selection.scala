@@ -596,6 +596,65 @@ object Selection {
               / col("total_docs").cast("double") * lit(1000000.0))
               / lit(1000000.0)).as("split_rate"),
             col("max_chunk_starts"))
+      }),
+
+    // ---- leakage-safe train/test split (cluster-keyed assignment) ----------
+    // The eval-contamination rule every LLM data pipeline must enforce:
+    // duplicates of one document must not land on BOTH sides of a
+    // train/test split, or the test set measures memorization. The split
+    // hash is therefore keyed on the CONTENT CLUSTER (q40's normalized
+    // token-set fingerprint — exact-dup clusters, where membership is
+    // transitive so no component closure is needed), not on the doc id.
+    // Output: per-split doc and cluster counts under the cluster-keyed
+    // assignment — whose straddle count is structurally ZERO — alongside
+    // the naive doc-keyed split's measured straddle count, the
+    // contamination that keying avoided. 100 TB plan: fingerprint is
+    // row-local; one (fp) partial-agg shuffle carries everything.
+    QuerySpec(
+      "q330_leakage_split", {
+        val hFp = Portable.h64Duck("'sp:' || fp")
+        val hDoc = Portable.h64Duck("'sp:' || CAST(doc_id AS VARCHAR)")
+        Some(s"""WITH fps AS (SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents),
+        lab AS (SELECT doc_id, fp,
+            CASE WHEN ($hFp) % 10 < 8 THEN 'train' ELSE 'test' END
+              AS split,
+            CASE WHEN ($hDoc) % 10 < 8 THEN 'train' ELSE 'test' END
+              AS naive_split
+          FROM fps),
+        straddle AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT fp FROM lab GROUP BY fp
+            HAVING COUNT(DISTINCT naive_split) > 1) z)
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+          straddle.n AS naive_straddle_clusters
+        FROM lab, straddle GROUP BY split, straddle.n""")
+      },
+      (s, d) => {
+        val hFp = Portable.h64Spark("concat('sp:', fp)")
+        val hDoc = Portable.h64Spark("concat('sp:', cast(doc_id as string))")
+        val lab = t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")).as("fp"))
+          .select(col("doc_id"), col("fp"),
+            when(expr(hFp) % 10 < 8, "train").otherwise("test")
+              .as("split"),
+            when(expr(hDoc) % 10 < 8, "train").otherwise("test")
+              .as("naive_split"))
+          .cache() // feeds the split counts and the straddle audit
+        val straddle = lab.groupBy(col("fp"))
+          .agg(countDistinct(col("naive_split")).as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("n"))
+        lab.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_clusters"))
+          .crossJoin(broadcast(straddle)) // 1-row audit scalar
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            col("n").as("naive_straddle_clusters"))
       })
   )
 }

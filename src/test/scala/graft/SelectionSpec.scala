@@ -63,6 +63,29 @@ class SelectionSpec extends SparkSpec {
         rates.mkString(","))
   }
 
+  test("q330: the cluster-keyed split never straddles a content " +
+      "cluster (the leakage guarantee is structural)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hFp = graft.functions.Portable.h64Spark("concat('sp:', fp)")
+    val lab = docs.select(
+      md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), " "))), " ")).as("fp"))
+      .select(col("fp"),
+        when(expr(hFp) % 10 < 8, "train").otherwise("test").as("split"))
+    val straddling = lab.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0L,
+      "a cluster-keyed hash cannot place one fingerprint in two splits")
+    // ... while the naive audit on the fixture finds real contamination
+    val rows = Registry.byName("q330_leakage_split").run(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("naive_straddle_clusters") > 0,
+      "the fixture carries exact dups, so the naive split must straddle")
+  }
+
   test("q315: one merge per round, weighted symbol count strictly " +
       "decreases (the compression curve)") {
     val rows = Registry.byName("q315_bpe_merges").run(spark, sfDir)
