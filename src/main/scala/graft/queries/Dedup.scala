@@ -1222,6 +1222,70 @@ object Dedup {
               .as("fp_min"),
             coalesce(sum(when(col("keep"), col("h") % 1000000007L)), lit(0L))
               .cast("long").as("fp_modsum"))
+      }),
+
+    // ---- corpus duplicated-substring mass (exact-substring dedup audit) ----
+    // The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    // Models Better") exact-substring view that SET-similarity sketches
+    // (q41 MinHash / q42 SimHash) cannot see: how many of the corpus'
+    // TOKENS sit inside an exact span that also occurs in another
+    // document? Spans are q49's 10-token chunk fingerprints (the same
+    // grain its keep-first cleaner deletes at); a chunk is duplicated iff
+    // its md5 occurs in 2+ DISTINCT docs. Output is the corpus
+    // duplication-mass curve — docs bucketed by duplicated-token
+    // fraction (bin = (dup*10) div total, 0..10 with 10 = fully
+    // duplicated) with per-bin doc counts and token masses — extending
+    // q212's pair-level shared-span measure to the corpus aggregate a
+    // dedup-policy decision actually needs ("removing 2+-doc spans
+    // deletes X% of all tokens").
+    // 100 TB plan: chunks shuffle on the md5 fingerprint twice (the
+    // distinct-doc count agg, then the join back) — both keyed on a
+    // derived key, partial-agg friendly, candidates exactly linear in
+    // corpus tokens; the curve rollup is an 11-group agg. No self-join,
+    // no window over the corpus.
+    QuerySpec(
+      "q332_dup_substring_mass",
+      Some("""WITH dd AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        ch AS (SELECT doc_id, nt, u.fp AS fp, u.ln AS ln FROM (
+            SELECT doc_id, len(t) AS nt,
+              unnest([{'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')),
+                  'ln': least(10, len(t) - i*10)}
+                for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+            FROM dd) z),
+        fpd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+          FROM ch GROUP BY 1),
+        pd AS (SELECT doc_id, nt,
+            CAST(SUM(CASE WHEN nd >= 2 THEN ln ELSE 0 END) AS BIGINT)
+              AS dup
+          FROM ch JOIN fpd USING (fp) GROUP BY 1, 2)
+        SELECT (dup * 10) // nt AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dup) AS BIGINT) AS dup_tokens,
+          CAST(SUM(nt) AS BIGINT) AS total_tokens
+        FROM pd GROUP BY 1"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+            posexplode(expr(
+              """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+                 i -> struct(
+                   md5(array_join(slice(t, i * 10 + 1, 10), ' ')) AS fp,
+                   least(10L, size(t) - i * 10) AS ln))"""))
+            .as(Seq("pos", "c")))
+          .select(col("doc_id"), col("nt"),
+            col("c.fp").as("fp"), col("c.ln").as("ln"))
+        val fpd = ch.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val pd = ch.join(fpd, "fp")
+          .groupBy(col("doc_id"), col("nt"))
+          .agg(sum(when(col("nd") >= 2, col("ln")).otherwise(0L))
+            .as("dup"))
+        pd.groupBy(expr("(dup * 10) div nt").as("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("dup_tokens"),
+            sum(col("nt")).as("total_tokens"))
       })
   )
 }

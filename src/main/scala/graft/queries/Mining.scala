@@ -797,9 +797,11 @@ object Mining {
     // q112's pair co-occurrence taken one level up: top-20 supplier
     // TRIPLES co-occurring in order baskets. Apriori pruning makes the
     // explode safe at scale: items below the frequent-item support floor
-    // drop BEFORE the combination fan-out, and TPC-H baskets are <= 7
-    // lineitems, so per-basket fan-out is C(7,3) worst-case — row-local
-    // and bounded. One (triple) partial-agg shuffle over sorted distinct
+    // drop BEFORE the combination fan-out, and the index ranges derive
+    // from each basket's OWN length (sequence(1, size(a)) — no
+    // hardcoded cap to silently truncate an unexpectedly large basket),
+    // so per-basket fan-out is C(|a|,3), row-local, and support-floor-
+    // bounded. One (triple) partial-agg shuffle over sorted distinct
     // in-basket item arrays (sorted → each triple emitted once, i<j<k);
     // top-20 is TakeOrdered with the full triple as tie-break.
     QuerySpec(
@@ -811,12 +813,13 @@ object Mining {
         bk AS (SELECT o, list_sort(list(it)) AS a
           FROM (SELECT o, bi.it FROM bi JOIN fi ON fi.it = bi.it) z
           GROUP BY o),
+        t1 AS (SELECT a, unnest(range(1, len(a) + 1)) AS i FROM bk),
+        t2 AS (SELECT a, i, unnest(range(1, len(a) + 1)) AS j FROM t1
+          WHERE i < len(a)),
+        t3 AS (SELECT a, i, j, unnest(range(1, len(a) + 1)) AS k FROM t2
+          WHERE i < j),
         tr AS (SELECT a[i] AS s1, a[j] AS s2, a[k] AS s3
-          FROM bk,
-            (SELECT unnest(range(1, 8)) AS i) x,
-            (SELECT unnest(range(1, 8)) AS j) y,
-            (SELECT unnest(range(1, 8)) AS k) w
-          WHERE i < j AND j < k AND k <= len(a))
+          FROM t3 WHERE j < k)
         SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS support
         FROM tr GROUP BY 1, 2, 3
         ORDER BY support DESC, s1, s2, s3 LIMIT 20"""),
@@ -829,16 +832,18 @@ object Mining {
         val bk = bi.join(fi, "it")
           .groupBy(col("o"))
           .agg(sort_array(collect_list(col("it"))).as("a"))
-        // bounded triple fan-out: baskets are <= 7 items (TPC-H), and
-        // the i<j<k filter on the sorted array emits each triple once
+        // triple fan-out bounded by each basket's own length (baskets
+        // post-Apriori are small — <= 7 on TPC-H — but nothing truncates
+        // if that ever changes); the i<j<k filter on the sorted array
+        // emits each triple once
         val tr = bk
-          .select(col("a"), explode(expr("sequence(1, 7)")).as("i"))
+          .select(col("a"), explode(expr("sequence(1, size(a))")).as("i"))
           .select(col("a"), col("i"),
-            explode(expr("sequence(1, 7)")).as("j"))
+            explode(expr("sequence(1, size(a))")).as("j"))
           .filter(col("i") < col("j"))
           .select(col("a"), col("i"), col("j"),
-            explode(expr("sequence(1, 7)")).as("k"))
-          .filter(col("j") < col("k") && col("k") <= size(col("a")))
+            explode(expr("sequence(1, size(a))")).as("k"))
+          .filter(col("j") < col("k"))
           .select(expr("a[i - 1]").as("s1"), expr("a[j - 1]").as("s2"),
             expr("a[k - 1]").as("s3"))
         tr.groupBy(col("s1"), col("s2"), col("s3"))

@@ -655,6 +655,104 @@ object Selection {
           .crossJoin(broadcast(straddle)) // 1-row audit scalar
           .select(col("split"), col("n_docs"), col("n_clusters"),
             col("n").as("naive_straddle_clusters"))
+      }),
+
+    // ---- DSIR-style importance resampling (target-matched selection) -------
+    // The canonical targeted-selection operator (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): estimate
+    // per-bucket hashed-feature likelihood ratios between a TARGET sample
+    // (here lang='en' docs — the distribution training wants) and the RAW
+    // corpus, weight every document by its mean token-level ratio, and
+    // resample with q113's deterministic integer hash-gate so inclusion
+    // probability is proportional to the importance weight. The q313 gate
+    // answers "is this doc good?"; DSIR answers "does this doc look like
+    // the target domain?" — the other half of targeted curation, built on
+    // the same 256-bucket hashed-feature machinery (gateBucketSpark).
+    // Determinism: bucket ratios are add-one-smoothed rationals over
+    // exact counts, floored onto an integer micro grid (x1e6) — so the
+    // per-doc weight is pure int64 arithmetic (sum(tf*wq) div sum(tf)),
+    // and the keep gate compares two integers against broadcast corpus
+    // scalars. Inclusion probability is CONTRAST-NORMALIZED over the
+    // observed weight range ((m-mn)/(mx-mn) rather than m/mx): hashed
+    // unigram buckets mix both classes, so raw mean ratios concentrate
+    // near 1 and a plain m/mx gate would keep ~everything — min-max
+    // rescaling (a temperature sharpening, monotone in the importance
+    // weight, so the resampling ORDER the paper relies on is preserved)
+    // turns the weight spread into a real selection.
+    // 100 TB plan: ONE corpus-sized (doc,pos,bucket) feature shuffle; the
+    // 256-row ratio model and the 1-row max broadcast back; the rollup
+    // grain is 2 groups. Nothing corpus-sized is broadcast or windowed.
+    QuerySpec(
+      "q331_dsir_resample", {
+        val h = Portable.h64Duck("'qg:' || term")
+        val hDoc = Portable.h64Duck("'ds:' || CAST(doc_id AS VARCHAR)")
+        Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS pos,
+            unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, pos, ($h) % 256 AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok WHERE term <> '' GROUP BY 1, 2, 3),
+        bk AS (SELECT bucket,
+            CAST(COALESCE(SUM(CASE WHEN pos THEN tf END), 0) AS BIGINT)
+              AS ct,
+            CAST(SUM(tf) AS BIGINT) AS cr
+          FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+            CAST(SUM(cr) AS BIGINT) AS tr FROM bk),
+        w AS (SELECT bucket,
+            CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+              / (CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS wq
+          FROM bk, tot),
+        pd AS (SELECT tf.doc_id, tf.pos,
+            CAST(SUM(tf.tf * w.wq) AS BIGINT)
+              // CAST(SUM(tf.tf) AS BIGINT) AS m
+          FROM tf JOIN w USING (bucket) GROUP BY 1, 2),
+        mx AS (SELECT MAX(m) AS mxm, MIN(m) AS mnm FROM pd),
+        k AS (SELECT doc_id, pos, m,
+            CASE WHEN ($hDoc) % 1000000
+                < ((m - mnm) * 1000000) // (mxm - mnm + 1)
+              THEN 1 ELSE 0 END AS keep
+          FROM pd, mx)
+        SELECT pos AS is_en, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(keep) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+            AS kept_id_sum,
+          CAST(SUM(CASE WHEN keep = 1 THEN m ELSE 0 END) AS BIGINT)
+            AS kept_w_sum
+        FROM k GROUP BY 1""")
+      },
+      (s, d) => {
+        val tf = gateFeatures(s, d)
+          .cache() // feeds the bucket model AND per-doc weighting
+        val bk = tf.groupBy(col("bucket"))
+          .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("ct"),
+            sum(col("tf")).as("cr"))
+        val tot = bk.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+        val wq = bk.crossJoin(broadcast(tot)) // 1-row corpus totals
+          .select(col("bucket"),
+            floor(((col("ct") + 1).cast("double")
+                / (col("tt") + 256).cast("double"))
+              / ((col("cr") + 1).cast("double")
+                / (col("tr") + 256).cast("double")) * lit(1000000.0))
+              .cast("long").as("wq"))
+        val pd = tf.join(broadcast(wq), "bucket") // 256-row ratio model
+          .groupBy(col("doc_id"), col("pos"))
+          .agg(sum(col("tf") * col("wq")).as("sw"), sum(col("tf")).as("nt"))
+          .select(col("doc_id"), col("pos"), expr("sw div nt").as("m"))
+        val mx = pd.agg(max(col("m")).as("mxm"), min(col("m")).as("mnm"))
+        val hDoc = Portable.h64Spark("concat('ds:', cast(doc_id as string))")
+        pd.crossJoin(broadcast(mx)) // 1-row weight range
+          .withColumn("keep",
+            when(expr(hDoc) % 1000000
+                < expr("((m - mnm) * 1000000) div (mxm - mnm + 1)"), 1L)
+              .otherwise(0L))
+          .groupBy(col("pos").as("is_en"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+            sum(when(col("keep") === 1, col("doc_id")).otherwise(0L))
+              .as("kept_id_sum"),
+            sum(when(col("keep") === 1, col("m")).otherwise(0L))
+              .as("kept_w_sum"))
       })
   )
 }

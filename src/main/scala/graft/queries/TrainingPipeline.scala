@@ -35,6 +35,11 @@ object TrainingPipeline {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** q334 keep floor on the mean per-transition KN probability — pinned
+    * to split the fixture corpus non-trivially (see q334's header).
+    */
+  private val KnKeepThreshold = 0.0345
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- posexplode_outer: positions + empty-array row preservation -------
@@ -766,6 +771,85 @@ object TrainingPipeline {
           .agg(count(lit(1)).as("n_neg"),
             sum(col("p")).cast("long").as("neg_pk_sum"),
             min(col("i")).cast("long").as("first_slot"))
+      }),
+
+    // ---- Kneser-Ney-smoothed fluency gate (q89 upgraded) -------------------
+    // q89's raw-MLE mean bigram probability, re-scored under interpolated
+    // Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999) —
+    // the LM-quality gate a real pipeline runs, where rare continuations
+    // are discounted toward the CONTINUATION probability (q265's "how
+    // many distinct left contexts does this word have" statistic) rather
+    // than their inflated raw frequency:
+    //   p_kn(w|v) = (c(v,w) - D)/c(v) + (D·N1+(v,·)/c(v)) · N1+(·,w)/N1+(·,·)
+    // with D = 0.75. log() stays out (libm skew): the per-transition
+    // p_kn is a pinned IEEE tree over exact BIGINT counts (c(v,w) >= 1,
+    // so the max(·,0) clamp is vacuous and omitted), identical in both
+    // engines; the per-doc mean rides the decimal grid. The keep gate
+    // (mean p_kn >= threshold, threshold pinned to split the fixture
+    // non-trivially) is the q57/q313-style admission decision.
+    // 100 TB plan: the model tables (bigram counts, context fan-outs,
+    // continuation counts) scale with VOCABULARY — they stay keyed
+    // shuffle joins on pa/nb, never broadcast (GuardSpec's fact-scaled-
+    // broadcast rule); only the 1-row bigram-type total broadcasts. One
+    // corpus token pass builds bg; everything after is partial-agg.
+    QuerySpec(
+      "q334_kn_fluency_gate", {
+        Some(s"""WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+          bg AS (SELECT doc_id, u.pa AS pa, u.nb AS nb FROM (
+              SELECT doc_id,
+                unnest([{'pa': t[i], 'nb': t[i+1]}
+                  for i in range(1, len(t))]) AS u
+              FROM toks WHERE len(t) >= 2) z),
+          cab AS (SELECT pa, nb, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM bg GROUP BY pa, nb),
+          ca AS (SELECT pa, CAST(COUNT(*) AS BIGINT) AS ca,
+              CAST(COUNT(DISTINCT nb) AS BIGINT) AS n1p
+            FROM bg GROUP BY pa),
+          cont AS (SELECT nb, CAST(COUNT(DISTINCT pa) AS BIGINT) AS cw
+            FROM bg GROUP BY nb),
+          nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cab),
+          scored AS (SELECT doc_id,
+              ((CAST(cab.cab AS DOUBLE) - 0.75) / CAST(ca.ca AS DOUBLE))
+              + (((0.75 * CAST(ca.n1p AS DOUBLE)) / CAST(ca.ca AS DOUBLE))
+                * (CAST(cont.cw AS DOUBLE) / CAST(nbt.nbt AS DOUBLE)))
+                AS p
+            FROM bg JOIN cab USING (pa, nb) JOIN ca USING (pa)
+                    JOIN cont USING (nb), nbt)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            ${Exact.sqlDavg("p")} AS kn_fluency,
+            ${Exact.sqlDavg("p")} >= $KnKeepThreshold AS keep
+          FROM scored GROUP BY doc_id""")
+      },
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> struct(a AS pa, b AS nb))""")).as("u"))
+          .select(col("doc_id"), col("u.pa").as("pa"), col("u.nb").as("nb"))
+          .cache() // feeds the three model aggs AND the scoring join
+        val cab = bg.groupBy(col("pa"), col("nb"))
+          .agg(count(lit(1)).as("cab"))
+        val ca = bg.groupBy(col("pa"))
+          .agg(count(lit(1)).as("ca"), countDistinct(col("nb")).as("n1p"))
+        val cont = bg.groupBy(col("nb"))
+          .agg(countDistinct(col("pa")).as("cw"))
+        val nbt = cab.agg(count(lit(1)).as("nbt"))
+        val p =
+          ((col("cab").cast("double") - lit(0.75)) / col("ca").cast("double")) +
+            (((lit(0.75) * col("n1p").cast("double")) / col("ca").cast("double"))
+              * (col("cw").cast("double") / col("nbt").cast("double")))
+        bg.join(cab, Seq("pa", "nb")).join(ca, Seq("pa"))
+          .join(cont, Seq("nb"))
+          .crossJoin(broadcast(nbt)) // 1-row bigram-type total
+          .withColumn("p", p)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            Exact.davg(col("p")).as("kn_fluency"),
+            (Exact.davg(col("p")) >= KnKeepThreshold).as("keep"))
       })
   )
 }

@@ -114,6 +114,15 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Upsample-dir provenance marker: bump TransformVersion whenever the
+    * replica transform changes (v2 = negate-past-64 embeddings), so a
+    * dir built by an older transform is never silently reused.
+    */
+  private val TransformVersion = 2
+  private val MarkerName = "_GRAFT_UPSAMPLE.json"
+  private def markerText(reps: Int): String =
+    s"""{"reps":$reps,"transform_version":$TransformVersion}"""
+
   private def time(body: => Long): (Long, Double) = {
     // median of 3 (same rationale as Bench)
     val runs = (1 to 3).map { _ =>
@@ -131,15 +140,30 @@ object ScaleProbe {
     val mode = if (args.length > 3) args(3) else "all"
     val spark = GraftSession.local()
     // The 100x upsample takes minutes to write; reuse an existing out dir
-    // ONLY when its row count proves it was built with the same reps —
-    // a stale dir from a different replica factor would silently divide
-    // every growth ratio by the wrong N.
-    val reusable = new java.io.File(s"$out/documents.parquet").exists() && {
-      val nOut = spark.read.parquet(s"$out/documents.parquet").count()
-      val nBase = spark.read.parquet(s"$base/documents.parquet").count()
-      nOut == reps * nBase
+    // ONLY when (a) a marker file proves the same (reps, transform
+    // version) built it — a dir from an older transform (pre-negate-
+    // past-64) or a crashed run would otherwise skew every growth ratio
+    // — and (b) BOTH table row counts confirm it (a run that crashed
+    // between the documents and embeddings writes leaves counts
+    // inconsistent; the marker is written last, so a crash also leaves
+    // no marker).
+    val marker = new java.io.File(s"$out/$MarkerName")
+    val reusable = marker.exists() && {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), "UTF-8")
+      txt == markerText(reps)
+    } && {
+      val nDoc = spark.read.parquet(s"$out/documents.parquet").count()
+      val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
+      nDoc == reps * spark.read.parquet(s"$base/documents.parquet").count() &&
+        nEmb == reps * spark.read.parquet(s"$base/embeddings.parquet").count()
     }
-    if (!reusable) upsample(spark, base, reps, out)
+    if (!reusable) {
+      marker.delete()
+      upsample(spark, base, reps, out)
+      java.nio.file.Files.write(marker.toPath,
+        markerText(reps).getBytes("UTF-8"))
+    }
     if (mode == "candidates100") {
       // round-9 verdict: one more decade for the candidate families only
       // — the linearity claim measured where the 100 TB argument lives

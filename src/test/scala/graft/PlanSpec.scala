@@ -1541,4 +1541,45 @@ class PlanSpec extends SparkSpec {
     assert(!bf.contains("SortMergeJoin"),
       "probing must never shuffle on the word key:\n" + bf)
   }
+
+  test("q331: the 256-row DSIR ratio model broadcasts onto the feature " +
+      "table; the resample gate never shuffle-joins the corpus") {
+    val p = plan("q331_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ratio model must broadcast, never shuffle the features:\n" + p)
+    assert(p.contains("partial_sum"),
+      "per-doc weighting must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the weighting/resample path may shuffle-join:\n" + p)
+  }
+
+  test("q332: duplication mass is keyed fingerprint shuffles only — " +
+      "no self-join, no nested loop, partial aggs throughout") {
+    val p = plan("q332_dup_substring_mass")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "chunk counting must combine map-side:\n" + p)
+  }
+
+  test("q333: towers and embeddings join keyed on media_id (both " +
+      "corpus-scaled — no cartesian, no fact broadcast)") {
+    val p = plan("q333_crossmodal_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q334: the KN model tables join on token keys (vocabulary-" +
+      "scaled, never broadcast); only the 1-row type total broadcasts") {
+    val p = plan("q334_kn_fluency_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      "the count models must combine map-side:\n" + p)
+    // the only BroadcastExchange rows allowed are the 1-row nbt scalar
+    // (its build side is a HashAggregate output, not a scan)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastExchange") && l.contains("parquet")),
+      "no table scan may broadcast in the scoring path:\n" + p)
+  }
 }

@@ -504,8 +504,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("bucket").toInt ->
         r.getAs[Double]("w")).toMap
     // only OCCUPIED buckets carry weights (31 at sf0.001's vocab);
-    // unseen buckets score 0 via the scorer's coalesce — the documented
-    // cold-bucket policy
+    // tokens hashing to unseen buckets are excluded from score AND
+    // n_tokens (q313's inner-join semantics — see the cold-bucket test)
     assert(weights.nonEmpty && weights.size <= 256)
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -546,5 +546,55 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!p.contains("flatMapGroupsWithState") && !p.contains("Dedup"),
       "scoring must not introduce stateful operators:\n" + p)
+  }
+
+  test("streaming quality gate: frozen model on out-of-training data " +
+      "matches q313's inner-join cold-bucket semantics") {
+    import spark.implicits._
+    // The production shape: the model is trained on yesterday's corpus
+    // and applied to today's ingest, whose tokens may hash to buckets
+    // the model never saw. q313's batch scorer inner-joins (doc, bucket)
+    // features to the model, so cold-bucket tokens vanish from BOTH the
+    // score and n_tokens; GateStream must agree.
+    val bucketOf: String => Int = { t =>
+      spark.sql("SELECT cast(" +
+          queries.Selection.gateBucketSpark(s"'${t}'") + " as int) AS b")
+        .head().getInt(0)
+    }
+    // two tokens in distinct buckets; freeze a model that knows only one
+    val (warm, cold) = ("alpha", "omega")
+    assert(bucketOf(warm) != bucketOf(cold), "fixture tokens must differ")
+    val weights = Map(bucketOf(warm) -> 2.5)
+    val docs = Seq(
+      (1L, s"$warm $cold $warm"), // 2 warm + 1 cold token
+      (2L, s"$cold $cold")        // all-cold: unscorable
+    ).toDF("doc_id", "text")
+    val got = GateStream.scored(docs, weights)
+      .select("doc_id", "n_tokens", "score", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // q313 semantics: cold tokens excluded from numerator AND denominator
+    assert(got(1L) === ((2L, 5.0, true)),
+      s"warm-doc: expected (2, 5.0, true), got ${got(1L)}")
+    // all-cold doc: n_tokens = 0, never keeps, and must not throw (ANSI)
+    assert(got(2L) === ((0L, 0.0, false)),
+      s"all-cold doc: expected (0, 0.0, false), got ${got(2L)}")
+
+    // cross-check against the literal inner-join formulation of q313:
+    // explode tokens, join to the model frame, aggregate
+    val model = Seq((bucketOf(warm), 2.5)).toDF("bucket", "w")
+    val byJoin = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .as("term"))
+      .withColumn("bucket",
+        expr(s"cast(${queries.Selection.gateBucketSpark("term")} as int)"))
+      .join(model, "bucket") // inner: cold buckets drop
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byJoin(1L) === ((2L, 5.0)) && !byJoin.contains(2L),
+      "inner-join reference must agree (all-cold doc produces no row)")
   }
 }
