@@ -180,10 +180,31 @@ object Dedup {
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
-    t(s, d, "documents")
+    withShingles(t(s, d, "documents"))
+  }
+
+  /** Shingle any frame with a `text` column (streaming-safe: row-local
+    * expressions only) — the one definition of the near-dup token/shingle
+    * prep, shared with [[graft.streaming.NearDupStream]].
+    */
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(shinglesSpark))
+
+  /** (doc_id, shingles, …) → one row per band with its bucket key —
+    * the LSH index rows q41/q324 self-join on, exposed so the streaming
+    * admission operator keys its state on the identical (band, bkey)
+    * space. Row-local (minhash + band md5), streaming-safe.
+    */
+  private[graft] def bandIndex(sh: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+      df.withColumn(s"mh$k", expr(minhashSpark(k)))
+    }
+    val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+    mh.select(col("doc_id"), col("shingles"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   private val shingledDuckCte =

@@ -753,6 +753,80 @@ object Selection {
               .as("kept_id_sum"),
             sum(when(col("keep") === 1, col("m")).otherwise(0L))
               .as("kept_w_sum"))
+      }),
+
+    // ---- end-to-end curation mix (the four-family capstone) ----------------
+    // One composed plan that curates a training mixture the way the
+    // pieces do separately: (1) q313's trained NB gate admits quality
+    // docs; (2) q330's dedup-cluster-keyed split holds out test clusters
+    // (the mix draws from the TRAIN side only, so no eval cluster leaks
+    // in); (3) q320's temperature allocation (weight = isqrt(tokens))
+    // assigns each source its token budget and milli-epoch repetition;
+    // (4) a q321-shaped packing step sizes the per-source shard manifest
+    // (ceil(alloc / ChunkLen) context windows). kept_id_sum checksums
+    // the SELECTED SET, not just counts — the composed gate+split
+    // decisions are what the oracle actually verifies.
+    // 100 TB plan: the only corpus-sized work is the q313 feature
+    // shuffle, the row-local fp/split, and ONE doc_id-keyed join of the
+    // two doc-grain frames; the model (256 rows) and the allocator
+    // denominator (1 row) broadcast; the manifest grain is |sources|.
+    // No corpus-sized broadcast, no window anywhere (allocation is by
+    // token mass, not per-doc rank — nothing needs a global order).
+    QuerySpec(
+      "q335_curation_mix", {
+        val hFp = Portable.h64Duck("'sp:' || fp")
+        Some(s"""WITH $gateDuckCte,
+          meta AS (SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                md5(array_to_string(list_sort(list_distinct(
+                  string_split(lower(text), ' '))), ' ')) AS fp
+              FROM documents) z
+            WHERE ($hFp) % 10 < 8),
+          sel AS (SELECT g.doc_id, m.source, g.n_tokens
+            FROM gsc g JOIN meta m USING (doc_id)
+            WHERE (g.score / CAST(g.n_tokens AS DOUBLE)) >= 1.0),
+          st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+            FROM sel GROUP BY 1),
+          wt AS (SELECT source, n_docs, n_tokens, kept_id_sum,
+              CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wsq FROM st),
+          mtot AS (SELECT CAST(SUM(wsq) AS BIGINT) AS denom FROM wt)
+          SELECT source, n_docs, n_tokens, kept_id_sum, wsq,
+            CAST(($TokenBudget * wsq) // denom AS BIGINT) AS alloc_tokens,
+            CAST((($TokenBudget * wsq) // denom) * 1000 // n_tokens
+              AS BIGINT) AS milli_epochs,
+            CAST(((($TokenBudget * wsq) // denom) + ${ChunkLen - 1})
+              // $ChunkLen AS BIGINT) AS n_shards
+          FROM wt, mtot""")
+      },
+      (s, d) => {
+        val g = gateScores(s, d)
+          .filter(col("score") / col("n_tokens").cast("double") >= 1.0)
+          .select(col("doc_id"), col("n_tokens"))
+        val hFp = Portable.h64Spark("concat('sp:', fp)")
+        val meta = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")).as("fp"))
+          .filter(expr(hFp) % 10 < 8) // train side of the cluster split
+          .select(col("doc_id"), col("source"))
+        val st = g.join(meta, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("doc_id")).as("kept_id_sum"))
+          .withColumn("wsq", floor(sqrt(col("n_tokens"))).cast("long"))
+          .cache() // |sources| rows; feeds the denominator and the plan
+        val tot = st.agg(sum(col("wsq")).as("denom"))
+        st.crossJoin(broadcast(tot)) // 1-row allocator denominator
+          .withColumn("alloc_tokens",
+            expr(s"($TokenBudget * wsq) div denom"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("kept_id_sum"), col("wsq"), col("alloc_tokens"),
+            expr("alloc_tokens * 1000 div n_tokens").as("milli_epochs"),
+            expr(s"(alloc_tokens + ${ChunkLen - 1}) div $ChunkLen")
+              .as("n_shards"))
       })
   )
 }

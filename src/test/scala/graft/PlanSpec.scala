@@ -1570,6 +1570,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q335: the composed curation plan carries NO window and no " +
+      "cartesian anywhere; aggregation is partial+final throughout") {
+    val p = plan("q335_curation_mix")
+    assert(!p.contains("Window"),
+      "nothing in gate->split->allocate->pack needs a global order:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"),
+      "the source rollup must combine map-side:\n" + p)
+  }
+
   test("q334: the KN model tables join on token keys (vocabulary-" +
       "scaled, never broadcast); only the 1-row type total broadcasts") {
     val p = plan("q334_kn_fluency_gate")

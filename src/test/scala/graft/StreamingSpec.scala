@@ -548,6 +548,47 @@ class StreamingSpec extends SparkSpec {
       "scoring must not introduce stateful operators:\n" + p)
   }
 
+  test("streaming near-dup admission: band-keyed state with the corpus " +
+      "index as initial state reproduces q324's verified pairs") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch reference: q324's verified (new_doc, matched_doc, jaccard)
+    val ref = queries.Registry.byName("q324_incremental_neardup")
+      .run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ref.nonEmpty, "fixture must contain near-dup pairs")
+
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val corpus = all.filter(col("doc_id") < 250)
+    val batchDocs = all.filter(col("doc_id") >= 250)
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val q = NearDupStream.matches(spark, mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    // several micro-batches, fed in id order (= the batch operator's
+    // doc_a < doc_b discipline, see NearDupStream's emission contract)
+    batchDocs.grouped(60).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // toMap collapses the per-band evidence rows (identical jaccard)
+    val got = spark.table("t_neardup").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.keySet === ref.keySet,
+      "streaming pair set must equal q324's verified pairs")
+    got.foreach { case (k, j) =>
+      assert(j === ref(k), s"jaccard for $k must be bit-equal") }
+    // admitted-set parity: a doc is admitted iff it emitted no evidence
+    val newIds = batchDocs.map(_.doc_id).toSet
+    assert((newIds -- got.keySet.map(_._1))
+        === (newIds -- ref.keySet.map(_._1)),
+      "admitted sets must agree")
+  }
+
   test("streaming quality gate: frozen model on out-of-training data " +
       "matches q313's inner-join cold-bucket semantics") {
     import spark.implicits._
