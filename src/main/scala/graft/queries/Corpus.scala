@@ -760,6 +760,77 @@ object Corpus {
           .limit(50)
           .select(col("term_a"), col("term_b"), col("c_xy"),
             col("c_x"), col("c_y"), round(col("ratio"), 4).as("pmi_ratio"))
+      }),
+
+    // ---- vocabulary growth curve (Heaps'-law audit, two grains) ------------
+    // How fast does the type vocabulary grow as the corpus is ingested in
+    // doc-id order? Per 50-doc block, at BOTH grains a tokenizer budget
+    // cares about: unigram types and word-3-gram types whose global
+    // first occurrence (min doc_id — the q126 first-occurrence
+    // discipline) lands in the block, plus running cumulative counts.
+    // The two grains answer different questions: unigrams size the vocab
+    // (this fixture saturates at 31 types in block 0 — the curve reports
+    // that honestly), 3-grams track CONTENT novelty (they keep growing,
+    // Heaps-shaped; a flat block signals duplicated ingest, a spike a
+    // source shift). 100 TB plan: one (term) and one (3-gram) shuffle
+    // find first occurrences; every rollup lands on the bounded block
+    // grain (corpus/50 groups), and the only window runs over that
+    // block-grain aggregate (GuardSpec's group-grain rule).
+    QuerySpec(
+      "q340_vocab_growth",
+      Some("""WITH dt AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS t
+          FROM documents),
+        tk AS (SELECT doc_id, unnest(t) AS term FROM dt),
+        g3 AS (SELECT doc_id,
+            unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)]) AS gram
+          FROM dt WHERE len(t) >= 3),
+        nb AS (SELECT fd // 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM (SELECT term, MIN(doc_id) AS fd FROM tk GROUP BY term) z
+          GROUP BY 1),
+        n3 AS (SELECT fd // 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_new3
+          FROM (SELECT gram, MIN(doc_id) AS fd FROM g3 GROUP BY gram) z
+          GROUP BY 1),
+        tb AS (SELECT doc_id // 50 AS g, CAST(COUNT(*) AS BIGINT)
+            AS n_tokens
+          FROM tk GROUP BY 1)
+        SELECT tb.g AS block, tb.n_tokens,
+          COALESCE(nb.n_new, 0) AS n_new_types,
+          CAST(SUM(COALESCE(nb.n_new, 0)) OVER (ORDER BY tb.g) AS BIGINT)
+            AS cum_types,
+          COALESCE(n3.n_new3, 0) AS n_new_3grams,
+          CAST(SUM(COALESCE(n3.n_new3, 0)) OVER (ORDER BY tb.g)
+            AS BIGINT) AS cum_3grams
+        FROM tb LEFT JOIN nb ON nb.g = tb.g
+                LEFT JOIN n3 ON n3.g = tb.g"""),
+      (s, d) => {
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("t"))
+        val tk = dt.select(col("doc_id"), explode(col("t")).as("term"))
+        val g3 = dt.filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t) - 3), " +
+              "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+        val nb = tk.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+          .groupBy(expr("fd div 50").as("g"))
+          .agg(count(lit(1)).as("n_new"))
+        val n3 = g3.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
+          .groupBy(expr("fd div 50").as("g"))
+          .agg(count(lit(1)).as("n_new3"))
+        val tb = tk.groupBy(expr("doc_id div 50").as("g"))
+          .agg(count(lit(1)).as("n_tokens"))
+        // block-grain windows: the input is the 50-doc-block aggregate
+        val w = Window.orderBy(col("block"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tb.join(nb, Seq("g"), "left").join(n3, Seq("g"), "left")
+          .select(col("g").as("block"), col("n_tokens"),
+            coalesce(col("n_new"), lit(0L)).as("n_new_types"),
+            coalesce(col("n_new3"), lit(0L)).as("n_new_3grams"))
+          .withColumn("cum_types", sum(col("n_new_types")).over(w))
+          .withColumn("cum_3grams", sum(col("n_new_3grams")).over(w))
       })
   )
 }

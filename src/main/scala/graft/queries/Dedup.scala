@@ -1307,6 +1307,98 @@ object Dedup {
         pd.groupBy(expr("(dup * 10) div nt").as("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("dup_tokens"),
             sum(col("nt")).as("total_tokens"))
+      }),
+
+    // ---- dedup threshold sweep (retention-curve policy audit) --------------
+    // The decision a dedup policy owner actually faces: how many pairs
+    // verify — and how many docs would a keep-first pass remove — at
+    // EACH candidate Jaccard threshold? One pass over the q41 band
+    // candidates computes the exact Jaccard once per pair (length
+    // prefilter at the sweep floor 0.5 — lossless for every threshold
+    // above it), then a 5-row threshold table fans out row-locally and
+    // the rollup is 5 groups. n_removed counts docs matched by a
+    // smaller-id doc at that threshold (direct-match keep-first; q48's
+    // transitive closure is the stricter follow-on for the chosen
+    // threshold). 100 TB plan: identical to q41's — band-bounded
+    // candidates, one merge-scan intersect per surviving pair; the
+    // threshold fan-out multiplies only the tiny verified stream.
+    QuerySpec(
+      "q336_threshold_sweep",
+      Some(s"""WITH $minhashCteChain,
+        sized AS (SELECT doc_a, doc_b, sh_a, sh_b,
+            len(sh_a) AS la, len(sh_b) AS lb FROM pairs
+          WHERE least(len(sh_a), len(sh_b))
+            >= 0.5 * greatest(len(sh_a), len(sh_b))),
+        inter AS (SELECT doc_a, doc_b, la, lb,
+            len(list_intersect(sh_a, sh_b)) AS i FROM sized),
+        jx AS (SELECT doc_a, doc_b,
+            CAST(i AS DOUBLE) / (la + lb - i) AS j FROM inter),
+        th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t)
+        SELECT t AS threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_removed
+        FROM jx, th WHERE j >= CAST(t AS DOUBLE) / 100
+        GROUP BY t"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache() // band index + both verify sides
+        val pr = minhashCandidates(sh)
+          .join(sh.select(col("doc_id").as("doc_a"),
+            col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"),
+            col("shingles").as("sh_b")), "doc_b")
+          .withColumn("la", size(col("sh_a")))
+          .withColumn("lb", size(col("sh_b")))
+          .filter(least(col("la"), col("lb"))
+            >= lit(0.5) * greatest(col("la"), col("lb")))
+          .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
+          .withColumn("j",
+            col("i").cast("double") / (col("la") + col("lb") - col("i")))
+        pr.select(col("doc_a"), col("doc_b"), col("j"),
+            explode(lit(Array(50, 60, 70, 80, 90))).as("t"))
+          .filter(col("j") >= col("t").cast("double") / 100)
+          .groupBy(col("t").as("threshold_pct"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_removed"))
+      }),
+
+    // ---- cross-language contamination (same content, multiple langs) -------
+    // A split- and mixing-integrity audit the fp machinery makes cheap:
+    // exact-content clusters (q40's normalized token-set fingerprint)
+    // whose members carry MORE THAN ONE lang tag. Each such cluster is
+    // either a mislabeled duplicate or genuinely language-ambiguous
+    // content — both corrupt per-language mixing weights (q100) and
+    // language-conditioned gates (q313's lang='en' proxy label trains on
+    // them as contradictory evidence). Output: per lang, how many of its
+    // docs sit in multi-lang clusters, how many clusters it touches, and
+    // the first affected doc for triage. 100 TB plan: fp is row-local;
+    // one (fp) partial-agg shuffle finds multi-lang clusters; the join
+    // back is fp-keyed; the rollup is |langs| groups.
+    QuerySpec(
+      "q338_crosslang_contamination",
+      Some("""WITH f AS (SELECT doc_id, lang,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp
+          FROM documents),
+        ml AS (SELECT fp FROM f GROUP BY fp
+          HAVING COUNT(DISTINCT lang) > 1)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_clusters,
+          MIN(doc_id) AS first_doc
+        FROM f JOIN ml USING (fp) GROUP BY lang"""),
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")).as("fp"))
+          .cache() // cluster detection + the join back
+        val ml = f.groupBy(col("fp"))
+          .agg(countDistinct(col("lang")).as("nl"))
+          .filter(col("nl") > 1).select(col("fp"))
+        f.join(ml, "fp")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_clusters"),
+            min(col("doc_id")).as("first_doc"))
       })
   )
 }

@@ -827,6 +827,164 @@ object Selection {
             expr("alloc_tokens * 1000 div n_tokens").as("milli_epochs"),
             expr(s"(alloc_tokens + ${ChunkLen - 1}) div $ChunkLen")
               .as("n_shards"))
+      }),
+
+    // ---- gate length-bias calibration (q313 audited against length) --------
+    // The classic failure mode of corpus quality classifiers: the score
+    // correlates with document LENGTH, so the gate silently reshapes the
+    // length distribution. q319 calibrates the gate against its own
+    // score bins; this audits it against token-count bins (width 20):
+    // per bin, the doc count, keep count, keep rate, and the mean
+    // per-token weight — a flat keep-rate profile means the gate is
+    // length-neutral, a monotone one means it is a length filter in
+    // disguise. All inputs are q313's own outputs: the rollup reuses
+    // gsc's exact (score, n_tokens) sufficient statistics; means ride
+    // the decimal grid, rates are floored rationals. 100 TB plan:
+    // everything after gsc is one bounded-grain (len bin) agg.
+    QuerySpec(
+      "q337_gate_length_bias",
+      Some(s"""WITH $gateDuckCte,
+        pv AS (SELECT doc_id, n_tokens,
+            floor(score / CAST(n_tokens AS DOUBLE) * 1000000.0)
+              / 1000000.0 AS avg_w,
+            CASE WHEN (score / CAST(n_tokens AS DOUBLE)) >= 1.0
+              THEN 1 ELSE 0 END AS keep
+          FROM gsc)
+        SELECT n_tokens // 20 AS len_bin,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(keep) AS BIGINT) AS n_keep,
+          floor(CAST(SUM(keep) AS DOUBLE) / COUNT(*) * 1000000.0)
+            / 1000000.0 AS keep_rate,
+          floor(${Exact.sqlDsum("avg_w")} / COUNT(*) * 1000000.0)
+            / 1000000.0 AS mean_avg_w
+        FROM pv GROUP BY 1"""),
+      (s, d) => {
+        gateScores(s, d)
+          .select(col("doc_id"), col("n_tokens"),
+            (floor(col("score") / col("n_tokens").cast("double")
+              * lit(1000000.0)) / lit(1000000.0)).as("avg_w"),
+            when(col("score") / col("n_tokens").cast("double") >= 1.0, 1L)
+              .otherwise(0L).as("keep"))
+          .groupBy(expr("n_tokens div 20").as("len_bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+            (floor(sum(col("keep")).cast("double") / count(lit(1))
+              * lit(1000000.0)) / lit(1000000.0)).as("keep_rate"),
+            (floor(Exact.dsum(col("avg_w")) / count(lit(1))
+              * lit(1000000.0)) / lit(1000000.0)).as("mean_avg_w"))
+      }),
+
+    // ---- gate/DSIR agreement (quality vs domain-match, Cohen's kappa) ------
+    // Are "good documents" (q313's NB quality gate) the same documents
+    // as "target-domain documents" (q331's DSIR resample)? The 2x2
+    // agreement of the two admission decisions plus Cohen's kappa — the
+    // audit that decides whether running both gates is redundant
+    // (kappa -> 1), complementary (kappa near 0), or adversarial
+    // (kappa < 0). Both decisions recompute from the SAME cached
+    // (doc, pos, bucket, tf) feature table, so the comparison is
+    // self-consistent by construction. kappa's po/pe are pinned IEEE
+    // trees over the four exact cell counts; output is one row.
+    // 100 TB plan: one feature shuffle feeds both scorers (256-row
+    // models broadcast both times); the two doc-grain frames join on
+    // doc_id; the confusion rollup is a 1-group agg.
+    QuerySpec(
+      "q341_gate_dsir_agreement", {
+        val hDoc = Portable.h64Duck("'ds:' || CAST(g.doc_id AS VARCHAR)")
+        Some(s"""WITH $gateDuckCte,
+        dk AS (SELECT bucket,
+            CAST(COALESCE(SUM(CASE WHEN pos THEN tf END), 0) AS BIGINT)
+              AS ct,
+            CAST(SUM(tf) AS BIGINT) AS cr
+          FROM tf GROUP BY 1),
+        dtot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+            CAST(SUM(cr) AS BIGINT) AS tr FROM dk),
+        dw AS (SELECT bucket,
+            CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+              / (CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS wq
+          FROM dk, dtot),
+        pd AS (SELECT tf.doc_id,
+            CAST(SUM(tf.tf * dw.wq) AS BIGINT)
+              // CAST(SUM(tf.tf) AS BIGINT) AS m
+          FROM tf JOIN dw USING (bucket) GROUP BY 1),
+        mm AS (SELECT MAX(m) AS mxm, MIN(m) AS mnm FROM pd),
+        dec AS (SELECT g.doc_id,
+            CASE WHEN (g.score / CAST(g.n_tokens AS DOUBLE)) >= 1.0
+              THEN 1 ELSE 0 END AS kq,
+            CASE WHEN ($hDoc) % 1000000
+                < ((p.m - mnm) * 1000000) // (mxm - mnm + 1)
+              THEN 1 ELSE 0 END AS kd
+          FROM gsc g JOIN pd p ON p.doc_id = g.doc_id, mm),
+        cf AS (SELECT
+            CAST(SUM(kq * kd) AS BIGINT) AS n_both,
+            CAST(SUM(kq * (1 - kd)) AS BIGINT) AS n_quality_only,
+            CAST(SUM((1 - kq) * kd) AS BIGINT) AS n_domain_only,
+            CAST(SUM((1 - kq) * (1 - kd)) AS BIGINT) AS n_neither,
+            CAST(COUNT(*) AS BIGINT) AS n FROM dec)
+        SELECT n_both, n_quality_only, n_domain_only, n_neither,
+          floor(((CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE))
+            - ((CAST(n_both + n_quality_only AS DOUBLE)
+                * CAST(n_both + n_domain_only AS DOUBLE)
+              + CAST(n_domain_only + n_neither AS DOUBLE)
+                * CAST(n_quality_only + n_neither AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            / (1.0 - ((CAST(n_both + n_quality_only AS DOUBLE)
+                * CAST(n_both + n_domain_only AS DOUBLE)
+              + CAST(n_domain_only + n_neither AS DOUBLE)
+                * CAST(n_quality_only + n_neither AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            * 1000000.0) / 1000000.0 AS kappa
+        FROM cf""")
+      },
+      (s, d) => {
+        val tf = gateFeatures(s, d).cache() // feeds BOTH scorers
+        val g = tf.join(broadcast(gateWeights(tf)), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(Exact.dsum(col("tf") * col("w")).as("score"),
+            sum(col("tf")).as("n_tokens"))
+          .select(col("doc_id"),
+            when(col("score") / col("n_tokens").cast("double") >= 1.0, 1L)
+              .otherwise(0L).as("kq"))
+        val dk = tf.groupBy(col("bucket"))
+          .agg(coalesce(sum(when(col("pos"), col("tf"))), lit(0L)).as("ct"),
+            sum(col("tf")).as("cr"))
+        val dtot = dk.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+        val dw = dk.crossJoin(broadcast(dtot))
+          .select(col("bucket"),
+            floor(((col("ct") + 1).cast("double")
+                / (col("tt") + 256).cast("double"))
+              / ((col("cr") + 1).cast("double")
+                / (col("tr") + 256).cast("double")) * lit(1000000.0))
+              .cast("long").as("wq"))
+        val pd = tf.join(broadcast(dw), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * col("wq")).as("sw"), sum(col("tf")).as("nt"))
+          .select(col("doc_id"), expr("sw div nt").as("m"))
+        val mm = pd.agg(max(col("m")).as("mxm"), min(col("m")).as("mnm"))
+        val hDoc = Portable.h64Spark("concat('ds:', cast(doc_id as string))")
+        val dec = g.join(pd, "doc_id")
+          .crossJoin(broadcast(mm)) // 1-row weight range
+          .select(col("kq"),
+            when(expr(hDoc) % 1000000
+                < expr("((m - mnm) * 1000000) div (mxm - mnm + 1)"), 1L)
+              .otherwise(0L).as("kd"))
+        val cf = dec.agg(
+          sum(col("kq") * col("kd")).as("n_both"),
+          sum(col("kq") * (lit(1L) - col("kd"))).as("n_quality_only"),
+          sum((lit(1L) - col("kq")) * col("kd")).as("n_domain_only"),
+          sum((lit(1L) - col("kq")) * (lit(1L) - col("kd")))
+            .as("n_neither"),
+          count(lit(1)).as("n"))
+        val pe = ((col("n_both") + col("n_quality_only")).cast("double")
+            * (col("n_both") + col("n_domain_only")).cast("double")
+          + (col("n_domain_only") + col("n_neither")).cast("double")
+            * (col("n_quality_only") + col("n_neither")).cast("double")) /
+          (col("n").cast("double") * col("n").cast("double"))
+        val po = (col("n_both") + col("n_neither")).cast("double") /
+          col("n").cast("double")
+        cf.select(col("n_both"), col("n_quality_only"),
+          col("n_domain_only"), col("n_neither"),
+          (floor((po - pe) / (lit(1.0) - pe) * lit(1000000.0))
+            / lit(1000000.0)).as("kappa"))
       })
   )
 }

@@ -886,6 +886,102 @@ object Similarity {
           .select(col("query_id"),
             coalesce(col("n"), lit(0L)).as("n_hits"),
             (coalesce(col("n"), lit(0L)).cast("double") / K).as("recall"))
+      }),
+
+    // ---- per-label silhouette audit (embedding class separation) -----------
+    // The embedding-QA question behind q59's centroids: do the labels
+    // actually separate in embedding space? Per vector, cosine to its
+    // OWN label's centroid vs the best OTHER label's centroid; per
+    // label, the mean of both and the mean margin — the silhouette-
+    // shaped readout an embedding pipeline checks before trusting
+    // labels for curation. Cosine is scale-invariant, so the centroid
+    // is represented by the label's exact integer SUM vector (no
+    // division, no floats in the reduction): cos(x, S_g) == cos(x, mu_g)
+    // bit-for-bit. Per-vec cosines are pinned sqrt-divide trees over
+    // exact int64 dots/norms; label means ride the decimal grid.
+    // 100 TB plan: one (label, dim) partial agg builds the |labels|
+    // sum table, which BROADCASTS (bounded by the label vocabulary);
+    // each vector then scores row-locally against all labels and one
+    // |labels|-group rollup finishes. Overflow headroom: |S_g| <= n_g *
+    // 2e3 per dim — past ~1e8 vectors/label the sum vector would be
+    // rescaled (micro-mean ints; cosine invariant), documented here.
+    QuerySpec(
+      "q339_label_silhouette",
+      Some(s"""WITH e AS (SELECT vec_id, label,
+            ${qvecDuck("embedding", Dims)} AS qv FROM embeddings),
+        ex AS (SELECT label, u.dim AS dim, u.q AS q FROM (
+            SELECT label, unnest([{'dim': CAST(i - 1 AS INT), 'q': qv[i]}
+              for i in range(1, ${Dims + 1})]) AS u
+          FROM e) z),
+        sg AS (SELECT label, list(sq ORDER BY dim) AS s FROM (
+            SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq
+            FROM ex GROUP BY 1, 2) z GROUP BY label),
+        sc AS (SELECT e.vec_id, e.label AS vlabel, sg.label AS clabel,
+            CAST(list_sum([e.qv[i] * sg.s[i]
+              for i in range(1, ${Dims + 1})]) AS BIGINT) AS dot,
+            CAST(list_sum([e.qv[i] * e.qv[i]
+              for i in range(1, ${Dims + 1})]) AS BIGINT) AS na,
+            CAST(list_sum([sg.s[i] * sg.s[i]
+              for i in range(1, ${Dims + 1})]) AS BIGINT) AS nb
+          FROM e, sg),
+        cs AS (SELECT vec_id, vlabel, clabel,
+            CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+              AS c
+          FROM sc),
+        pv AS (SELECT vec_id, ANY_VALUE(vlabel) AS label,
+            MAX(CASE WHEN vlabel = clabel THEN c END) AS own_cos,
+            MAX(CASE WHEN vlabel <> clabel THEN c END) AS best_other
+          FROM cs GROUP BY vec_id)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          floor(${graft.functions.Exact.sqlDsum("own_cos")} / COUNT(*)
+            * 1000000.0) / 1000000.0 AS mean_own_cos,
+          floor(${graft.functions.Exact.sqlDsum("best_other")} / COUNT(*)
+            * 1000000.0) / 1000000.0 AS mean_best_other,
+          floor(${graft.functions.Exact.sqlDsum("own_cos - best_other")}
+            / COUNT(*) * 1000000.0) / 1000000.0 AS mean_margin
+        FROM pv GROUP BY label"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr(qvecSpark("embedding")).as("qv"))
+          .cache() // feeds the label sums AND the scoring pass
+        val sg = e
+          .select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("q")).as("sq"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("sq"))))
+            .as("ds"))
+          .select(col("label").as("clabel"),
+            expr("transform(ds, x -> x.sq)").as("s"))
+        val cs = e.crossJoin(broadcast(sg)) // |labels|-row sum table
+          .select(col("vec_id"), col("label").as("vlabel"), col("clabel"),
+            expr("aggregate(zip_with(qv, s, (a, b) -> a * b), 0L, " +
+              "(acc, v) -> acc + v)").as("dot"),
+            expr("aggregate(qv, 0L, (a, v) -> a + v * v)").as("na"),
+            expr("aggregate(s, 0L, (a, v) -> a + v * v)").as("nb"))
+          .withColumn("c", col("dot").cast("double")
+            / (sqrt(col("na").cast("double"))
+              * sqrt(col("nb").cast("double"))))
+        val pv = cs.groupBy(col("vec_id"))
+          .agg(first(col("vlabel")).as("label"),
+            max(when(col("vlabel") === col("clabel"), col("c")))
+              .as("own_cos"),
+            max(when(col("vlabel") =!= col("clabel"), col("c")))
+              .as("best_other"))
+        pv.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (floor(graft.functions.Exact.dsum(col("own_cos"))
+              / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+              .as("mean_own_cos"),
+            (floor(graft.functions.Exact.dsum(col("best_other"))
+              / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+              .as("mean_best_other"),
+            (floor(graft.functions.Exact.dsum(
+              col("own_cos") - col("best_other"))
+              / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+              .as("mean_margin"))
       })
   )
 }

@@ -170,6 +170,14 @@ object ScaleProbe {
       runCandidate100(spark, base, reps, out)
       spark.stop(); return
     }
+    if (mode == "iterative100") {
+      // round-10: the iterative members at the same third decade —
+      // round-count invariance (components' star rounds, pagerank's
+      // pinned 3 iterations, the quantile cut passes) measured where
+      // the 10x table only extrapolated
+      runIterative100(spark, base, reps, out)
+      spark.stop(); return
+    }
     if (mode != "candidates") upsampleRelational(spark, base, reps, out)
     if (mode == "tables") { spark.stop(); return }
 
@@ -305,6 +313,51 @@ object ScaleProbe {
     println(f"| q98_semantic_dedup (4→7 planes) | $cB98 | $cU98 " +
       f"| ${cU98.toDouble / math.max(1, cB98)}%.1fx | $wB98%.2f | $wU98%.2f " +
       f"| per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
+  }
+
+  /** Iterative family at an arbitrary (large) replica factor — the
+    * round-10 companion to [[runCandidate100]]: q48's large/small-star
+    * components, q115's 3-round pagerank, and q102's equi-depth cuts run
+    * verbatim at base and at the Nx corpus (single run each at Nx — the
+    * walls are minutes-scale, and the question is round-count
+    * invariance, not microbenchmark noise). Builds ONLY the table this
+    * family reads beyond the document upsample (lineitem, per-replica
+    * key offsets as [[upsampleRelational]]), reusing a prior build when
+    * its row count proves the same reps.
+    */
+  private def runIterative100(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
+    val f = s"$out/lineitem.parquet"
+    val dfBase = spark.read.parquet(s"$base/lineitem.parquet")
+    val nBase = dfBase.count()
+    val reusable = new java.io.File(f).exists() &&
+      scala.util.Try(spark.read.parquet(f).count() == reps * nBase)
+        .getOrElse(false)
+    if (!reusable) {
+      val keys = relationalKeys.toMap.apply("lineitem")
+      (0 until reps).map { k =>
+        if (k == 0) dfBase
+        else keys.foldLeft(dfBase)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * KeyStride)))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(f)
+    }
+    val iterative = Seq("q48_dedup_components", "q102_equidepth_bins",
+      "q115_pagerank")
+    println()
+    println(s"| query | rows@base | rows@${reps}x | wall@base s " +
+      s"| wall@${reps}x s | per-row drift |")
+    println("|---|---|---|---|---|---|")
+    iterative.foreach { name =>
+      val q = Registry.byName(name)
+      val (rB, wB) = time(q.run(spark, base).count())
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rU = q.run(spark, out).count()
+      val wU = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"| $name | $rB | $rU | $wB%.2f | $wU%.2f " +
+        f"| ${(wU / reps) / wB}%.2f |")
+    }
   }
 
   /** The iterative/quantile family, measured by running each REGISTERED

@@ -1570,6 +1570,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q336/q338: sweep and contamination stay on keyed shuffles — " +
+      "no cartesian; counting combines map-side") {
+    val sw = plan("q336_threshold_sweep")
+    assert(!sw.contains("CartesianProduct"), sw)
+    assert(sw.contains("partial_count"), sw)
+    val cl = plan("q338_crosslang_contamination")
+    assert(!cl.contains("CartesianProduct"), cl)
+    assert(cl.contains("partial_count"), cl)
+  }
+
+  test("q337/q341: both gate audits broadcast their 256-row models; " +
+      "nothing in the scoring paths is a cartesian") {
+    val lb = plan("q337_gate_length_bias")
+    assert(lb.contains("BroadcastHashJoin"),
+      "the weight model must broadcast:\n" + lb)
+    assert(!lb.contains("CartesianProduct"), lb)
+    val ag = plan("q341_gate_dsir_agreement")
+    assert(ag.contains("BroadcastHashJoin"),
+      "both 256-row models must broadcast:\n" + ag)
+    assert(!ag.contains("CartesianProduct"), ag)
+    assert(ag.contains("partial_sum"), ag)
+  }
+
+  test("q339: the |labels|-row centroid-sum table broadcasts onto the " +
+      "vectors; scoring is row-local then one bounded rollup") {
+    val p = plan("q339_label_silhouette")
+    // the 10-row sum table rides a broadcast nested loop (no join key
+    // by design: every vector scores against every label)
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q340: both first-occurrence passes are keyed partial aggs; " +
+      "the only windows run over the 50-doc-block aggregate") {
+    val p = plan("q340_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"),
+      "first-occurrence must combine map-side:\n" + p)
+  }
+
   test("q335: the composed curation plan carries NO window and no " +
       "cartesian anywhere; aggregation is partial+final throughout") {
     val p = plan("q335_curation_mix")
