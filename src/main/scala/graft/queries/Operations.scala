@@ -1587,6 +1587,53 @@ object Operations {
         mi.select(explode(expr(fold)).as("r"))
           .select(col("r.t").as("t"), col("r.c").as("c"),
             col("r.level").as("level"), col("r.trend").as("trend"))
+      }),
+
+    // ---- rendezvous (HRW) sharding balance audit ---------------------------
+    // Highest-random-weight placement (Thaler & Ravishankar 1998) — the
+    // consistent-sharding rule a 100 TB serving/storage layer uses so
+    // that adding a shard moves only 1/N of the keys: every doc scores
+    // all 16 shards with a salted portable hash and lands on the argmax.
+    // The audit reports per-shard load (docs, char mass, parts-per-
+    // million of corpus) — the skew a placement owner watches. Argmax is
+    // array_position(hs, array_max(hs)) over a FIXED 16-expression hash
+    // array — row-local, tie-broken identically (first max) in both
+    // engines, though the 60-bit hashes make ties vanishingly unlikely.
+    // 100 TB plan: placement is pure row-local integer work; the audit
+    // is one 16-group partial agg + a 1-row total broadcast.
+    QuerySpec(
+      "q342_rendezvous_shards", {
+        val hsDuck = (0 until 16).map(sh => Portable.h64Duck(
+          s"'rv:' || CAST(doc_id AS VARCHAR) || ':$sh'")).mkString(", ")
+        Some(s"""WITH a AS (SELECT doc_id, n_chars,
+            [$hsDuck] AS hs FROM documents),
+        p AS (SELECT doc_id, n_chars,
+            CAST(list_position(hs, list_max(hs)) - 1 AS INT) AS shard
+          FROM a),
+        st AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+          FROM p GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM st)
+        SELECT shard, n_docs, n_chars_sum,
+          CAST(n_docs * 1000000 // total AS BIGINT) AS load_ppm
+        FROM st, tt""")
+      },
+      (s, d) => {
+        val hs = array((0 until 16).map(sh => expr(Portable.h64Spark(
+          s"concat('rv:', cast(doc_id as string), ':$sh')"))): _*)
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), hs.as("hs"))
+          .select(col("doc_id"), col("n_chars"),
+            (expr("array_position(hs, array_max(hs))") - 1)
+              .cast("int").as("shard"))
+        val st = p.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_sum"))
+          .cache() // 16 rows; feeds the total and the output
+        val tt = st.agg(sum(col("n_docs")).as("total"))
+        st.crossJoin(broadcast(tt)) // 1-row corpus total
+          .select(col("shard"), col("n_docs"), col("n_chars_sum"),
+            expr("n_docs * 1000000 div total").as("load_ppm"))
       })
   )
 }

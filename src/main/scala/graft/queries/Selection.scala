@@ -985,6 +985,84 @@ object Selection {
           col("n_domain_only"), col("n_neither"),
           (floor((po - pe) / (lit(1.0) - pe) * lit(1000000.0))
             / lit(1000000.0)).as("kappa"))
+      }),
+
+    // ---- dedup-aware token budgeting (effective dataset size) --------------
+    // q320 allocates on RAW token counts; but a source whose tokens are
+    // largely cross-document duplicates contributes fewer EFFECTIVE
+    // training tokens than it claims (the Lee et al. finding behind
+    // q332). This operator budgets on effective mass: per source, raw
+    // chunk-token mass vs the mass surviving a q49 keep-first pass
+    // (only a chunk's FIRST corpus-wide occurrence counts), the
+    // duplicated fraction in ppm, then q320's isqrt temperature
+    // allocation over EFFECTIVE tokens with effective milli-epochs. A
+    // source of copies now earns budget for what it uniquely adds.
+    // 100 TB plan: chunks shuffle once on the fingerprint for the
+    // keep-first window (partitioned by fp — never a global window),
+    // once on source for the rollup; the allocator grain is |sources|
+    // with a 1-row denominator broadcast.
+    QuerySpec(
+      "q344_effective_budget",
+      Some(s"""WITH dd AS (
+          SELECT doc_id, source, string_split(lower(text), ' ') AS t
+          FROM documents),
+        ch AS (SELECT doc_id, source, u.pos AS pos, u.fp AS fp,
+            u.ln AS ln FROM (
+            SELECT doc_id, source,
+              unnest([{'pos': i,
+                  'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')),
+                  'ln': least(10, len(t) - i*10)}
+                for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+            FROM dd) z),
+        rk AS (SELECT source, ln,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos)
+              AS rk
+          FROM ch),
+        st AS (SELECT source, CAST(SUM(ln) AS BIGINT) AS raw_tokens,
+            CAST(SUM(CASE WHEN rk = 1 THEN ln ELSE 0 END) AS BIGINT)
+              AS eff_tokens
+          FROM rk GROUP BY 1),
+        wt AS (SELECT source, raw_tokens, eff_tokens,
+            CAST(floor(sqrt(eff_tokens)) AS BIGINT) AS wsq FROM st),
+        mtot AS (SELECT CAST(SUM(wsq) AS BIGINT) AS denom FROM wt)
+        SELECT source, raw_tokens, eff_tokens,
+          CAST((raw_tokens - eff_tokens) * 1000000 // raw_tokens
+            AS BIGINT) AS dup_ppm,
+          wsq,
+          CAST(($TokenBudget * wsq) // denom AS BIGINT) AS alloc_tokens,
+          CAST((($TokenBudget * wsq) // denom) * 1000 // eff_tokens
+            AS BIGINT) AS milli_epochs_eff
+        FROM wt, mtot"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), col("source"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> struct(
+                 md5(array_join(slice(t, i * 10 + 1, 10), ' ')) AS fp,
+                 least(10L, size(t) - i * 10) AS ln))"""))
+            .as(Seq("pos", "c")))
+          .select(col("doc_id"), col("source"), col("pos"),
+            col("c.fp").as("fp"), col("c.ln").as("ln"))
+        val st = ch
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp"))
+              .orderBy(col("doc_id"), col("pos"))))
+          .groupBy(col("source"))
+          .agg(sum(col("ln")).as("raw_tokens"),
+            sum(when(col("rk") === 1, col("ln")).otherwise(0L))
+              .as("eff_tokens"))
+          .withColumn("wsq", floor(sqrt(col("eff_tokens"))).cast("long"))
+          .cache() // |sources| rows; feeds the denominator and output
+        val tot = st.agg(sum(col("wsq")).as("denom"))
+        st.crossJoin(broadcast(tot)) // 1-row allocator denominator
+          .select(col("source"), col("raw_tokens"), col("eff_tokens"),
+            expr("(raw_tokens - eff_tokens) * 1000000 div raw_tokens")
+              .as("dup_ppm"),
+            col("wsq"),
+            expr(s"($TokenBudget * wsq) div denom").as("alloc_tokens"),
+            expr(s"(($TokenBudget * wsq) div denom) * 1000 div eff_tokens")
+              .as("milli_epochs_eff"))
       })
   )
 }

@@ -1612,6 +1612,28 @@ class PlanSpec extends SparkSpec {
       "first-occurrence must combine map-side:\n" + p)
   }
 
+  test("q342/q343: placement and allocation are row-local + bounded " +
+      "rollups; only 1-row totals broadcast") {
+    val rv = plan("q342_rendezvous_shards")
+    assert(!rv.contains("CartesianProduct"), rv)
+    assert(!rv.contains("Window"),
+      "HRW placement is row-local argmax, never a rank window:\n" + rv)
+    assert(rv.contains("partial_count"), rv)
+    val ny = plan("q343_neyman_allocation")
+    assert(!ny.contains("CartesianProduct"), ny)
+    assert(ny.contains("partial_sum"),
+      "sufficient stats must combine map-side:\n" + ny)
+  }
+
+  test("q344: the keep-first window partitions on the chunk " +
+      "fingerprint; the allocator grain is |sources|") {
+    val p = plan("q344_effective_budget")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("windowspecdefinition(fp#"),
+      "the dedup window must partition on fp, never run global:\n" + p)
+  }
+
   test("q335: the composed curation plan carries NO window and no " +
       "cartesian anywhere; aggregation is partial+final throughout") {
     val p = plan("q335_curation_mix")
