@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Exact
 import graft.functions.Portable.{h64Spark, h64Duck, P}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -35,6 +36,31 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---- q346 band-planning constants ---------------------------------------
+
+  /** Systematic pair-sample strides for the corpus similarity profile:
+    * linear in corpus size (<= 4 pairs per doc), content-independent,
+    * deterministic in both engines.
+    */
+  private val BandPlanOffsets = Seq(1, 13, 101, 251)
+
+  /** Every (bands, rows) divisor layout of the 16 minhashes. */
+  private val BandLayouts = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** LSH acceptance probability 1 - (1 - s^r)^b as SQL text with powers
+    * spelled as explicit left-associated multiply chains: every step is
+    * one correctly-rounded IEEE double multiply on identical inputs, so
+    * the value is bit-identical in Spark and DuckDB (pow() is libm-
+    * dependent and is never used). `sExpr` must be a double-valued SQL
+    * fragment valid in both dialects.
+    */
+  private def pAccept(sExpr: String, b: Int, r: Int): String = {
+    val sr = (1 to r).map(_ => s"($sExpr)").mkString(" * ")
+    val q = s"(1.0 - ($sr))"
+    val qb = (1 to b).map(_ => q).mkString(" * ")
+    s"(1.0 - ($qb))"
+  }
 
   // ---- portable hash primitives (graft.functions.Portable) ----------------
 
@@ -1399,7 +1425,323 @@ object Dedup {
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("fp")).as("n_clusters"),
             min(col("doc_id")).as("first_doc"))
-      })
+      }),
+
+    // ---- LSH band-layout planning (S-curve vs the corpus profile) ----------
+    // The design decision BEFORE any MinHash run at 100 TB: how to band
+    // the 16 minhashes. A (b bands x r rows) layout accepts a pair of
+    // true Jaccard s with P(s) = 1 - (1 - s^r)^b; which layout is right
+    // depends on the CORPUS's similarity profile, not folklore. Two
+    // measured strata feed the decision: a BACKGROUND stratum — exact
+    // Jaccard over a systematic linear pair sample (doc_id offsets
+    // {1,13,101,251}: no self-join blow-up, content-independent) — whose
+    // expected acceptance rate is the verify-stage load a layout would
+    // cost on typical pairs; and a SIMILAR stratum — the union of the
+    // MinHash-band and inverted-index candidate generators, exact-
+    // verified at J >= 0.8 — whose expected rejection rate is the miss
+    // risk on the pairs dedup exists to find. Both ride a 1/20 Jaccard
+    // histogram; each divisor layout of 16 is scored against both plus
+    // its S-curve midpoint s50. Powers are EXPLICIT left-associated
+    // multiply chains interpolated into both engines (each double
+    // multiply is one correctly-rounded IEEE op on identical inputs —
+    // pow()'s libm drift never enters); weighted sums ride the decimal
+    // grid (Exact). 100 TB plan: one linear pass per stratum builds two
+    // <=20-row histograms; everything after is constant-size math over
+    // 1-row scalar frames.
+    QuerySpec(
+      "q346_lsh_band_planning", {
+        val layoutCtes = BandLayouts.zipWithIndex.map { case ((bb, rr), i) =>
+          val pB = pAccept("cast(bucket as double) / 20.0", bb, rr)
+          val pG = pAccept("cast(k as double) / 100.0", bb, rr)
+          s"""a$i AS (SELECT ${Exact.sqlDsum(s"n * $pB")} AS sbg
+            FROM hist_bg),
+          h$i AS (SELECT ${Exact.sqlDsum(s"n * (1.0 - $pB)")} AS shi
+            FROM hist_hi),
+          g$i AS (SELECT CAST(MIN(k) AS INT) AS s50_centi FROM grid
+            WHERE $pG >= 0.5)"""
+        }.mkString(",\n")
+        val layoutRows = BandLayouts.zipWithIndex.map { case ((bb, rr), i) =>
+          s"""SELECT CAST($bb AS INT) AS b, CAST($rr AS INT) AS r,
+            s50_centi,
+            CAST(floor(sbg / CAST(tnbg AS DOUBLE) * 1000000.0) AS BIGINT)
+              AS accept_bg_ppm,
+            CASE WHEN tnhi > 0 THEN CAST(floor(shi / CAST(tnhi AS DOUBLE)
+              * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+              AS fn_hi_ppm,
+            tnhi AS n_hi_pairs
+          FROM a$i, h$i, g$i, tbg, thi"""
+        }.mkString("\nUNION ALL\n")
+        Some(s"""WITH $shingledDuckCte,
+          ${minhashBandCandDuck()},
+          inv6 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          samp6 AS (SELECT doc_id, s FROM inv6 WHERE s % 8 = 0),
+          rare6 AS (SELECT s FROM samp6 GROUP BY s HAVING COUNT(*) <= 20),
+          cand6 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM samp6 a JOIN samp6 b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE a.s IN (SELECT s FROM rare6)),
+          cu AS (SELECT doc_a, doc_b FROM cand
+            UNION SELECT doc_a, doc_b FROM cand6),
+          hi AS (SELECT least(19, CAST(floor(
+              CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles)))
+              * 20) AS INT)) AS bucket
+            FROM cu JOIN sh x ON x.doc_id = doc_a
+                    JOIN sh y ON y.doc_id = doc_b
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))) >= 0.8),
+          hist_hi AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM hi GROUP BY 1),
+          po AS (SELECT a.shingles AS sh_a, b.shingles AS sh_b
+            FROM sh a
+            CROSS JOIN (SELECT unnest([${BandPlanOffsets.mkString(", ")}])
+              AS off) o
+            JOIN sh b ON b.doc_id = a.doc_id + o.off),
+          jm AS (SELECT least(19, CAST(floor(
+              CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+              * 20) AS INT)) AS bucket
+            FROM po),
+          hist_bg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM jm GROUP BY 1),
+          tbg AS (SELECT CAST(SUM(n) AS BIGINT) AS tnbg FROM hist_bg),
+          thi AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tnhi
+            FROM hist_hi),
+          grid AS (SELECT unnest(range(0, 101)) AS k),
+          $layoutCtes
+          $layoutRows""")
+      },
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache() // feeds the bg pair sample AND both candidate strata
+        val a = sh.select(col("doc_id").as("ida"), col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("idb"), col("shingles").as("sh_b"))
+        def bucketed(pr: DataFrame): org.apache.spark.sql.Column =
+          least(lit(19), floor(col("i").cast("double")
+            / (col("la") + col("lb") - col("i")) * 20).cast("int"))
+        val bg = a
+          .select(col("ida"), col("sh_a"),
+            explode(lit(BandPlanOffsets.toArray)).as("off"))
+          .join(b, col("idb") === col("ida") + col("off"))
+          .withColumn("la", size(col("sh_a")))
+          .withColumn("lb", size(col("sh_b")))
+          .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
+        val histBg = bg.select(bucketed(bg).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .cache() // <=20 rows; every layout's weighted sum re-reads it
+        val cu = minhashCandidates(sh).unionByName(ngramCandidates(sh))
+          .distinct()
+        val hi = cu
+          .join(a.withColumnRenamed("ida", "doc_a"), "doc_a")
+          .join(b.withColumnRenamed("idb", "doc_b"), "doc_b")
+          .withColumn("la", size(col("sh_a")))
+          .withColumn("lb", size(col("sh_b")))
+          .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
+          .withColumn("j", col("i").cast("double")
+            / (col("la") + col("lb") - col("i")))
+          .filter(col("j") >= 0.8)
+        val histHi = hi.select(bucketed(hi).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .cache() // <=4 rows (buckets 16..19)
+        val tbg = histBg.agg(sum(col("n")).as("tnbg"))
+        val thi = histHi.agg(coalesce(sum(col("n")), lit(0L)).as("tnhi"))
+        BandLayouts.map { case (bb, rr) =>
+          val pB = pAccept("cast(bucket as double) / 20.0", bb, rr)
+          val pG = pAccept("cast(id as double) / 100.0", bb, rr)
+          val accBg = histBg.agg(Exact.dsum(expr(s"n * $pB")).as("sbg"))
+          val accHi = histHi
+            .agg(Exact.dsum(expr(s"n * (1.0 - $pB)")).as("shi"))
+          val s50 = s.range(0, 101)
+            .agg(min(when(expr(pG) >= 0.5, col("id"))).cast("int")
+              .as("s50_centi"))
+          accBg.crossJoin(broadcast(accHi)) // 1-row scalar frames
+            .crossJoin(broadcast(s50))
+            .crossJoin(broadcast(tbg)).crossJoin(broadcast(thi))
+            .select(lit(bb).as("b"), lit(rr).as("r"), col("s50_centi"),
+              floor(col("sbg") / col("tnbg").cast("double")
+                * lit(1000000.0)).cast("bigint").as("accept_bg_ppm"),
+              when(col("tnhi") > 0,
+                floor(col("shi") / col("tnhi").cast("double")
+                  * lit(1000000.0)).cast("bigint")).otherwise(0L)
+                .as("fn_hi_ppm"),
+              col("tnhi").as("n_hi_pairs"))
+        }.reduce(_ unionByName _)
+      }),
+
+    // ---- dedup family agreement (MinHash vs SimHash vs n-gram Jaccard) -----
+    // Three near-dup families run at their production settings over the
+    // same corpus — MinHash+LSH verified at J>=0.8 (q41), SimHash at
+    // hamming<=3 (q42), sampled-inverted-index n-gram Jaccard at J>=0.7
+    // (q43) — and their VERDICT sets compared pairwise: how many pairs
+    // each family flags, how many both flag, and the pair-set overlap
+    // (Jaccard, ppm). This is the audit that decides which family (or
+    // which pair of families) a 100 TB pipeline actually runs: high
+    // overlap means the cheaper family suffices; low overlap means they
+    // see different duplicate classes and stack. All three candidate
+    // generators are the shared linearity-guarded ones (ScaleSpec);
+    // the comparison itself is three counts and three (doc_a, doc_b)
+    // equi-joins over verdict sets that are tiny relative to the corpus.
+    QuerySpec(
+      "q348_dedup_family_agreement",
+      Some(s"""WITH $shingledDuckCte,
+        ${minhashBandCandDuck()},
+        pairs1 AS (SELECT doc_a, doc_b,
+            x.shingles AS sh_a, y.shingles AS sh_b
+          FROM cand JOIN sh x ON x.doc_id = doc_a
+                    JOIN sh y ON y.doc_id = doc_b),
+        v1 AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, len(sh_a) AS la, len(sh_b) AS lb,
+              len(list_intersect(sh_a, sh_b)) AS i
+            FROM pairs1
+            WHERE least(len(sh_a), len(sh_b))
+              >= 0.8 * greatest(len(sh_a), len(sh_b))) z
+          WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8),
+        inv2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        samp2 AS (SELECT doc_id, s FROM inv2 WHERE s % 8 = 0),
+        rare2 AS (SELECT s FROM samp2 GROUP BY s HAVING COUNT(*) <= 20),
+        cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM samp2 a JOIN samp2 b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE a.s IN (SELECT s FROM rare2)),
+        pairs2 AS (SELECT doc_a, doc_b,
+            x.shingles AS sh_a, y.shingles AS sh_b
+          FROM cand2 JOIN sh x ON x.doc_id = doc_a
+                     JOIN sh y ON y.doc_id = doc_b),
+        v2 AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, len(sh_a) AS la, len(sh_b) AS lb,
+              len(list_intersect(sh_a, sh_b)) AS i
+            FROM pairs2
+            WHERE least(len(sh_a), len(sh_b))
+              >= 0.7 * greatest(len(sh_a), len(sh_b))) z
+          WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.7),
+        ths3 AS (SELECT doc_id, [${h64Duck("t")} for t in toks] AS ths
+          FROM docs),
+        sim3 AS (SELECT doc_id,
+            list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
+                  THEN 1 ELSE -1 END for h in ths]) >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 60)]) AS sig
+          FROM ths3),
+        bl3 AS (SELECT doc_id, j, (sig >> (15*j)) & 32767 AS band
+          FROM sim3, (SELECT unnest(range(0, 4)) AS j) z),
+        cool3 AS (SELECT j, band FROM bl3 GROUP BY j, band
+          HAVING COUNT(*) <= $SimhashBucketCap),
+        blc3 AS (SELECT bl3.doc_id, bl3.j, bl3.band
+          FROM bl3 JOIN cool3 ON cool3.j = bl3.j AND cool3.band = bl3.band),
+        cand3 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blc3 a JOIN blc3 b ON a.j = b.j AND a.band = b.band
+            AND a.doc_id < b.doc_id),
+        v3 AS (SELECT doc_a, doc_b
+          FROM cand3 JOIN sim3 x ON x.doc_id = doc_a
+                     JOIN sim3 y ON y.doc_id = doc_b
+          WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+        c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM v1),
+        c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM v2),
+        c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM v3),
+        i12 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM v1 JOIN v2 USING (doc_a, doc_b)),
+        i13 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM v1 JOIN v3 USING (doc_a, doc_b)),
+        i23 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM v2 JOIN v3 USING (doc_a, doc_b))
+        SELECT 'minhash' AS fam_a, 'ngram' AS fam_b, a.c AS n_a, b.c AS n_b,
+          i.c AS n_both,
+          CASE WHEN a.c + b.c - i.c > 0
+            THEN CAST(i.c * 1000000 // (a.c + b.c - i.c) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS overlap_ppm
+        FROM c1 a, c2 b, i12 i
+        UNION ALL
+        SELECT 'minhash' AS fam_a, 'simhash' AS fam_b, a.c, b.c, i.c,
+          CASE WHEN a.c + b.c - i.c > 0
+            THEN CAST(i.c * 1000000 // (a.c + b.c - i.c) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END
+        FROM c1 a, c3 b, i13 i
+        UNION ALL
+        SELECT 'ngram' AS fam_a, 'simhash' AS fam_b, a.c, b.c, i.c,
+          CASE WHEN a.c + b.c - i.c > 0
+            THEN CAST(i.c * 1000000 // (a.c + b.c - i.c) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END
+        FROM c2 a, c3 b, i23 i"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        val mh = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val ng = verifyJaccard(sh, ngramCandidates(sh), 0.7)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val sim = simhashSignatures(s, d).cache()
+        val xa = sim.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+        val xb = sim.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+        val sv = simhashCandidates(sim)
+          .join(xa, "doc_a").join(xb, "doc_b")
+          .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+          .select(col("doc_a"), col("doc_b")).cache()
+        def cnt(df: DataFrame, nm: String): DataFrame =
+          df.agg(count(lit(1)).as(nm))
+        def rowOf(fa: String, da: DataFrame,
+            fb: String, db: DataFrame): DataFrame =
+          cnt(da, "n_a").crossJoin(broadcast(cnt(db, "n_b")))
+            .crossJoin(broadcast(da.join(db, Seq("doc_a", "doc_b"))
+              .agg(count(lit(1)).as("n_both")))) // 1-row scalar counts
+            .select(lit(fa).as("fam_a"), lit(fb).as("fam_b"),
+              col("n_a"), col("n_b"), col("n_both"),
+              when(col("n_a") + col("n_b") - col("n_both") > 0,
+                expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+                .otherwise(0L).as("overlap_ppm"))
+        rowOf("minhash", mh, "ngram", ng)
+          .unionByName(rowOf("minhash", mh, "simhash", sv))
+          .unionByName(rowOf("ngram", ng, "simhash", sv))
+      }),
+
+    // ---- dedup grain ladder (raw / bag / set fingerprints) -----------------
+    // The exact-dedup design space in one audit: the SAME corpus
+    // fingerprinted at three grains — raw bytes (md5 of the text as-is),
+    // token BAG (lowercased, sorted, multiplicity kept: catches
+    // reordered copies), and token SET (q40's grain: additionally
+    // collapses repetition) — and, per grain, how many duplicate
+    // clusters exist and how many docs a dedup pass at that grain would
+    // drop. Redundancy is monotone up the ladder (every raw dup is a bag
+    // dup is a set dup), so the DELTAS are the yield each relaxation
+    // buys — the evidence for choosing a normalization level before
+    // running exact dedup at 100 TB. Shape: three row-local fingerprints
+    // exploded into one (grain, fp) stream, ONE partial-agg shuffle on
+    // that composite key, then a 3-group rollup.
+    QuerySpec(
+      "q349_dedup_grain_ladder",
+      Some("""WITH g AS (SELECT doc_id, u.grain AS grain, u.fp AS fp FROM (
+          SELECT doc_id, unnest([
+            {'grain': '1_raw', 'fp': md5(text)},
+            {'grain': '2_bag', 'fp': md5(array_to_string(
+              list_sort(string_split(lower(text), ' ')), ' '))},
+            {'grain': '3_set', 'fp': md5(array_to_string(
+              list_sort(list_distinct(string_split(lower(text), ' '))),
+              ' '))}]) AS u
+          FROM documents) z),
+        cl AS (SELECT grain, fp, COUNT(*) AS n FROM g GROUP BY 1, 2)
+        SELECT grain,
+          CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT)
+            AS n_dup_clusters,
+          CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+            AS n_dup_docs,
+          CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n - 1 END), 0) AS BIGINT)
+            AS n_redundant
+        FROM cl GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(map(
+            lit("1_raw"), md5(col("text")),
+            lit("2_bag"), md5(array_join(
+              array_sort(split(lower(col("text")), " ")), " ")),
+            lit("3_set"), md5(array_join(
+              array_sort(array_distinct(split(lower(col("text")), " "))),
+              " ")))).as(Seq("grain", "fp")))
+          .groupBy(col("grain"), col("fp"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("grain"))
+          .agg(count(when(col("n") >= 2, 1)).as("n_dup_clusters"),
+            coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L))
+              .as("n_dup_docs"),
+            coalesce(sum(when(col("n") >= 2, col("n") - 1)), lit(0L))
+              .as("n_redundant")))
   )
 }
 

@@ -1634,6 +1634,58 @@ object Operations {
         st.crossJoin(broadcast(tt)) // 1-row corpus total
           .select(col("shard"), col("n_docs"), col("n_chars_sum"),
             expr("n_docs * 1000000 div total").as("load_ppm"))
+      }),
+
+    // ---- rendezvous resharding disruption audit (16 -> 17 shards) ----------
+    // The property q342's placement is CHOSEN for, measured: growing the
+    // ring from 16 to 17 shards re-homes exactly the keys whose NEW
+    // shard's salted hash beats all 16 old ones — in expectation 1/17 of
+    // the corpus (~58.8k ppm), against a mod-N scheme's 16/17. HRW makes
+    // this structural: old shards never trade keys with each other
+    // (argmax over a superset can only move to the new element), so the
+    // audit publishes n_moved_to_new next to n_moved (structurally equal
+    // under HRW; the oracle hash-checks the equality) and per-old-
+    // shard moved fractions — the rebalance-cost forecast a storage
+    // owner signs off before a reshard. Same row-local hash-argmax shape
+    // as q342 (one extra hash per key), one 16-group partial agg.
+    QuerySpec(
+      "q345_reshard_disruption", {
+        val hsDuck = (0 until 17).map(sh => Portable.h64Duck(
+          s"'rv:' || CAST(doc_id AS VARCHAR) || ':$sh'")).mkString(", ")
+        Some(s"""WITH a AS (SELECT doc_id, [$hsDuck] AS hs FROM documents),
+        p AS (SELECT doc_id,
+            CAST(list_position(hs[1:16], list_max(hs[1:16])) - 1 AS INT)
+              AS shard16,
+            CAST(list_position(hs, list_max(hs)) - 1 AS INT) AS shard17
+          FROM a),
+        st AS (SELECT shard16, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(CASE WHEN shard17 <> shard16 THEN 1 END) AS BIGINT)
+              AS n_moved,
+            CAST(COUNT(CASE WHEN shard17 <> shard16 AND shard17 = 16
+              THEN 1 END) AS BIGINT) AS n_moved_to_new
+          FROM p GROUP BY 1)
+        SELECT shard16, n_docs, n_moved, n_moved_to_new,
+          CAST(n_moved * 1000000 // n_docs AS BIGINT) AS moved_ppm
+        FROM st""")
+      },
+      (s, d) => {
+        val hs = array((0 until 17).map(sh => expr(Portable.h64Spark(
+          s"concat('rv:', cast(doc_id as string), ':$sh')"))): _*)
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"),
+            (expr("array_position(slice(hs, 1, 16), " +
+              "array_max(slice(hs, 1, 16)))") - 1).cast("int").as("shard16"),
+            (expr("array_position(hs, array_max(hs))") - 1)
+              .cast("int").as("shard17"))
+        p.groupBy(col("shard16"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("shard17") =!= col("shard16"), 1)).as("n_moved"),
+            count(when(col("shard17") =!= col("shard16")
+              && col("shard17") === 16, 1)).as("n_moved_to_new"))
+          .select(col("shard16"), col("n_docs"), col("n_moved"),
+            col("n_moved_to_new"),
+            expr("n_moved * 1000000 div n_docs").as("moved_ppm"))
       })
   )
 }

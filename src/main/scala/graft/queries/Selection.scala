@@ -1063,6 +1063,66 @@ object Selection {
             expr(s"($TokenBudget * wsq) div denom").as("alloc_tokens"),
             expr(s"(($TokenBudget * wsq) div denom) * 1000 div eff_tokens")
               .as("milli_epochs_eff"))
+      }),
+
+    // ---- tokenizer fertility per language (BPE efficiency audit) -----------
+    // The readout that decides whether a trained tokenizer is FAIR across
+    // languages: apply q315's learned merges to every word and report,
+    // per language, subword tokens per word (fertility) and characters
+    // per subword token. A language whose fertility is materially higher
+    // pays more sequence length for the same text — the classic
+    // multilingual-tokenizer inequity a curation pipeline must surface
+    // before fixing the mixture. Word eligibility (>= 2 chars, [a-z]+)
+    // matches the BPE trainer exactly, so every counted word has a
+    // segmentation. 100 TB plan: the corpus pass is the per-(lang, word)
+    // count; the segmented vocab is |vocab|-bounded and the join runs on
+    // the word grain — corpus text is never re-scanned per layout; all
+    // divisions are floor-truncated onto the 1e-6 grid.
+    QuerySpec(
+      "q347_tokenizer_fertility",
+      Some(s"""WITH $bpeDuckPrefix,
+          vw AS (SELECT replace(replace(enc, '(', ''), ')', '') AS w,
+              len(string_split(substr(enc, 2, length(enc) - 2), ')('))
+                AS n_sym
+            FROM v$BpeRounds),
+          lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n_lw FROM (
+              SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) z
+            WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+            GROUP BY 1, 2),
+          j AS (SELECT lang, n_lw, n_sym, length(w) AS n_char
+            FROM lw JOIN vw USING (w))
+        SELECT lang,
+          CAST(SUM(n_lw) AS BIGINT) AS n_words,
+          CAST(SUM(n_lw * n_sym) AS BIGINT) AS n_subword_tokens,
+          floor(CAST(SUM(n_lw * n_sym) AS DOUBLE)
+            / CAST(SUM(n_lw) AS DOUBLE) * 1000000.0) / 1000000.0
+            AS fertility,
+          floor(CAST(SUM(n_lw * n_char) AS DOUBLE)
+            / CAST(SUM(n_lw * n_sym) AS DOUBLE) * 1000000.0) / 1000000.0
+            AS chars_per_token
+        FROM j GROUP BY 1"""),
+      (s, d) => {
+        val vw = bpeRun(s, d)._2
+          .select(translate(col("enc"), "()", "").as("w"),
+            size(bpeSymsOf(col("enc"))).cast("long").as("n_sym"))
+        val lw = t(s, d, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("n_lw"))
+        lw.join(vw, "w")
+          .withColumn("n_char", length(col("w")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_lw")).as("n_words"),
+            sum(col("n_lw") * col("n_sym")).as("n_subword_tokens"),
+            (floor(sum(col("n_lw") * col("n_sym")).cast("double")
+              / sum(col("n_lw")).cast("double") * lit(1000000.0))
+              / lit(1000000.0)).as("fertility"),
+            (floor(sum(col("n_lw") * col("n_char")).cast("double")
+              / sum(col("n_lw") * col("n_sym")).cast("double")
+              * lit(1000000.0)) / lit(1000000.0)).as("chars_per_token"))
       })
   )
 }

@@ -39,6 +39,9 @@ object Similarity {
   /** Query set: a fixed small id range, so size is sf-independent. */
   private val NumQueries = 10
 
+  /** q350: hardest negatives kept per anchor. */
+  private val HardNegK = 3
+
   /** q200 codebook size: codewords per PQ subspace (a fixed seed-id
     * range, sf-independent like the query set).
     */
@@ -982,6 +985,70 @@ object Similarity {
               col("own_cos") - col("best_other"))
               / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
               .as("mean_margin"))
+      }),
+
+    // ---- hard-negative mining (contrastive-pair selection) -----------------
+    // The pair-mining step of contrastive embedding training: for each
+    // anchor in the query set, the hardest negatives are the vectors
+    // MOST similar to the anchor while carrying a DIFFERENT label —
+    // random negatives teach a model nothing once it separates easy
+    // pairs. Candidates come from the q46 hyperplane-LSH band buckets
+    // (a vector can only be "hard" if it is close, and close vectors
+    // collide on bands — the same recall argument as ANN), filtered to
+    // label mismatch, exact-cosine re-ranked, top-3 per anchor. At
+    // 100 TB the shape is q46's: bucket keys shuffle, the anchor set
+    // broadcasts, per-anchor top-k is a window over candidate rows only
+    // — no corpus-sized window, no all-pairs.
+    QuerySpec(
+      "q350_hard_negatives",
+      Some(s"""WITH $duckQuantCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          es AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+          bl AS (SELECT vec_id, j, (sig >> (4*j)) & 15 AS band
+            FROM es, (SELECT unnest(range(0, 4)) AS j) z),
+          q AS (SELECT vec_id AS q_id FROM embeddings
+            WHERE vec_id < $NumQueries),
+          cand AS (SELECT DISTINCT q.q_id, b.vec_id
+            FROM q JOIN bl a ON a.vec_id = q.q_id
+                   JOIN bl b ON b.j = a.j AND b.band = a.band
+            WHERE b.vec_id <> q.q_id),
+          lc AS (SELECT c.q_id, c.vec_id,
+              la.label AS label_q, lb.label AS label_n
+            FROM cand c JOIN lab la ON la.vec_id = c.q_id
+                        JOIN lab lb ON lb.vec_id = c.vec_id
+            WHERE la.label <> lb.label),
+          scored AS (SELECT c.q_id AS query_id, c.vec_id AS neighbor_id,
+              c.label_q, c.label_n,
+              CAST(${qdotDuck("x.qv", "y.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+                AS cosine
+            FROM lc c JOIN es x ON x.vec_id = c.q_id
+                      JOIN es y ON y.vec_id = c.vec_id)
+          SELECT query_id, neighbor_id, label_q, label_n, cosine,
+            CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rk FROM scored) z
+          WHERE rk <= $HardNegK"""),
+      (s, d) => {
+        val e = quantized(s, d, withSig = true)
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val qe = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val labQ = lab.select(col("vec_id").as("q_id"),
+          col("label").as("label_q"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        lshCandidates(s, d)
+          .join(e, "vec_id").join(lab, "vec_id")
+          .join(broadcast(qe), "q_id").join(broadcast(labQ), "q_id")
+          .filter(col("label") =!= col("label_q"))
+          .withColumn("cosine", cosineCol)
+          .select(col("q_id").as("query_id"),
+            col("vec_id").as("neighbor_id"),
+            col("label_q"), col("label").as("label_n"), col("cosine"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= HardNegK)
       })
   )
 }

@@ -248,7 +248,33 @@ object Plans {
       ("Asymmetric incremental candidate join: the band index's probe "
         + "side is pre-filtered to the new batch BEFORE the bucket "
         + "join, so old x old candidates never materialize — per-day "
-        + "cost scales with the batch, not the corpus."))
+        + "cost scales with the batch, not the corpus."),
+    "q331_dsir_resample" ->
+      ("Importance resampling: one corpus feature shuffle, a 256-row "
+        + "ratio model and a 1-row weight range broadcast back, the "
+        + "keep gate pure integer row-local math — no window, no "
+        + "corpus-sized join anywhere."),
+    "q333_crossmodal_gate" ->
+      ("Media decode via mapPartitions (the sanctioned site) feeding a "
+        + "keyed media_id join of two corpus-scaled sides — shuffle "
+        + "join by design, never broadcast; the cosine gate is "
+        + "row-local quantized-int math."),
+    "q334_kn_fluency_gate" ->
+      ("Vocabulary-scaled model tables (bigram counts, fan-outs, "
+        + "continuation counts) joined on token keys — shuffle joins "
+        + "by design; only the 1-row bigram-type total broadcasts; "
+        + "per-doc mean on the decimal grid."),
+    "q335_curation_mix" ->
+      ("Four families composed in one plan: gate features shuffle "
+        + "once, the 256-row model broadcasts, the cluster split is "
+        + "row-local, one doc_id-keyed join, then a |sources|-grain "
+        + "allocator with a 1-row denominator — no window in the "
+        + "whole composition."),
+    "q339_label_silhouette" ->
+      ("Bounded |labels|-row centroid-SUM table broadcast onto every "
+        + "vector (nested-loop by design: each vector scores all "
+        + "labels); cos(x, S_g) == cos(x, mu_g) so no division enters "
+        + "the reduction — then one |labels|-grain rollup."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

@@ -98,7 +98,11 @@ class GuardSpec extends SparkSpec {
       "q314_rrf_fusion",
       // q322 audits q46's recall against q45's exact list — same fixed
       // probe-set broadcasts as both allowlisted parents
-      "q322_ann_recall")
+      "q322_ann_recall",
+      // q350 mines negatives for the SAME fixed anchor set as q46
+      // (vec_id < NumQueries): the broadcast sides are the 10 anchors
+      // and their labels, both deployment constants
+      "q350_hard_negatives")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

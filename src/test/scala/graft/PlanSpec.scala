@@ -1656,4 +1656,49 @@ class PlanSpec extends SparkSpec {
         l.contains("BroadcastExchange") && l.contains("parquet")),
       "no table scan may broadcast in the scoring path:\n" + p)
   }
+
+  test("q345: reshard placement is row-local hash argmax — no window, " +
+      "no join at all; the audit is one 16-group partial agg") {
+    val p = plan("q345_reshard_disruption")
+    assert(!p.contains("Window"),
+      "HRW placement must never rank via a window:\n" + p)
+    assert(!p.contains("Join"), "placement needs no join:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q346: both strata build bounded histograms via partial aggs; " +
+      "scalar frames broadcast — no CartesianProduct anywhere") {
+    val p = plan("q346_lsh_band_planning")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      "histogram buckets must combine map-side:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"),
+      "the 1-row scalar frames must broadcast:\n" + p)
+  }
+
+  test("q348: three verdict sets compare via keyed joins and 1-row " +
+      "broadcast scalars — no CartesianProduct") {
+    val p = plan("q348_dedup_family_agreement")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q349: the grain ladder is one composite-key partial agg and a " +
+      "3-group rollup — no window, no join") {
+    val p = plan("q349_dedup_grain_ladder")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), "the ladder needs no join:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q350: the anchor set broadcasts; the negative top-k window " +
+      "partitions on query_id, never global") {
+    val p = plan("q350_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 10-anchor set must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(query_id#"),
+      "per-anchor top-k must partition on query_id:\n" + p)
+  }
 }
