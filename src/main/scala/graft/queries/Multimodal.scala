@@ -19,6 +19,62 @@ object Multimodal {
     */
   private val XmodalFloor = 0.0
 
+  /** q352 perceptual near-dup threshold (hamming bits over the 60-bit
+    * phash; pinned to split the fixture's candidate pairs non-trivially).
+    */
+  private val PhashThreshold = 10
+
+  /** q352 band-bucket occupancy cap (the q42 linearity discipline). */
+  private val PhashBucketCap = 64
+
+  /** The decoded "image tower": every image asset's payload through the
+    * real codec plumbing (DispatchCodec → documented FakeCodec for the
+    * fixture's synthetic payloads), mean-pool-bucketed into 64 exact
+    * integer byte sums — shared by q333 (cross-modal gate) and q352
+    * (perceptual dedup). mapPartitions is the sanctioned media-decode
+    * site: per-partition batches, no per-row driver work.
+    */
+  private def imageTowers(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Media.fromDocuments(s, d)
+      .filter(col("kind") === "image")
+      .as[Media.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val grid = DispatchCodec.decode(r.content, r.meta)
+          val m = new Array[Long](64)
+          var i = 0
+          while (i < grid.length) {
+            // grid value is b/255f; *255 + round recovers b exactly
+            m(i * 64 / grid.length) += math.round(grid(i) * 255f).toLong
+            i += 1
+          }
+          (r.media_id, m)
+        }
+      }.toDF("media_id", "m")
+  }
+
+  /** DuckDB mirror of [[imageTowers]]: the FakeCodec grid is derived
+    * arithmetically from the payload bytes (see q333's header), ending
+    * as `ml(doc_id, m)` — the 64-bucket integer sums per image asset.
+    */
+  private val towersDuckCte: String =
+    s"""img AS (SELECT doc_id, text, n_chars,
+        ((n_chars % 64 + 1) * (n_chars % 48 + 1) * 3) AS n
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, (i * 64) // n AS k,
+        unicode(substring(text, CAST(i % n_chars AS INT) + 1, 1)) AS v
+      FROM (SELECT doc_id, text, n_chars, n,
+          unnest(range(0, n)) AS i FROM img) z),
+    sp AS (SELECT doc_id, k, CAST(SUM(v) AS BIGINT) AS mv
+      FROM g GROUP BY 1, 2),
+    dn AS (SELECT img.doc_id, ks.k, COALESCE(sp.mv, 0) AS mv
+      FROM (SELECT doc_id FROM img) img
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+      LEFT JOIN sp ON sp.doc_id = img.doc_id AND sp.k = ks.k),
+    ml AS (SELECT doc_id, list(mv ORDER BY k) AS m FROM dn GROUP BY 1)"""
+
   val all: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q60_media_catalog",
@@ -60,20 +116,7 @@ object Multimodal {
     QuerySpec(
       "q333_crossmodal_gate", {
         val qe = Portable.qvecDuck("embedding", 64)
-        Some(s"""WITH img AS (SELECT doc_id, text, n_chars,
-            ((n_chars % 64 + 1) * (n_chars % 48 + 1) * 3) AS n
-          FROM documents WHERE doc_id % 3 = 0),
-        g AS (SELECT doc_id, (i * 64) // n AS k,
-            unicode(substring(text, CAST(i % n_chars AS INT) + 1, 1)) AS v
-          FROM (SELECT doc_id, text, n_chars, n,
-              unnest(range(0, n)) AS i FROM img) z),
-        sp AS (SELECT doc_id, k, CAST(SUM(v) AS BIGINT) AS mv
-          FROM g GROUP BY 1, 2),
-        dn AS (SELECT img.doc_id, ks.k, COALESCE(sp.mv, 0) AS mv
-          FROM (SELECT doc_id FROM img) img
-          CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
-          LEFT JOIN sp ON sp.doc_id = img.doc_id AND sp.k = ks.k),
-        ml AS (SELECT doc_id, list(mv ORDER BY k) AS m FROM dn GROUP BY 1),
+        Some(s"""WITH $towersDuckCte,
         pr AS (SELECT ml.doc_id AS media_id, ml.m, $qe AS q
           FROM ml JOIN embeddings e ON e.vec_id = ml.doc_id),
         sc AS (SELECT media_id,
@@ -94,23 +137,7 @@ object Multimodal {
         FROM cs""")
       },
       (s: SparkSession, d: String) => {
-        import s.implicits._
-        val towers = Media.fromDocuments(s, d)
-          .filter(col("kind") === "image")
-          .as[Media.MediaRow]
-          .mapPartitions { rows =>
-            rows.map { r =>
-              val grid = DispatchCodec.decode(r.content, r.meta)
-              val m = new Array[Long](64)
-              var i = 0
-              while (i < grid.length) {
-                // grid value is b/255f; *255 + round recovers b exactly
-                m(i * 64 / grid.length) += math.round(grid(i) * 255f).toLong
-                i += 1
-              }
-              (r.media_id, m)
-            }
-          }.toDF("media_id", "m")
+        val towers = imageTowers(s, d)
         val emb = Tables.load(s, d, "embeddings")
           .select(col("vec_id"),
             expr(Portable.qvecSpark("embedding")).as("q"))
@@ -128,6 +155,76 @@ object Multimodal {
             (floor(col("c") * lit(1000000.0)) / lit(1000000.0))
               .as("cosine"),
             (col("c") < XmodalFloor).as("flagged"))
+      }),
+
+    // ---- perceptual-hash media near-dup (aHash over decoded pixels) --------
+    // Image dedup the way a multimodal corpus actually needs it: exact
+    // byte-hash dedup (q60's n_distinct_payloads) misses re-encoded or
+    // slightly-edited assets, so the industry runs PERCEPTUAL hashes
+    // over decoded pixels. This is average-hash (aHash) on the real
+    // decode path: each asset's 64-bucket pooled byte sums (the q333
+    // tower) threshold against their own mean — bit i set iff
+    // m[i]*64 >= sum(m), exact integer math, no division — giving a
+    // 60-bit signature; candidates come from 4x15-bit band buckets with
+    // the q42 occupancy cap (linearity by construction), and every
+    // candidate pair ships with its hamming distance plus the pinned
+    // near-dup verdict. 100 TB plan: decode once (mapPartitions), the
+    // signature is 8 bytes per asset, bands shuffle on 15-bit keys, the
+    // pair join is bucket-bounded — never all-pairs over assets.
+    QuerySpec(
+      "q352_media_phash_dedup",
+      Some(s"""WITH $towersDuckCte,
+        ph AS (SELECT doc_id AS media_id,
+            list_sum([CASE WHEN m[i + 1] * 64 >= msum
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 60)]) AS phash
+          FROM (SELECT doc_id, m, list_sum(m) AS msum FROM ml) z),
+        bl AS (SELECT media_id, j, (phash >> (15*j)) & 32767 AS band
+          FROM ph, (SELECT unnest(range(0, 4)) AS j) zz),
+        cool AS (SELECT j, band FROM bl GROUP BY j, band
+          HAVING COUNT(*) <= $PhashBucketCap),
+        blc AS (SELECT bl.media_id, bl.j, bl.band
+          FROM bl JOIN cool ON cool.j = bl.j AND cool.band = bl.band),
+        cand AS (SELECT DISTINCT a.media_id AS media_a,
+            b.media_id AS media_b
+          FROM blc a JOIN blc b ON a.j = b.j AND a.band = b.band
+            AND a.media_id < b.media_id)
+        SELECT media_a, media_b,
+          CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming,
+          bit_count(xor(x.phash, y.phash)) <= $PhashThreshold AS near_dup
+        FROM cand JOIN ph x ON x.media_id = media_a
+                  JOIN ph y ON y.media_id = media_b"""),
+      (s: SparkSession, d: String) => {
+        val ph = imageTowers(s, d)
+          .withColumn("msum", expr("aggregate(m, 0L, (a, v) -> a + v)"))
+          .select(col("media_id"), expr(
+            """aggregate(sequence(0, 59), 0L, (acc, i) ->
+               acc + IF(element_at(m, i + 1) * 64 >= msum,
+                 shiftleft(1L, i), 0L))""").as("phash"))
+          .cache() // 8 bytes/asset; feeds bands and both pair sides
+        val bl = ph.select(col("media_id"), posexplode(expr(
+            "transform(sequence(0, 3), j -> (shiftright(phash, 15*j) & 32767))")))
+          .toDF("media_id", "band_j", "band")
+        val cool = bl.groupBy(col("band_j"), col("band")).count()
+          .filter(col("count") <= PhashBucketCap)
+          .select(col("band_j"), col("band"))
+        val blc = bl.join(broadcast(cool), Seq("band_j", "band"))
+        val cand = blc.as("x").join(blc.as("y"),
+            col("x.band_j") === col("y.band_j")
+              && col("x.band") === col("y.band")
+              && col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("media_a"),
+            col("y.media_id").as("media_b"))
+          .distinct()
+        cand
+          .join(ph.select(col("media_id").as("media_a"),
+            col("phash").as("pa")), "media_a")
+          .join(ph.select(col("media_id").as("media_b"),
+            col("phash").as("pb")), "media_b")
+          .withColumn("hamming",
+            bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+          .select(col("media_a"), col("media_b"), col("hamming"),
+            (col("hamming") <= PhashThreshold).as("near_dup"))
       })
   )
 }

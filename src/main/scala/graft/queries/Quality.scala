@@ -31,8 +31,8 @@ object Quality {
     * accuracy knob (eps ≈ e/W); D drives the confidence. 3x1024 keeps the
     * sketch 24 KB — broadcastable state for a stream of any cardinality.
     */
-  private val CmsW = 1024
-  private val CmsD = 3
+  private[graft] val CmsW = 1024
+  private[graft] val CmsD = 3
 
   /** Sweep-line block size (6 h of boundaries per prefix-sum block). */
   private val SweepBlockMs = 6L * 3600L * 1000L

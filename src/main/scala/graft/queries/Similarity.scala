@@ -1049,6 +1049,105 @@ object Similarity {
             col("label_q"), col("label").as("label_n"), col("cosine"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= HardNegK)
+      }),
+
+    // ---- IVF nprobe planning (recall-vs-probes curve) ----------------------
+    // The cost knob of every IVF index at 100 TB is nprobe: each extra
+    // probed cell is another partition scanned per query. This audit
+    // measures what each probe BUYS on this corpus: for every query, the
+    // full multi-probe order is the own cell followed by single-plane
+    // flips in ascending confidence (|projection|) order — probe rank 0
+    // is the own cell, rank k flips the k-th least-confident hyperplane
+    // — and the query's rank is where its TRUE exact-top-1 neighbor's
+    // cell appears in that order (5 = unreachable by single flips, i.e.
+    // the true neighbor differs in >= 2 code bits). The cumulative
+    // recall curve over ranks is the evidence for choosing q47's
+    // nprobe=2 (or raising it). All integer cell math; the probe order
+    // sorts exact |projection| longs with a plane-index tie-break, so
+    // both engines agree bit-for-bit. Shape: exact top-1 reuses q45's
+    // broadcast-query scan; everything after is per-query row-local
+    // plus a 6-row rollup (the cum window reads the rank-grain
+    // aggregate, never data).
+    QuerySpec(
+      "q351_ivf_nprobe_planning",
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv, nsq,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv, nsq, p0, p1, p2, p3,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM pr),
+          t1 AS (SELECT q_id, neighbor_id AS top1_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  CAST(${qdotDuck("q.qv", "c.qv", Dims)} AS DOUBLE)
+                    / (sqrt(CAST(q.nsq AS DOUBLE))
+                      * sqrt(CAST(c.nsq AS DOUBLE))) DESC,
+                  c.vec_id) AS rk
+              FROM cells q JOIN cells c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < $NumQueries) z
+            WHERE rk = 1),
+          tc AS (SELECT t1.q_id, cells.cell AS t_cell
+            FROM t1 JOIN cells ON cells.vec_id = t1.top1_id),
+          pl AS (SELECT vec_id AS q_id, cell,
+              list_sort([{'a': abs(p0), 'j': 0}, {'a': abs(p1), 'j': 1},
+                {'a': abs(p2), 'j': 2}, {'a': abs(p3), 'j': 3}]) AS ord
+            FROM cells WHERE vec_id < $NumQueries),
+          pls AS (SELECT q_id,
+              list_concat([cell], [xor(cell, 1 << o.j) for o in ord])
+                AS plist
+            FROM pl),
+          rk AS (SELECT pls.q_id,
+              CASE WHEN COALESCE(list_position(plist, t_cell), 0) = 0
+                THEN 5 ELSE list_position(plist, t_cell) - 1 END AS rank
+            FROM pls JOIN tc USING (q_id)),
+          br AS (SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_queries
+            FROM rk GROUP BY 1),
+          tt AS (SELECT CAST(SUM(n_queries) AS BIGINT) AS total FROM br)
+          SELECT CAST(rank AS INT) AS rank, n_queries,
+            CAST(SUM(n_queries) OVER (ORDER BY rank) * 1000000 // total
+              AS BIGINT) AS cum_recall_ppm
+          FROM br, tt"""),
+      (s, d) => {
+        val c = celled(s, d).cache()
+        val qe = c.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val top1 = c.select(col("vec_id"), col("qv"), col("nsq"))
+          .join(broadcast(qe), col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineCol)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("vec_id").as("top1_id"))
+        val tc = top1.join(
+          c.select(col("vec_id").as("top1_id"), col("cell").as("t_cell")),
+          "top1_id")
+        val pls = c.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("cell"),
+            expr("""array_sort(array(
+              struct(abs(p0) AS a, 0 AS j), struct(abs(p1) AS a, 1 AS j),
+              struct(abs(p2) AS a, 2 AS j), struct(abs(p3) AS a, 3 AS j)))
+              """).as("ord"))
+          .withColumn("plist", expr(
+            "concat(array(cell), transform(ord, o -> cell ^ shiftleft(1, o.j)))"))
+        val br = pls.join(tc, "q_id")
+          .withColumn("pos", expr("array_position(plist, t_cell)"))
+          .withColumn("rank",
+            when(col("pos") === 0, lit(5)).otherwise(col("pos") - 1)
+              .cast("int"))
+          .groupBy(col("rank")).agg(count(lit(1)).as("n_queries"))
+        val tt = br.agg(sum(col("n_queries")).as("total"))
+        br.withColumn("cum_n",
+            sum(col("n_queries")).over(Window.orderBy(col("rank"))))
+          .crossJoin(broadcast(tt)) // 1-row total
+          .select(col("rank"), col("n_queries"),
+            expr("cum_n * 1000000 div total").as("cum_recall_ppm"))
       })
   )
 }

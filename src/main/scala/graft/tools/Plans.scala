@@ -274,7 +274,21 @@ object Plans {
       ("Bounded |labels|-row centroid-SUM table broadcast onto every "
         + "vector (nested-loop by design: each vector scores all "
         + "labels); cos(x, S_g) == cos(x, mu_g) so no division enters "
-        + "the reduction — then one |labels|-grain rollup."))
+        + "the reduction — then one |labels|-grain rollup."),
+    "q346_lsh_band_planning" ->
+      ("Two corpus-linear strata (systematic offset pairs; union of "
+        + "the guarded candidate generators) collapse to <=20-row "
+        + "histograms; the five layout scores are constant-size math "
+        + "over broadcast 1-row scalars — multiply-chain powers, no "
+        + "pow()."),
+    "q351_ivf_nprobe_planning" ->
+      ("Exact top-1 reuses the broadcast-query corpus scan; probe "
+        + "order is a row-local 4-struct sort; the cum-recall window "
+        + "reads the 6-row rank aggregate, never data."),
+    "q352_media_phash_dedup" ->
+      ("Decode once via mapPartitions; 8-byte phash per asset; 15-bit "
+        + "band buckets with the occupancy cap and a broadcast cool "
+        + "table — pair candidates bucket-bounded, never all-pairs."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

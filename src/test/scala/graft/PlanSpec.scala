@@ -1701,4 +1701,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(query_id#"),
       "per-anchor top-k must partition on query_id:\n" + p)
   }
+
+  test("q351: the exact-top1 scan broadcasts the query set; the " +
+      "per-query top-1 window partitions on q_id; no cartesian") {
+    val p = plan("q351_ivf_nprobe_planning")
+    assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+      "the 10-query set must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id#"),
+      "per-query top-1 must partition on q_id:\n" + p)
+  }
+
+  test("q352: phash bands shuffle on bucket keys with the cool-bucket " +
+      "table broadcast; pair generation is never a nested loop") {
+    val p = plan("q352_media_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded cool-bucket table must broadcast:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
 }

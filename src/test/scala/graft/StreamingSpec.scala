@@ -638,4 +638,60 @@ class StreamingSpec extends SparkSpec {
     assert(byJoin(1L) === ((2L, 5.0)) && !byJoin.contains(2L),
       "inner-join reference must agree (all-cold doc produces no row)")
   }
+
+  test("streaming CMS: counters after 3 micro-batches equal the batch " +
+      "grid cell-for-cell; estimates never underestimate") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchEvents = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"))
+    val evs = batchEvents.as[SketchStream.Ev].collect().sortBy(_.event_id)
+    val batches = evs.grouped((evs.length + 2) / 3).toSeq
+    assert(batches.length == 3)
+
+    val mem = MemoryStream[SketchStream.Ev]
+    val q = SketchStream.counters(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode("update").start()
+    batches.foreach { b =>
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // counters are monotone, so the final grid is the max per cell over
+    // the Update-mode emissions
+    val got = spark.table("t_cms")
+      .groupBy(col("i"), col("b")).agg(max(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = SketchStream.points(batchEvents)
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"stream/batch grid divergence: only-stream=${got.toSet -- expected.toSet} " +
+        s"only-batch=${expected.toSet -- got.toSet}")
+
+    // the CMS guarantee on the streamed grid: min-of-D probe per key
+    // never underestimates the exact count
+    val h = graft.functions.Portable
+      .h64Spark("concat(k, '#', cast(i as string))")
+    val grid = spark.table("t_cms")
+      .groupBy(col("i"), col("b")).agg(max(col("c")).as("c"))
+    val exact = batchEvents.groupBy(col("event_type").as("k"))
+      .agg(count(lit(1)).as("exact_n"))
+    val bad = exact
+      .select(col("k"), col("exact_n"),
+        explode(expr(s"sequence(0, ${queries.Quality.CmsD - 1})")).as("i"))
+      .select(col("k"), col("exact_n"), col("i"),
+        expr(s"($h) % ${queries.Quality.CmsW}").as("b"))
+      .join(grid, Seq("i", "b"))
+      .groupBy(col("k"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .filter(col("cms_est") < col("exact_n"))
+    assert(bad.isEmpty, "CMS must never underestimate: " +
+      bad.collect().mkString(", "))
+  }
 }
