@@ -1686,6 +1686,40 @@ object Operations {
           .select(col("shard16"), col("n_docs"), col("n_moved"),
             col("n_moved_to_new"),
             expr("n_moved * 1000000 div n_docs").as("moved_ppm"))
+      }),
+
+    // ---- shuffle-skew / salting planner ------------------------------------
+    // The pre-flight audit a 100 TB shuffle join runs BEFORE picking a
+    // strategy: per join key, the fact-side row count, its share of the
+    // total in ppm, and the SALT FACTOR that would level it against the
+    // uniform per-partition target (ceil(n_k * P / total) for the
+    // P = 32 deployment layout — exact integer ceiling division, no
+    // floats). Top-20 hottest keys by (rows DESC, key) is the bounded
+    // deliverable an AQE-skew or manual-salting decision reads. Shape:
+    // ONE partial-agg shuffle to the key grain, a 1-row total broadcast,
+    // TakeOrdered(20) — never a corpus-sized sort.
+    QuerySpec(
+      "q357_skew_salt_planner",
+      Some("""WITH kc AS (SELECT l_suppkey AS supp_key,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM kc)
+        SELECT supp_key, n_rows,
+          CAST(n_rows * 1000000 // total AS BIGINT) AS load_ppm,
+          CAST((n_rows * 32 + total - 1) // total AS BIGINT) AS salt
+        FROM kc, tt
+        ORDER BY n_rows DESC, supp_key LIMIT 20"""),
+      (s, d) => {
+        val kc = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("supp_key"))
+          .agg(count(lit(1)).as("n_rows"))
+        val tt = kc.agg(sum(col("n_rows")).cast("long").as("total"))
+        kc.crossJoin(broadcast(tt)) // 1-row total
+          .select(col("supp_key"), col("n_rows"),
+            expr("n_rows * 1000000 div total").as("load_ppm"),
+            expr("(n_rows * 32 + total - 1) div total").as("salt"))
+          .orderBy(col("n_rows").desc, col("supp_key"))
+          .limit(20)
       })
   )
 }

@@ -1148,6 +1148,330 @@ object Similarity {
           .crossJoin(broadcast(tt)) // 1-row total
           .select(col("rank"), col("n_queries"),
             expr("cum_n * 1000000 div total").as("cum_recall_ppm"))
+      }),
+
+    // ---- SemDeDup epsilon sweep (the q336 discipline, embedding-space) -----
+    // The threshold q98 prunes at decides how aggressive semantic dedup
+    // is, and the right value is corpus-specific. This sweep scores the
+    // SAME cell-bounded candidate pairs once (exact quantized cosine)
+    // and reports, per candidate threshold, how many in-cell pairs
+    // qualify and how many vectors a keep-lowest-id prune would remove
+    // — the yield curve a curation owner reads before fixing epsilon
+    // (q336 is the identical audit for MinHash Jaccard). Shape: one
+    // cell-keyed self-join (occupancy-bounded, ScaleSpec-guarded via
+    // q98's shared generator), cosine computed once, a 5-way threshold
+    // explode on the pair grain, one bounded rollup.
+    QuerySpec(
+      "q353_semdedup_eps_sweep",
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv, nsq,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv, nsq,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM pr),
+          pairs AS (SELECT a.vec_id AS kept, b.vec_id AS dropped,
+              CAST(${qdotDuck("a.qv", "b.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+                AS c
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          SELECT t AS threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(COUNT(DISTINCT dropped) AS BIGINT) AS n_removed
+          FROM pairs CROSS JOIN (SELECT unnest([30, 40, 50, 60, 70]) AS t) z
+          WHERE c >= CAST(t AS DOUBLE) / 100.0
+          GROUP BY t"""),
+      (s, d) =>
+        semCandidates(s, d, nPlanes = 4)
+          .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
+          .select(col("kept"), col("vec_id"), col("c"),
+            explode(lit(Array(30, 40, 50, 60, 70))).as("t"))
+          .filter(col("c") >= col("t").cast("double") / 100.0)
+          .groupBy(col("t").as("threshold_pct"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("vec_id")).as("n_removed"))),
+
+    // ---- incremental semantic dedup (new batch vs embedding index) ---------
+    // The daily-crawl shape for EMBEDDING-space dedup (q324 is its
+    // MinHash twin): a new vector batch (vec_id >= 250, the q324 batch
+    // convention) probes the existing corpus index on the coarse-cell
+    // key only — old x old pairs never materialize, so per-batch cost
+    // scales with the batch times cell occupancy, not with the corpus
+    // squared. Each new vector is admitted iff no indexed vector in its
+    // cell reaches the q98 threshold; rejects carry their canonical
+    // (min-id) duplicate and the match count for triage. LEFT join keeps
+    // admitted vectors in the output (the decision list IS the
+    // deliverable). At sf0.001 the batch is empty and both engines agree
+    // on the empty result — same convention as q324.
+    QuerySpec(
+      "q354_incremental_semdedup",
+      Some(s"""WITH $duckQuantCte,
+          pr AS (SELECT vec_id, qv, nsq,
+              ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+              ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+            FROM en),
+          cells AS (SELECT vec_id, qv, nsq,
+              (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+               + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+            FROM pr),
+          g AS (SELECT n.vec_id, n.cell, MIN(o.vec_id) AS dup_of,
+              CAST(COUNT(o.vec_id) AS BIGINT) AS n_matches
+            FROM cells n LEFT JOIN cells o
+              ON o.cell = n.cell AND o.vec_id < 250
+                AND CAST(${qdotDuck("n.qv", "o.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(n.nsq AS DOUBLE))
+                    * sqrt(CAST(o.nsq AS DOUBLE))) >= $SemThreshold
+            WHERE n.vec_id >= 250
+            GROUP BY 1, 2)
+          SELECT vec_id, CAST(cell AS INT) AS cell,
+            (n_matches = 0) AS admitted, dup_of, n_matches
+          FROM g"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val cellExpr = (0 until 4)
+          .map(p => s"IF(${projSpark(p)} >= 0, ${1 << p}, 0)")
+          .mkString(" + ")
+        val c = quantized(s, d, withSig = false)
+          .withColumn("cell", expr(cellExpr))
+        val n = c.filter(col("vec_id") >= 250)
+          .select(col("vec_id"), col("cell"),
+            col("qv").as("qv_n"), col("nsq").as("nsq_n"))
+        val o = c.filter(col("vec_id") < 250)
+          .select(col("vec_id").as("old_id"), col("cell").as("cell_o"),
+            col("qv").as("qv_o"), col("nsq").as("nsq_o"))
+        n.join(o, col("cell") === col("cell_o")
+            && expr("qcosine(qv_n, qv_o, nsq_n, nsq_o)") >= SemThreshold,
+            "left")
+          .groupBy(col("vec_id"), col("cell"))
+          .agg(min(col("old_id")).as("dup_of"),
+            count(col("old_id")).as("n_matches"))
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            (col("n_matches") === 0).as("admitted"),
+            col("dup_of"), col("n_matches"))
+      }),
+
+    // ---- PQ ADC recall + bias audit (q200's approximation, measured) -------
+    // q322 audits the LSH candidate stage; this audits the PQ DISTANCE
+    // approximation: per query, rank the whole corpus by the asymmetric
+    // (LUT) distance — sum over subspaces of L2²(query sub-vector,
+    // assigned codeword) — and report recall@$K against the exact-L2²
+    // top-k plus the signed total ADC bias (ADC minus exact, summed over
+    // all scored pairs; exact int64, headroom ~1e17 at 1e8 vectors).
+    // 100 TB shape: the codebook (32 sub-vectors), the query set (10)
+    // and the 320-row LUT all broadcast; per-corpus-row work is the 4-way
+    // code assignment plus one LUT lookup per subspace; the only
+    // corpus-sized exchanges are the (vec,s)-grain argmin and the
+    // (q,vec)-keyed join of the two distance legs; top-k windows
+    // partition per query.
+    QuerySpec(
+      "q355_pq_adc_recall",
+      Some(s"""WITH $duckQuantCte,
+          sub AS (SELECT vec_id, s, qv[s*16+1 : s*16+16] AS sq
+            FROM en, (SELECT unnest(range(0, 4)) AS s) z),
+          cb AS (SELECT vec_id AS cid, s, sq AS csq FROM sub
+            WHERE vec_id < $PqCodes),
+          dist AS (SELECT sub.vec_id, sub.s, cb.cid,
+              CAST(list_sum([(sub.sq[i] - cb.csq[i])
+                  * (sub.sq[i] - cb.csq[i])
+                for i in range(1, 17)]) AS BIGINT) AS d2
+            FROM sub JOIN cb ON cb.s = sub.s),
+          mn AS (SELECT vec_id, s, MIN(d2) AS m FROM dist GROUP BY 1, 2),
+          asg AS (SELECT dist.vec_id, dist.s, MIN(dist.cid) AS code
+            FROM dist JOIN mn ON mn.vec_id = dist.vec_id
+              AND mn.s = dist.s AND dist.d2 = mn.m
+            GROUP BY 1, 2),
+          lut AS (SELECT q.vec_id AS q_id, q.s, cb.cid,
+              CAST(list_sum([(q.sq[i] - cb.csq[i]) * (q.sq[i] - cb.csq[i])
+                for i in range(1, 17)]) AS BIGINT) AS ld2
+            FROM sub q JOIN cb ON cb.s = q.s
+            WHERE q.vec_id < $NumQueries),
+          adc AS (SELECT lut.q_id, asg.vec_id,
+              CAST(SUM(lut.ld2) AS BIGINT) AS adc_d2
+            FROM asg JOIN lut ON lut.s = asg.s AND lut.cid = asg.code
+            WHERE asg.vec_id <> lut.q_id
+            GROUP BY 1, 2),
+          ex AS (SELECT q.vec_id AS q_id, en.vec_id,
+              CAST(list_sum([(q.qv[i] - en.qv[i]) * (q.qv[i] - en.qv[i])
+                for i in range(1, ${Dims + 1})]) AS BIGINT) AS d2
+            FROM en q JOIN en ON en.vec_id <> q.vec_id
+            WHERE q.vec_id < $NumQueries),
+          bo AS (SELECT ex.q_id, ex.vec_id, ex.d2, adc.adc_d2,
+              row_number() OVER (PARTITION BY ex.q_id
+                ORDER BY ex.d2, ex.vec_id) AS rk_exact,
+              row_number() OVER (PARTITION BY ex.q_id
+                ORDER BY adc.adc_d2, ex.vec_id) AS rk_adc
+            FROM ex JOIN adc ON adc.q_id = ex.q_id
+              AND adc.vec_id = ex.vec_id)
+          SELECT q_id AS query_id,
+            CAST(COALESCE(SUM(CASE WHEN rk_exact <= $K AND rk_adc <= $K
+              THEN 1 END), 0) AS BIGINT) AS n_hits,
+            CAST(COALESCE(SUM(CASE WHEN rk_exact <= $K AND rk_adc <= $K
+              THEN 1 END), 0) AS DOUBLE) / $K AS recall,
+            CAST(SUM(adc_d2 - d2) AS BIGINT) AS adc_bias
+          FROM bo GROUP BY 1"""),
+      (s, d) => {
+        val l2 = (a: String, b: String) =>
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (acc, v) -> acc + v)")
+        val e = quantized(s, d, withSig = false)
+        val sub = e.withColumn("s", explode(lit((0 until 4).toArray)))
+          .withColumn("sq", expr("slice(qv, s * 16 + 1, 16)"))
+          .select(col("vec_id"), col("s"), col("sq"))
+        val cb = sub.filter(col("vec_id") < PqCodes)
+          .select(col("vec_id").as("cid"), col("s"), col("sq").as("csq"))
+        val dist = sub.join(broadcast(cb), "s")
+          .withColumn("d2", l2("sq", "csq"))
+        val asg = dist
+          .join(dist.groupBy(col("vec_id"), col("s"))
+            .agg(min(col("d2")).as("m")), Seq("vec_id", "s"))
+          .filter(col("d2") === col("m"))
+          .groupBy(col("vec_id"), col("s")).agg(min(col("cid")).as("code"))
+        val lut = sub.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("s"), col("sq").as("qsq"))
+          .join(cb, "s")
+          .withColumn("ld2", l2("qsq", "csq"))
+          .select(col("q_id"), col("s"), col("cid"), col("ld2"))
+        val adc = asg
+          .join(broadcast(lut),
+            asg("s") === lut("s") && col("code") === col("cid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("ld2")).cast("long").as("adc_d2"))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+        val ex = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("d2", l2("qv", "q_qv"))
+          .select(col("q_id"), col("vec_id"), col("d2"))
+        val wE = Window.partitionBy(col("q_id"))
+          .orderBy(col("d2"), col("vec_id"))
+        val wA = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_d2"), col("vec_id"))
+        ex.join(adc, Seq("q_id", "vec_id"))
+          .withColumn("rk_exact", row_number().over(wE))
+          .withColumn("rk_adc", row_number().over(wA))
+          .groupBy(col("q_id").as("query_id"))
+          .agg(
+            coalesce(sum(when(col("rk_exact") <= K && col("rk_adc") <= K,
+              1L)), lit(0L)).as("n_hits"),
+            (coalesce(sum(when(col("rk_exact") <= K && col("rk_adc") <= K,
+              1L)), lit(0L)).cast("double") / K).as("recall"),
+            sum(col("adc_d2") - col("d2")).cast("long").as("adc_bias"))
+      }),
+
+    // ---- k-means refinement churn (IVF index-maintenance audit) ------------
+    // q108 runs one Lloyd step; this measures what that step COSTS an
+    // IVF index built on the old centroids: re-derive the step-1
+    // centroids, re-assign every vector, and report per initial cell how
+    // many members move (churn ppm) and the occupancy drift — the
+    // metric that decides whether to rebuild posting lists after a
+    // refinement. Determinism: the step-1 centroid is the exact integer
+    // per-cell SUM quantized to the milli-grid by sign-pinned truncating
+    // division (same documented deployment quantization as q223's int8)
+    // — every distance afterwards is exact int64 on the 1000x grid.
+    // 100 TB shape: both assignment passes are broadcast-10-centroid
+    // row-local argmins (q108's min-struct partial-agg discipline); the
+    // only corpus-sized exchanges are the vec-keyed a0-join and the
+    // (cell, dim) partial-agg sum; everything after is 10-row grain.
+    QuerySpec(
+      "q356_kmeans_churn",
+      Some(s"""WITH $duckQuantCte,
+          seeds AS (SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+            FROM en WHERE vec_id < $NumQueries),
+          d0 AS (SELECT en.vec_id, s.cid,
+              en.nsq - 2 * ${qdotDuck("en.qv", "s.cqv", Dims)} + s.cnsq AS d2
+            FROM en, seeds s),
+          a0 AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cid) AS rk FROM d0) z
+            WHERE rk = 1),
+          ex AS (SELECT cid, u.dim AS dim, u.q AS q FROM (
+              SELECT a0.cid, unnest([{'dim': CAST(i - 1 AS INT),
+                  'q': en.qv[i]} for i in range(1, ${Dims + 1})]) AS u
+              FROM a0 JOIN en ON en.vec_id = a0.vec_id) z),
+          cs AS (SELECT cid, dim, CAST(SUM(q) AS BIGINT) AS sq,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM ex GROUP BY 1, 2),
+          mu AS (SELECT cid, MIN(n) AS n_before,
+              list(CAST(CASE WHEN sq >= 0 THEN (sq * 1000) // n
+                ELSE -(((-sq) * 1000) // n) END AS BIGINT)
+                ORDER BY dim) AS muv
+            FROM cs GROUP BY cid),
+          mun AS (SELECT cid, n_before, muv,
+              list_sum([muv[i] * muv[i]
+                for i in range(1, ${Dims + 1})]) AS munsq
+            FROM mu),
+          d1 AS (SELECT en.vec_id, m.cid,
+              1000000 * en.nsq
+                - 2000 * list_sum([en.qv[i] * m.muv[i]
+                    for i in range(1, ${Dims + 1})])
+                + m.munsq AS d2
+            FROM en, mun m),
+          a1 AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cid) AS rk FROM d1) z
+            WHERE rk = 1),
+          churn AS (SELECT a0.cid,
+              CAST(COUNT(*) AS BIGINT) AS n_before,
+              CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_out
+            FROM a0 JOIN a1 USING (vec_id) GROUP BY 1),
+          occ1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after
+            FROM a1 GROUP BY 1)
+          SELECT churn.cid, churn.n_before, churn.n_moved_out,
+            CAST((churn.n_moved_out * 1000000) // churn.n_before
+              AS BIGINT) AS moved_ppm,
+            CAST(COALESCE(occ1.n_after, 0) AS BIGINT) AS n_after
+          FROM churn LEFT JOIN occ1 ON occ1.cid = churn.cid"""),
+      (s, d) => {
+        val dot = (a: String, b: String) =>
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+            "0L, (acc, v) -> acc + v)")
+        val en = quantized(s, d, withSig = false)
+        val a0 = en.crossJoin(broadcast(en.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+              col("nsq").as("cnsq"))))
+          .select(col("vec_id"),
+            struct((col("nsq") - lit(2) * dot("qv", "cqv") + col("cnsq"))
+              .as("d2"), col("cid")).as("dc"))
+          .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+        val cs = a0.join(en.select(col("vec_id"), col("qv")), "vec_id")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        val mun = cs
+          .withColumn("mu", expr(
+            "IF(sq >= 0, (sq * 1000) div n, -(((-sq) * 1000) div n))"))
+          .groupBy(col("cid"))
+          .agg(min(col("n")).as("n_before"),
+            expr("transform(array_sort(collect_list(struct(dim, mu)))," +
+              " x -> x.mu)").as("muv"))
+          .withColumn("munsq", expr(
+            "aggregate(transform(muv, v -> v * v), 0L, (a, v) -> a + v)"))
+        val a1 = en.crossJoin(broadcast(mun))
+          .select(col("vec_id"),
+            struct((lit(1000000L) * col("nsq")
+              - lit(2000L) * dot("qv", "muv") + col("munsq")).as("d2"),
+              col("cid")).as("dc"))
+          .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid1"))
+        val churn = a0.join(a1, "vec_id")
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("cid1") =!= col("cid"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+        val occ1 = a1.groupBy(col("cid1").as("cid"))
+          .agg(count(lit(1)).as("n_after"))
+        churn.join(broadcast(occ1), Seq("cid"), "left")
+          .select(col("cid"), col("n_before"), col("n_moved_out"),
+            expr("(n_moved_out * 1000000) div n_before").as("moved_ppm"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
       })
   )
 }

@@ -1195,6 +1195,75 @@ object Warehouse {
         m.orderBy(abs(col("dshare")).desc, col("p_type")).limit(10)
           .select(col("p_type"), col("c0").as("cents_a"),
             col("c1").as("cents_b"), round(col("dshare"), 6).as("share_delta"))
+      }),
+
+    // ---- snapshot diff (table-version audit) -------------------------------
+    // The lakehouse versioning primitive next to q99's MERGE and q122's
+    // SCD2: given two snapshots of a keyed table, classify every key as
+    // added / removed / changed / unchanged and count per-column changes
+    // — the audit a pipeline runs after each ingest to size the delta
+    // it just applied. The second snapshot is DERIVED deterministically
+    // in-query (drop keys % 97, bump price on % 101, flip status on
+    // % 103, re-key % 89 as inserts) so both engines diff identical
+    // versions. Prices compare on the exact cents grid. 100 TB shape:
+    // one key-keyed full-outer sort-merge join of the two snapshot
+    // scans, then a 4-group partial agg — no window, no sort.
+    QuerySpec(
+      "q358_snapshot_diff",
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders),
+        v2 AS (
+          SELECT k + 100000000 AS k, st, cents FROM v1 WHERE k % 89 = 0
+          UNION ALL
+          SELECT k,
+            CASE WHEN k % 103 = 0 THEN 'X' ELSE st END AS st,
+            CASE WHEN k % 101 = 0 THEN cents + 100 ELSE cents END AS cents
+          FROM v1 WHERE k % 97 <> 0),
+        d AS (SELECT
+            CASE WHEN v1.k IS NULL THEN 'added'
+                 WHEN v2.k IS NULL THEN 'removed'
+                 WHEN v1.st <> v2.st OR v1.cents <> v2.cents THEN 'changed'
+                 ELSE 'unchanged' END AS class,
+            CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+              AND v1.cents <> v2.cents THEN 1 ELSE 0 END AS pc,
+            CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+              AND v1.st <> v2.st THEN 1 ELSE 0 END AS sc
+          FROM v1 FULL JOIN v2 ON v2.k = v1.k)
+        SELECT class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(pc) AS BIGINT) AS n_price_changed,
+          CAST(SUM(sc) AS BIGINT) AS n_status_changed
+        FROM d GROUP BY 1"""),
+      (s, d) => {
+        val v1 = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val v2 = v1.filter(col("k") % 89 === 0)
+          .select((col("k") + 100000000L).as("k"), col("st"), col("cents"))
+          .unionAll(v1.filter(col("k") % 97 =!= 0)
+            .select(col("k"),
+              when(col("k") % 103 === 0, "X").otherwise(col("st")).as("st"),
+              when(col("k") % 101 === 0, col("cents") + 100)
+                .otherwise(col("cents")).as("cents")))
+        val a = v1.select(col("k"), col("st").as("st1"),
+          col("cents").as("c1"))
+        val b = v2.select(col("k"), col("st").as("st2"),
+          col("cents").as("c2"))
+        a.join(b, Seq("k"), "full_outer")
+          .select(
+            when(col("st1").isNull && col("c1").isNull, "added")
+              .when(col("st2").isNull && col("c2").isNull, "removed")
+              .when(col("st1") =!= col("st2") || col("c1") =!= col("c2"),
+                "changed")
+              .otherwise("unchanged").as("class"),
+            when(col("c1").isNotNull && col("c2").isNotNull
+              && col("c1") =!= col("c2"), 1L).otherwise(0L).as("pc"),
+            when(col("st1").isNotNull && col("st2").isNotNull
+              && col("st1") =!= col("st2"), 1L).otherwise(0L).as("sc"))
+          .groupBy(col("class"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("pc")).as("n_price_changed"),
+            sum(col("sc")).as("n_status_changed"))
       })
   )
 }

@@ -102,7 +102,22 @@ class GuardSpec extends SparkSpec {
       // q350 mines negatives for the SAME fixed anchor set as q46
       // (vec_id < NumQueries): the broadcast sides are the 10 anchors
       // and their labels, both deployment constants
-      "q350_hard_negatives")
+      "q350_hard_negatives",
+      // q351 plans nprobe for q47 over the SAME fixed query set
+      // (vec_id < NumQueries): both broadcast sides are the 10 probe
+      // vectors (exact-top1 leg and cell-rank leg) — deployment
+      // constants, not corpus-scaled
+      "q351_ivf_nprobe_planning",
+      // q355 audits q200's PQ approximation: the broadcast sides are
+      // the 32-sub-vector codebook (vec_id < PqCodes), the 320-row
+      // query x codeword LUT, and the 10-query probe set — all
+      // deployment constants
+      "q355_pq_adc_recall",
+      // q356 re-assigns against q108's fixed 10-seed set (vec_id < 10)
+      // and the 10-row step-1 centroid table — the second IS a
+      // sub-aggregate but its lineage scans embeddings, which this
+      // sweep cannot prove bounded
+      "q356_kmeans_churn")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1722,4 +1722,51 @@ class PlanSpec extends SparkSpec {
       "the bounded cool-bucket table must broadcast:\n" + p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q353: the eps sweep scores cell-join candidates once — no " +
+      "cartesian, threshold explode stays on the pair grain, agg is " +
+      "partial+final") {
+    val p = plan("q353_semdedup_eps_sweep")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "in-cell pairing must ride the cell equi join:\n" + p)
+    assert(p.contains("explode([30,40,50,60,70])"),
+      "the 5-way threshold fan-out must be a row-local explode:\n" + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q354: incremental semdedup probes the index on the cell equi " +
+      "key — old x old never pairs, no nested loop, decision agg is " +
+      "keyed on the batch vector") {
+    val p = plan("q354_incremental_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "batch x index pairing must ride the cell equi join:\n" + p)
+    assert(p.contains("LeftOuter") || p.contains("BuildRight"),
+      "admitted vectors must survive via the LEFT join:\n" + p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q355: codebook and LUT broadcast; the two rank windows " +
+      "partition per query; no cartesian pair generation") {
+    val p = plan("q355_pq_adc_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "the codebook/LUT/query sides must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id#"),
+      "both rank windows must partition on q_id:\n" + p)
+  }
+
+  test("q356: both assignment passes are broadcast row-local argmins " +
+      "collapsed by partial agg — no windows, no cartesian on the " +
+      "corpus grain") {
+    val p = plan("q356_kmeans_churn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      "argmin must be the min-struct partial agg, not a window:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+      "the 10-row centroid tables must broadcast:\n" + p)
+    assert(p.contains("partial_min"), p)
+  }
 }
