@@ -44,7 +44,7 @@ object Quality {
   private val FreshCutoff = "1998-12-31 00:00:00"
 
   /** HLL geometry: 64 registers (top 6 hash bits), 54-bit rank field. */
-  private val HllField = 1L << 54
+  private[graft] val HllField = 1L << 54
 
   /** alpha_64 * m^2 * 2^56 — one Scala-computed double literal shared by
     * both engines so the estimate arithmetic is identical single

@@ -1769,4 +1769,22 @@ class PlanSpec extends SparkSpec {
       "the 10-row centroid tables must broadcast:\n" + p)
     assert(p.contains("partial_min"), p)
   }
+
+  test("q357: one partial agg to the key grain, 1-row total broadcast, " +
+      "top-20 via TakeOrdered — never a global sort") {
+    val p = plan("q357_skew_salt_planner")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be TakeOrdered, not Sort+Limit:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q358: the two snapshots diff through one key-keyed full-outer " +
+      "sort-merge join and a 4-group partial agg — no window") {
+    val p = plan("q358_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      "the diff must be a key-keyed full-outer SMJ:\n" + p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -694,4 +694,43 @@ class StreamingSpec extends SparkSpec {
     assert(bad.isEmpty, "CMS must never underestimate: " +
       bad.collect().mkString(", "))
   }
+
+  test("streaming HLL: registers after 3 micro-batches equal the batch " +
+      "grid register-for-register (and thus estimate-exactly)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // group = returnflag, tracked value = partkey — q134's exact shape
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_partkey").as("v"))
+    val evs = li.as[HllStream.Ev].collect()
+      .sortBy(e => (e.g, e.v))
+    val batches = evs.grouped((evs.length + 2) / 3).toSeq
+    assert(batches.length == 3)
+
+    val mem = MemoryStream[HllStream.Ev]
+    val q = HllStream.registers(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode("update").start()
+    batches.foreach { b =>
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // registers are monotone, so the final grid is the max per register
+    // over the Update-mode emissions
+    val got = spark.table("t_hll")
+      .groupBy(col("g"), col("bucket")).agg(max(col("m")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val expected = HllStream.points(li)
+      .groupBy(col("g"), col("bucket")).agg(max(col("m")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"stream/batch register divergence: " +
+        s"only-stream=${got.toSet -- expected.toSet} " +
+        s"only-batch=${expected.toSet -- got.toSet}")
+  }
 }
