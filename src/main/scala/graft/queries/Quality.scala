@@ -504,6 +504,114 @@ object Quality {
             .cast("double")
             / count(when(!col("is_member"), 1)).cast("double")
             * lit(1000000.0)) / lit(1000000.0)).as("fpr"))
+      }),
+
+    // ---- Bloom semi-join reduction planner (runtime-filter sizing) ---------
+    // The decision behind Spark's own runtime bloom-filter join: how
+    // many probe-side ROWS does a Bloom built on the filtered build
+    // side actually prune, and at what false-positive cost, as the
+    // filter SIZE sweeps? Build = urgent orders' keys; probe = lineitem
+    // keyed by l_orderkey with row-count weights (membership is per
+    // KEY, cost is per ROW — the weight join keeps both honest). For
+    // each m in {2^14, 2^16, 2^18} bits x 3 hashes (q326's exact bit
+    // machinery, salt-per-hash portable h64): rows passing, true
+    // matches, false-positive rows, and pruned ppm — the three-point
+    // curve a planner reads to size the filter against the shuffle it
+    // avoids. 100 TB shape: the bit table is a bounded aggregate
+    // (<= sum m/32 words) and broadcasts; the probe side is ONE
+    // key-grain partial agg of lineitem, then 9 row-local position
+    // probes per key; the exact-membership check rides a key-keyed
+    // join; the final rollup is 3 groups.
+    QuerySpec(
+      "q360_bloom_semijoin_planner", {
+        def h(i: Int) =
+          Portable.h64Duck(s"'sj$i:' || CAST(key AS VARCHAR)")
+        val hs = (0 until BloomHashes).map(h).mkString(", ")
+        Some(s"""WITH bld AS (SELECT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+          ms AS (SELECT CAST(unnest([16384, 65536, 262144]) AS BIGINT) AS m),
+          bbits AS (SELECT m, p % m // 32 AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(p % m % 32 AS INT)) AS bm
+            FROM (SELECT unnest([$hs]) AS p FROM bld) z, ms
+            GROUP BY 1, 2),
+          kc AS (SELECT l_orderkey AS key,
+              CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1),
+          mem AS (SELECT kc.key, kc.w,
+              (bld.key IS NOT NULL) AS is_member
+            FROM kc LEFT JOIN bld ON bld.key = kc.key),
+          pp AS (SELECT m, key, w, is_member, p % m AS pm
+            FROM (SELECT key, w, is_member, unnest([$hs]) AS p
+              FROM mem) z, ms),
+          hit AS (SELECT pp.m, pp.key, pp.w, pp.is_member,
+              CAST(COUNT(CASE WHEN (bm >> CAST(pm % 32 AS INT)) & 1 = 1
+                THEN 1 END) AS BIGINT) AS n_set
+            FROM pp LEFT JOIN bbits ON bbits.m = pp.m
+              AND bbits.word = pm // 32
+            GROUP BY 1, 2, 3, 4),
+          v AS (SELECT m, w, is_member,
+              (n_set = $BloomHashes) AS pass FROM hit)
+          SELECT m AS bloom_bits,
+            CAST(SUM(w) AS BIGINT) AS n_probe_rows,
+            CAST(COALESCE(SUM(CASE WHEN pass THEN w END), 0) AS BIGINT)
+              AS n_pass_rows,
+            CAST(COALESCE(SUM(CASE WHEN is_member THEN w END), 0)
+              AS BIGINT) AS n_true_rows,
+            CAST(COALESCE(SUM(CASE WHEN pass AND NOT is_member THEN w END),
+              0) AS BIGINT) AS n_fp_rows,
+            CAST((SUM(w) - COALESCE(SUM(CASE WHEN pass THEN w END), 0))
+              * 1000000 // SUM(w) AS BIGINT) AS pruned_ppm
+          FROM v GROUP BY 1""")
+      },
+      (s, d) => {
+        def h(i: Int) =
+          Portable.h64Spark(s"concat('sj$i:', cast(key as string))")
+        val hArr = (0 until BloomHashes).map(h)
+          .mkString("array(", ", ", ")")
+        val msCol = explode(lit(Array(16384L, 65536L, 262144L))).as("m")
+        val bld = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("key"))
+        val bbits = bld
+          .select(explode(expr(hArr)).as("p"))
+          .select(col("p"), msCol)
+          .groupBy(col("m"), expr("p % m div 32").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, cast(p % m % 32 as int)))")
+            .as("bm"))
+        val kc = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("key"))
+          .agg(count(lit(1)).as("w"))
+        val mem = kc
+          .join(bld.select(col("key"), lit(true).as("im")), Seq("key"),
+            "left")
+          .select(col("key"), col("w"),
+            coalesce(col("im"), lit(false)).as("is_member"))
+        val pp = mem
+          .select(col("key"), col("w"), col("is_member"),
+            explode(expr(hArr)).as("p"))
+          .select(col("key"), col("w"), col("is_member"), col("p"), msCol)
+          .select(col("m"), col("key"), col("w"), col("is_member"),
+            expr("p % m").as("pm"))
+        val hit = pp
+          .join(broadcast(bbits),
+            pp("m") === bbits("m") && col("word") === expr("pm div 32"),
+            "left")
+          .groupBy(pp("m").as("m"), col("key"), col("w"), col("is_member"))
+          .agg(count(when(
+            expr("(bm >> cast(pm % 32 as int)) & 1 = 1"), 1)).as("n_set"))
+        hit
+          .select(col("m"), col("w"), col("is_member"),
+            (col("n_set") === BloomHashes).as("pass"))
+          .groupBy(col("m").as("bloom_bits"))
+          .agg(sum(col("w")).as("n_probe_rows"),
+            coalesce(sum(when(col("pass"), col("w"))), lit(0L))
+              .as("n_pass_rows"),
+            coalesce(sum(when(col("is_member"), col("w"))), lit(0L))
+              .as("n_true_rows"),
+            coalesce(sum(when(col("pass") && !col("is_member"), col("w"))),
+              lit(0L)).as("n_fp_rows"),
+            expr("(sum(w) - coalesce(sum(CASE WHEN pass THEN w END), 0))" +
+              " * 1000000 div sum(w)").as("pruned_ppm"))
       })
   )
 }

@@ -1472,6 +1472,121 @@ object Similarity {
           .select(col("cid"), col("n_before"), col("n_moved_out"),
             expr("(n_moved_out * 1000000) div n_before").as("moved_ppm"),
             coalesce(col("n_after"), lit(0L)).as("n_after"))
+      }),
+
+    // ---- int8 rerank fidelity (Kendall tau vs the exact ranking) -----------
+    // q355 audits recall (set overlap); this audits ORDER: within each
+    // query's exact-cosine top-20, re-rank by the raw int8-code dot
+    // (q223's per-dim min-max quantization — the cheap dot-product
+    // ranker a compressed vector store actually serves) and report
+    // Kendall tau as exact integer concordant/discordant pair counts
+    // over the C(20,2) pairs. Everything is integer: codes 0..255,
+    // code dot <= 64 * 255² ≈ 4.2e6, tau on the milli grid by
+    // truncating division. 100 TB shape: the 64-row per-dim stats and
+    // the 10-query set broadcast; code arrays are one corpus-grain
+    // (vec, dim) partial agg; the pair stage is k²-bounded per query
+    // (190 pairs), never corpus-sized.
+    QuerySpec(
+      "q359_int8_rank_fidelity",
+      Some(s"""WITH $duckQuantCte,
+          ex AS (SELECT vec_id, u.i AS i, u.qd AS qd FROM (
+              SELECT vec_id, unnest([{'i': CAST(i AS INT), 'qd': qv[i]}
+                for i in range(1, ${Dims + 1})]) AS u
+            FROM en) z),
+          st AS (SELECT i, CAST(MIN(qd) AS BIGINT) AS mn,
+              CAST(MAX(qd) AS BIGINT) AS mx
+            FROM ex GROUP BY 1),
+          cd AS (SELECT vec_id, ex.i,
+              CASE WHEN mx = mn THEN 0
+                ELSE ((qd - mn) * 255) // (mx - mn) END AS code
+            FROM ex JOIN st ON st.i = ex.i),
+          carr AS (SELECT vec_id, list(code ORDER BY i) AS ca
+            FROM cd GROUP BY 1),
+          q AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq
+            FROM en WHERE vec_id < $NumQueries),
+          xsc AS (SELECT q_id, en.vec_id,
+              CAST(${qdotDuck("q_qv", "en.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(en.nsq AS DOUBLE)))
+                AS cosine
+            FROM q JOIN en ON en.vec_id <> q_id),
+          top AS (SELECT q_id, vec_id, rk AS rk_exact FROM (
+              SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, vec_id) AS rk FROM xsc) z
+            WHERE rk <= 20),
+          sc8 AS (SELECT t.q_id, t.vec_id, t.rk_exact,
+              list_sum([a.ca[i] * b.ca[i]
+                for i in range(1, ${Dims + 1})]) AS c8
+            FROM top t JOIN carr a ON a.vec_id = t.q_id
+                        JOIN carr b ON b.vec_id = t.vec_id),
+          rr AS (SELECT q_id, vec_id, rk_exact,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY c8 DESC, vec_id) AS rk8
+            FROM sc8),
+          pairs AS (SELECT a.q_id,
+              CASE WHEN a.rk8 < b.rk8 THEN 1 ELSE 0 END AS conc
+            FROM rr a JOIN rr b ON b.q_id = a.q_id
+              AND a.rk_exact < b.rk_exact)
+          SELECT q_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(conc) AS BIGINT) AS n_concordant,
+            CAST(COUNT(*) - SUM(conc) AS BIGINT) AS n_discordant,
+            CAST(CASE WHEN COUNT(*) = 0 THEN 0
+              WHEN 2 * SUM(conc) >= COUNT(*)
+                THEN ((2 * SUM(conc) - COUNT(*)) * 1000) // COUNT(*)
+              ELSE -(((COUNT(*) - 2 * SUM(conc)) * 1000) // COUNT(*)) END
+              AS BIGINT) AS tau_milli
+          FROM pairs GROUP BY 1"""),
+      (s, d) => {
+        val en = quantized(s, d, withSig = false)
+        val ex = en
+          .select(col("vec_id"), posexplode(col("qv")).as(Seq("i0", "qd")))
+          .select(col("vec_id"), (col("i0") + 1).as("i"), col("qd"))
+        val st = ex.groupBy(col("i"))
+          .agg(min(col("qd")).as("mn"), max(col("qd")).as("mx"))
+        val carr = ex.join(broadcast(st), Seq("i"))
+          .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+            .otherwise(expr("(qd - mn) * 255 div (mx - mn)")))
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, code)))," +
+            " x -> x.code)").as("ca"))
+        val q = en.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val wE = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val top = en.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+          .withColumn("rk_exact", row_number().over(wE))
+          .filter(col("rk_exact") <= 20)
+          .select(col("q_id"), col("vec_id"), col("rk_exact"))
+        val sc8 = top
+          .join(carr.select(col("vec_id").as("q_id"), col("ca").as("qa")),
+            "q_id")
+          .join(carr.select(col("vec_id"), col("ca").as("na")), "vec_id")
+          .withColumn("c8", expr(
+            "aggregate(zip_with(qa, na, (x, y) -> x * y), 0L, " +
+              "(acc, v) -> acc + v)"))
+        val w8 = Window.partitionBy(col("q_id"))
+          .orderBy(col("c8").desc, col("vec_id"))
+        val rr = sc8.withColumn("rk8", row_number().over(w8))
+          .select(col("q_id"), col("rk_exact"), col("rk8"))
+        val a = rr.select(col("q_id"), col("rk_exact").as("re_a"),
+          col("rk8").as("r8_a"))
+        val b = rr.select(col("q_id").as("q_id_b"),
+          col("rk_exact").as("re_b"), col("rk8").as("r8_b"))
+        a.join(b, col("q_id") === col("q_id_b")
+            && col("re_a") < col("re_b"))
+          .select(col("q_id"),
+            when(col("r8_a") < col("r8_b"), 1L).otherwise(0L).as("conc"))
+          .groupBy(col("q_id").as("query_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("conc")).as("n_concordant"),
+            (count(lit(1)) - sum(col("conc"))).as("n_discordant"),
+            when(count(lit(1)) === 0, 0L)
+              .when(lit(2) * sum(col("conc")) >= count(lit(1)), expr(
+                "((2 * sum(conc) - count(1)) * 1000) div count(1)"))
+              .otherwise(-expr(
+                "((count(1) - 2 * sum(conc)) * 1000) div count(1)"))
+              .as("tau_milli"))
       })
   )
 }

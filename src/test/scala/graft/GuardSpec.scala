@@ -117,7 +117,11 @@ class GuardSpec extends SparkSpec {
       // and the 10-row step-1 centroid table — the second IS a
       // sub-aggregate but its lineage scans embeddings, which this
       // sweep cannot prove bounded
-      "q356_kmeans_churn")
+      "q356_kmeans_churn",
+      // q359 reranks the SAME fixed query set (vec_id < NumQueries);
+      // the broadcast sides are the 10 probe vectors and the 64-row
+      // per-dim quantization stats — deployment constants
+      "q359_int8_rank_fidelity")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1787,4 +1787,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q359: per-dim stats and the query set broadcast; both rank " +
+      "windows partition per query; the pair stage joins on q_id, " +
+      "never a cartesian") {
+    val p = plan("q359_int8_rank_fidelity")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row stats / 10-query sides must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id#"),
+      "rank windows must partition on q_id:\n" + p)
+  }
+
+  test("q360: the bloom bit table is a bounded aggregate and " +
+      "broadcasts; probe membership rides a key-keyed join; no " +
+      "cartesian") {
+    val p = plan("q360_bloom_semijoin_planner")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bit table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
