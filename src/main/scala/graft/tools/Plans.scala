@@ -288,7 +288,24 @@ object Plans {
     "q352_media_phash_dedup" ->
       ("Decode once via mapPartitions; 8-byte phash per asset; 15-bit "
         + "band buckets with the occupancy cap and a broadcast cool "
-        + "table — pair candidates bucket-bounded, never all-pairs."))
+        + "table — pair candidates bucket-bounded, never all-pairs."),
+    "q354_incremental_semdedup" ->
+      ("New-batch vectors probe the corpus index on the cell equi key "
+        + "only (old x old never pairs); LEFT join keeps admitted "
+        + "vectors; decision agg is keyed on the batch vector."),
+    "q356_kmeans_churn" ->
+      ("Both assignment passes are broadcast-10-centroid row-local "
+        + "argmins collapsed by min-struct partial agg — no windows; "
+        + "the only corpus exchanges are the vec-keyed join and the "
+        + "(cell, dim) sum."),
+    "q358_snapshot_diff" ->
+      ("Two snapshot scans diff through ONE key-keyed full-outer "
+        + "sort-merge join, then a 4-group partial agg — no window, "
+        + "no global sort."),
+    "q360_bloom_semijoin_planner" ->
+      ("The 3-size bloom bit table is a bounded aggregate and "
+        + "broadcasts; probe side is one key-grain partial agg of "
+        + "lineitem + 9 row-local position probes per key."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
