@@ -1720,6 +1720,97 @@ object Operations {
             expr("(n_rows * 32 + total - 1) div total").as("salt"))
           .orderBy(col("n_rows").desc, col("supp_key"))
           .limit(20)
+      }),
+
+    // ---- join-cardinality estimation audit (optimizer statistics) ----------
+    // The independence-assumption estimate every cost-based optimizer
+    // runs on — |A| * |B| / max(NDV_A, NDV_B) — checked against the
+    // EXACT join cardinality (sum over keys of cnt_A * cnt_B) for three
+    // join shapes: the M:N self-join on partkey (where the assumption
+    // is most dangerous), the N:1 fact-to-orders join, and the
+    // orders-to-customer join. Error in ppm of the exact count is the
+    // deliverable — the audit that tells you where AQE's runtime
+    // statistics matter most. Shape: each join needs only its key-grain
+    // count tables (partial-agg shuffles); the exact count is a
+    // key-keyed join of two bounded count tables; output is 3 rows.
+    QuerySpec(
+      "q362_join_card_estimate",
+      Some("""WITH lp AS (SELECT l_partkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        lo AS (SELECT l_orderkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        ok AS (SELECT o_orderkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        oc AS (SELECT o_custkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        ck AS (SELECT c_custkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+        j AS (
+          SELECT 'lineitem_self_partkey' AS join_name,
+            (SELECT SUM(c) FROM lp) AS rows_a,
+            (SELECT SUM(c) FROM lp) AS rows_b,
+            (SELECT COUNT(*) FROM lp) AS ndv_a,
+            (SELECT COUNT(*) FROM lp) AS ndv_b,
+            (SELECT SUM(c * c) FROM lp) AS exact_rows
+          UNION ALL
+          SELECT 'lineitem_orders', (SELECT SUM(c) FROM lo),
+            (SELECT SUM(c) FROM ok), (SELECT COUNT(*) FROM lo),
+            (SELECT COUNT(*) FROM ok),
+            (SELECT SUM(a.c * b.c) FROM lo a JOIN ok b ON b.k = a.k)
+          UNION ALL
+          SELECT 'orders_customer', (SELECT SUM(c) FROM oc),
+            (SELECT SUM(c) FROM ck), (SELECT COUNT(*) FROM oc),
+            (SELECT COUNT(*) FROM ck),
+            (SELECT SUM(a.c * b.c) FROM oc a JOIN ck b ON b.k = a.k))
+        SELECT join_name, CAST(rows_a AS BIGINT) AS rows_a,
+          CAST(rows_b AS BIGINT) AS rows_b,
+          CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+          CAST(exact_rows AS BIGINT) AS exact_rows,
+          CAST(rows_a * rows_b // GREATEST(ndv_a, ndv_b) AS BIGINT)
+            AS est_rows,
+          CAST(ABS(exact_rows - rows_a * rows_b
+              // GREATEST(ndv_a, ndv_b)) * 1000000 // exact_rows
+            AS BIGINT) AS err_ppm
+        FROM j"""),
+      (s, d) => {
+        def counts(df: DataFrame, key: String): DataFrame =
+          df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        val li = t(s, d, "lineitem")
+        val lp = counts(li, "l_partkey")
+        val lo = counts(li, "l_orderkey")
+        val ok = counts(t(s, d, "orders"), "o_orderkey")
+        val oc = counts(t(s, d, "orders"), "o_custkey")
+        val ck = counts(t(s, d, "customer"), "c_custkey")
+        def selfStats(name: String, a: DataFrame): DataFrame =
+          a.agg(sum(col("c")).as("rows_a"), sum(col("c")).as("rows_b"),
+            count(lit(1)).as("ndv_a"), count(lit(1)).as("ndv_b"),
+            sum(col("c") * col("c")).as("exact_rows"))
+            .select(lit(name).as("join_name"), col("*"))
+        def pairStats(name: String, a: DataFrame, b: DataFrame)
+            : DataFrame = {
+          val sa = a.agg(sum(col("c")).as("rows_a"),
+            count(lit(1)).as("ndv_a"))
+          val sb = b.agg(sum(col("c")).as("rows_b"),
+            count(lit(1)).as("ndv_b"))
+          val ex = a.select(col("k"), col("c").as("ca"))
+            .join(b.select(col("k"), col("c").as("cb")), "k")
+            .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+              .as("exact_rows"))
+          sa.crossJoin(sb).crossJoin(ex) // all 1-row aggregates
+            .select(lit(name).as("join_name"), col("rows_a"),
+              col("rows_b"), col("ndv_a"), col("ndv_b"),
+              col("exact_rows"))
+        }
+        selfStats("lineitem_self_partkey", lp)
+          .unionByName(pairStats("lineitem_orders", lo, ok))
+          .unionByName(pairStats("orders_customer", oc, ck))
+          .select(col("join_name"), col("rows_a"), col("rows_b"),
+            col("ndv_a"), col("ndv_b"), col("exact_rows"),
+            expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
+              .as("est_rows"),
+            expr("abs(exact_rows - rows_a * rows_b div " +
+              "greatest(ndv_a, ndv_b)) * 1000000 div exact_rows")
+              .as("err_ppm"))
       })
   )
 }

@@ -1264,6 +1264,50 @@ object Warehouse {
           .agg(count(lit(1)).as("n_rows"),
             sum(col("pc")).as("n_price_changed"),
             sum(col("sc")).as("n_status_changed"))
+      }),
+
+    // ---- k-anonymity / l-diversity audit (release-gate privacy) ------------
+    // The privacy audit a dataset passes BEFORE leaving the curation
+    // boundary (q150 scrubs values; this measures re-identification
+    // risk): group rows by the quasi-identifier tuple
+    // (nation, market segment), measure group size against k = 10 and
+    // the diversity of the sensitive attribute (in-debt flag) against
+    // l = 2, and report the LEVEL of the generalization lattice at
+    // which each group first satisfies k — 0 = raw QI tuple, 1 = drop
+    // the segment (nation only), 2 = fully generalized. That ladder is
+    // the actionable output: it tells the releaser how much coarsening
+    // each cell needs. Shape: one partial-agg shuffle at the bounded
+    // QI grain (|nations| x |segments|), a nation-grain rollup joined
+    // back broadcast — nothing corpus-sized after the first agg.
+    QuerySpec(
+      "q361_k_anonymity",
+      Some("""WITH g AS (SELECT c_nationkey AS nation,
+            c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS l_div
+          FROM customer GROUP BY 1, 2),
+        gn AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n_nation
+          FROM g GROUP BY 1)
+        SELECT g.nation, g.seg, g.n, g.l_div,
+          CAST(CASE WHEN g.n >= 10 THEN 0
+            WHEN gn.n_nation >= 10 THEN 1 ELSE 2 END AS INT) AS k_level,
+          (g.l_div < 2) AS l_violation
+        FROM g JOIN gn USING (nation)"""),
+      (s, d) => {
+        val g = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(when(col("c_acctbal") < 0, 1).otherwise(0))
+              .as("l_div"))
+        val gn = g.groupBy(col("nation"))
+          .agg(sum(col("n")).as("n_nation"))
+        g.join(broadcast(gn), Seq("nation"))
+          .select(col("nation"), col("seg"), col("n"), col("l_div"),
+            when(col("n") >= 10, 0)
+              .when(col("n_nation") >= 10, 1).otherwise(2)
+              .cast("int").as("k_level"),
+            (col("l_div") < 2).as("l_violation"))
       })
   )
 }

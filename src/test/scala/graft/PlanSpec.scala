@@ -1809,4 +1809,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q361: one QI-grain partial agg, nation rollup joined back " +
+      "broadcast — no window, no cartesian") {
+    val p = plan("q361_k_anonymity")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation-grain rollup must broadcast back:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("q362: key-grain count tables feed 1-row stat aggregates; the " +
+      "scalar combines are broadcast 1-row joins, never a data-sized " +
+      "product") {
+    val p = plan("q362_join_card_estimate")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
 }
