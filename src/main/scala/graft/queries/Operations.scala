@@ -1811,6 +1811,78 @@ object Operations {
             expr("abs(exact_rows - rows_a * rows_b div " +
               "greatest(ndv_a, ndv_b)) * 1000000 div exact_rows")
               .as("err_ppm"))
+      }),
+
+    // ---- sampled + end-biased cardinality estimators (q362's sequel) -------
+    // q362 shows where the independence estimate fails (the M:N
+    // self-join); this audits the two estimators an optimizer upgrades
+    // to: (a) a 1-in-64 HASH-GATED key sample (q113's deterministic
+    // integer gate — no RNG) with the sampled sum-of-squares scaled
+    // back up, and (b) Estan-Naughton end-biased sampling — EXACT
+    // accounting for heavy keys (count >= 40), the sampled scale-up
+    // only for the light tail, which is where sampling is actually
+    // safe. All three (independence, sampled, end-biased) against the
+    // exact self-join cardinality, error in ppm. Shape: everything
+    // derives from ONE partkey-grain count table; the estimator rows
+    // are 1-row aggregates unioned — no second corpus pass.
+    QuerySpec(
+      "q363_sampled_card_estimate", {
+        val g = Portable.h64Duck("'cs:' || CAST(k AS VARCHAR)")
+        Some(s"""WITH lp AS (SELECT l_partkey AS k,
+              CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+          base AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_a,
+              CAST(COUNT(*) AS BIGINT) AS ndv,
+              CAST(SUM(c * c) AS BIGINT) AS exact_rows FROM lp),
+          est AS (
+            SELECT 'independence' AS estimator,
+              rows_a * rows_a // ndv AS est_rows FROM base
+            UNION ALL
+            SELECT 'hash_sampled_1_in_64',
+              64 * COALESCE(CAST(SUM(CASE WHEN ($g) % 64 = 0
+                THEN c * c END) AS BIGINT), 0)
+            FROM lp
+            UNION ALL
+            SELECT 'end_biased_heavy40',
+              COALESCE(CAST(SUM(CASE WHEN c >= 40 THEN c * c END)
+                AS BIGINT), 0)
+              + 64 * COALESCE(CAST(SUM(CASE WHEN c < 40
+                  AND ($g) % 64 = 0 THEN c * c END) AS BIGINT), 0)
+            FROM lp)
+          SELECT estimator, CAST(est.est_rows AS BIGINT) AS est_rows,
+            base.exact_rows,
+            CAST(ABS(base.exact_rows - est.est_rows) * 1000000
+              // base.exact_rows AS BIGINT) AS err_ppm
+          FROM est, base""")
+      },
+      (s, d) => {
+        val g = Portable.h64Spark("concat('cs:', cast(k as string))")
+        val lp = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .cache() // feeds all three estimators + the exact base
+        val base = lp.agg(sum(col("c")).as("rows_a"),
+          count(lit(1)).as("ndv"),
+          sum(col("c") * col("c")).as("exact_rows"))
+        val indep = base.select(lit("independence").as("estimator"),
+          expr("rows_a * rows_a div ndv").as("est_rows"))
+        val sampled = lp.agg(
+          (lit(64L) * coalesce(sum(when(expr(s"($g) % 64") === 0,
+            col("c") * col("c"))), lit(0L))).as("est_rows"))
+          .select(lit("hash_sampled_1_in_64").as("estimator"),
+            col("est_rows"))
+        val endBiased = lp.agg(
+          (coalesce(sum(when(col("c") >= 40, col("c") * col("c"))),
+            lit(0L))
+            + lit(64L) * coalesce(sum(when(col("c") < 40
+              && expr(s"($g) % 64") === 0, col("c") * col("c"))),
+              lit(0L))).as("est_rows"))
+          .select(lit("end_biased_heavy40").as("estimator"),
+            col("est_rows"))
+        indep.unionByName(sampled).unionByName(endBiased)
+          .crossJoin(broadcast(base.select(col("exact_rows")))) // 1 row
+          .select(col("estimator"), col("est_rows"), col("exact_rows"),
+            expr("abs(exact_rows - est_rows) * 1000000 div exact_rows")
+              .as("err_ppm"))
       })
   )
 }

@@ -1123,6 +1123,50 @@ object Selection {
             (floor(sum(col("n_lw") * col("n_char")).cast("double")
               / sum(col("n_lw") * col("n_sym")).cast("double")
               * lit(1000000.0)) / lit(1000000.0)).as("chars_per_token"))
+      }),
+
+    // ---- vocabulary min-count pruning sweep (OOV budget planning) ----------
+    // The vocab-size knob every tokenizer/embedding table owner turns:
+    // for each candidate min-count floor T, the surviving vocabulary
+    // size and the token mass that becomes OOV (words below the floor)
+    // — the coverage-vs-size curve read BEFORE freezing a vocab (q340
+    // measures growth over time; this prices truncation). Same sweep
+    // discipline as q336/q346/q353: the corpus is aggregated ONCE to
+    // the word grain, the 4-way threshold explode runs on that bounded
+    // vocabulary grain, and the rollup is 4 groups. OOV ppm is exact
+    // integer (truncating division on nonneg operands).
+    QuerySpec(
+      "q364_vocab_mincount_sweep",
+      Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' '))
+            AS word FROM documents),
+        wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w WHERE word <> '' GROUP BY 1),
+        tt AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM wc),
+        sw AS (SELECT t, c FROM wc
+          CROSS JOIN (SELECT unnest([2, 4, 8, 16]) AS t) z)
+        SELECT t AS min_count,
+          CAST(COUNT(CASE WHEN c >= t THEN 1 END) AS BIGINT) AS vocab_size,
+          CAST(COALESCE(SUM(CASE WHEN c < t THEN c END), 0) AS BIGINT)
+            AS n_oov_tokens,
+          CAST(COALESCE(SUM(CASE WHEN c < t THEN c END), 0) * 1000000
+            // total AS BIGINT) AS oov_ppm
+        FROM sw, tt GROUP BY t, total"""),
+      (s, d) => {
+        val wc = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val tt = wc.agg(sum(col("c")).as("total"))
+        wc.select(col("c"),
+            explode(lit(Array(2, 4, 8, 16))).as("t"))
+          .crossJoin(broadcast(tt)) // 1-row total
+          .groupBy(col("t"), col("total"))
+          .agg(count(when(col("c") >= col("t"), 1)).as("vocab_size"),
+            coalesce(sum(when(col("c") < col("t"), col("c"))), lit(0L))
+              .as("n_oov_tokens"))
+          .select(col("t").as("min_count"), col("vocab_size"),
+            col("n_oov_tokens"),
+            expr("n_oov_tokens * 1000000 div total").as("oov_ppm"))
       })
   )
 }

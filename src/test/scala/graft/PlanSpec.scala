@@ -1827,4 +1827,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
+
+  test("q363: all three estimators read the ONE cached partkey count " +
+      "table; estimator rows are 1-row aggregates unioned") {
+    val p = plan("q363_sampled_card_estimate")
+    assert(p.contains("InMemoryTableScan") ||
+        p.contains("InMemoryRelation"),
+      "the key-grain count table must be cached and reused:\n" + p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("q364: the corpus aggregates once to the word grain; the " +
+      "4-way floor explode runs on the vocabulary grain only") {
+    val p = plan("q364_vocab_mincount_sweep")
+    assert(p.contains("explode([2,4,8,16])"),
+      "the sweep must be a vocab-grain explode:\n" + p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
 }
