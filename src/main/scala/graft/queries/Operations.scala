@@ -1883,6 +1883,65 @@ object Operations {
           .select(col("estimator"), col("est_rows"), col("exact_rows"),
             expr("abs(exact_rows - est_rows) * 1000000 div exact_rows")
               .as("err_ppm"))
+      }),
+
+    // ---- correlated-columns NDV audit (multi-column statistics) ------------
+    // The statistic that tells an optimizer its per-column NDVs lie:
+    // for a column pair, NDV(a,b) << NDV(a) * NDV(b) means the columns
+    // are correlated and independence-multiplied selectivities will
+    // overestimate filtering. Per pair: the three NDVs and the
+    // correlation ratio NDV(a,b) / (NDV(a) * NDV(b)) in ppm (1e6 =
+    // fully independent) — the signal behind CREATE STATISTICS /
+    // extended stats. Shape: each pair is one count-distinct aggregate
+    // over its scan (partial agg + distinct exchange), outputs union
+    // to 3 rows; nothing wider than the distinct key ever shuffles.
+    QuerySpec(
+      "q367_ndv_correlation",
+      Some("""WITH p1 AS (SELECT 'l_returnflag_x_linestatus' AS col_pair,
+            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_a,
+            CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS ndv_b,
+            CAST(COUNT(DISTINCT l_returnflag || '|' || l_linestatus)
+              AS BIGINT) AS ndv_ab
+          FROM lineitem),
+        p2 AS (SELECT 'shipyear_x_returnflag',
+            CAST(COUNT(DISTINCT CAST(year(l_shipdate) AS VARCHAR))
+              AS BIGINT),
+            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+            CAST(COUNT(DISTINCT CAST(year(l_shipdate) AS VARCHAR)
+              || '|' || l_returnflag) AS BIGINT)
+          FROM lineitem),
+        p3 AS (SELECT 'o_orderpriority_x_orderstatus',
+            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+            CAST(COUNT(DISTINCT o_orderpriority || '|' || o_orderstatus)
+              AS BIGINT)
+          FROM orders),
+        u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3)
+        SELECT col_pair, ndv_a, ndv_b, ndv_ab,
+          CAST(ndv_ab * 1000000 // (ndv_a * ndv_b) AS BIGINT)
+            AS correlation_ppm
+        FROM u"""),
+      (s, d) => {
+        def pair(name: String, df: DataFrame, a: String, b: String)
+            : DataFrame =
+          df.agg(countDistinct(col(a)).as("ndv_a"),
+            countDistinct(col(b)).as("ndv_b"),
+            countDistinct(concat(col(a), lit("|"), col(b))).as("ndv_ab"))
+            .select(lit(name).as("col_pair"), col("ndv_a"), col("ndv_b"),
+              col("ndv_ab"))
+        val li = t(s, d, "lineitem")
+          .withColumn("shipyear", expr("cast(year(l_shipdate) as string)"))
+        pair("l_returnflag_x_linestatus", li, "l_returnflag",
+            "l_linestatus")
+          .unionByName(pair("shipyear_x_returnflag", li,
+            "shipyear", "l_returnflag"))
+          .unionByName(pair("o_orderpriority_x_orderstatus",
+            t(s, d, "orders"), "o_orderpriority", "o_orderstatus"))
+          .select(col("col_pair"), col("ndv_a"), col("ndv_b"),
+            col("ndv_ab"),
+            expr("ndv_ab * 1000000 div (ndv_a * ndv_b)")
+              .as("correlation_ppm"))
       })
   )
 }

@@ -1167,6 +1167,49 @@ object Selection {
           .select(col("t").as("min_count"), col("vocab_size"),
             col("n_oov_tokens"),
             expr("n_oov_tokens * 1000000 div total").as("oov_ppm"))
+      }),
+
+    // ---- deterministic k-fold assignment + stratified balance audit --------
+    // Cross-validation infrastructure with the q113/q330 hash-gate
+    // discipline: every document lands in fold h64('cv:'||doc_id) % 5 —
+    // reproducible on any engine, no RNG, no state — and the audit
+    // reports per (fold, lang) stratum how far the assignment deviates
+    // from the ideal lang_total / 5 in ppm, plus the token mass per
+    // cell (folds must balance character budget, not just doc count).
+    // This is the check run BEFORE trusting fold-wise metrics: a
+    // stratum with high dev_ppm biases its fold's score. Shape: one
+    // (fold, lang) partial-agg shuffle, a lang-grain rollup broadcast
+    // back — bounded grains everywhere after the scan.
+    QuerySpec(
+      "q365_kfold_balance", {
+        val g = Portable.h64Duck("'cv:' || CAST(doc_id AS VARCHAR)")
+        Some(s"""WITH f AS (SELECT lang,
+              CAST(($g) % 5 AS INT) AS fold, n_chars
+            FROM documents),
+          cell AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM f GROUP BY 1, 2),
+          lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+            FROM cell GROUP BY 1)
+          SELECT cell.fold, cell.lang, cell.n_docs, cell.n_chars,
+            CAST(ABS(cell.n_docs * 5 - lt.lang_total) * 1000000
+              // lt.lang_total AS BIGINT) AS dev_ppm
+          FROM cell JOIN lt USING (lang)""")
+      },
+      (s, d) => {
+        val g = Portable.h64Spark("concat('cv:', cast(doc_id as string))")
+        val cell = t(s, d, "documents")
+          .select(col("lang"), expr(s"cast(($g) % 5 as int)").as("fold"),
+            col("n_chars"))
+          .groupBy(col("fold"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars"))
+        val lt = cell.groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("lang_total"))
+        cell.join(broadcast(lt), Seq("lang"))
+          .select(col("fold"), col("lang"), col("n_docs"), col("n_chars"),
+            expr("abs(n_docs * 5 - lang_total) * 1000000 div lang_total")
+              .as("dev_ppm"))
       })
   )
 }

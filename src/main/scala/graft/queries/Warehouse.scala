@@ -1308,6 +1308,53 @@ object Warehouse {
               .when(col("n_nation") >= 10, 1).otherwise(2)
               .cast("int").as("k_level"),
             (col("l_div") < 2).as("l_violation"))
+      }),
+
+    // ---- small-file compaction planner -------------------------------------
+    // The lakehouse maintenance decision behind OPTIMIZE/rewriteDataFiles:
+    // model each (ship-month partition, ship-day file) as one written
+    // file whose bytes are the exact sum of its rows' modeled widths
+    // (64-byte fixed footprint + a price-derived variable part — the
+    // fixture carries no raw payload column, so the width model is
+    // pinned identically in both engines), then per partition report
+    // the file count, total bytes,
+    // how many files sit under the 256 KB small-file threshold, the
+    // TARGET file count at the 1 MB goal size (exact ceiling division),
+    // and the files saved by compacting. This readout — not the rewrite
+    // itself — is what a table service schedules from; at 100 TB the
+    // file-stats grain ((month, day) partial agg) is millions of rows,
+    // the partition rollup thousands, both shuffles bounded and
+    // pushdown-friendly. All integer arithmetic.
+    QuerySpec(
+      "q366_compaction_planner",
+      Some("""WITH fs AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+            CAST(l_shipdate AS DATE) AS file_day,
+            CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              % 221 + 64) AS BIGINT) AS bytes
+          FROM lineitem GROUP BY 1, 2)
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+          CAST(COUNT(CASE WHEN bytes < 262144 THEN 1 END) AS BIGINT)
+            AS n_small_files,
+          CAST((SUM(bytes) + 1048575) // 1048576 AS BIGINT)
+            AS target_files,
+          CAST(GREATEST(COUNT(*) - (SUM(bytes) + 1048575) // 1048576, 0)
+            AS BIGINT) AS files_saved
+        FROM fs GROUP BY 1"""),
+      (s, d) => {
+        val fs = t(s, d, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+            col("l_shipdate").cast("date").as("file_day"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")
+            % 221 + 64).cast("long").as("bytes"))
+        fs.groupBy(col("part"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("bytes")).as("total_bytes"),
+            count(when(col("bytes") < 262144, 1)).as("n_small_files"),
+            expr("(sum(bytes) + 1048575) div 1048576").as("target_files"),
+            greatest(count(lit(1))
+              - expr("(sum(bytes) + 1048575) div 1048576"), lit(0L))
+              .as("files_saved"))
       })
   )
 }

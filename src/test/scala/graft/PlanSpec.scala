@@ -1846,4 +1846,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
+
+  test("q365: one (fold, lang) partial agg; the lang rollup joins " +
+      "back broadcast; no window") {
+    val p = plan("q365_kfold_balance")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the lang-grain rollup must broadcast back:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("q366: file stats are a (month, day) partial agg feeding a " +
+      "month rollup — two bounded exchanges, no window, no join") {
+    val p = plan("q366_compaction_planner")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q367: each pair is a count-distinct aggregate; rows union; " +
+      "no join of data-sized frames") {
+    val p = plan("q367_ndv_correlation")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
 }
