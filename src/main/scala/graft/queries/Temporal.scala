@@ -162,6 +162,75 @@ object Temporal {
           .select(col("user_id"),
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
-            col("n_events"), col("total_value")))
+            col("n_events"), col("total_value"))),
+
+    // ---- watermark lateness planning (late-data budget sweep) --------------
+    // The knob every EventStreams watermark hardcodes, PLANNED from
+    // data: replay the stream in ARRIVAL order (event time + a pinned
+    // hash-derived network delay of 0–120 s — the fixture carries no
+    // arrival column) and, per candidate watermark W, count the events
+    // whose event time already trails the running max event time by
+    // more than W at their arrival — exactly the rows a streaming
+    // aggregation with watermark W would drop. Output is the 3-point
+    // drop-rate curve {60 s, 300 s, 900 s} an operator reads before
+    // freezing the delay. The running max over arrival order is
+    // block-decomposed like q132's sweep line: within-block prefix max
+    // partitions on the 6-hour block, only the |blocks|-row totals
+    // cross a global window, offsets broadcast back; the 3-way sweep
+    // explode is row-local.
+    QuerySpec(
+      "q368_watermark_planning", {
+        val dly = graft.functions.Portable
+          .h64Duck("'d:' || CAST(event_id AS VARCHAR)")
+        Some(s"""WITH e AS (SELECT event_id,
+              epoch_ms(ts) AS ev_ms,
+              epoch_ms(ts) + ($dly) % 120000 AS arr_ms
+            FROM events),
+          r AS (SELECT ev_ms,
+              MAX(ev_ms) OVER (ORDER BY arr_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS runmax_ms
+            FROM e),
+          sw AS (SELECT ev_ms, runmax_ms, w
+            FROM r, (SELECT unnest([60, 300, 900]) AS w) z)
+          SELECT w AS watermark_s, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(COUNT(CASE WHEN ev_ms < runmax_ms - w * 1000
+              THEN 1 END) AS BIGINT) AS n_late,
+            CAST(COUNT(CASE WHEN ev_ms < runmax_ms - w * 1000
+              THEN 1 END) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+          FROM sw GROUP BY 1""")
+      },
+      (s, d) => {
+        val dly = graft.functions.Portable
+          .h64Spark("concat('d:', cast(event_id as string))")
+        val blockMs = 6L * 3600L * 1000L
+        val e = t(s, d, "events")
+          .select(col("event_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ev_ms"))
+          .withColumn("arr_ms", col("ev_ms") + expr(s"($dly) % 120000"))
+          .withColumn("g", expr(s"arr_ms div $blockMs"))
+        val wIn = Window.partitionBy(col("g"))
+          .orderBy(col("arr_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = e.withColumn("max_in", max(col("ev_ms")).over(wIn))
+        val offs = e.groupBy(col("g"))
+          .agg(max(col("ev_ms")).as("bmax"))
+          .withColumn("off", max(col("bmax")).over(
+            Window.orderBy(col("g"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("g"), col("off"))
+        within.join(broadcast(offs), "g")
+          .withColumn("runmax_ms",
+            greatest(col("max_in"), coalesce(col("off"), col("max_in"))))
+          .select(col("ev_ms"), col("runmax_ms"),
+            explode(lit(Array(60, 300, 900))).as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("ev_ms") < col("runmax_ms")
+              - col("w") * 1000, 1)).as("n_late"),
+            expr("count(CASE WHEN ev_ms < runmax_ms - w * 1000 " +
+              "THEN 1 END) * 1000000 div count(1)").as("late_ppm"))
+          .withColumnRenamed("w", "watermark_s")
+      })
   )
 }

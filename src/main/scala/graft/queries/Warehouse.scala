@@ -1197,12 +1197,13 @@ object Warehouse {
             col("c1").as("cents_b"), round(col("dshare"), 6).as("share_delta"))
       }),
 
-    // ---- snapshot diff (table-version audit) -------------------------------
-    // The lakehouse versioning primitive next to q99's MERGE and q122's
-    // SCD2: given two snapshots of a keyed table, classify every key as
-    // added / removed / changed / unchanged and count per-column changes
-    // — the audit a pipeline runs after each ingest to size the delta
-    // it just applied. The second snapshot is DERIVED deterministically
+    // ---- snapshot diff with per-column change accounting -------------------
+    // q161 diffs two slices of one fact on a composite key with a net
+    // value delta; this is the TABLE-VERSION form a CDC pipeline runs:
+    // a primary-keyed snapshot against its successor (which here also
+    // carries INSERTED keys, not just filter-window drift), classified
+    // added / removed / changed / unchanged with PER-COLUMN change
+    // counts — the column-level delta sizing q161 doesn't report. The second snapshot is DERIVED deterministically
     // in-query (drop keys % 97, bump price on % 101, flip status on
     // % 103, re-key % 89 as inserts) so both engines diff identical
     // versions. Prices compare on the exact cents grid. 100 TB shape:

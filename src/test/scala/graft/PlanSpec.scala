@@ -1869,4 +1869,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
+
+  test("q368: the arrival-order running max is block-decomposed — " +
+      "within-block window partitions on the block key, offsets " +
+      "broadcast back, sweep explode is row-local") {
+    val p = plan("q368_watermark_planning")
+    assert(p.contains("windowspecdefinition(g#"),
+      "the prefix max must partition on the 6-hour block:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "block offsets must broadcast back:\n" + p)
+    assert(p.contains("explode([60,300,900])"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
