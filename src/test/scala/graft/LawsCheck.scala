@@ -135,4 +135,58 @@ object LawsCheck extends Properties("graft.laws") {
       df.write.mode("overwrite").parquet(s"$dir/t")
       multiset(spark.read.parquet(s"$dir/t")) == multiset(df)
     }
+
+  // q359's Kendall-tau pair formula, as pure Scala over arbitrary
+  // score lists: tau(milli) of a ranking against itself is exactly
+  // 1000, against its reverse exactly -1000, and any scoring stays
+  // inside [-1000, 1000] — the bounds the sign-pinned truncating
+  // division must preserve on both engines.
+  private def tauMilli(rank1: Seq[Int], rank2: Seq[Int]): Long = {
+    val pairs = for {
+      i <- rank1.indices; j <- rank1.indices
+      if rank1(i) < rank1(j)
+    } yield if (rank2(i) < rank2(j)) 1L else 0L
+    val n = pairs.length
+    val c = pairs.sum
+    if (n == 0) 0L
+    else if (2 * c >= n) ((2 * c - n) * 1000L) / n
+    else -(((n - 2 * c) * 1000L) / n)
+  }
+
+  property("kendall tau-milli: identity=1000, reverse=-1000, bounded") =
+    Prop.forAll(Gen.chooseNum(2, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-50, 50)))) { scores =>
+      val n = scores.length
+      val id = scores.indices
+      // rank by (score desc, index) — q359's total order
+      val byScore = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+        .map(_._2)
+      val rankOf = byScore.zipWithIndex.toMap
+      val r2 = id.map(rankOf)
+      tauMilli(id, id) == 1000L &&
+        tauMilli(id, id.reverse) == -1000L &&
+        math.abs(tauMilli(id, r2)) <= 1000L
+    }
+
+  // q326/q360's Bloom bit-packing round trip: for ANY key set and any
+  // word-packed geometry, every member's probe positions land on set
+  // bits — the no-false-negative guarantee survives the bit_or word
+  // encoding and the shift-probe decoding (what this law actually
+  // exercises; set semantics make it true by construction, the packing
+  // arithmetic is what can break).
+  property("bloom word packing never loses a member bit") =
+    Prop.forAll(Gen.listOfN(20, Gen.chooseNum(0L, 100000L)),
+        Gen.oneOf(256, 1024)) { (keys, m) =>
+      val df = keys.toDF("key")
+      val pos = (0 until 3).map(i => graft.functions.Portable
+        .h64Spark(s"concat('bf$i:', cast(key as string))") + s" % $m")
+        .mkString("array(", ", ", ")")
+      val bits = df.select(explode(expr(pos)).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bm"))
+      val missed = df.select(col("key"), explode(expr(pos)).as("p"))
+        .join(bits, expr("p div 32") === col("word"), "left")
+        .filter(!expr("(bm >> cast(p % 32 as int)) & 1 = 1"))
+      missed.isEmpty
+    }
 }
