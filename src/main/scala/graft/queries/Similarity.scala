@@ -101,6 +101,91 @@ object Similarity {
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${qnsqDuck("qv", Dims)} AS nsq FROM e)"""
 
+  /** One Lloyd step as shared CTEs (q356 churn + q369 stability read the
+    * same two assignments): a0 = exact-integer argmin against the 10
+    * seed vectors; a1 = argmin against the step-1 centroids (per-cell
+    * exact integer SUM quantized to the milli grid by sign-pinned
+    * truncating division; distances exact int64 on the 1000x grid).
+    * Expects `en` from [[duckQuantCte]] in scope.
+    */
+  private val duckLloydCtes =
+    s"""seeds AS (SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
+          FROM en WHERE vec_id < $NumQueries),
+        d0 AS (SELECT en.vec_id, s.cid,
+            en.nsq - 2 * ${qdotDuck("en.qv", "s.cqv", Dims)} + s.cnsq AS d2
+          FROM en, seeds s),
+        a0 AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d0) z
+          WHERE rk = 1),
+        lex AS (SELECT cid, u.dim AS dim, u.q AS q FROM (
+            SELECT a0.cid, unnest([{'dim': CAST(i - 1 AS INT),
+                'q': en.qv[i]} for i in range(1, ${Dims + 1})]) AS u
+            FROM a0 JOIN en ON en.vec_id = a0.vec_id) z),
+        lcs AS (SELECT cid, dim, CAST(SUM(q) AS BIGINT) AS sq,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM lex GROUP BY 1, 2),
+        mu AS (SELECT cid, MIN(n) AS n_before,
+            list(CAST(CASE WHEN sq >= 0 THEN (sq * 1000) // n
+              ELSE -(((-sq) * 1000) // n) END AS BIGINT)
+              ORDER BY dim) AS muv
+          FROM lcs GROUP BY cid),
+        mun AS (SELECT cid, n_before, muv,
+            list_sum([muv[i] * muv[i]
+              for i in range(1, ${Dims + 1})]) AS munsq
+          FROM mu),
+        d1 AS (SELECT en.vec_id, m.cid,
+            1000000 * en.nsq
+              - 2000 * list_sum([en.qv[i] * m.muv[i]
+                  for i in range(1, ${Dims + 1})])
+              + m.munsq AS d2
+          FROM en, mun m),
+        a1 AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d1) z
+          WHERE rk = 1)"""
+
+  /** Spark twin of [[duckLloydCtes]]: returns (en, a0 (vec_id, cid),
+    * a1 (vec_id, cid1)). Both passes are broadcast-10-centroid row-local
+    * argmins via q108's min-struct partial-agg discipline.
+    */
+  private def lloydAssigns(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "0L, (acc, v) -> acc + v)")
+    val en = quantized(s, d, withSig = false)
+    val a0 = en.crossJoin(broadcast(en.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+          col("nsq").as("cnsq"))))
+      .select(col("vec_id"),
+        struct((col("nsq") - lit(2) * dot("qv", "cqv") + col("cnsq"))
+          .as("d2"), col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val cs = a0.join(en.select(col("vec_id"), col("qv")), "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val mun = cs
+      .withColumn("mu", expr(
+        "IF(sq >= 0, (sq * 1000) div n, -(((-sq) * 1000) div n))"))
+      .groupBy(col("cid"))
+      .agg(min(col("n")).as("n_before"),
+        expr("transform(array_sort(collect_list(struct(dim, mu)))," +
+          " x -> x.mu)").as("muv"))
+      .withColumn("munsq", expr(
+        "aggregate(transform(muv, v -> v * v), 0L, (a, v) -> a + v)"))
+    val a1 = en.crossJoin(broadcast(mun))
+      .select(col("vec_id"),
+        struct((lit(1000000L) * col("nsq")
+          - lit(2000L) * dot("qv", "muv") + col("munsq")).as("d2"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid1"))
+    (en, a0, a1)
+  }
+
   /** Fused native expression (graft.expressions.QCosine): one codegen'd
     * loop, same exact integer semantics as the Portable.qdot formulation.
     */
@@ -1381,41 +1466,7 @@ object Similarity {
     QuerySpec(
       "q356_kmeans_churn",
       Some(s"""WITH $duckQuantCte,
-          seeds AS (SELECT vec_id AS cid, qv AS cqv, nsq AS cnsq
-            FROM en WHERE vec_id < $NumQueries),
-          d0 AS (SELECT en.vec_id, s.cid,
-              en.nsq - 2 * ${qdotDuck("en.qv", "s.cqv", Dims)} + s.cnsq AS d2
-            FROM en, seeds s),
-          a0 AS (SELECT vec_id, cid FROM (
-              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                ORDER BY d2, cid) AS rk FROM d0) z
-            WHERE rk = 1),
-          ex AS (SELECT cid, u.dim AS dim, u.q AS q FROM (
-              SELECT a0.cid, unnest([{'dim': CAST(i - 1 AS INT),
-                  'q': en.qv[i]} for i in range(1, ${Dims + 1})]) AS u
-              FROM a0 JOIN en ON en.vec_id = a0.vec_id) z),
-          cs AS (SELECT cid, dim, CAST(SUM(q) AS BIGINT) AS sq,
-              CAST(COUNT(*) AS BIGINT) AS n
-            FROM ex GROUP BY 1, 2),
-          mu AS (SELECT cid, MIN(n) AS n_before,
-              list(CAST(CASE WHEN sq >= 0 THEN (sq * 1000) // n
-                ELSE -(((-sq) * 1000) // n) END AS BIGINT)
-                ORDER BY dim) AS muv
-            FROM cs GROUP BY cid),
-          mun AS (SELECT cid, n_before, muv,
-              list_sum([muv[i] * muv[i]
-                for i in range(1, ${Dims + 1})]) AS munsq
-            FROM mu),
-          d1 AS (SELECT en.vec_id, m.cid,
-              1000000 * en.nsq
-                - 2000 * list_sum([en.qv[i] * m.muv[i]
-                    for i in range(1, ${Dims + 1})])
-                + m.munsq AS d2
-            FROM en, mun m),
-          a1 AS (SELECT vec_id, cid FROM (
-              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                ORDER BY d2, cid) AS rk FROM d1) z
-            WHERE rk = 1),
+          $duckLloydCtes,
           churn AS (SELECT a0.cid,
               CAST(COUNT(*) AS BIGINT) AS n_before,
               CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END)
@@ -1429,38 +1480,7 @@ object Similarity {
             CAST(COALESCE(occ1.n_after, 0) AS BIGINT) AS n_after
           FROM churn LEFT JOIN occ1 ON occ1.cid = churn.cid"""),
       (s, d) => {
-        val dot = (a: String, b: String) =>
-          expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-            "0L, (acc, v) -> acc + v)")
-        val en = quantized(s, d, withSig = false)
-        val a0 = en.crossJoin(broadcast(en.filter(col("vec_id") < NumQueries)
-            .select(col("vec_id").as("cid"), col("qv").as("cqv"),
-              col("nsq").as("cnsq"))))
-          .select(col("vec_id"),
-            struct((col("nsq") - lit(2) * dot("qv", "cqv") + col("cnsq"))
-              .as("d2"), col("cid")).as("dc"))
-          .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"))
-        val cs = a0.join(en.select(col("vec_id"), col("qv")), "vec_id")
-          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        val mun = cs
-          .withColumn("mu", expr(
-            "IF(sq >= 0, (sq * 1000) div n, -(((-sq) * 1000) div n))"))
-          .groupBy(col("cid"))
-          .agg(min(col("n")).as("n_before"),
-            expr("transform(array_sort(collect_list(struct(dim, mu)))," +
-              " x -> x.mu)").as("muv"))
-          .withColumn("munsq", expr(
-            "aggregate(transform(muv, v -> v * v), 0L, (a, v) -> a + v)"))
-        val a1 = en.crossJoin(broadcast(mun))
-          .select(col("vec_id"),
-            struct((lit(1000000L) * col("nsq")
-              - lit(2000L) * dot("qv", "muv") + col("munsq")).as("d2"),
-              col("cid")).as("dc"))
-          .groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid1"))
+        val (_, a0, a1) = lloydAssigns(s, d)
         val churn = a0.join(a1, "vec_id")
           .groupBy(col("cid"))
           .agg(count(lit(1)).as("n_before"),
@@ -1587,6 +1607,109 @@ object Similarity {
               .otherwise(-expr(
                 "((count(1) - 2 * sum(conc)) * 1000) div count(1)"))
               .as("tau_milli"))
+      }),
+
+    // ---- retrieval stability across an index refresh -----------------------
+    // What q356's churn COSTS the serving layer: for each query, the
+    // nprobe=1 IVF top-5 (own cell only, exact cosine rerank) under
+    // the seed index (a0) vs the refreshed index (a1) — how many
+    // results survive, as a Jaccard on the milli grid. A query whose
+    // own cell changes or whose cell membership churns loses results;
+    // this is the SLA-facing readout that decides whether an index
+    // refresh ships incrementally or atomically. 100 TB shape: both
+    // retrieval legs are cell-equi joins against the 10-row broadcast
+    // query-cell table; top-5 windows partition per query; the final
+    // compare is k-bounded per query.
+    QuerySpec(
+      "q369_refresh_stability",
+      Some(s"""WITH $duckQuantCte,
+          $duckLloydCtes,
+          q0 AS (SELECT a0.vec_id AS q_id, a0.cid FROM a0
+            WHERE a0.vec_id < $NumQueries),
+          q1 AS (SELECT a1.vec_id AS q_id, a1.cid FROM a1
+            WHERE a1.vec_id < $NumQueries),
+          t0 AS (SELECT q_id, vec_id FROM (
+              SELECT q0.q_id, a0.vec_id,
+                row_number() OVER (PARTITION BY q0.q_id ORDER BY
+                  CAST(${qdotDuck("qe.qv", "ne.qv", Dims)} AS DOUBLE)
+                    / (sqrt(CAST(qe.nsq AS DOUBLE))
+                      * sqrt(CAST(ne.nsq AS DOUBLE))) DESC,
+                  a0.vec_id) AS rk
+              FROM q0 JOIN a0 ON a0.cid = q0.cid
+                AND a0.vec_id <> q0.q_id
+              JOIN en qe ON qe.vec_id = q0.q_id
+              JOIN en ne ON ne.vec_id = a0.vec_id) z
+            WHERE rk <= $K),
+          t1 AS (SELECT q_id, vec_id FROM (
+              SELECT q1.q_id, a1.vec_id,
+                row_number() OVER (PARTITION BY q1.q_id ORDER BY
+                  CAST(${qdotDuck("qe.qv", "ne.qv", Dims)} AS DOUBLE)
+                    / (sqrt(CAST(qe.nsq AS DOUBLE))
+                      * sqrt(CAST(ne.nsq AS DOUBLE))) DESC,
+                  a1.vec_id) AS rk
+              FROM q1 JOIN a1 ON a1.cid = q1.cid
+                AND a1.vec_id <> q1.q_id
+              JOIN en qe ON qe.vec_id = q1.q_id
+              JOIN en ne ON ne.vec_id = a1.vec_id) z
+            WHERE rk <= $K),
+          k0 AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k0
+            FROM t0 GROUP BY 1),
+          k1 AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k1
+            FROM t1 GROUP BY 1),
+          cm AS (SELECT t0.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM t0 JOIN t1 ON t1.q_id = t0.q_id
+              AND t1.vec_id = t0.vec_id
+            GROUP BY 1),
+          qs AS (SELECT q_id FROM q0)
+          SELECT qs.q_id AS query_id,
+            CAST(COALESCE(k0.k0, 0) AS BIGINT) AS k0,
+            CAST(COALESCE(k1.k1, 0) AS BIGINT) AS k1,
+            CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+            CAST(COALESCE(cm.n_common, 0) * 1000
+              // GREATEST(COALESCE(k0.k0, 0) + COALESCE(k1.k1, 0)
+                - COALESCE(cm.n_common, 0), 1) AS BIGINT)
+              AS jaccard_milli
+          FROM qs LEFT JOIN k0 ON k0.q_id = qs.q_id
+            LEFT JOIN k1 ON k1.q_id = qs.q_id
+            LEFT JOIN cm ON cm.q_id = qs.q_id"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val (en, a0, a1) = lloydAssigns(s, d)
+        def leg(asg: DataFrame, cidCol: String): DataFrame = {
+          val cells = asg.select(col("vec_id"), col(cidCol).as("cell"))
+          val qc = cells.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("cell"))
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))
+          cells.join(broadcast(qc), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .join(en.select(col("vec_id").as("q_id"),
+              col("qv").as("q_qv"), col("nsq").as("q_nsq")), "q_id")
+            .join(en.select(col("vec_id"), col("qv"), col("nsq")),
+              "vec_id")
+            .withColumn("cosine", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= K)
+            .select(col("q_id"), col("vec_id"))
+        }
+        val t0 = leg(a0, "cid")
+        val t1 = leg(a1, "cid1")
+        val k0 = t0.groupBy(col("q_id")).agg(count(lit(1)).as("k0"))
+        val k1 = t1.groupBy(col("q_id")).agg(count(lit(1)).as("k1"))
+        val cm = t0.join(t1, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+        en.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"))
+          .join(broadcast(k0), Seq("q_id"), "left")
+          .join(broadcast(k1), Seq("q_id"), "left")
+          .join(broadcast(cm), Seq("q_id"), "left")
+          .select(col("q_id").as("query_id"),
+            coalesce(col("k0"), lit(0L)).as("k0"),
+            coalesce(col("k1"), lit(0L)).as("k1"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            expr("coalesce(n_common, 0) * 1000 div " +
+              "greatest(coalesce(k0, 0) + coalesce(k1, 0) " +
+              "- coalesce(n_common, 0), 1)").as("jaccard_milli"))
       })
   )
 }

@@ -121,7 +121,10 @@ class GuardSpec extends SparkSpec {
       // q359 reranks the SAME fixed query set (vec_id < NumQueries);
       // the broadcast sides are the 10 probe vectors and the 64-row
       // per-dim quantization stats — deployment constants
-      "q359_int8_rank_fidelity")
+      "q359_int8_rank_fidelity",
+      // q369 reuses q356's Lloyd machinery (same fixed 10-seed
+      // broadcast) plus 10-row query-cell / per-query-count tables
+      "q369_refresh_stability")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1881,4 +1881,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("explode([60,300,900])"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q369: both retrieval legs ride cell equi joins with the " +
+      "10-row query-cell tables broadcast; top-5 windows partition " +
+      "per query; no cartesian") {
+    val p = plan("q369_refresh_stability")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-cell tables must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id#"),
+      "top-k windows must partition on q_id:\n" + p)
+  }
 }
