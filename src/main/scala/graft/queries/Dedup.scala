@@ -1741,7 +1741,113 @@ object Dedup {
             coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L))
               .as("n_dup_docs"),
             coalesce(sum(when(col("n") >= 2, col("n") - 1)), lit(0L))
-              .as("n_redundant")))
+              .as("n_redundant"))),
+
+    // ---- cluster-capped sampling (keep-N per near-dup cluster) -------------
+    // The curation policy between "drop all dups" (q98/q41 keep-first)
+    // and "keep everything": keep at most N = 2 members per near-dup
+    // cluster (the smallest doc_ids — deterministic), so frequent
+    // boilerplate survives at bounded multiplicity instead of zero or
+    // full weight. Reported per cluster-size bucket: clusters, docs,
+    // kept, dropped — the dedup-budget sheet a data mix reads. Docs
+    // with no near-dup edge are their own cluster (all kept; the
+    // singleton row is the anti-join count). Shape: q48's component
+    // machinery verbatim (bounded star rounds), then a per-component
+    // rank window and two bounded-grain rollups.
+    QuerySpec(
+      "q370_cluster_cap_sample",
+      Some(s"""WITH RECURSIVE $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) z
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
+          roots AS (SELECT u AS doc_id, MIN(v) AS component
+            FROM reach GROUP BY u),
+          ranked AS (SELECT doc_id, component,
+              row_number() OVER (PARTITION BY component
+                ORDER BY doc_id) AS rk
+            FROM roots),
+          clus AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS kept
+            FROM ranked GROUP BY 1),
+          buck AS (SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(n_members) AS BIGINT) AS n_docs,
+              CAST(SUM(kept) AS BIGINT) AS n_kept
+            FROM clus GROUP BY 1),
+          single AS (SELECT CAST(1 AS BIGINT) AS n_members,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM roots))
+          SELECT n_members, n_clusters, n_docs, n_kept,
+            n_docs - n_kept AS n_dropped
+          FROM (SELECT * FROM buck UNION ALL SELECT * FROM single) u"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val roots = connectedComponents(edges)
+        val ranked = roots.withColumn("rk", row_number().over(
+          Window.partitionBy(col("component")).orderBy(col("doc_id"))))
+        val buck = ranked.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("rk") <= 2, 1L).otherwise(0L)).as("kept"))
+          .groupBy(col("n_members"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_members")).as("n_docs"),
+            sum(col("kept")).as("n_kept"))
+        val single = t(s, d, "documents").select(col("doc_id"))
+          .join(roots.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("n_members"), col("n").as("n_clusters"),
+            col("n").as("n_docs"), col("n").as("n_kept"))
+        buck.unionByName(single)
+          .select(col("n_members"), col("n_clusters"), col("n_docs"),
+            col("n_kept"), (col("n_docs") - col("n_kept")).as("n_dropped"))
+      }),
+
+    // ---- cross-source copy matrix ("who copies whom") ----------------------
+    // Governance readout over the verified near-dup pairs: each
+    // J >= 0.8 pair attributed to its (source, source) cell — the
+    // unordered matrix that tells a corpus owner which feeds
+    // syndicate each other's content (off-diagonal) vs self-duplicate
+    // (diagonal). Shape: the verified-pair frame (band-bounded, q41's
+    // machinery) joins the doc->source map twice on the doc key, then
+    // one bounded |sources|² rollup.
+    QuerySpec(
+      "q371_copy_matrix",
+      Some(s"""WITH $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sp AS (SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b
+            FROM verified v
+            JOIN documents da ON da.doc_id = v.doc_a
+            JOIN documents db ON db.doc_id = v.doc_b)
+          SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            (source_a = source_b) AS within_source
+          FROM sp GROUP BY 1, 2"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("within_source", col("source_a") === col("source_b"))
+      })
   )
 }
 

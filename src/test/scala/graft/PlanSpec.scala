@@ -1892,4 +1892,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(q_id#"),
       "top-k windows must partition on q_id:\n" + p)
   }
+
+  test("q370: keep-N rides q48's components; the rank window " +
+      "partitions per component; singleton count is a left-anti join") {
+    val p = plan("q370_cluster_cap_sample")
+    assert(p.contains("windowspecdefinition(component#"),
+      "keep-N rank must partition per component:\n" + p)
+    assert(p.contains("LeftAnti"),
+      "singletons must come from an anti join, not a second pass:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q371: verified pairs join the doc->source map on the doc key; " +
+      "the rollup is a bounded sources-squared partial agg") {
+    val p = plan("q371_copy_matrix")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
 }
