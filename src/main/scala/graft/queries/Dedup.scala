@@ -349,6 +349,35 @@ object Dedup {
       .distinct()
   }
 
+  /** q373 prefix-filter candidates (doc_a, doc_b) — COMPLETE for Jaccard
+    * >= PfNum/PfDen (vs the sampled-index heuristic above, which trades
+    * recall for cost): each doc keeps only its rarest-first prefix of
+    * |S| - ceil(t*|S|) + 1 shingles under the global (df, shingle) order,
+    * and only prefixes are inverted. Losslessness (Chaudhuri/Bayardo
+    * prefix-filter theorem): the first common shingle w (global order) of
+    * a qualifying pair has all >= ceil(t*|S|) common shingles at-or-after
+    * it on BOTH sides, forcing w into both prefixes — so the pair surfaces
+    * from the prefix index. Rarest-first minimizes the df of inverted
+    * shingles, which is what bounds the bucket fan-out.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pre = inv.join(dfc, "s")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, s)))," +
+        " x -> x.s)").as("ordered"), count(lit(1)).as("n"))
+      .select(col("doc_id"), explode(expr(
+        s"""slice(ordered, 1, cast(n
+          - (($PfNum * n + ${PfDen - 1}) div $PfDen) + 1 as int))"""))
+        .as("s"))
+    pre.as("x").join(pre.as("y"),
+        col("x.s") === col("y.s")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   // ---- connected components over near-dup edges ---------------------------
 
   /** Connected components over an undirected edge list (doc_a, doc_b) →
@@ -465,6 +494,13 @@ object Dedup {
     * pair join (bounds fan-out per chunk).
     */
   private val SpanDfCap = 20
+
+  /** q373 prefix-filter Jaccard threshold as an exact rational (7/10):
+    * the prefix length n - ceil(t*n) + 1 stays pure integer math in both
+    * engines (ceil(7n/10) = (7n+9) div 10).
+    */
+  private val PfNum = 7
+  private val PfDen = 10
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -1847,6 +1883,50 @@ object Dedup {
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
           .withColumn("within_source", col("source_a") === col("source_b"))
+      }),
+
+    // ---- exact similarity join via prefix filtering (AllPairs/PPJoin) -----
+    // The LOSSLESS member of the near-dup family: every pair with n-gram
+    // Jaccard >= 0.7 is found, guaranteed — no MinHash band-miss (q41), no
+    // sampled-index recall loss (q43), no SimHash radius bound (q42). The
+    // algorithm is the prefix-filter similarity join (Chaudhuri et al.
+    // 2006; Bayardo et al. 2007 "Scaling Up All Pairs"): under a global
+    // rarest-first shingle order, only each doc's first
+    // |S| - ceil(0.7*|S|) + 1 shingles are inverted, and the completeness
+    // theorem (see prefixCandidates) proves no qualifying pair is lost.
+    // Output = the same (doc_a, doc_b, jaccard) surface as q43, so the two
+    // candidate policies are directly comparable: q373 is the exactness
+    // ceiling the heuristics are audited against. Determinism: shingles
+    // are the shared 60-bit portable hashes; the global order is (df, s)
+    // with the hash as total tiebreak; jaccard divides two exact int64s.
+    // 100 TB plan: one shingle-grain df agg, one keyed (df join + per-doc
+    // sort — per-doc arrays, row-local), one prefix-inverted self-join
+    // whose fan-out is bounded by prefix-shingle co-occurrence (rarest
+    // shingles by construction), then the q43 verify tail (length
+    // prefilter + native sorted_intersect_count merge scan). No corpus
+    // broadcast, no window, no all-pairs.
+    QuerySpec(
+      "q373_prefix_filter_join",
+      Some(s"""WITH $shingledDuckCte,
+        inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        dfc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+          FROM inv GROUP BY 1),
+        ord AS (SELECT doc_id, list(s ORDER BY df, s) AS ordered,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM inv JOIN dfc USING (s) GROUP BY 1),
+        pre AS (SELECT doc_id, unnest(list_slice(ordered, 1,
+            CAST(n - (($PfNum * n + ${PfDen - 1}) // $PfDen) + 1
+              AS BIGINT))) AS s
+          FROM ord),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
+        pairs AS (SELECT doc_a, doc_b, x.shingles AS sh_a, y.shingles AS sh_b
+          FROM cand JOIN sh x ON x.doc_id = doc_a
+                    JOIN sh y ON y.doc_id = doc_b),
+        ${verifyDuck(0.7)}"""),
+      (s, d) => {
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
+        verifyJaccard(sh, prefixCandidates(sh), 0.7)
       })
   )
 }

@@ -1210,6 +1210,73 @@ object Selection {
           .select(col("fold"), col("lang"), col("n_docs"), col("n_chars"),
             expr("abs(n_docs * 5 - lang_total) * 1000000 div lang_total")
               .as("dev_ppm"))
+      }),
+
+    // ---- gate discrimination AUC (exact rank-sum) --------------------------
+    // The one-number answer to "does the q313 gate separate target from
+    // background at all?": ROC-AUC of the per-token NB score against the
+    // training proxy label, computed EXACTLY via the Mann-Whitney identity
+    // AUC = U_pos / (n_pos * n_neg) with half-credit ties — no sampled
+    // thresholds, no trapezoid approximation. Completes the gate's
+    // evaluation kit: q319 measures calibration (are the scores honest
+    // probabilities?), q337 measures length bias, this measures ranking
+    // power. In-sample by construction (the proxy label trained the
+    // weights), like q319 — stated, not hidden. Determinism: the ranking
+    // statistic is the integer milli mean-weight-per-token (score is
+    // already exact on the 1e-6 grid, so round(score*1e6) is exact int64;
+    // *1000 div n_tokens is pure integer math), and 2*U accumulates in
+    // int64 without ever materializing ranks — per distinct value,
+    // na*(2*cumNegBefore + nb) (the q226 discipline). AUC publishes as a
+    // floored micro rational. 100 TB plan: gateScores' two keyed shuffles,
+    // then ONE value-grain partial agg; the cumulative neg-count is the
+    // q162/q226 block prefix sum (per-block window + broadcast block-offset
+    // table — the value grain is bounded by the milli weight range, not
+    // the corpus, and no data-sized single-task window exists). Headroom:
+    // u2 <= 2*n_pos*n_neg, so u2*1e6 stays in int64 through ~2e6 docs per
+    // class; past that, lift the publish step to DECIMAL(38,0) (same plan).
+    QuerySpec(
+      "q372_gate_auc",
+      Some(s"""WITH $gateDuckCte,
+        sv AS (SELECT CAST(round(score * 1000000, 0) AS BIGINT) * 1000
+              // n_tokens AS v,
+            CASE WHEN pos THEN 1 ELSE 0 END AS a
+          FROM gsc),
+        c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+            CAST(SUM(1 - a) AS BIGINT) AS nb FROM sv GROUP BY 1),
+        cum AS (SELECT v, na, nb,
+            CAST(SUM(nb) OVER (ORDER BY v) - nb AS BIGINT) AS cb FROM c),
+        st AS (SELECT CAST(SUM(na) AS BIGINT) AS na_t,
+            CAST(SUM(nb) AS BIGINT) AS nb_t,
+            CAST(SUM(na * (2 * cb + nb)) AS BIGINT) AS u2
+          FROM cum)
+        SELECT na_t AS n_pos, nb_t AS n_neg,
+          CAST((u2 * 1000000) // (2 * na_t * nb_t) AS DOUBLE)
+            / 1000000.0 AS auc
+        FROM st"""),
+      (s, d) => {
+        val sv = gateScores(s, d)
+          .select(expr("(cast(round(score * 1000000, 0) as bigint) * 1000)"
+            + " div n_tokens").as("v"),
+            when(col("pos"), 1L).otherwise(0L).as("a"))
+        val c = sv.groupBy(col("v"))
+          .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+          .withColumn("g", expr("v div 65536"))
+          .cache() // feeds the per-block windows AND the offsets table
+        val wIn = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = c.withColumn("cb_in", sum(col("nb")).over(wIn))
+        val offs = c.groupBy(col("g")).agg(sum(col("nb")).as("gb"))
+          .withColumn("offb", coalesce(sum(col("gb")).over(
+            Window.orderBy(col("g"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("offb"))
+        within.join(broadcast(offs), "g")
+          .withColumn("cb", col("offb") + col("cb_in") - col("nb"))
+          .agg(sum(col("na")).as("na_t"), sum(col("nb")).as("nb_t"),
+            sum(col("na") * (lit(2L) * col("cb") + col("nb"))).as("u2"))
+          .select(col("na_t").as("n_pos"), col("nb_t").as("n_neg"),
+            (expr("(u2 * 1000000) div (2 * na_t * nb_t)").cast("double")
+              / lit(1000000.0)).as("auc"))
       })
   )
 }
