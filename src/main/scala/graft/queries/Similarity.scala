@@ -42,6 +42,9 @@ object Similarity {
   /** q350: hardest negatives kept per anchor. */
   private val HardNegK = 3
 
+  /** q376: fixed audited-id range for the label-consensus sample. */
+  private val ConsensusIds = 100
+
   /** q200 codebook size: codewords per PQ subspace (a fixed seed-id
     * range, sf-independent like the query set).
     */
@@ -1710,6 +1713,169 @@ object Similarity {
             expr("coalesce(n_common, 0) * 1000 div " +
               "greatest(coalesce(k0, 0) + coalesce(k1, 0) " +
               "- coalesce(n_common, 0), 1)").as("jaccard_milli"))
+      }),
+
+    // ---- mutual-nearest cross-collection pairs (bitext-mining shape) -------
+    // The parallel-corpus miner's core operator (Artetxe & Schwenk 2019,
+    // CCMatrix-style): between two disjoint collections A (label < 5) and
+    // B (label >= 5), emit pairs that are MUTUAL nearest neighbors — a's
+    // top-1 in B is b AND b's top-1 over ALL of A is a — plus the margin
+    // between a's best and second-best cosine (low margin = hubness /
+    // ambiguous alignment, the standard accept knob). One-directional
+    // top-1 overpairs badly (hub vectors absorb many queries); mutuality
+    // is the cheap symmetric filter. Queries are the fixed id range
+    // (vec_id < 64, A side), so both passes broadcast a BOUNDED set
+    // against one linear scan: pass 1 scans B with the queries broadcast;
+    // pass 2 scans A with the (<= |Q|) hit vectors broadcast — the back
+    // direction still ranges over the FULL A side, so mutuality is real,
+    // not sample-vs-sample. Determinism: exact integer dot/norms
+    // (Portable quantization), cosine doubles identical in both engines,
+    // (cosine DESC, vec_id) total tiebreaks, margin published as a
+    // floored micro int. 100 TB plan: two broadcast-small x scan-linear
+    // passes; per-query windows partition on q_id/b_id (bounded query
+    // count — q45's audited shape); no corpus-sized shuffle or broadcast.
+    QuerySpec(
+      "q375_mutual_knn_pairs",
+      Some(s"""WITH $duckQuantCte,
+        el AS (SELECT en.vec_id, en.qv, en.nsq, e2.label
+          FROM en JOIN embeddings e2 ON e2.vec_id = en.vec_id),
+        a AS (SELECT * FROM el WHERE label < 5),
+        b AS (SELECT * FROM el WHERE label >= 5),
+        q AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq
+          FROM a WHERE vec_id < 64),
+        p1 AS (SELECT q.q_id, b.vec_id,
+            CAST(${qdotDuck("q.q_qv", "b.qv", Dims)} AS DOUBLE)
+              / (sqrt(CAST(q.q_nsq AS DOUBLE))
+                * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+          FROM b, q),
+        rk1 AS (SELECT q_id, vec_id, cosine, row_number()
+            OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+          FROM p1),
+        r1 AS (SELECT q_id,
+            MAX(CASE WHEN rk = 1 THEN vec_id END) AS b_id,
+            MAX(CASE WHEN rk = 1 THEN cosine END) AS best,
+            MAX(CASE WHEN rk = 2 THEN cosine END) AS second
+          FROM rk1 WHERE rk <= 2 GROUP BY 1),
+        bv AS (SELECT DISTINCT r1.b_id, el.qv AS b_qv, el.nsq AS b_nsq
+          FROM r1 JOIN el ON el.vec_id = r1.b_id),
+        p2 AS (SELECT bv.b_id, a.vec_id,
+            CAST(${qdotDuck("bv.b_qv", "a.qv", Dims)} AS DOUBLE)
+              / (sqrt(CAST(bv.b_nsq AS DOUBLE))
+                * sqrt(CAST(a.nsq AS DOUBLE))) AS cosine
+          FROM a, bv),
+        r2 AS (SELECT b_id, vec_id AS a_top FROM (
+            SELECT b_id, vec_id, row_number() OVER (PARTITION BY b_id
+              ORDER BY cosine DESC, vec_id) AS rk
+            FROM p2) z
+          WHERE rk = 1)
+        SELECT r1.q_id AS a_id, r1.b_id, r1.best AS cosine,
+          CAST(floor((r1.best - r1.second) * 1000000) AS BIGINT)
+            AS margin_micro
+        FROM r1 JOIN r2 USING (b_id)
+        WHERE r2.a_top = r1.q_id"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val el = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr(qvecSpark("embedding")).as("qv"))
+          .withColumn("nsq", expr(qnsqSpark("qv")))
+          .cache() // A scan, B scan, and the hit-vector lookup
+        val aSide = el.filter(col("label") < 5)
+        val bSide = el.filter(col("label") >= 5)
+        val qs = aSide.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val w1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val r1 = bSide.crossJoin(broadcast(qs)) // bounded query set
+          .withColumn("cosine", cosineCol)
+          .withColumn("rk", row_number().over(w1))
+          .filter(col("rk") <= 2)
+          .groupBy(col("q_id"))
+          .agg(max(when(col("rk") === 1, col("vec_id"))).as("b_id"),
+            max(when(col("rk") === 1, col("cosine"))).as("best"),
+            max(when(col("rk") === 2, col("cosine"))).as("second"))
+          .cache() // feeds the hit-vector lookup AND the final join
+        val bv = el.join(broadcast(r1.select(col("b_id")).distinct()),
+            col("vec_id") === col("b_id"))
+          .select(col("b_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val w2 = Window.partitionBy(col("b_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val r2 = aSide.crossJoin(broadcast(bv)) // <= |Q| hit vectors
+          .withColumn("cosine", cosineCol)
+          .withColumn("rk", row_number().over(w2))
+          .filter(col("rk") === 1)
+          .select(col("b_id"), col("vec_id").as("a_top"))
+        r1.join(broadcast(r2), "b_id")
+          .filter(col("a_top") === col("q_id"))
+          .select(col("q_id").as("a_id"), col("b_id"),
+            col("best").as("cosine"),
+            expr("cast(floor((best - second) * 1000000) as bigint)")
+              .as("margin_micro"))
+      }),
+
+    // ---- kNN label-consensus noise detection -------------------------------
+    // Instance-level label-error screening (the Confident-Learning-shaped
+    // check): for each audited vector, do its k=5 exact nearest neighbors
+    // (cosine, full corpus, self excluded) AGREE with its label? A vector
+    // whose neighborhood majority-disagrees is flagged as a probable
+    // label error — the per-instance complement of q339's per-label
+    // centroid silhouette (which already showed this fixture's labels
+    // barely separate; this query names the individual suspects instead
+    // of the aggregate). Audited set = the fixed id range vec_id < 100
+    // (sf-independent, the q45 query-set discipline). Determinism: exact
+    // integer dot/norms, (cosine DESC, vec_id) tiebreak, integer
+    // agreement counts. 100 TB plan: ONE corpus scan with the bounded
+    // query set broadcast (the q45 shape); label lookups join the tiny
+    // top-k frame (broadcast) against the embeddings scan; per-query
+    // windows partition on q_id. Auditing MORE vectors shards the query
+    // set across repeated scans — cost is queries x corpus, a chosen
+    // audit budget, never an all-pairs.
+    QuerySpec(
+      "q376_label_consensus",
+      Some(s"""WITH $duckQuantCte,
+        q AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq
+          FROM en WHERE vec_id < $ConsensusIds),
+        p AS (SELECT q.q_id, en.vec_id,
+            CAST(${qdotDuck("q.q_qv", "en.qv", Dims)} AS DOUBLE)
+              / (sqrt(CAST(q.q_nsq AS DOUBLE))
+                * sqrt(CAST(en.nsq AS DOUBLE))) AS cosine
+          FROM en, q WHERE en.vec_id <> q.q_id),
+        tk AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id) AS rk
+            FROM p) z
+          WHERE rk <= $K),
+        ag AS (SELECT tk.q_id, lq.label,
+            CAST(SUM(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+          FROM tk JOIN embeddings ln ON ln.vec_id = tk.vec_id
+                  JOIN embeddings lq ON lq.vec_id = tk.q_id
+          GROUP BY 1, 2)
+        SELECT q_id AS query_id, label, n_agree,
+          (n_agree * 2 < $K) AS flagged
+        FROM ag"""),
+      (s, d) => {
+        val en = quantized(s, d, withSig = false)
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val qs = en.filter(col("vec_id") < ConsensusIds)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val top = topkCosine(en.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("q_id")))
+          .select(col("query_id"), col("neighbor_id"))
+        val ag = lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label"))
+          .join(broadcast(top), "neighbor_id") // k x |audit| rows
+          .join(broadcast(lab.filter(col("vec_id") < ConsensusIds)
+            .select(col("vec_id").as("query_id"), col("label"))),
+            "query_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(sum(when(col("n_label") === col("label"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        ag.select(col("query_id"), col("label"), col("n_agree"),
+          (col("n_agree") * 2 < K).as("flagged"))
       })
   )
 }

@@ -193,6 +193,55 @@ object Sources {
           .join(dim, col("nk") === col("n_nationkey"))
           .agg(count(lit(1)).as("n"),
             sum(col("qty")).cast("long").as("sum_qty"))
+      }),
+
+    // ---- federated scan over heterogeneous formats -------------------------
+    // The migration-in-flight shape every lakehouse passes through: ONE
+    // logical table whose shards live in THREE different formats
+    // (parquet + CSV + JSON), scanned as a single unionByName frame with
+    // the filter applied AFTER the union — so the check proves (a) the
+    // per-format round-trips agree on values, and (b) Catalyst pushes
+    // the predicate through the Union into each leg's scan (parquet gets
+    // PushedFilters; the text legs at least prune columns) instead of
+    // filtering post-union. The oracle recomputes from the parquet
+    // source with the shard assignment as a CASE — any format-specific
+    // value drift (CSV float text, JSON date strings) breaks the hash.
+    // 100 TB plan: three independent scans, one shuffle for the final
+    // partial agg; the union is plan-level only (no materialization).
+    QuerySpec(
+      "q377_federated_union_scan",
+      Some(s"""SELECT CASE o_orderkey % 3 WHEN 0 THEN 'parquet'
+            WHEN 1 THEN 'csv' ELSE 'json' END AS fmt,
+          o_orderstatus, COUNT(*) AS n,
+          ${sqlDsum("o_totalprice")} AS total
+        FROM orders WHERE o_totalprice >= 1000
+        GROUP BY 1, 2"""),
+      (s: SparkSession, d: String) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val pqDir = scratch(d, "fed_pq")
+        val csvDir = scratch(d, "fed_csv")
+        val jsDir = scratch(d, "fed_js")
+        o.filter(col("o_orderkey") % 3 === 0)
+          .write.mode("overwrite").parquet(pqDir)
+        o.filter(col("o_orderkey") % 3 === 1)
+          .write.mode("overwrite").option("header", "true").csv(csvDir)
+        o.filter(col("o_orderkey") % 3 === 2)
+          .write.mode("overwrite").json(jsDir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        val legs = Seq(
+          s.read.parquet(pqDir).withColumn("fmt", lit("parquet")),
+          s.read.option("header", "true").schema(schema).csv(csvDir)
+            .withColumn("fmt", lit("csv")),
+          s.read.schema(schema).json(jsDir).withColumn("fmt", lit("json")))
+        legs.reduce(_.unionByName(_))
+          .filter(col("o_totalprice") >= 1000)
+          .groupBy(col("fmt"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       })
   )
 }

@@ -241,6 +241,63 @@ object TextAnalysis {
             Window.partitionBy(col("lang"))
               .orderBy(col("n").desc, col("token"))))
           .filter(col("rk") <= 5)
-          .select(col("lang"), col("token"), col("n"), col("rk")))
+          .select(col("lang"), col("token"), col("n"), col("rk"))),
+
+    // ---- char-bigram diversity gate (Simpson concentration) ---------------
+    // The repetitive-text filter that needs no tokenizer and no log():
+    // per doc, the Simpson/Herfindahl concentration of its character
+    // BIGRAM distribution — sum(c_i^2)/n^2 — in ppm. Templated or
+    // looping junk ("aaaa…", repeated boilerplate lines) concentrates
+    // probability mass on few bigrams and scores high; natural prose
+    // sits near the corpus floor (fixture: median ~14.6k ppm, p99 ~31k).
+    // This is the exact-rational cousin of the character-entropy gate
+    // every crawl pipeline runs — entropy needs log (libm last-ulp drift
+    // across engines); Simpson is a pure int64 rational with the SAME
+    // ordering on the concentrated tail, so the gate hash-matches. Docs
+    // at >= 25000 ppm (~p95) are dropped. Complements q57 (word/line
+    // repetition) at the sub-token grain those Gopher gates can't see.
+    // 100 TB plan: bigram explode is row-local (flatMap, no shuffle);
+    // the ONE shuffle is the (doc, bigram) partial agg whose reduced
+    // size is docs x distinct-bigrams-per-doc (alphabet-bounded, ~1e3),
+    // then a doc-grain and a source-grain re-agg — all partial-agg
+    // friendly, nothing broadcast or windowed.
+    QuerySpec(
+      "q374_char_diversity_gate",
+      Some("""WITH d AS (SELECT doc_id, source,
+            replace(lower(text), ' ', '') AS txt FROM documents),
+        bg AS (SELECT doc_id, source,
+            unnest([substr(txt, i, 2) for i in range(1, length(txt))])
+              AS b
+          FROM d WHERE length(txt) >= 2),
+        c AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS n
+          FROM bg GROUP BY 1, 2, 3),
+        p AS (SELECT doc_id, source,
+            CAST(SUM(n * n) * 1000000 // (SUM(n) * SUM(n)) AS BIGINT)
+              AS ppm
+          FROM c GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN ppm >= 25000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_drop,
+          CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+        FROM p GROUP BY 1"""),
+      (s, d) => {
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("replace(lower(text), ' ', '')").as("txt"))
+          .filter(length(col("txt")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, length(txt) - 1)," +
+              " i -> substring(txt, i, 2))")).as("b"))
+          .groupBy(col("doc_id"), col("source"), col("b"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(expr("sum(n * n) * 1000000 div (sum(n) * sum(n))")
+            .as("ppm"))
+        p.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ppm") >= 25000L, 1L).otherwise(0L))
+              .as("n_drop"),
+            expr("sum(ppm) div count(1)").as("mean_ppm"))
+      })
   )
 }

@@ -124,7 +124,12 @@ class GuardSpec extends SparkSpec {
       "q359_int8_rank_fidelity",
       // q369 reuses q356's Lloyd machinery (same fixed 10-seed
       // broadcast) plus 10-row query-cell / per-query-count tables
-      "q369_refresh_stability")
+      "q369_refresh_stability",
+      // q376 audits the SAME fixed-id-range shape (vec_id <
+      // ConsensusIds = 100, a chosen audit budget): the broadcast
+      // sides are the k x 100 top-k frame and the 100 audited labels —
+      // deployment constants, not corpus-scaled
+      "q376_label_consensus")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1909,4 +1909,80 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
+
+  test("q372: the rank-sum cumulative rides the q226 block discipline " +
+      "(per-block window + broadcast offsets); aggs are partial+final") {
+    val p = plan("q372_gate_auc")
+    assert(p.contains("BroadcastHashJoin"),
+      "the block-offsets table must broadcast:\n" + p)
+    assert(p.contains("partial_sum"), p)
+    val df = queries.Registry.byName("q372_gate_auc").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("windowspecdefinition(g#")),
+      "every cumsum window must partition on the block key:\n" + optimized)
+  }
+
+  test("q373: prefix-inverted self-join is an equi join on the shingle " +
+      "key; verify uses the native merge-scan intersect; no cartesian, " +
+      "no window") {
+    val p = plan("q373_prefix_filter_join")
+    assert(p.contains("sorted_intersect_count"),
+      "verify must use the fused merge-scan intersect:\n" + p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"),
+      "per-doc prefix ordering is row-local array sort, not a window:\n" + p)
+  }
+
+  test("q374: one parquet scan, three partial+final agg stages, " +
+      "no join and no window anywhere") {
+    val p = plan("q374_char_diversity_gate")
+    // count node-detail headers ("(N) Scan parquet") so the tree echo of
+    // the same node isn't double-counted
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q375: both passes broadcast the bounded side against one linear " +
+      "scan; top-k windows partition per query and push the rank limit") {
+    val p = plan("q375_mutual_knn_pairs")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push into WindowGroupLimit, not post-filter:\n" + p)
+    val df = queries.Registry.byName("q375_mutual_knn_pairs")
+      .run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val specs = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(specs.exists(_.contains("windowspecdefinition(q_id#"))
+      && specs.exists(_.contains("windowspecdefinition(b_id#")),
+      "per-query windows must partition on q_id/b_id:\n"
+        + specs.mkString("\n"))
+  }
+
+  test("q376: audited queries broadcast against the corpus scan; label " +
+      "lookups broadcast the tiny top-k frame; consensus agg is " +
+      "partial+final") {
+    val p = plan("q376_label_consensus")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q377: the predicate pushes through the Union into all three " +
+      "format legs, and the parquet leg carries PushedFilters") {
+    val p = plan("q377_federated_union_scan")
+    assert(p.contains("Union"), p)
+    Seq("Scan parquet", "Scan csv", "Scan json").foreach { leg =>
+      assert(p.linesIterator.count(
+        _.matches(s"""\\(\\d+\\) $leg\\s*""")) == 1, s"$leg:\n" + p)
+    }
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,1000.0)"),
+      "the filter must reach the parquet scan as a pushed filter:\n" + p)
+  }
 }
