@@ -1,5 +1,99 @@
 package graft
 object Bench {
+
+  /** Per-query sampling policy, factored out so BenchSpec can replay a
+    * synthetic stall against it. Returns (reported, extraRuns, suspect).
+    *
+    * - fast queries (first < slowCutoff): median of `iters` runs;
+    * - slow queries: min-of-2 (min is the one estimator a stall can
+    *   only leave alone or improve);
+    * - disagreement >3x between samples: untimed gc + resample (<=4)
+    *   until the two fastest corroborate within 1.5x;
+    * - SUSTAINED-stall guard (round-10 verdict): min-of-2 is defeated
+    *   when one multi-minute contention window covers BOTH samples —
+    *   they corroborate each other and the inflated min records with no
+    *   flag (q350: 13.04 s recorded vs 0.75 s real). The committed
+    *   BENCH_FULL.json prior is the anchor a window can't fake: when
+    *   the candidate exceeds 3x its prior, force gc+resample (<=4 more)
+    *   regardless of sample agreement, and flag `suspect` if it never
+    *   lands back inside 3x — either residual stall or a REAL
+    *   regression; both deserve the reader's eye, never a silent 17x.
+    */
+  private[graft] def measure(once: () => Double, iters: Int,
+      slowCutoff: Double, prior: Option[Double],
+      gc: () => Unit): (Double, Int, Boolean) = {
+    def minCorroborated(v: Vector[Double]): Boolean = {
+      val ok = v.filter(_ > 0).sorted
+      ok.size >= 2 && ok(1) <= ok(0) * 1.5
+    }
+    val first = once()
+    var times: Vector[Double] =
+      if (first < 0) Vector(first)
+      else if (first >= slowCutoff) Vector(first, once())
+      else (first +: (2 to iters).map(_ => once())).toVector
+    var retries = 0
+    while (times.forall(_ > 0) && times.size >= 2 &&
+           times.max / times.min > 3.0 && !minCorroborated(times) &&
+           retries < 4) {
+      gc()
+      // A transient failure during a stall-retry sample must not flip a
+      // query that already has successful samples red (a negative would
+      // become times.min and be reported as FAILED) — drop it and let
+      // the retry budget tick down.
+      val s = once()
+      if (s > 0) times = times :+ s
+      retries += 1
+    }
+    var suspect = times.forall(_ > 0) && times.size >= 2 &&
+      times.max / times.min > 3.0 && !minCorroborated(times)
+    var reported =
+      if (times.exists(_ < 0)) times.min
+      else if (first >= slowCutoff || times.max / times.min > 3.0)
+        times.min
+      else times.sorted.apply((times.size - 1) / 2)
+    // sustained-stall guard against the committed prior (header above)
+    prior.filter(p => reported > 0 && reported > 3.0 * p).foreach { p =>
+      var extra = 0
+      while (reported > 3.0 * p && extra < 4) {
+        gc()
+        val s = once()
+        if (s > 0 && s < reported) reported = s
+        extra += 1
+      }
+      retries += extra
+      if (reported > 3.0 * p) suspect = true
+    }
+    (reported, retries, suspect)
+  }
+
+  /** Per-query priors from a previous run's full record (one JSON line
+    * with `"queries":{"name":sec,...}` and a trailing `"sf":"...dir"`).
+    * Priors anchor the sustained-stall guard, so a record measured at a
+    * DIFFERENT scale factor must not be one — the sf label is checked.
+    * No-JSON-lib parse: the value grammar here is exactly
+    * `"key":number` pairs, which one regex covers.
+    */
+  private[graft] def loadPriors(path: String,
+      sfLabel: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(txt)
+        .exists(_.group(1).split('/').last == sfLabel)
+      if (!sfOk) Map.empty
+      else {
+        val qs = txt.indexOf("\"queries\":{")
+        if (qs < 0) Map.empty
+        else {
+          val body = txt.substring(qs + 11, txt.indexOf('}', qs))
+          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,10 +121,17 @@ object Bench {
     // must fit the driver's run budget).
     val slowCutoff =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0").toDouble
+    // Sustained-stall anchor: the previous full record's per-query times
+    // (see measure()'s header). Dev override for triage; the driver's
+    // checkout carries the committed BENCH_FULL.json.
+    val priorPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL.json")
+    val priors = loadPriors(priorPath, sfDir.split('/').last)
     var sinceGc = 0
     var stallRetries = 0
     // Queries whose post-GC resamples STILL disagree >3x after the retry
-    // budget: the reported min is the best stall-proof estimate, but the
+    // budget — or that never land back inside 3x of their committed
+    // prior: the reported min is the best stall-proof estimate, but the
     // record flags them so a reader knows which numbers carry residual
     // stall uncertainty without rerunning the suite.
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -51,44 +152,14 @@ object Bench {
       // Slow queries get ONE warm re-run (min-of-2), never a lone sample:
       // a single cold measurement can absorb a one-off stall (a 23 s GC /
       // cleanup pause was observed landing on a 1.4 s query mid-suite)
-      // and there is no second sample to out-vote it.
-      val first = once()
-      var times: Vector[Double] =
-        if (first < 0) Vector(first)
-        else if (first >= slowCutoff) Vector(first, once())
-        else (first +: (2 to iters).map(_ => once())).toVector
-      // Stall rejection (round 6): the driver's sandbox can land a
-      // multi-second environment pause inside ANY timing window — round 5
-      // recorded 70 s for a 0.4 s query because a stall hit BOTH of its
-      // min-of-2 samples. A stall only ever INFLATES a sample, so when the
-      // samples disagree by >3x, resample (after an untimed System.gc() so
-      // deferred ContextCleaner debris can't masquerade as the next stall)
-      // until the two fastest samples corroborate each other within 1.5x,
-      // bounded at 4 extra runs. The reported value for a disagreeing (or
-      // slow) query is then the MIN — the one estimator a stall cannot
-      // bias.
-      def minCorroborated(v: Vector[Double]): Boolean = {
-        val ok = v.filter(_ > 0).sorted
-        ok.size >= 2 && ok(1) <= ok(0) * 1.5
-      }
-      var retries = 0
-      while (times.forall(_ > 0) && times.size >= 2 &&
-             times.max / times.min > 3.0 && !minCorroborated(times) &&
-             retries < 4) {
-        System.gc()
-        // A transient failure during a stall-retry sample must not flip a
-        // query that already has successful samples red (a negative would
-        // become times.min and be reported as FAILED) — drop it and let
-        // the retry budget tick down.
-        val s = once()
-        if (s > 0) times = times :+ s
-        retries += 1
-      }
+      // and there is no second sample to out-vote it. The full sampling /
+      // stall-rejection / prior-anchor policy lives in measure().
+      val (reported, retries, suspect) =
+        measure(() => once(), iters, slowCutoff, priors.get(name),
+          () => System.gc())
       stallRetries += retries
-      if (times.forall(_ > 0) && times.size >= 2 &&
-          times.max / times.min > 3.0 && !minCorroborated(times))
-        suspects += name
-      // ... but DO drop them between QUERIES: CacheManager lookups compare
+      if (suspect) suspects += name
+      // Drop cached frames between QUERIES: CacheManager lookups compare
       // canonicalized plans against every live entry, so letting 130+
       // queries' cached frames accumulate makes each later action pay an
       // O(cached-plans) analysis tax — measured as a 10-100x inflation of
@@ -103,14 +174,7 @@ object Bench {
       // measurements, keeps it out of every query's numbers.
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
-      // min when a stall was detected or the query is slow (min-of-k is
-      // the stall-proof estimator; caching amortization across iters is
-      // intentional); median of 3 for fast, agreeing samples; the lone
-      // failed sample as-is
-      name -> (if (times.exists(_ < 0)) times.min
-               else if (first >= slowCutoff || times.max / times.min > 3.0)
-                 times.min
-               else times.sorted.apply((times.size - 1) / 2))
+      name -> reported
     }
     // 3-decimal durations: ms resolution is all the comparison needs, and
     // it halves the line so the driver's stdout-tail capture (which

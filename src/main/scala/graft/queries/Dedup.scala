@@ -1790,6 +1790,12 @@ object Dedup {
     // singleton row is the anti-join count). Shape: q48's component
     // machinery verbatim (bounded star rounds), then a per-component
     // rank window and two bounded-grain rollups.
+    // ORACLE NOTE: the DuckDB side computes components as a RECURSIVE
+    // full transitive closure — `reach` is O(Σ component_size²) rows,
+    // fine as a small-fixture oracle (near-dup clusters here are tiny)
+    // but NOT the scale path; the Spark side's bounded star rounds are.
+    // q48/q128's min-label iterative oracle is the alternative if a
+    // fixture ever grows a large cluster.
     QuerySpec(
       "q370_cluster_cap_sample",
       Some(s"""WITH RECURSIVE $minhashCteChain,

@@ -27,18 +27,22 @@ object Multimodal {
   /** q352 band-bucket occupancy cap (the q42 linearity discipline). */
   private val PhashBucketCap = 64
 
-  /** The decoded "image tower": every image asset's payload through the
-    * real codec plumbing (DispatchCodec → documented FakeCodec for the
-    * fixture's synthetic payloads), mean-pool-bucketed into 64 exact
-    * integer byte sums — shared by q333 (cross-modal gate) and q352
-    * (perceptual dedup). mapPartitions is the sanctioned media-decode
-    * site: per-partition batches, no per-row driver work.
+  /** The decoded modality "tower": every asset of one modality through
+    * the real codec plumbing (DispatchCodec → documented FakeCodec for
+    * the fixture's synthetic payloads), mean-pool-bucketed into 64 exact
+    * integer sums — byte sums (`square=false`, the q333/q352 image
+    * tower) or byte-energy sums (`square=true`, the q378 audio tower:
+    * PCM energy is the squared sample, and squaring the recovered byte
+    * keeps it exact integer math). Empty payloads are excluded on BOTH
+    * engines (the oracle's positional-character mirror has no i % 0
+    * escape). mapPartitions is the sanctioned media-decode site:
+    * per-partition batches, no per-row driver work.
     */
-  private def imageTowers(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  private def towers(s: SparkSession, d: String, kind: String,
+      square: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Media.fromDocuments(s, d)
-      .filter(col("kind") === "image")
+      .filter(col("kind") === kind && length(col("content")) > 0)
       .as[Media.MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
@@ -47,7 +51,8 @@ object Multimodal {
           var i = 0
           while (i < grid.length) {
             // grid value is b/255f; *255 + round recovers b exactly
-            m(i * 64 / grid.length) += math.round(grid(i) * 255f).toLong
+            val b = math.round(grid(i) * 255f).toLong
+            m(i * 64 / grid.length) += (if (square) b * b else b)
             i += 1
           }
           (r.media_id, m)
@@ -55,16 +60,34 @@ object Multimodal {
       }.toDF("media_id", "m")
   }
 
-  /** DuckDB mirror of [[imageTowers]]: the FakeCodec grid is derived
-    * arithmetically from the payload bytes (see q333's header), ending
-    * as `ml(doc_id, m)` — the 64-bucket integer sums per image asset.
+  private def imageTowers(s: SparkSession, d: String) =
+    towers(s, d, "image", square = false)
+
+  private def audioTowers(s: SparkSession, d: String) =
+    towers(s, d, "audio", square = true)
+
+  /** DuckDB mirror of [[towers]]: the FakeCodec grid is derived
+    * arithmetically from the payload bytes, ending as `ml(doc_id, m)` —
+    * the 64-bucket integer sums per asset of the `residue` modality
+    * (doc_id % 3: 0 = image, 1 = audio, 2 = video).
+    *
+    * ASCII-FIXTURE ASSUMPTION: the mirror reads payload byte i as
+    * `unicode(substring(text, i % n_chars + 1, 1))`, which equals the
+    * UTF-8 byte only when every character is single-byte ASCII with
+    * code point == byte (then UTF-8 length == n_chars too). The driver
+    * fixture is ASCII by construction; MultimodalSpec's golden pins
+    * would catch a fixture change. `n_chars > 0` is guarded on both
+    * engines (Spark: payload length > 0) — DuckDB's `i % 0` errors on
+    * an empty text where FakeCodec returns a zero grid.
     */
-  private val towersDuckCte: String =
+  private def towersDuckCteFor(residue: Int, square: Boolean): String = {
+    val v = "unicode(substring(text, CAST(i % n_chars AS INT) + 1, 1))"
+    val vExpr = if (square) s"$v * $v" else v
     s"""img AS (SELECT doc_id, text, n_chars,
         ((n_chars % 64 + 1) * (n_chars % 48 + 1) * 3) AS n
-      FROM documents WHERE doc_id % 3 = 0),
+      FROM documents WHERE doc_id % 3 = $residue AND n_chars > 0),
     g AS (SELECT doc_id, (i * 64) // n AS k,
-        unicode(substring(text, CAST(i % n_chars AS INT) + 1, 1)) AS v
+        $vExpr AS v
       FROM (SELECT doc_id, text, n_chars, n,
           unnest(range(0, n)) AS i FROM img) z),
     sp AS (SELECT doc_id, k, CAST(SUM(v) AS BIGINT) AS mv
@@ -74,6 +97,10 @@ object Multimodal {
       CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
       LEFT JOIN sp ON sp.doc_id = img.doc_id AND sp.k = ks.k),
     ml AS (SELECT doc_id, list(mv ORDER BY k) AS m FROM dn GROUP BY 1)"""
+  }
+
+  private val towersDuckCte: String =
+    towersDuckCteFor(residue = 0, square = false)
 
   val all: Seq[QuerySpec] = Seq(
     QuerySpec(

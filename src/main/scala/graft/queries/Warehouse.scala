@@ -1215,7 +1215,8 @@ object Warehouse {
             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
           FROM orders),
         v2 AS (
-          SELECT k + 100000000 AS k, st, cents FROM v1 WHERE k % 89 = 0
+          SELECT k + (CAST(1 AS BIGINT) << 40) AS k, st, cents
+          FROM v1 WHERE k % 89 = 0
           UNION ALL
           SELECT k,
             CASE WHEN k % 103 = 0 THEN 'X' ELSE st END AS st,
@@ -1239,8 +1240,12 @@ object Warehouse {
         val v1 = t(s, d, "orders")
           .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        // insert re-key offset is a HIGH BIT (2^40), not a decimal
+        // constant: o_orderkey grows with sf and a 1e8 offset collides
+        // with real keys around sf16, silently reclassifying 'added'
+        // rows — 2^40 stays clear of any realistic key space.
         val v2 = v1.filter(col("k") % 89 === 0)
-          .select((col("k") + 100000000L).as("k"), col("st"), col("cents"))
+          .select((col("k") + (1L << 40)).as("k"), col("st"), col("cents"))
           .unionAll(v1.filter(col("k") % 97 =!= 0)
             .select(col("k"),
               when(col("k") % 103 === 0, "X").otherwise(col("st")).as("st"),

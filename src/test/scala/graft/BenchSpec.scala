@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench sampling policy, replayed against synthetic stalls (no Spark
+  * needed — `Bench.measure` takes the sampler as a function).
+  *
+  * The round-10 failure mode this pins: a SUSTAINED host-contention
+  * window covers BOTH min-of-2 samples of a slow query, the two stalled
+  * times corroborate each other (within 1.5x), and a 17x-inflated min is
+  * recorded with no flag. The committed-prior anchor must force a
+  * resample out of the window — the policy may report a stalled number
+  * ONLY with the suspect flag attached, never silently.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  /** Sampler that replays a scripted sequence (last value repeats). */
+  private def scripted(xs: Double*): () => Double = {
+    val it = xs.iterator
+    var last = xs.last
+    () => { if (it.hasNext) last = it.next(); last }
+  }
+
+  private val iters = 3
+  private val cutoff = 2.0
+  private val noGc: () => Unit = () => ()
+
+  test("sustained stall: corroborating stalled min-of-2 is broken by the " +
+      "prior-anchored forced resample and the true time is reported") {
+    // q350's round-10 record, replayed: both samples sit in the window
+    // (13.04 / 13.10 corroborate within 1.5x — the round-6 disagreement
+    // check can't fire), prior says 0.75; one forced resample still
+    // stalled, the next lands clean.
+    val (v, retries, suspect) = Bench.measure(
+      scripted(13.04, 13.10, 13.2, 0.74),
+      iters, cutoff, prior = Some(0.75), noGc)
+    assert(v === 0.74)
+    assert(retries >= 2)
+    assert(!suspect)
+  }
+
+  test("stall that never clears (or a real 17x regression) reports the " +
+      "min WITH the suspect flag — never a silent inflated record") {
+    val (v, _, suspect) = Bench.measure(
+      scripted(13.04, 13.10, 13.2, 13.5, 13.1, 13.3),
+      iters, cutoff, prior = Some(0.75), noGc)
+    assert(v === 13.04)
+    assert(suspect, "a >3x-of-prior result that never re-corroborates " +
+      "must carry the suspect flag")
+  }
+
+  test("without a prior the corroborating stalled pair records silently " +
+      "— the documented gap the anchor exists to close") {
+    val (v, _, suspect) = Bench.measure(
+      scripted(13.04, 13.10),
+      iters, cutoff, prior = None, noGc)
+    assert(v === 13.04 && !suspect)
+  }
+
+  test("fast agreeing query: median of iters, no retries, prior untouched") {
+    val (v, retries, suspect) = Bench.measure(
+      scripted(0.50, 0.52, 0.51),
+      iters, cutoff, prior = Some(0.50), noGc)
+    assert(v === 0.51 && retries === 0 && !suspect)
+  }
+
+  test("legitimate slowdown inside 3x of prior is accepted without " +
+      "resampling (environment drift must not burn the retry budget)") {
+    val (v, retries, suspect) = Bench.measure(
+      scripted(2.9, 2.95),
+      iters, cutoff, prior = Some(1.2), noGc)
+    assert(v === 2.9 && retries === 0 && !suspect)
+  }
+
+  test("failed sample still reports negative (failure stays visible)") {
+    val (v, _, _) = Bench.measure(
+      scripted(-1.5), iters, cutoff, prior = Some(0.5), noGc)
+    assert(v === -1.5)
+  }
+
+  test("loadPriors parses the full-record line and rejects a record " +
+      "measured at a different scale factor") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val f = dir.resolve("prior.json")
+    val line = """{"metric":"total","value":2.0,"unit":"sec","failed":0,""" +
+      """"iters":3,"stall_retries":0,"suspect":[],""" +
+      """"queries":{"q01_pricing_summary":0.613,"q350_hard_negatives":0.75},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    java.nio.file.Files.write(f, line.getBytes("UTF-8"))
+    val p = Bench.loadPriors(f.toString, "sf0.1")
+    assert(p === Map("q01_pricing_summary" -> 0.613,
+      "q350_hard_negatives" -> 0.75))
+    assert(Bench.loadPriors(f.toString, "sf0.01") === Map.empty,
+      "a prior from another sf must not anchor this run")
+    assert(Bench.loadPriors(dir.resolve("absent.json").toString, "sf0.1")
+      === Map.empty)
+  }
+}

@@ -5,7 +5,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== gate 1: unit + property tests"
-sbt -batch test 2>&1 | grep -E "Tests:|Passed: Total|\*\*\*" | tail -4
+TEST_LOG="$(mktemp)"
+sbt -batch test 2>&1 | tee "$TEST_LOG" | grep -E "Tests:|Passed: Total|\*\*\*" | tail -4
+echo "== gate 1b: doc counts match what the tools emit"
+python3 tools/counts.py "$TEST_LOG"
 
 echo "== gate 2: DuckDB differential correctness (sf0.01)"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
