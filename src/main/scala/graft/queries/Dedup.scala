@@ -1933,6 +1933,71 @@ object Dedup {
       (s, d) => {
         val sh = shingled(s, d).select(col("doc_id"), col("shingles")).cache()
         verifyJaccard(sh, prefixCandidates(sh), 0.7)
+      }),
+
+    // ---- duplicated-substring mass vs chunk size (the Lee et al. curve) ----
+    // q332 measures exact-substring duplication mass at ONE grain (10
+    // tokens); the policy question is the CURVE — Lee et al. 2022 fig. 2
+    // shape: how does the duplicated-token fraction fall as the match
+    // length k grows? Short spans catch boilerplate phrases; long spans
+    // only true copies. One pass computes k ∈ {10, 20, 40} together:
+    // the chunk explode emits all three grains tagged with k (q349's
+    // ladder discipline), so the fingerprint aggregation is ONE shuffle
+    // on the composite (k, fp) key — not three jobs over the corpus.
+    // Output is q332's duplication-mass histogram per grain: (k, bin)
+    // rows with doc counts and token masses. 100 TB plan: identical to
+    // q332 with 3x the chunk rows — (k,fp)-keyed partial aggs, the join
+    // back on the same key, an 33-group rollup; no self-join, no window.
+    QuerySpec(
+      "q379_dup_mass_curve",
+      Some("""WITH dd AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        kk AS (SELECT unnest([10, 20, 40]) AS k),
+        ch AS (SELECT doc_id, k, nt, u.fp AS fp, u.ln AS ln FROM (
+            SELECT doc_id, k, len(t) AS nt,
+              unnest([{'fp': md5(array_to_string(t[(i*k+1):(i*k+k)], ' ')),
+                  'ln': least(k, len(t) - i*k)}
+                for i in range(0, CAST(ceil(len(t) / (k * 1.0)) AS INT))])
+                AS u
+            FROM dd, kk) z),
+        fpd AS (SELECT k, fp, COUNT(DISTINCT doc_id) AS nd
+          FROM ch GROUP BY 1, 2),
+        pd AS (SELECT ch.k, doc_id, nt,
+            CAST(SUM(CASE WHEN nd >= 2 THEN ln ELSE 0 END) AS BIGINT)
+              AS dup
+          FROM ch JOIN fpd ON fpd.k = ch.k AND fpd.fp = ch.fp
+          GROUP BY 1, 2, 3)
+        SELECT k, (dup * 10) // nt AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dup) AS BIGINT) AS dup_tokens,
+          CAST(SUM(nt) AS BIGINT) AS total_tokens
+        FROM pd GROUP BY 1, 2"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+            explode(expr(
+              """flatten(transform(array(10, 20, 40), k ->
+                 transform(
+                   sequence(0,
+                     cast(ceil(size(t) / cast(k as double)) as int) - 1),
+                   i -> struct(k AS k,
+                     md5(array_join(slice(t, i * k + 1, k), ' ')) AS fp,
+                     least(cast(k as bigint), size(t) - i * k) AS ln))))"""))
+              .as("c"))
+          .select(col("doc_id"), col("nt"), col("c.k").as("k"),
+            col("c.fp").as("fp"), col("c.ln").as("ln"))
+          .cache() // one scan+explode feeds the df agg AND the join back
+        val fpd = ch.groupBy(col("k"), col("fp"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val pd = ch.join(fpd, Seq("k", "fp"))
+          .groupBy(col("k"), col("doc_id"), col("nt"))
+          .agg(sum(when(col("nd") >= 2, col("ln")).otherwise(0L))
+            .as("dup"))
+        pd.groupBy(col("k"), expr("(dup * 10) div nt").as("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("dup_tokens"),
+            sum(col("nt")).as("total_tokens"))
       })
   )
 }

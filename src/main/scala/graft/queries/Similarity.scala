@@ -50,8 +50,10 @@ object Similarity {
     */
   private val PqCodes = 8
 
-  /** q98 semantic-dedup cosine threshold (same similarity scale as q44). */
-  private val SemThreshold = 0.4
+  /** q98 semantic-dedup cosine threshold (same similarity scale as q44).
+    * private[graft]: SemDedupStream admits against the SAME threshold.
+    */
+  private[graft] val SemThreshold = 0.4
 
   /** 16 hyperplanes with integer weights in [-1000, 1000], fixed seed —
     * the same constants are interpolated into both engines' SQL. Projection
@@ -287,6 +289,21 @@ object Similarity {
           WHEN abs(p1) <= abs(p2) AND abs(p1) <= abs(p3) THEN 1
           WHEN abs(p2) <= abs(p3) THEN 2
           ELSE 3 END"""))
+
+  /** Quantized 4-plane-celled projection of an arbitrary embeddings-shaped
+    * frame `(vec_id, embedding)` — q354's coarse-cell assignment as ONE
+    * definition, so the streaming twin ([[graft.streaming.SemDedupStream]])
+    * indexes the IDENTICAL (cell, qv, nsq) space the batch operator
+    * probes (the q41/NearDupStream bandIndex discipline: the state key
+    * space is the batch index's key space, never a re-derivation).
+    */
+  private[graft] def quantCell4(df: DataFrame): DataFrame = {
+    val cellExpr = (0 until 4)
+      .map(p => s"IF(${projSpark(p)} >= 0, ${1 << p}, 0)").mkString(" + ")
+    df.select(col("vec_id"), expr(qvecSpark("embedding")).as("qv"))
+      .withColumn("nsq", expr(qnsqSpark("qv")))
+      .withColumn("cell", expr(cellExpr).cast("int"))
+  }
 
   /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
     * an `nPlanes`-bit sign-code cell assignment. The cell count (2^nPlanes)
@@ -1322,11 +1339,9 @@ object Similarity {
           FROM g"""),
       (s, d) => {
         graft.expressions.GraftExtensions.ensureRegistered(s)
-        val cellExpr = (0 until 4)
-          .map(p => s"IF(${projSpark(p)} >= 0, ${1 << p}, 0)")
-          .mkString(" + ")
-        val c = quantized(s, d, withSig = false)
-          .withColumn("cell", expr(cellExpr))
+        // ONE cell definition shared with the streaming twin — see
+        // quantCell4's header.
+        val c = quantCell4(t(s, d, "embeddings")).cache()
         val n = c.filter(col("vec_id") >= 250)
           .select(col("vec_id"), col("cell"),
             col("qv").as("qv_n"), col("nsq").as("nsq_n"))
@@ -1876,6 +1891,80 @@ object Similarity {
             .otherwise(0L)).as("n_agree"))
         ag.select(col("query_id"), col("label"), col("n_agree"),
           (col("n_agree") * 2 < K).as("flagged"))
+      }),
+
+    // ---- IVF cell-balance audit + deterministic trie rebalance -------------
+    // SCALE.md's admitted gap: sign-code cells are NOT equal-mass (q98's
+    // residual 1.4x), q351 plans probe order but nothing measures
+    // occupancy skew or FIXES it. This is both: assign every vector its
+    // sign-prefix TRIE leaf — keep splitting (add the next hyperplane,
+    // depth 4 → 12) only while the current cell exceeds the occupancy
+    // cap (32, the q98/q205 target) — so a hot cell recursively sheds
+    // planes while a cold one stays coarse. The per-vector rule
+    // "smallest depth whose prefix-cell occupancy <= cap" IS the
+    // recursive split (a trie node is a leaf iff it is the first
+    // at-or-under-cap prefix on its path), which makes it expressible
+    // as 9 bounded levels instead of a loop: explode depths 4..12,
+    // count (depth, cell) occupancy, pick each vector's first
+    // satisfying depth with an integer-encoded min (depth*2^16+cell —
+    // exact, both engines). Leaves still over cap at depth 12 carry
+    // over_cap=true (the knob: raise max depth). Output: one row per
+    // leaf with occupancy and corpus-ppm mass — the balance sheet an
+    // IVF serving layer reads before choosing nprobe. 100 TB plan:
+    // 9x-corpus level rows shuffle on (depth, cell); occupancy agg is
+    // partial+final; join back on the same key; the leaf rollup is
+    // cell-bounded; no self-join, no corpus window, no collect.
+    QuerySpec(
+      "q380_ivf_cell_rebalance", {
+        val cap = CellOccupancy
+        Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, ($sigDuck) AS sig FROM en),
+          lv AS (SELECT vec_id, d,
+              sig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+            FROM sg, (SELECT unnest(range(4, 13)) AS d) z),
+          occ AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lv GROUP BY 1, 2),
+          pick AS (SELECT lv.vec_id,
+              MIN(CASE WHEN occ.n <= $cap
+                THEN lv.d * 65536 + lv.cell END) AS enc,
+              MAX(CASE WHEN lv.d = 12 THEN lv.cell END) AS cell12
+            FROM lv JOIN occ ON occ.d = lv.d AND occ.cell = lv.cell
+            GROUP BY 1),
+          leaf AS (SELECT vec_id,
+              CAST(COALESCE(enc // 65536, 12) AS INT) AS depth,
+              COALESCE(enc % 65536, cell12) AS cell
+            FROM pick),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM en)
+          SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            (CAST(COUNT(*) AS BIGINT) * 1000000) // n_total AS ppm,
+            COUNT(*) > $cap AS over_cap
+          FROM leaf, tot GROUP BY 1, 2, n_total""")
+      },
+      (s, d) => {
+        val sg = quantized(s, d, withSig = true)
+          .select(col("vec_id"), col("sig"))
+        val lv = sg.select(col("vec_id"), explode(expr(
+            """transform(sequence(4, 12), dd ->
+               struct(dd AS d, sig & (shiftleft(1L, dd) - 1) AS cell))"""))
+            .as("x"))
+          .select(col("vec_id"), col("x.d").as("d"), col("x.cell").as("cell"))
+        val occ = lv.groupBy(col("d"), col("cell"))
+          .agg(count(lit(1)).as("n"))
+        val pick = lv.join(occ, Seq("d", "cell"))
+          .groupBy(col("vec_id"))
+          .agg(min(when(col("n") <= CellOccupancy,
+              col("d").cast("long") * 65536L + col("cell"))).as("enc"),
+            max(when(col("d") === 12, col("cell"))).as("cell12"))
+        val leaf = pick.select(col("vec_id"),
+          coalesce(expr("enc div 65536"), lit(12L)).cast("int").as("depth"),
+          coalesce(col("enc") % 65536L, col("cell12")).as("cell"))
+        val tot = sg.agg(count(lit(1)).as("n_total"))
+        leaf.groupBy(col("depth"), col("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(tot)) // 1-row total
+          .select(col("depth"), col("cell"), col("n_vecs"),
+            expr("n_vecs * 1000000 div n_total").as("ppm"),
+            (col("n_vecs") > CellOccupancy).as("over_cap"))
       })
   )
 }

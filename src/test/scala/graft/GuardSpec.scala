@@ -129,7 +129,12 @@ class GuardSpec extends SparkSpec {
       // ConsensusIds = 100, a chosen audit budget): the broadcast
       // sides are the k x 100 top-k frame and the 100 audited labels —
       // deployment constants, not corpus-scaled
-      "q376_label_consensus")
+      "q376_label_consensus",
+      // q381's two retrieval legs broadcast the SAME fixed-id-range
+      // query set (media_id < 100, 34 queries — the q375/q376 audit
+      // budget); structurally a Filter over the paired tower/embedding
+      // join, which this sweep cannot prove bounded
+      "q381_crossmodal_recall")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1974,6 +1974,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q378: audio fingerprint candidates are band-bounded — the cool-" +
+      "bucket filter broadcasts (bounded by the 15-bit key space) and " +
+      "no cartesian/BNL pair join appears") {
+    val p = plan("q378_audio_fingerprint_dedup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q379: three grains ride ONE chunk frame — a single documents " +
+      "scan feeds the (k, fp) aggregation, no window, no cartesian") {
+    val p = plan("q379_dup_mass_curve")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "the k-ladder must explode from one scan, not three jobs:\n" + p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q380: the trie rebalance is agg-join-agg on (depth, cell) keys — " +
+      "partial+final aggs, the only BNL is the broadcast 1-row total") {
+    val p = plan("q380_ivf_cell_rebalance")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row corpus total may appear as a broadcast NLJ — bounded by
+    // construction; anything else joining without keys is a regression
+    // (count node-detail headers, not the tree echo of the same node)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1, p)
+    // the occupancy table is bounded by the level keyspace
+    // (sum(2^d, d=4..12) ~ 8k rows at ANY corpus size), so the join back
+    // may legitimately broadcast it; it must still be an equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      "the level->occupancy join back must be an equi-join:\n" + p)
+  }
+
+  test("q381: both retrieval legs broadcast the bounded query set " +
+      "against one corpus scan; top-k windows partition per query and " +
+      "push the rank limit") {
+    val p = plan("q381_crossmodal_recall")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push into WindowGroupLimit, not post-filter:\n" + p)
+    val df = queries.Registry.byName("q381_crossmodal_recall")
+      .run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("windowspecdefinition(q_id#")),
+      "per-query windows must partition on q_id:\n" + optimized)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

@@ -733,4 +733,81 @@ class StreamingSpec extends SparkSpec {
         s"only-stream=${got.toSet -- expected.toSet} " +
         s"only-batch=${expected.toSet -- got.toSet}")
   }
+
+  test("streaming semantic dedup: cell-keyed state with the corpus index " +
+      "as initial state reproduces q354's admission decisions, and " +
+      "stream-vs-stream matches equal the batch new x new recomputation") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    // batch reference: q354's (vec_id, cell, admitted, dup_of, n_matches)
+    val ref = queries.Registry.byName("q354_incremental_semdedup")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    assert(ref.nonEmpty, "fixture must contain a new batch")
+    assert(ref.values.exists(!_._2), "fixture must contain rejects")
+    assert(ref.values.exists(_._2), "fixture must contain admissions")
+
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = all.filter(col("vec_id") < 250)
+    val batchVecs = all.filter(col("vec_id") >= 250)
+      .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
+    val mem = MemoryStream[SemDedupStream.RawVec]
+    val q = SemDedupStream.matches(spark, mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("t_semdedup")
+      .outputMode("append").start()
+    // several micro-batches, fed in id order (= the batch operator's
+    // lower-id-is-earlier discipline, see the emission contract)
+    batchVecs.grouped(60).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    // leg 1 — corpus-sourced evidence aggregates to q354's decisions
+    val corpusEv = got.filter(_._2 < 250).groupBy(_._1)
+    val newIds = batchVecs.map(_.vec_id)
+    newIds.foreach { id =>
+      val (cell, admitted, dupOf, nMatches) = ref(id)
+      corpusEv.get(id) match {
+        case None =>
+          assert(admitted && nMatches == 0L,
+            s"vec $id: stream admitted but q354 rejected")
+        case Some(ev) =>
+          assert(!admitted, s"vec $id: stream rejected but q354 admitted")
+          assert(ev.map(_._2).min == dupOf,
+            s"vec $id: canonical duplicate differs")
+          assert(ev.size.toLong == nMatches,
+            s"vec $id: corpus match count differs")
+          assert(ev.forall(_._3 == cell), s"vec $id: cell differs")
+      }
+    }
+
+    // leg 2 — stream-vs-stream evidence (the online extension q354's
+    // one-shot frame doesn't model) equals the batch new x new
+    // recomputation over the SAME cells, cosines bit-equal
+    val qc = queries.Similarity.quantCell4(all)
+      .filter(col("vec_id") >= 250).cache()
+    val a = qc.select(col("vec_id").as("m_id"), col("cell"),
+      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = qc.select(col("vec_id").as("n_id"), col("cell").as("cell_b"),
+      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    val expected = a.join(b, col("cell") === col("cell_b")
+        && col("m_id") < col("n_id"))
+      .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
+      .filter(col("c") >= queries.Similarity.SemThreshold)
+      .select(col("n_id"), col("m_id"), col("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gotNn = got.filter(_._2 >= 250)
+      .map(t => ((t._1, t._2), t._4)).toMap
+    assert(gotNn.keySet === expected.keySet,
+      "stream-vs-stream pair set must equal the batch new x new pairs")
+    gotNn.foreach { case (k, c) =>
+      assert(c === expected(k), s"cosine for $k must be bit-equal") }
+  }
 }
