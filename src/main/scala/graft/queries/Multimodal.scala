@@ -110,6 +110,30 @@ object Multimodal {
   private val towersDuckCte: String =
     towersDuckCteFor(residue = 0, square = false)
 
+  /** q352's 60-bit aHash frame `(media_id, fp)` over the image towers —
+    * exposed (with [[audioFingerprint]]) so ScaleProbe measures the
+    * same signatures the queries band.
+    */
+  private[graft] def imagePhash(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    imageTowers(s, d)
+      .withColumn("msum", expr("aggregate(m, 0L, (a, v) -> a + v)"))
+      .select(col("media_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) ->
+           acc + IF(element_at(m, i + 1) * 64 >= msum,
+             shiftleft(1L, i), 0L))""").as("fp"))
+
+  /** q378's 60-bit sign-delta fingerprint `(media_id, fp)` over the
+    * audio energy towers.
+    */
+  private[graft] def audioFingerprint(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    audioTowers(s, d)
+      .select(col("media_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) ->
+           acc + IF(element_at(m, i + 2) >= element_at(m, i + 1),
+             shiftleft(1L, i), 0L))""").as("fp"))
+
   /** 4x15-bit band-bucketed candidate pairs over a 60-bit fingerprint
     * frame `ph(media_id, fp)` (cache it in the caller — it feeds the
     * bands and both pair sides), hamming-scored against `threshold` —
@@ -117,8 +141,12 @@ object Multimodal {
     * aHash) and q378 (audio sign-delta fingerprint) so the two media
     * near-dup families can't drift apart.
     */
-  private def bandedHammingPairs(ph: org.apache.spark.sql.DataFrame,
-      threshold: Int): org.apache.spark.sql.DataFrame = {
+  /** The candidate stage of [[bandedHammingPairs]] alone — exposed so
+    * ScaleProbe can measure candidate-count growth across corpus decades
+    * (the 100 TB linearity evidence) without scoring the pairs.
+    */
+  private[graft] def bandedCandidates(ph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bl = ph.select(col("media_id"), posexplode(expr(
         "transform(sequence(0, 3), j -> (shiftright(fp, 15*j) & 32767))")))
       .toDF("media_id", "band_j", "band")
@@ -127,14 +155,18 @@ object Multimodal {
       .select(col("band_j"), col("band"))
     // bounded by the 15-bit key space (<= 4 x 32768 rows), not by data
     val blc = bl.join(broadcast(cool), Seq("band_j", "band"))
-    val cand = blc.as("x").join(blc.as("y"),
+    blc.as("x").join(blc.as("y"),
         col("x.band_j") === col("y.band_j")
           && col("x.band") === col("y.band")
           && col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"),
         col("y.media_id").as("media_b"))
       .distinct()
-    cand
+  }
+
+  private def bandedHammingPairs(ph: org.apache.spark.sql.DataFrame,
+      threshold: Int): org.apache.spark.sql.DataFrame = {
+    bandedCandidates(ph)
       .join(ph.select(col("media_id").as("media_a"),
         col("fp").as("pa")), "media_a")
       .join(ph.select(col("media_id").as("media_b"),
@@ -271,14 +303,8 @@ object Multimodal {
           FROM (SELECT doc_id, m, list_sum(m) AS msum FROM ml) z),
         ${bandedHammingDuck(PhashThreshold)}"""),
       (s: SparkSession, d: String) => {
-        val ph = imageTowers(s, d)
-          .withColumn("msum", expr("aggregate(m, 0L, (a, v) -> a + v)"))
-          .select(col("media_id"), expr(
-            """aggregate(sequence(0, 59), 0L, (acc, i) ->
-               acc + IF(element_at(m, i + 1) * 64 >= msum,
-                 shiftleft(1L, i), 0L))""").as("fp"))
-          .cache() // 8 bytes/asset; feeds bands and both pair sides
-        bandedHammingPairs(ph, PhashThreshold)
+        // 8 bytes/asset; cached — feeds bands and both pair sides
+        bandedHammingPairs(imagePhash(s, d).cache(), PhashThreshold)
       }),
 
     // ---- audio perceptual-fingerprint near-dup (sign-delta over energy) ----
@@ -307,13 +333,8 @@ object Multimodal {
           FROM ml),
         ${bandedHammingDuck(AudioFpThreshold)}"""),
       (s: SparkSession, d: String) => {
-        val ph = audioTowers(s, d)
-          .select(col("media_id"), expr(
-            """aggregate(sequence(0, 59), 0L, (acc, i) ->
-               acc + IF(element_at(m, i + 2) >= element_at(m, i + 1),
-                 shiftleft(1L, i), 0L))""").as("fp"))
-          .cache() // 8 bytes/asset; feeds bands and both pair sides
-        bandedHammingPairs(ph, AudioFpThreshold)
+        // 8 bytes/asset; cached — feeds bands and both pair sides
+        bandedHammingPairs(audioFingerprint(s, d).cache(), AudioFpThreshold)
       }),
 
     // ---- cross-modal retrieval recall@k (the post-gate eval readout) -------
