@@ -84,13 +84,26 @@ object Bench {
         .exists(_.group(1).split('/').last == sfLabel)
       if (!sfOk) Map.empty
       else {
-        val qs = txt.indexOf("\"queries\":{")
-        if (qs < 0) Map.empty
-        else {
-          val body = txt.substring(qs + 11, txt.indexOf('}', qs))
-          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        // Anchor on the writer's exact flat grammar ("key":number pairs,
+        // no nested braces): if the record ever grows a nested value the
+        // regex misses and the guard degrades to OFF (Map.empty) instead
+        // of anchoring on a silently truncated prior map.
+        val body = """"queries"\s*:\s*\{([^{}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        // A prior run's own `suspect` entries are by definition not
+        // corroborated — letting a stall-inflated value become the anchor
+        // would disable the sustained-stall guard for that query.
+        val suspects: Set[String] = """"suspect"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(txt).map(_.group(1)).toList
+          .flatMap(s => """"([^"]+)"""".r.findAllMatchIn(s).map(_.group(1)))
+          .toSet
+        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          // Sub-resolution priors are artifacts: the record writes 3
+          // decimals, so a <0.5 ms query reads back 0.0 and `> 3.0 * p`
+          // would then ALWAYS fire — one output LSB is the floor.
+          .filter { case (k, v) => v >= 0.001 && !suspects.contains(k) }
+          .toMap
       }
     } catch { case _: Exception => Map.empty }
 

@@ -95,4 +95,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadPriors(dir.resolve("absent.json").toString, "sf0.1")
       === Map.empty)
   }
+
+  test("loadPriors drops sub-resolution (0.000) priors — a 3-decimal " +
+      "record floors sub-0.5ms queries to 0.0, which would make the " +
+      ">3x-of-prior guard fire unconditionally forever") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val f = dir.resolve("prior.json")
+    val line = """{"metric":"total","value":2.0,"suspect":[],""" +
+      """"queries":{"q_fast":0.000,"q_ok":0.613},"sf":"sf0.1"}"""
+    java.nio.file.Files.write(f, line.getBytes("UTF-8"))
+    assert(Bench.loadPriors(f.toString, "sf0.1") === Map("q_ok" -> 0.613))
+  }
+
+  test("loadPriors excludes queries the prior run itself flagged suspect " +
+      "— a stall-inflated anchor would silently disable the guard") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val f = dir.resolve("prior.json")
+    val line = """{"metric":"total","value":2.0,""" +
+      """"suspect":["q350_hard_negatives"],""" +
+      """"queries":{"q350_hard_negatives":13.04,"q_ok":0.613},""" +
+      """"sf":"sf0.1"}"""
+    java.nio.file.Files.write(f, line.getBytes("UTF-8"))
+    assert(Bench.loadPriors(f.toString, "sf0.1") === Map("q_ok" -> 0.613))
+  }
+
+  test("loadPriors degrades to empty (guard off) when the queries object " +
+      "is not the writer's flat grammar, instead of truncating silently") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val f = dir.resolve("prior.json")
+    val line = """{"metric":"total","suspect":[],""" +
+      """"queries":{"q_a":{"nested":1.0},"q_b":0.5},"sf":"sf0.1"}"""
+    java.nio.file.Files.write(f, line.getBytes("UTF-8"))
+    assert(Bench.loadPriors(f.toString, "sf0.1") === Map.empty)
+  }
 }

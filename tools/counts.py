@@ -41,7 +41,15 @@ def query_count() -> int:
 
 
 def main() -> int:
-    log = Path(sys.argv[1]).read_text()
+    if len(sys.argv) < 2:
+        print("usage: python3 tools/counts.py <sbt-test-log> [--fix]",
+              file=sys.stderr)
+        return 2
+    try:
+        log = Path(sys.argv[1]).read_text()
+    except FileNotFoundError:
+        print(f"counts.py: no such log file: {sys.argv[1]}", file=sys.stderr)
+        return 2
     fix = "--fix" in sys.argv[2:]
     total, tests, laws = sbt_counts(log)
     nq = query_count()
