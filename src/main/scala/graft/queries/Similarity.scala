@@ -292,10 +292,11 @@ object Similarity {
 
   /** Quantized 4-plane-celled projection of an arbitrary embeddings-shaped
     * frame `(vec_id, embedding)` — q354's coarse-cell assignment as ONE
-    * definition, so the streaming twin ([[graft.streaming.SemDedupStream]])
-    * indexes the IDENTICAL (cell, qv, nsq) space the batch operator
-    * probes (the q41/NearDupStream bandIndex discipline: the state key
-    * space is the batch index's key space, never a re-derivation).
+    * definition. The streaming twin ([[graft.streaming.SemDedupStream]])
+    * keys state on [[trieLeaf]] prefixes of the SAME signature (its
+    * `maxDepth = 4` parity mode degenerates to exactly this cell), so
+    * the state key space is the batch index's key space, never a
+    * re-derivation.
     */
   private[graft] def quantCell4(df: DataFrame): DataFrame = {
     val cellExpr = (0 until 4)
@@ -303,6 +304,47 @@ object Similarity {
     df.select(col("vec_id"), expr(qvecSpark("embedding")).as("qv"))
       .withColumn("nsq", expr(qnsqSpark("qv")))
       .withColumn("cell", expr(cellExpr).cast("int"))
+  }
+
+  /** Quantized projection WITH the full 16-plane signature, for an
+    * arbitrary embeddings-shaped frame `(vec_id, embedding)` — the
+    * frame-generic twin of [[quantized]]`(withSig = true)` (which is
+    * pinned to the fixture table). `sig & 15 == quantCell4.cell` by
+    * construction (same planes 0-3, same weights, same `>= 0` rule), so
+    * trie prefixes of `sig` REFINE the q98/q354 cell space.
+    */
+  private[graft] def quantSig(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr(qvecSpark("embedding")).as("qv"))
+      .withColumn("nsq", expr(qnsqSpark("qv")))
+      .withColumn("sig", expr(sigSpark))
+
+  /** Occupancy-capped sign-prefix trie leaf (q380's rule, generalized to
+    * any depth ceiling): each vector's leaf is the FIRST depth d in
+    * [4, maxDepth] whose prefix-cell occupancy is <= cap, else the
+    * (possibly over-cap) depth-maxDepth cell. Input needs (vec_id, sig);
+    * output (vec_id, depth, cell). Expressed as maxDepth-3 bounded
+    * levels (explode + (depth, cell)-keyed occupancy agg + join-back +
+    * integer-encoded min) — no loop, no window over the corpus.
+    */
+  private[graft] def trieLeaf(sg: DataFrame, cap: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 4 && maxDepth <= Planes)
+    val lv = sg.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(4, $maxDepth), dd ->
+           struct(dd AS d, sig & (shiftleft(1L, dd) - 1) AS cell))"""))
+        .as("x"))
+      .select(col("vec_id"), col("x.d").as("d"), col("x.cell").as("cell"))
+    val occ = lv.groupBy(col("d"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+    lv.join(occ, Seq("d", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("n") <= cap,
+          col("d").cast("long") * 65536L + col("cell"))).as("enc"),
+        max(when(col("d") === maxDepth, col("cell"))).as("cellMax"))
+      .select(col("vec_id"),
+        coalesce(expr("enc div 65536"), lit(maxDepth.toLong))
+          .cast("int").as("depth"),
+        coalesce(col("enc") % 65536L, col("cellMax")).as("cell"))
   }
 
   /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
@@ -1943,21 +1985,9 @@ object Similarity {
       (s, d) => {
         val sg = quantized(s, d, withSig = true)
           .select(col("vec_id"), col("sig"))
-        val lv = sg.select(col("vec_id"), explode(expr(
-            """transform(sequence(4, 12), dd ->
-               struct(dd AS d, sig & (shiftleft(1L, dd) - 1) AS cell))"""))
-            .as("x"))
-          .select(col("vec_id"), col("x.d").as("d"), col("x.cell").as("cell"))
-        val occ = lv.groupBy(col("d"), col("cell"))
-          .agg(count(lit(1)).as("n"))
-        val pick = lv.join(occ, Seq("d", "cell"))
-          .groupBy(col("vec_id"))
-          .agg(min(when(col("n") <= CellOccupancy,
-              col("d").cast("long") * 65536L + col("cell"))).as("enc"),
-            max(when(col("d") === 12, col("cell"))).as("cell12"))
-        val leaf = pick.select(col("vec_id"),
-          coalesce(expr("enc div 65536"), lit(12L)).cast("int").as("depth"),
-          coalesce(col("enc") % 65536L, col("cell12")).as("cell"))
+        // shared leaf rule — [[trieLeaf]] is also the streaming semantic
+        // dedup's corpus state-key space (SemDedupStream)
+        val leaf = trieLeaf(sg, CellOccupancy, maxDepth = 12)
         val tot = sg.agg(count(lit(1)).as("n_total"))
         leaf.groupBy(col("depth"), col("cell"))
           .agg(count(lit(1)).as("n_vecs"))

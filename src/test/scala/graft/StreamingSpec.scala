@@ -734,9 +734,10 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${expected.toSet -- got.toSet}")
   }
 
-  test("streaming semantic dedup: cell-keyed state with the corpus index " +
-      "as initial state reproduces q354's admission decisions, and " +
-      "stream-vs-stream matches equal the batch new x new recomputation") {
+  test("streaming semantic dedup (maxDepth=4 parity mode): cell-keyed " +
+      "state with the corpus index as initial state reproduces q354's " +
+      "admission decisions, and stream-vs-stream matches equal the " +
+      "batch new x new recomputation") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     graft.expressions.GraftExtensions.ensureRegistered(spark)
@@ -757,7 +758,9 @@ class StreamingSpec extends SparkSpec {
     val batchVecs = all.filter(col("vec_id") >= 250)
       .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
     val mem = MemoryStream[SemDedupStream.RawVec]
-    val q = SemDedupStream.matches(spark, mem.toDF(), corpus)
+    // maxDepth = 4 degenerates the trie keying to the fixed 4-plane cell
+    // — the pinned q354 oracle space this leg proves bit-parity with
+    val q = SemDedupStream.matches(spark, mem.toDF(), corpus, maxDepth = 4)
       .writeStream.format("memory").queryName("t_semdedup")
       .outputMode("append").start()
     // several micro-batches, fed in id order (= the batch operator's
@@ -766,8 +769,10 @@ class StreamingSpec extends SparkSpec {
       mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
     }
     q.stop()
-    val got = spark.table("t_semdedup").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val raw = spark.table("t_semdedup").collect()
+    assert(raw.forall(_.getInt(2) == 4), "parity mode must key at depth 4")
+    val got = raw
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(4)))
 
     // leg 1 — corpus-sourced evidence aggregates to q354's decisions
     val corpusEv = got.filter(_._2 < 250).groupBy(_._1)
@@ -809,5 +814,124 @@ class StreamingSpec extends SparkSpec {
       "stream-vs-stream pair set must equal the batch new x new pairs")
     gotNn.foreach { case (k, c) =>
       assert(c === expected(k), s"cosine for $k must be bit-equal") }
+  }
+
+  test("streaming semantic dedup (default trie mode): corpus evidence " +
+      "equals the batch trie-leaf recomputation, stream-vs-stream " +
+      "evidence equals the batch same-12-bit-prefix recomputation") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = all.filter(col("vec_id") < 250)
+    val newDf = all.filter(col("vec_id") >= 250)
+    val batchVecs = newDf.as[SemDedupStream.RawVec].collect()
+      .sortBy(_.vec_id)
+    val mem = MemoryStream[SemDedupStream.RawVec]
+    val q = SemDedupStream.matches(spark, mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("t_semdedup_trie")
+      .outputMode("append").start()
+    batchVecs.grouped(60).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_semdedup_trie").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(4)))
+    assert(got.forall(t => t._3 >= 4 && t._3 <= 12))
+
+    // leg 1 — corpus evidence = batch recomputation on the trie-leaf
+    // candidate rule: an arrival is a candidate of every corpus member
+    // whose leaf cell is a prefix of the arrival's signature (= the one
+    // corpus leaf containing the arrival, since leaf cells partition)
+    val leaves = SemDedupStream.corpusLeaves(corpus)
+    val memSide = queries.Similarity.quantSig(corpus).join(leaves, "vec_id")
+      .select(col("vec_id").as("m_id"), col("qv").as("qv_a"),
+        col("nsq").as("nsq_a"), col("depth"), col("cell"))
+    val arrPaths = queries.Similarity.quantSig(newDf)
+      .select(col("vec_id").as("n_id"), col("qv").as("qv_b"),
+        col("nsq").as("nsq_b"),
+        explode(expr("""transform(sequence(4, 12), dd ->
+          struct(cast(dd AS int) AS depth,
+                 sig & (shiftleft(1L, dd) - 1) AS cell))""")).as("x"))
+      .select(col("n_id"), col("qv_b"), col("nsq_b"),
+        col("x.depth").as("depth"), col("x.cell").as("cell"))
+    val expCorpus = arrPaths.join(memSide, Seq("depth", "cell"))
+      .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
+      .filter(col("c") >= queries.Similarity.SemThreshold)
+      .select(col("n_id"), col("m_id"), col("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gotCorpus = got.filter(_._2 < 250)
+      .map(t => ((t._1, t._2), t._4)).toMap
+    assert(gotCorpus.keySet === expCorpus.keySet,
+      "stream-vs-corpus pair set must equal the batch trie-leaf pairs")
+    gotCorpus.foreach { case (k, c) =>
+      assert(c === expCorpus(k), s"cosine for $k must be bit-equal") }
+    assert(gotCorpus.nonEmpty, "fixture must exercise the corpus leg")
+
+    // leg 2 — stream-vs-stream evidence = batch new x new pairs sharing
+    // the full depth-12 prefix (the storage-key rule)
+    val nq = queries.Similarity.quantSig(newDf)
+      .withColumn("p12", expr("sig & 4095")).cache()
+    val a = nq.select(col("vec_id").as("m_id"), col("p12"),
+      col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+    val b = nq.select(col("vec_id").as("n_id"), col("p12").as("p12_b"),
+      col("qv").as("qv_b"), col("nsq").as("nsq_b"))
+    val expNn = a.join(b, col("p12") === col("p12_b")
+        && col("m_id") < col("n_id"))
+      .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
+      .filter(col("c") >= queries.Similarity.SemThreshold)
+      .select(col("n_id"), col("m_id"), col("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gotNn = got.filter(_._2 >= 250).map(t => ((t._1, t._2), t._4)).toMap
+    assert(gotNn.keySet === expNn.keySet,
+      "stream-vs-stream pair set must equal the same-prefix batch pairs")
+    gotNn.foreach { case (k, c) =>
+      assert(c === expNn(k), s"cosine for $k must be bit-equal") }
+  }
+
+  test("streaming semantic dedup state-key cardinality tracks corpus/cap " +
+      "on a skewed fixture (all vectors in ONE legacy 4-plane cell), " +
+      "with every sub-maxDepth leaf at or under the occupancy cap") {
+    import spark.implicits._
+    // deterministic synthetic vectors; rejection-sample the modal
+    // 4-plane cell so the WHOLE corpus is one legacy key (the round-11
+    // scale-killer shape: 16-key state ⇒ 1 live key here)
+    val rnd = new scala.util.Random(42)
+    val raw = (0L until 8192L).map(i =>
+      SemDedupStream.RawVec(i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataset(raw).toDF()
+    val sg = queries.Similarity.quantSig(df)
+      .withColumn("c4", expr("cast(sig & 15 as int)")).cache()
+    val modal = sg.groupBy(col("c4")).count()
+      .orderBy(col("count").desc, col("c4")).first().getInt(0)
+    val hot = sg.filter(col("c4") === modal).select(col("vec_id"))
+      .as[Long].collect().sorted
+    assert(hot.length >= 256, s"modal cell too small: ${hot.length}")
+    val cap = 8
+    def keyed(n: Int) = {
+      val ids = hot.take(n).toSet
+      val sub = df.filter(col("vec_id").isin(ids.toSeq.map(Long.box): _*))
+      SemDedupStream.corpusLeaves(sub, cap = cap)
+        .select(col("depth"), col("cell")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+    }
+    val k1 = keyed(128)
+    val k2 = keyed(256)
+    val nKeys1 = k1.distinct.length
+    val nKeys2 = k2.distinct.length
+    // (a) one legacy cell would be ONE key (and 16 at most); the trie
+    // splits it to >= n/cap-ish keys
+    assert(nKeys1 > 16, s"128 skewed vectors must spread past the " +
+      s"legacy 16-key ceiling, got $nKeys1")
+    assert(nKeys1 >= 128 / (2 * cap), s"key count must track n/cap")
+    // (b) cardinality grows with the corpus at fixed cap
+    assert(nKeys2 * 2 >= nKeys1 * 3,
+      s"doubling the corpus must grow the key space: $nKeys1 -> $nKeys2")
+    // (c) occupancy: every leaf shallower than maxDepth is <= cap
+    val overs = k2.groupBy(identity).map { case (k, v) => (k, v.length) }
+      .filter { case ((d, _), n) => d < 12 && n > cap }
+    assert(overs.isEmpty, s"sub-maxDepth leaves over cap: $overs")
   }
 }
