@@ -23,17 +23,17 @@ object Multimodal {
   /** q352 perceptual near-dup threshold (hamming bits over the 60-bit
     * phash; pinned to split the fixture's candidate pairs non-trivially).
     */
-  private val PhashThreshold = 10
+  private[graft] val PhashThreshold = 10
 
   /** q378 audio-fingerprint near-dup threshold (hamming bits over the
     * 60-bit sign-delta fingerprint; pinned to split the fixture's
     * candidate pairs non-trivially at every SF — hamming ranges
     * 14–32 / 13–31 / 0–41 at sf0.001/0.01/0.1).
     */
-  private val AudioFpThreshold = 18
+  private[graft] val AudioFpThreshold = 18
 
   /** q352/q378 band-bucket occupancy cap (the q42 linearity discipline). */
-  private val PhashBucketCap = 64
+  private[graft] val PhashBucketCap = 64
 
   /** The decoded modality "tower": every asset of one modality through
     * the real codec plumbing (DispatchCodec → documented FakeCodec for

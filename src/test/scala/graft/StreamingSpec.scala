@@ -891,6 +891,110 @@ class StreamingSpec extends SparkSpec {
       assert(c === expNn(k), s"cosine for $k must be bit-equal") }
   }
 
+  test("streaming media near-dup: band-keyed state reproduces the batch " +
+      "q352 (image) and q378 (audio) pair sets, hamming and verdict " +
+      "included, when the whole corpus is streamed in id order") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val cases = Seq(
+      ("q352_media_phash_dedup",
+        queries.Multimodal.imagePhash(spark, sfDir),
+        queries.Multimodal.PhashThreshold),
+      ("q378_audio_fingerprint_dedup",
+        queries.Multimodal.audioFingerprint(spark, sfDir),
+        queries.Multimodal.AudioFpThreshold))
+    cases.foreach { case (qname, fpFrame, threshold) =>
+      val expected = queries.Registry.byName(qname).run(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+      assert(expected.nonEmpty, s"$qname fixture must have candidate pairs")
+      val fps = fpFrame.as[MediaDedupStream.RawFp].collect()
+        .sortBy(_.media_id)
+      val mem = MemoryStream[MediaDedupStream.RawFp]
+      val empty = spark.emptyDataset[MediaDedupStream.RawFp].toDF()
+      val q = MediaDedupStream
+        .matches(spark, mem.toDF(), empty, threshold)
+        .writeStream.format("memory").queryName(s"t_media_$qname")
+        .outputMode("append").start()
+      fps.grouped(40).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      // id-order feeding => matched_media arrived earlier = lower id =
+      // the batch media_a; a pair colliding in k bands emits k rows
+      val got = spark.table(s"t_media_$qname").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getInt(3), r.getBoolean(4)))
+        .toSet
+      assert(got === expected,
+        s"$qname: stream pair set must equal the batch pair frame: " +
+          s"only-stream=${got -- expected} only-batch=${expected -- got}")
+    }
+  }
+
+  test("streaming media near-dup: corpus index as initial state yields " +
+      "exactly the batch pairs that involve at least one arrival") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val fpFrame = queries.Multimodal.imagePhash(spark, sfDir).cache()
+    val split = fpFrame.agg(expr("percentile_approx(media_id, 0.5)"))
+      .first().getLong(0)
+    val corpus = fpFrame.filter(col("media_id") < split)
+    val arrivals = fpFrame.filter(col("media_id") >= split)
+      .as[MediaDedupStream.RawFp].collect().sortBy(_.media_id)
+    assert(arrivals.nonEmpty)
+    val expected = queries.Registry
+      .byName("q352_media_phash_dedup").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .filter { case (a, b, _, _) => a >= split || b >= split }.toSet
+    val mem = MemoryStream[MediaDedupStream.RawFp]
+    val q = MediaDedupStream.matches(spark, mem.toDF(), corpus,
+        queries.Multimodal.PhashThreshold)
+      .writeStream.format("memory").queryName("t_media_corpus")
+      .outputMode("append").start()
+    arrivals.grouped(30).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_media_corpus").collect()
+      .map { r =>
+        val (n, m) = (r.getLong(0), r.getLong(1))
+        (math.min(n, m), math.max(n, m), r.getInt(3), r.getBoolean(4))
+      }.toSet
+    assert(got === expected,
+      s"only-stream=${got -- expected} only-batch=${expected -- got}")
+  }
+
+  test("streaming media near-dup: a saturated bucket stops scoring and " +
+      "growing — per-arrival work stays bounded by cap on a hot bucket") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 100 assets colliding in band 0 (low 15 bits all zero), distinct in
+    // bands 1-3 — the adversarial skew the batch cool-filter drops
+    val fps = (1L to 100L).map(i =>
+      MediaDedupStream.RawFp(i, (i << 15) | (i << 30) | (i << 45)))
+    val cap = 8
+    val mem = MemoryStream[MediaDedupStream.RawFp]
+    val empty = spark.emptyDataset[MediaDedupStream.RawFp].toDF()
+    val q = MediaDedupStream
+      .matches(spark, mem.toDF(), empty, threshold = 60, cap = cap)
+      .writeStream.format("memory").queryName("t_media_sat")
+      .outputMode("append").start()
+    fps.grouped(25).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_media_sat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall(_._3 == 0), "collisions only in the hot band")
+    assert(got.length === cap * (cap - 1) / 2,
+      s"exactly C(cap,2) pairs before saturation, got ${got.length}")
+    assert(got.forall(t => t._1 <= cap && t._2 <= cap),
+      "no pair may involve an arrival after the bucket saturated")
+  }
+
   test("streaming semantic dedup state-key cardinality tracks corpus/cap " +
       "on a skewed fixture (all vectors in ONE legacy 4-plane cell), " +
       "with every sub-maxDepth leaf at or under the occupancy cap") {
