@@ -1998,6 +1998,160 @@ object Dedup {
         pd.groupBy(col("k"), expr("(dup * 10) div nt").as("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("dup_tokens"),
             sum(col("nt")).as("total_tokens"))
+      }),
+
+    // ---- the dedup LADDER capstone (FineWeb/RefinedWeb stage order) --------
+    // Composes the four dedup families END-TO-END, each stage seeing only
+    // the previous stage's survivors — the Penedo et al. pipeline order:
+    //   1 exact    (q40):  drop any doc whose normalized fingerprint has a
+    //                      lower-id twin;
+    //   2 chunk    (q49):  drop docs where duplicated 10-token chunks are
+    //                      the majority (n_kept * 2 < n_chunks, the C4
+    //                      keep-first rank over stage-1 survivors);
+    //   3 minhash  (q41):  drop docs with a verified (J >= 0.8) lower-id
+    //                      near-dup among stage-2 survivors;
+    //   4 semantic (q98):  drop docs whose embedding has a lower-id
+    //                      same-cell cosine >= threshold among stage-3
+    //                      survivors (docs without an embedding pass).
+    // Removal rule everywhere is "has a LOWER-ID match in the stage input"
+    // — q98/q353's one-join discipline (no iterative keep-set: that is
+    // q48/q128's component job). Output: one row per stage with the
+    // removal mass and a survivor-manifest fingerprint (count + id sum +
+    // Knuth-mix sum pin the surviving SET, not just its size).
+    // 100 TB plan: every stage keeps its standalone plan's shape — exact
+    // is one shuffle on the fingerprint; chunk is chunk-fp window + doc
+    // agg; minhash is band-bounded candidates + verify; semantic is
+    // cell-bounded; survivor handoffs are doc_id semi/anti joins; the
+    // final stage ladder is a 5-row aggregate (the lag window is over 5
+    // rows, not data).
+    QuerySpec(
+      "q382_dedup_ladder", {
+        val mix = "(doc_id * 2654435761) % 4294967296"
+        Some(s"""WITH s1fp AS (SELECT doc_id, md5(array_to_string(
+              list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+              AS fpn
+            FROM documents),
+          s1 AS (SELECT doc_id FROM (SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY fpn) AS rep FROM s1fp) z
+            WHERE doc_id = rep),
+          d2 AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS t
+            FROM documents d JOIN s1 ON s1.doc_id = d.doc_id),
+          ch2 AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+              SELECT doc_id,
+                unnest([{'pos': i,
+                    'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))}
+                  for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+              FROM d2) z),
+          rk2 AS (SELECT doc_id, fp,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+            FROM ch2),
+          prof AS (SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept
+            FROM rk2 GROUP BY doc_id),
+          s2 AS (SELECT doc_id FROM prof WHERE n_kept * 2 >= n_chunks),
+          docs AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS toks
+            FROM documents d JOIN s2 ON s2.doc_id = d.doc_id),
+          sh AS (SELECT doc_id, $shinglesDuck AS shingles
+            FROM docs WHERE len(toks) >= 3),
+          ${minhashBandCandDuck()},
+          pairs AS (SELECT doc_a, doc_b,
+              x.shingles AS sh_a, y.shingles AS sh_b
+            FROM cand JOIN sh x ON x.doc_id = doc_a
+                      JOIN sh y ON y.doc_id = doc_b),
+          ${verifyCteDuck(0.8)},
+          s3 AS (SELECT s2.doc_id FROM s2 WHERE NOT EXISTS (
+              SELECT 1 FROM verified v WHERE v.doc_b = s2.doc_id)),
+          ${Similarity.duckCells4Cte},
+          c4 AS (SELECT c.vec_id, c.qv, c.nsq, c.cell
+            FROM cells c JOIN s3 ON s3.doc_id = c.vec_id),
+          rm4 AS (SELECT DISTINCT b.vec_id AS doc_id
+            FROM c4 a JOIN c4 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${Similarity.semCosineDuck("a", "b")}
+              >= ${Similarity.SemThreshold}),
+          s4 AS (SELECT s3.doc_id FROM s3 WHERE NOT EXISTS (
+              SELECT 1 FROM rm4 WHERE rm4.doc_id = s3.doc_id)),
+          st AS (
+            SELECT 0 AS stage, doc_id FROM documents
+            UNION ALL SELECT 1, doc_id FROM s1
+            UNION ALL SELECT 2, doc_id FROM s2
+            UNION ALL SELECT 3, doc_id FROM s3
+            UNION ALL SELECT 4, doc_id FROM s4),
+          ag AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_out,
+              CAST(SUM(doc_id) AS BIGINT) AS survivor_id_sum,
+              CAST(SUM($mix) AS BIGINT) AS survivor_id_mix
+            FROM st GROUP BY stage),
+          fin AS (SELECT stage, lag(n_out) OVER (ORDER BY stage) AS n_in,
+              n_out, survivor_id_sum, survivor_id_mix FROM ag)
+          SELECT stage,
+            ['exact', 'chunk', 'minhash', 'semantic'][stage] AS stage_name,
+            n_in, n_in - n_out AS n_removed, n_out,
+            survivor_id_sum, survivor_id_mix
+          FROM fin WHERE stage >= 1""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        // stage 1 — exact: q40's normalized fingerprint, keep min id
+        val s1 = docs
+          .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")))))
+          .filter(col("doc_id") === col("rep")).select(col("doc_id"))
+        // stage 2 — chunk: q49's keep-first profile over s1 survivors
+        val prof = docs.join(s1, "doc_id")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+            .as(Seq("pos", "fp")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+        val s2 = prof.filter(col("n_kept") * 2 >= col("n_chunks"))
+          .select(col("doc_id"))
+        // stage 3 — minhash: q41's banded candidates + exact verify over
+        // s2 survivors; removed = the higher-id side of a verified pair
+        val sh3 = withShingles(docs.join(s2, "doc_id"))
+          .select(col("doc_id"), col("shingles")).cache()
+        val rm3 = verifyJaccard(sh3, minhashCandidates(sh3), 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val s3 = s2.join(rm3, Seq("doc_id"), "left_anti")
+        // stage 4 — semantic: q98's cell-bounded lower-id match over s3
+        // survivors' embeddings (vec_id is doc-aligned; unembedded pass)
+        val c4 = Similarity.quantCell4(
+            t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+          .join(s3.select(col("doc_id").as("vec_id")), "vec_id").cache()
+        val rm4 = c4.select(col("vec_id").as("kept"), col("cell"),
+            col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+          .join(c4.select(col("vec_id"), col("cell").as("cell_b"),
+            col("qv").as("qv_b"), col("nsq").as("nsq_b")),
+            col("cell") === col("cell_b") && col("kept") < col("vec_id"))
+          .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
+            >= Similarity.SemThreshold)
+          .select(col("vec_id").as("doc_id")).distinct()
+        val s4 = s3.join(rm4, Seq("doc_id"), "left_anti")
+        // stage ladder: tag + aggregate + 5-row lag (window over 5 rows)
+        val tagged = docs.select(col("doc_id")).withColumn("stage", lit(0))
+          .unionByName(s1.withColumn("stage", lit(1)))
+          .unionByName(s2.withColumn("stage", lit(2)))
+          .unionByName(s3.withColumn("stage", lit(3)))
+          .unionByName(s4.withColumn("stage", lit(4)))
+        tagged.groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_out"),
+            sum(col("doc_id")).as("survivor_id_sum"),
+            sum(expr("(doc_id * 2654435761L) % 4294967296L"))
+              .as("survivor_id_mix"))
+          .withColumn("n_in",
+            lag(col("n_out"), 1).over(Window.orderBy(col("stage"))))
+          .filter(col("stage") >= 1)
+          .select(col("stage"),
+            element_at(array(lit("exact"), lit("chunk"), lit("minhash"),
+              lit("semantic")), col("stage")).as("stage_name"),
+            col("n_in"), (col("n_in") - col("n_out")).as("n_removed"),
+            col("n_out"), col("survivor_id_sum"), col("survivor_id_mix"))
       })
   )
 }

@@ -106,6 +106,32 @@ object Similarity {
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${qnsqDuck("qv", Dims)} AS nsq FROM e)"""
 
+  /** DuckDB CTE chain ending in `cells(vec_id, qv, nsq, cell)` — the
+    * q98/q354 4-plane cell space, exposed for oracles that compose the
+    * semantic-dedup stage across query files (q382's ladder). Also emits
+    * the cross-file cosine condition via [[semCosineDuck]].
+    */
+  private[graft] def duckCells4Cte: String =
+    s"""$duckQuantCte,
+       pr AS (SELECT vec_id, qv, nsq,
+           ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+           ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+         FROM en),
+       cells AS (SELECT vec_id, qv, nsq,
+           (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+         FROM pr)"""
+
+  /** Exact-grid cosine between two quantized rows (DuckDB side), for
+    * cross-file oracle fragments; `a`/`b` are row aliases over a frame
+    * carrying qv/nsq.
+    */
+  private[graft] def semCosineDuck(a: String, b: String): String =
+    s"""CAST(${qdotDuck(s"$a.qv", s"$b.qv", Dims)} AS DOUBLE)
+        / (sqrt(CAST($a.nsq AS DOUBLE)) * sqrt(CAST($b.nsq AS DOUBLE)))"""
+
   /** One Lloyd step as shared CTEs (q356 churn + q369 stability read the
     * same two assignments): a0 = exact-integer argmin against the 10
     * seed vectors; a1 = argmin against the step-1 centroids (per-cell

@@ -2027,6 +2027,31 @@ class PlanSpec extends SparkSpec {
       "per-query windows must partition on q_id:\n" + optimized)
   }
 
+  test("q382: the dedup ladder keeps every stage's standalone shape — " +
+      "all joins keyed (no cartesian/BNL), dedup windows partition on " +
+      "their fingerprint keys, only the 5-row stage lag is global") {
+    val p = plan("q382_dedup_ladder")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "survivor handoffs should broadcast the shrinking id sets:\n" + p)
+    val df = queries.Registry.byName("q382_dedup_ladder").run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // a global (partition-less) spec leads with an ORDER item (ASC/DESC
+    // before the first comma); a partitioned one leads with bare columns
+    val globals = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .count { l =>
+        val head = l.substring(l.indexOf("windowspecdefinition(") + 21)
+          .takeWhile(_ != ',')
+        head.contains(" ASC") || head.contains(" DESC")
+      }
+    assert(globals <= 1,
+      s"only the 5-row stage ladder may use a global window " +
+        s"($globals found):\n" + optimized)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

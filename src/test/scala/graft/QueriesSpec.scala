@@ -1126,4 +1126,42 @@ class QueriesSpec extends SparkSpec {
     assert(r.getLong(0) == g.size.toLong)
     assert(r.getDouble(1) == round6(tv))
   }
+
+  test("q382_dedup_ladder: stage counts reconcile with the standalone " +
+      "operators' verdicts on the same fixture") {
+    import org.apache.spark.sql.functions._
+    val ladder = Registry.byName("q382_dedup_ladder").run(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ladder.keySet === Set(1, 2, 3, 4))
+    // ladder arithmetic: stage k's input is stage k-1's survivors
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(ladder(1)._1 == nDocs)
+    (2 to 4).foreach { k =>
+      assert(ladder(k)._1 == ladder(k - 1)._3,
+        s"stage $k n_in must equal stage ${k - 1} n_out") }
+    ladder.values.foreach { case (nIn, nRm, nOut) =>
+      assert(nRm >= 0 && nIn - nRm == nOut) }
+    // stage 1 survivors = q40's fingerprint-group representatives
+    val q40Groups = Registry.byName("q40_dedup_exact").run(spark, sfDir)
+      .count()
+    assert(ladder(1)._3 == q40Groups,
+      "exact-stage survivors must equal q40's group count")
+    // stage 3's removals are a subset of q41's full-corpus verified
+    // higher-id sides (restricting the corpus can only shrink pairs);
+    // likewise stage 4's vs q98's dropped set. Reconstruct the removed
+    // ids per stage from the ladder's survivor manifests: the ladder
+    // pins sums, the standalone frames pin membership.
+    val q41Removed = Registry.byName("q41_minhash_lsh").run(spark, sfDir)
+      .select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    val q98Removed = Registry.byName("q98_semantic_dedup").run(spark, sfDir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ladder(3)._2 <= q41Removed.size,
+      "minhash stage cannot remove more docs than the standalone q41 " +
+        "has verified higher-id pair sides")
+    assert(ladder(4)._2 <= q98Removed.size,
+      "semantic stage cannot remove more docs than q98's dropped set")
+    // and the fixture must actually exercise every stage
+    assert(ladder.values.map(_._2).sum > 0, "ladder removed nothing")
+  }
 }
