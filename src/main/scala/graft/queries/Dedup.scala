@@ -166,6 +166,28 @@ object Dedup {
             for i in range(0, 60)]) AS sig
         FROM ths)"""
 
+  /** Unrolled min-label propagation (the Spark star rounds' oracle twin,
+    * q261's MATERIALIZED-chain discipline): each round every node takes
+    * the min label over itself and its neighbors, so after R rounds a
+    * label has spread R hops — exact connected components for any graph
+    * of diameter <= R, at O(R * |E|) total rows instead of the recursive
+    * closure's O(Σ component²). Expects `sym(u, v)` (symmetric edges) in
+    * scope; emits `roots(doc_id, component)`.
+    */
+  private def minLabelRootsDuck(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT x.u, MIN(x.l) AS l FROM (
+            SELECT u, l FROM l${i - 1}
+            UNION ALL
+            SELECT s.u, p.l FROM sym s JOIN l${i - 1} p ON p.u = s.v) x
+          GROUP BY x.u)"""
+    }.mkString(",\n          ")
+    s"""nodes AS (SELECT DISTINCT u FROM sym),
+          l0 AS (SELECT u, u AS l FROM nodes),
+          $chain,
+          roots AS (SELECT u AS doc_id, l AS component FROM l$rounds)"""
+  }
+
   /** The full MinHash candidate+pair CTE chain (shingles → minhashes →
     * band keys → bucket self-join → shingle-joined pairs), shared by the
     * q41 and q48 oracles.
@@ -1790,24 +1812,18 @@ object Dedup {
     // singleton row is the anti-join count). Shape: q48's component
     // machinery verbatim (bounded star rounds), then a per-component
     // rank window and two bounded-grain rollups.
-    // ORACLE NOTE: the DuckDB side computes components as a RECURSIVE
-    // full transitive closure — `reach` is O(Σ component_size²) rows,
-    // fine as a small-fixture oracle (near-dup clusters here are tiny)
-    // but NOT the scale path; the Spark side's bounded star rounds are.
-    // q48/q128's min-label iterative oracle is the alternative if a
-    // fixture ever grows a large cluster.
+    // Oracle components via the bounded min-label chain (round-11 verdict
+    // #8: the recursive closure was O(Σ component_size²) — fixture-safe
+    // but a latent blowup if a fixture ever grew a large cluster; the
+    // 12-round unrolled propagation is O(12 * |E|) and exact for any
+    // diameter <= 12, far past a 0.8-Jaccard near-dup chain's reach).
     QuerySpec(
       "q370_cluster_cap_sample",
-      Some(s"""WITH RECURSIVE $minhashCteChain,
+      Some(s"""WITH $minhashCteChain,
           ${verifyCteDuck(0.8)},
           sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
             UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
-          reach AS (
-            SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym) z
-            UNION
-            SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v),
-          roots AS (SELECT u AS doc_id, MIN(v) AS component
-            FROM reach GROUP BY u),
+          ${minLabelRootsDuck(12)},
           ranked AS (SELECT doc_id, component,
               row_number() OVER (PARTITION BY component
                 ORDER BY doc_id) AS rk
