@@ -248,8 +248,18 @@ object Bench {
         cand(lo)
       }
     }
+    // Family rollup (registry-module grain): lets a round-over-round
+    // compare catch family-level regressions that per-query sub-second
+    // noise hides. Full record only — the stdout line has a hard budget.
+    val famOf = graft.queries.Registry.familyOf
+    val families = results.filter(_._2 > 0)
+      .groupBy { case (n, _) => famOf.getOrElse(n, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs) =>
+        s""""$f":{"n":${qs.size},"sec":${f3(qs.map(_._2).sum)}}"""
+      }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"families":$families,"queries":$qsFull,"sf":"$sfDir"}"""
     // The stdout line is the driver contract — emit it FIRST (so it exists
     // even if shutdown hangs), and never let the best-effort file persist
     // take the whole run down with it.

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.queries.{Dedup, Registry, Similarity}
+import graft.queries.{Dedup, Multimodal, Registry, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,13 +78,25 @@ object ScaleProbe {
   private def upsample(spark: SparkSession, base: String, reps: Int,
       out: String): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    // v3: rotate the letter alphabet by k BEFORE prefixing (media-byte
+    // decorrelation — replica assets must not share the base's
+    // byte-bucket sign pattern, or every 15-bit fingerprint bucket
+    // inherits `reps` correlated copies and the media probes measure
+    // the replica transform, not the engine; the embeddings-rotation
+    // trick, media edition). The r{k}_ prefix still guarantees
+    // replica-disjoint vocabulary for the shingle families.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     (0 until reps).map { k =>
       if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1").as("text"),
-        col("lang"), col("source"),
-        length(col("text")).cast("bigint").as("n_chars"))
+      else {
+        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(translate(col("text"), alpha, rot),
+            "(\\S+)", s"r${k}_$$1").as("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("bigint").as("n_chars"))
+      }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -115,10 +127,11 @@ object ScaleProbe {
   }
 
   /** Upsample-dir provenance marker: bump TransformVersion whenever the
-    * replica transform changes (v2 = negate-past-64 embeddings), so a
-    * dir built by an older transform is never silently reused.
+    * replica transform changes (v2 = negate-past-64 embeddings; v3 =
+    * per-replica letter rotation for media-byte decorrelation), so a dir
+    * built by an older transform is never silently reused.
     */
-  private val TransformVersion = 2
+  private val TransformVersion = 3
   private val MarkerName = "_GRAFT_UPSAMPLE.json"
   private def markerText(reps: Int): String =
     s"""{"reps":$reps,"transform_version":$TransformVersion}"""
@@ -213,7 +226,20 @@ object ScaleProbe {
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
           .count()),
       "q46_ann_lsh" -> (d => Similarity.lshCandidates(spark, d).count()),
-      "q47_ann_ivf" -> (d => Similarity.ivfCandidates(spark, d).count()))
+      "q47_ann_ivf" -> (d => Similarity.ivfCandidates(spark, d).count()),
+      // round-12 additions (round-11 verdict #3): the media perceptual
+      // banding pair and the lossless prefix filter — the one generator
+      // whose fan-out is df-dependent, previously argued not measured
+      "q352_media_phash" -> (d =>
+        Multimodal.bandedCandidates(Multimodal.imagePhash(spark, d))
+          .count()),
+      "q378_audio_fp" -> (d =>
+        Multimodal.bandedCandidates(Multimodal.audioFingerprint(spark, d))
+          .count()),
+      "q373_prefix_filter" -> (d =>
+        Dedup.prefixCandidates(
+          Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()))
     println(s"| query | cand@base | cand@${reps}x | growth | vs linear |")
     println("|---|---|---|---|---|")
     probes.foreach { case (name, cand) =>
@@ -243,6 +269,24 @@ object ScaleProbe {
         sum(when(col("count") > 64, col("count"))).as("hot"),
         max(col("count")).as("maxocc")).head()
       println(s"| q42 occupancy@$label | entries=${tot.getLong(0)} " +
+        s"hot-excluded=${Option(tot.get(1)).getOrElse(0L)} " +
+        s"max-bucket=${tot.getLong(2)} |")
+      spark.catalog.clearCache()
+    }
+    // same occupancy evidence for the media fingerprint bands (the cap
+    // is the linearity mechanism there too — candidates ≤ cap · entries)
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x");
+         (fam, fp) <- Seq(
+           "q352" -> Multimodal.imagePhash(spark, dir),
+           "q378" -> Multimodal.audioFingerprint(spark, dir))) {
+      val bl = fp.select(posexplode(expr(
+          "transform(sequence(0, 3), j -> (shiftright(fp, 15*j) & 32767))")))
+        .toDF("band_j", "band")
+      val occ = bl.groupBy(col("band_j"), col("band")).count()
+      val tot = occ.agg(sum(col("count")).as("entries"),
+        sum(when(col("count") > 64, col("count"))).as("hot"),
+        max(col("count")).as("maxocc")).head()
+      println(s"| $fam occupancy@$label | entries=${tot.getLong(0)} " +
         s"hot-excluded=${Option(tot.get(1)).getOrElse(0L)} " +
         s"max-bucket=${tot.getLong(2)} |")
       spark.catalog.clearCache()
@@ -278,7 +322,17 @@ object ScaleProbe {
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
           .count()),
       "q46_ann_lsh" -> (d => Similarity.lshCandidates(spark, d).count()),
-      "q47_ann_ivf" -> (d => Similarity.ivfCandidates(spark, d).count()))
+      "q47_ann_ivf" -> (d => Similarity.ivfCandidates(spark, d).count()),
+      "q352_media_phash_dedup" -> (d =>
+        Multimodal.bandedCandidates(Multimodal.imagePhash(spark, d))
+          .count()),
+      "q378_audio_fingerprint_dedup" -> (d =>
+        Multimodal.bandedCandidates(Multimodal.audioFingerprint(spark, d))
+          .count()),
+      "q373_prefix_filter_join" -> (d =>
+        Dedup.prefixCandidates(
+          Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()))
 
     println("| query | cand@base | cand@10x | growth | " +
       "wall@base s | wall@10x s | per-row drift |")

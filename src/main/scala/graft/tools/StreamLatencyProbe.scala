@@ -1,0 +1,130 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.queries.Multimodal
+import graft.streaming.{DedupStream, MediaDedupStream, NearDupStream,
+  SemDedupStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-streaming end-to-end latency probe (round-11 verdict #7):
+  * the streaming legs are batch-equivalence-PROVEN but were never
+  * MEASURED. Drives MemoryStream micro-batches through all four
+  * admission streams (exact / MinHash / semantic / media) and records
+  * per-trigger latency and state-store row growth, at two corpus sizes
+  * each — the evidence that per-trigger cost tracks the ARRIVING batch
+  * (bounded state probes), not the corpus behind the initial state.
+  * Results are recorded in SCALE.md.
+  *
+  * Usage: runMain graft.tools.StreamLatencyProbe [sfDir] [triggers]
+  */
+object StreamLatencyProbe {
+
+  private def drive(q: StreamingQuery, triggers: Int,
+      addBatch: Int => Int, leg: String, corpusRows: Long): Unit = {
+    (0 until triggers).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = addBatch(i)
+      q.processAllAvailable()
+      val ms = (System.nanoTime() - t0) / 1e6
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      println(f"| $leg | $corpusRows | ${i + 1} | $n | $ms%.0f | $stateRows |")
+    }
+    q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val triggers = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .cache()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+
+    println("| leg | corpus_rows | trigger | batch_rows | latency_ms " +
+      "| state_rows |")
+    println("|---|---|---|---|---|---|")
+
+    // doc legs: arrivals are the top 20% of ids, fed over `triggers`
+    // batches; corpus sizes 40% and 80% of the id space
+    val docArrivals = docs.filter(col("doc_id") >= maxDoc * 4 / 5)
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    val docBatches = docArrivals.grouped(
+      math.max(1, (docArrivals.length + triggers - 1) / triggers)).toSeq
+    for (frac <- Seq(2, 4)) {
+      val corpus = docs.filter(col("doc_id") < maxDoc * frac / 5)
+      val nCorpus = corpus.count()
+
+      val ledger = DedupStream.fingerprinted(corpus)
+        .select(col("fp")).distinct()
+      val memE = MemoryStream[DedupStream.RawDoc]
+      val qE = DedupStream.admitted(spark, memE.toDF(), ledger)
+        .writeStream.format("memory").queryName(s"lat_exact_$frac")
+        .outputMode("append").start()
+      drive(qE, docBatches.length,
+        i => { memE.addData(docBatches(i).toIndexedSeq: _*)
+          docBatches(i).length },
+        "exact", nCorpus)
+
+      val memN = MemoryStream[DedupStream.RawDoc]
+      val qN = NearDupStream.matches(spark, memN.toDF(), corpus)
+        .writeStream.format("memory").queryName(s"lat_near_$frac")
+        .outputMode("append").start()
+      drive(qN, docBatches.length,
+        i => { memN.addData(docBatches(i).toIndexedSeq: _*)
+          docBatches(i).length },
+        "minhash", nCorpus)
+    }
+
+    // semantic leg over embeddings
+    val vecArrivals = emb.filter(col("vec_id") >= maxVec * 4 / 5)
+      .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
+    val vecBatches = vecArrivals.grouped(
+      math.max(1, (vecArrivals.length + triggers - 1) / triggers)).toSeq
+    for (frac <- Seq(2, 4)) {
+      val corpus = emb.filter(col("vec_id") < maxVec * frac / 5)
+      val nCorpus = corpus.count()
+      val memS = MemoryStream[SemDedupStream.RawVec]
+      val qS = SemDedupStream.matches(spark, memS.toDF(), corpus)
+        .writeStream.format("memory").queryName(s"lat_sem_$frac")
+        .outputMode("append").start()
+      drive(qS, vecBatches.length,
+        i => { memS.addData(vecBatches(i).toIndexedSeq: _*)
+          vecBatches(i).length },
+        "semantic", nCorpus)
+    }
+
+    // media leg over the image fingerprints
+    val fps = Multimodal.imagePhash(spark, sfDir).cache()
+    val fpArrivals = fps.filter(col("media_id") >= maxDoc * 4 / 5)
+      .as[MediaDedupStream.RawFp].collect().sortBy(_.media_id)
+    val fpBatches = fpArrivals.grouped(
+      math.max(1, (fpArrivals.length + triggers - 1) / triggers)).toSeq
+    for (frac <- Seq(2, 4)) {
+      val corpus = fps.filter(col("media_id") < maxDoc * frac / 5)
+      val nCorpus = corpus.count()
+      val memM = MemoryStream[MediaDedupStream.RawFp]
+      val qM = MediaDedupStream.matches(spark, memM.toDF(), corpus,
+          Multimodal.PhashThreshold)
+        .writeStream.format("memory").queryName(s"lat_media_$frac")
+        .outputMode("append").start()
+      drive(qM, fpBatches.length,
+        i => { memM.addData(fpBatches(i).toIndexedSeq: _*)
+          fpBatches(i).length },
+        "media", nCorpus)
+    }
+    spark.stop()
+  }
+}

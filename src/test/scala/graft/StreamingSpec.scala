@@ -836,10 +836,25 @@ class StreamingSpec extends SparkSpec {
     batchVecs.grouped(60).foreach { b =>
       mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
     }
+    val stateRows = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
     q.stop()
     val got = spark.table("t_semdedup_trie").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(4)))
     assert(got.forall(t => t._3 >= 4 && t._3 <= 12))
+
+    // state-row guard: keys = corpus trie leaves ∪ arrivals' depth-12
+    // prefixes (arrivals always store at the finest prefix) — an
+    // independent recomputation of the state-key space
+    val corpusKeys = SemDedupStream.corpusLeaves(corpus)
+      .select((col("depth").cast("long") * 65536L + col("cell")).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    val arrivalKeys = queries.Similarity.quantSig(newDf)
+      .select(expr("12 * 65536 + (sig & 4095)").as("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(stateRows == (corpusKeys ++ arrivalKeys).size.toLong,
+      s"state rows $stateRows != expected key-space size " +
+        s"${(corpusKeys ++ arrivalKeys).size}")
 
     // leg 1 — corpus evidence = batch recomputation on the trie-leaf
     // candidate rule: an arrival is a candidate of every corpus member
@@ -921,6 +936,9 @@ class StreamingSpec extends SparkSpec {
       fps.grouped(40).foreach { b =>
         mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
       }
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
       q.stop()
       // id-order feeding => matched_media arrived earlier = lower id =
       // the batch media_a; a pair colliding in k bands emits k rows
@@ -930,6 +948,13 @@ class StreamingSpec extends SparkSpec {
       assert(got === expected,
         s"$qname: stream pair set must equal the batch pair frame: " +
           s"only-stream=${got -- expected} only-batch=${expected -- got}")
+      // state-row guard: every asset stored in its 4 band buckets (no
+      // bucket saturates on the fixture) => keys = distinct band rows
+      val expKeys = fpFrame.select(posexplode(expr(
+          "transform(sequence(0, 3), j -> (shiftright(fp, 15*j) & 32767))")))
+        .distinct().count()
+      assert(stateRows == expKeys,
+        s"$qname: state rows $stateRows != distinct band keys $expKeys")
     }
   }
 
