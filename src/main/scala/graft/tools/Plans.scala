@@ -305,7 +305,47 @@ object Plans {
     "q360_bloom_semijoin_planner" ->
       ("The 3-size bloom bit table is a bounded aggregate and "
         + "broadcasts; probe side is one key-grain partial agg of "
-        + "lineitem + 9 row-local position probes per key."))
+        + "lineitem + 9 row-local position probes per key."),
+    "q368_watermark_planning" ->
+      ("Per-block running max via partial agg + block prefix (q76's "
+        + "discipline) — no single-partition window over the events; "
+        + "the 3-point lateness sweep reads the bounded block table."),
+    "q372_gate_auc" ->
+      ("Mann-Whitney rank-sum over block-ranked scores: ranks form "
+        + "from per-block counts + prefix offsets, never one global "
+        + "sort partition; the AUC is a 1-row exact rational."),
+    "q373_prefix_filter_join" ->
+      ("Lossless SSJoin: prefix tokens explode per doc, candidates "
+        + "come from the prefix-token equi self-join (df-bounded), "
+        + "verify is the native merge-scan intersect — no LSH miss, "
+        + "no cartesian."),
+    "q375_mutual_knn_pairs" ->
+      ("Two broadcast-bounded passes (A-queries x B scan, B-hits x A "
+        + "scan); mutuality is an equi self-join of the two top-1 "
+        + "tables; margins ride the same top-2 min-structs."),
+    "q377_federated_union_scan" ->
+      ("One predicate pushed through the Union into all three format "
+        + "legs — the parquet leg carries PushedFilters; no "
+        + "post-union filter remains."),
+    "q379_dup_mass_curve" ->
+      ("All three k-grains explode from ONE cached documents scan; "
+        + "the fingerprint df agg and the join back share the "
+        + "(k, fp) shuffle key; 33-group rollup, no window."),
+    "q380_ivf_cell_rebalance" ->
+      ("9 bounded trie levels explode row-locally; occupancy is a "
+        + "(depth, cell)-keyed partial+final agg joined back on the "
+        + "same key; leaf pick is an integer-encoded min agg — "
+        + "no loop, no corpus window."),
+    "q381_crossmodal_recall" ->
+      ("Both retrieval legs broadcast the bounded query set against "
+        + "one corpus scan; per-query top-k windows push the rank "
+        + "limit into WindowGroupLimit."),
+    "q382_dedup_ladder" ->
+      ("Four dedup stages composed survivor-to-survivor: fingerprint "
+        + "shuffle, chunk-fp window, banded candidates + verify, "
+        + "cell-bounded pairs — handoffs are broadcast doc_id "
+        + "semi/anti joins; only the 5-row stage lag is a global "
+        + "window."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
