@@ -2168,6 +2168,172 @@ object Dedup {
               lit("semantic")), col("stage")).as("stage_name"),
             col("n_in"), (col("n_in") - col("n_out")).as("n_removed"),
             col("n_out"), col("survivor_id_sum"), col("survivor_id_mix"))
+      }),
+
+    // ---- incremental ladder triage (new batch vs corpus, all 4 gates) ------
+    // q382's ladder in its PRODUCTION (daily-crawl) form — the q58/q324/
+    // q354 incremental convention composed: every incoming doc
+    // (doc_id >= 250) is screened against the CORPUS index (doc_id <
+    // 250) by all four dedup gates INDEPENDENTLY — exact fingerprint,
+    // majority-known chunks, verified MinHash near-dup, same-cell
+    // semantic match — and the output is the per-doc triage row a
+    // curation operator actually reads: which gates fired, the first
+    // (cheapest) gate that would have rejected it, and the admission
+    // verdict. Unlike q382 (one-shot, survivor-fed), gates here are all
+    // evaluated vs the corpus so the flags are attributable per gate.
+    // 100 TB plan: each gate probes the corpus through a narrow
+    // pre-buildable index key (fp hash join, chunk-fp join, band join
+    // probe-filtered to the batch, cell join) — old x old pairs never
+    // materialize and per-day work scales with the batch, not the
+    // corpus. Docs without an embedding pass gate 4 (same as q354).
+    QuerySpec(
+      "q383_ladder_triage", {
+        Some(s"""WITH newd AS (SELECT doc_id, text FROM documents
+              WHERE doc_id >= 250),
+          oldd AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+          fpn AS (SELECT doc_id, md5(array_to_string(
+              list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+              AS fpv
+            FROM newd),
+          fpo AS (SELECT DISTINCT md5(array_to_string(
+              list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+              AS fpv
+            FROM oldd),
+          g1 AS (SELECT doc_id FROM fpn
+            WHERE EXISTS (SELECT 1 FROM fpo WHERE fpo.fpv = fpn.fpv)),
+          tn AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM newd),
+          to2 AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM oldd),
+          cn2 AS (SELECT doc_id, u AS cfp FROM (
+              SELECT doc_id,
+                unnest([md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))
+                  for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+              FROM tn) z),
+          co2 AS (SELECT DISTINCT u AS cfp FROM (
+              SELECT unnest([md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))
+                  for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+              FROM to2) z),
+          g2 AS (SELECT doc_id FROM (
+              SELECT cn2.doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN co2.cfp IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+              FROM cn2 LEFT JOIN co2 ON co2.cfp = cn2.cfp
+              GROUP BY 1) z
+            WHERE n_hit * 2 > n_chunks),
+          $shingledDuckCte,
+          ${minhashBandCandDuck(
+            "WHERE b.doc_id >= 250 AND a.doc_id < 250")},
+          pairs AS (SELECT doc_a, doc_b,
+              x.shingles AS sh_a, y.shingles AS sh_b
+            FROM cand JOIN sh x ON x.doc_id = doc_a
+                      JOIN sh y ON y.doc_id = doc_b),
+          ${verifyCteDuck(0.8)},
+          g3 AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+          ${Similarity.duckCells4Cte},
+          g4 AS (SELECT DISTINCT n.vec_id AS doc_id
+            FROM cells n JOIN cells o
+              ON o.cell = n.cell AND o.vec_id < 250 AND n.vec_id >= 250
+            WHERE ${Similarity.semCosineDuck("n", "o")}
+              >= ${Similarity.SemThreshold}),
+          sel AS (SELECT newd.doc_id,
+              EXISTS (SELECT 1 FROM g1 WHERE g1.doc_id = newd.doc_id)
+                AS exact_dup,
+              EXISTS (SELECT 1 FROM g2 WHERE g2.doc_id = newd.doc_id)
+                AS chunk_dup,
+              EXISTS (SELECT 1 FROM g3 WHERE g3.doc_id = newd.doc_id)
+                AS near_dup,
+              EXISTS (SELECT 1 FROM g4 WHERE g4.doc_id = newd.doc_id)
+                AS sem_dup
+            FROM newd)
+          SELECT doc_id, exact_dup, chunk_dup, near_dup, sem_dup,
+            CAST(CASE WHEN exact_dup THEN 1 WHEN chunk_dup THEN 2
+              WHEN near_dup THEN 3 WHEN sem_dup THEN 4 ELSE 0 END AS INT)
+              AS first_reject,
+            (NOT exact_dup AND NOT chunk_dup AND NOT near_dup
+              AND NOT sem_dup) AS admitted
+          FROM sel""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val newDocs = docs.filter(col("doc_id") >= 250)
+        val oldDocs = docs.filter(col("doc_id") < 250)
+        // gate 1 — exact fingerprint membership (q40's key, q58's gate)
+        def fpOf(df: DataFrame) = df.select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            split(lower(col("text")), " "))), " ")).as("fpv"))
+        val g1 = fpOf(newDocs)
+          .join(fpOf(oldDocs).select(col("fpv")).distinct(), Seq("fpv"),
+            "left_semi")
+          .select(col("doc_id")).withColumn("exact_dup", lit(true))
+        // gate 2 — majority of chunks already known to the corpus (q49's
+        // grain, corpus-membership form)
+        def chunksOf(df: DataFrame) = df
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+            .as("cfp"))
+        val corpusChunks = chunksOf(oldDocs).select(col("cfp")).distinct()
+          .withColumn("hit", lit(1L))
+        val g2 = chunksOf(newDocs)
+          .join(corpusChunks, Seq("cfp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .filter(col("n_hit") * 2 > col("n_chunks"))
+          .select(col("doc_id")).withColumn("chunk_dup", lit(true))
+        // gate 3 — verified MinHash near-dup vs corpus (q324, corpus-only
+        // match side)
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+          df.withColumn(s"mh$k", expr(minhashSpark(k)))
+        }
+        val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+        val bl = mh
+          .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+          .toDF("doc_id", "band", "bkey")
+        val cand = bl.filter(col("doc_id") >= 250).as("y")
+          .join(bl.filter(col("doc_id") < 250).as("x"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val g3 = verifyJaccard(sh, cand, 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("near_dup", lit(true))
+        // gate 4 — same-cell semantic match vs corpus (q354's condition)
+        val c4 = Similarity.quantCell4(
+            t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+          .cache()
+        val g4 = c4.filter(col("vec_id") >= 250)
+          .select(col("vec_id"), col("cell"),
+            col("qv").as("qv_n"), col("nsq").as("nsq_n"))
+          .join(c4.filter(col("vec_id") < 250)
+            .select(col("cell").as("cell_o"),
+              col("qv").as("qv_o"), col("nsq").as("nsq_o")),
+            col("cell") === col("cell_o"))
+          .filter(expr("qcosine(qv_n, qv_o, nsq_n, nsq_o)")
+            >= Similarity.SemThreshold)
+          .select(col("vec_id").as("doc_id")).distinct()
+          .withColumn("sem_dup", lit(true))
+        newDocs.select(col("doc_id"))
+          .join(g1, Seq("doc_id"), "left")
+          .join(g2, Seq("doc_id"), "left")
+          .join(g3, Seq("doc_id"), "left")
+          .join(g4, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+            coalesce(col("chunk_dup"), lit(false)).as("chunk_dup"),
+            coalesce(col("near_dup"), lit(false)).as("near_dup"),
+            coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+          .withColumn("first_reject", expr(
+            """CASE WHEN exact_dup THEN 1 WHEN chunk_dup THEN 2
+               WHEN near_dup THEN 3 WHEN sem_dup THEN 4
+               ELSE 0 END""").cast("int"))
+          .withColumn("admitted", col("first_reject") === 0)
       })
   )
 }

@@ -2052,6 +2052,17 @@ class PlanSpec extends SparkSpec {
         s"($globals found):\n" + optimized)
   }
 
+  test("q383: every triage gate probes the corpus through an equi key " +
+      "(fingerprint, chunk-fp, band, cell) — no cartesian/BNL, and the " +
+      "final assembly is left equi-joins on doc_id") {
+    val p = plan("q383_ladder_triage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // triage output is per-doc; no window anywhere (no global sorts)
+    assert(!p.contains(") Window"), "triage needs no window:\n" + p)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

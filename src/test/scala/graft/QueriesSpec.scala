@@ -1164,4 +1164,34 @@ class QueriesSpec extends SparkSpec {
     // and the fixture must actually exercise every stage
     assert(ladder.values.map(_._2).sum > 0, "ladder removed nothing")
   }
+
+  test("q383_ladder_triage: per-gate flags reconcile with the standalone " +
+      "incremental operators (q324 corpus matches, q354 decisions)") {
+    import org.apache.spark.sql.functions._
+    val triage = Registry.byName("q383_ladder_triage").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getInt(5), r.getBoolean(6))).toMap
+    assert(triage.nonEmpty)
+    // first_reject/admitted arithmetic
+    triage.values.foreach { case (e, c, n, s, fr, adm) =>
+      val expFr = if (e) 1 else if (c) 2 else if (n) 3 else if (s) 4 else 0
+      assert(fr == expFr && adm == (expFr == 0))
+    }
+    // gate 3 == q324's corpus-sourced matches exactly
+    val q324Corpus = Registry.byName("q324_incremental_neardup")
+      .run(spark, sfDir).filter(col("match_src") === "corpus")
+      .select(col("new_doc")).collect().map(_.getLong(0)).toSet
+    assert(triage.filter(_._2._3).keySet === q324Corpus,
+      "near_dup flags must equal q324's corpus-matched docs")
+    // gate 4 == q354's rejections exactly (embedded docs only)
+    val q354Rejected = Registry.byName("q354_incremental_semdedup")
+      .run(spark, sfDir).filter(!col("admitted"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(triage.filter(_._2._4).keySet === q354Rejected,
+      "sem_dup flags must equal q354's rejected vectors")
+    // the fixture must exercise at least two distinct gates
+    assert(triage.values.map(_._5).filter(_ > 0).toSet.size >= 2,
+      "fixture should trip more than one gate")
+  }
 }
