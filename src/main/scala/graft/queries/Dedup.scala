@@ -2334,6 +2334,76 @@ object Dedup {
                WHEN near_dup THEN 3 WHEN sem_dup THEN 4
                ELSE 0 END""").cast("int"))
           .withColumn("admitted", col("first_reject") === 0)
+      }),
+
+    // ---- longest duplicated span per doc (boilerplate run detector) --------
+    // The SPAN grain q49 (per-chunk keep/drop) and q379 (corpus dup-mass
+    // curve) don't expose: for each doc, the longest CONSECUTIVE run of
+    // chunks whose content already appeared earlier in the corpus — the
+    // Lee et al. boilerplate signature (a doc with a long contiguous
+    // duplicated span embeds a copied block; scattered dup chunks are
+    // phrase reuse). Keep-first rank marks dup chunks (q49's window);
+    // runs form by gaps-and-islands on the chunk position (pos − seq is
+    // constant within a consecutive run). 100 TB plan: one shuffle on
+    // the chunk fp (the rank), one on doc_id (the per-doc windows +
+    // aggs, both partitioned by doc) — no self-join, chunk rows linear
+    // in corpus tokens.
+    QuerySpec(
+      "q384_longest_dup_span",
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents),
+        ch AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+            SELECT doc_id,
+              unnest([{'pos': i,
+                  'fp': md5(array_to_string(t[(i*10+1):(i*10+10)], ' '))}
+                for i in range(0, CAST(ceil(len(t) / 10.0) AS INT))]) AS u
+            FROM d) z),
+        rk AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) > 1
+              AS is_dup
+          FROM ch),
+        isl AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS grp
+          FROM rk WHERE is_dup),
+        runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+          FROM isl GROUP BY 1, 2),
+        longest AS (SELECT doc_id, MAX(run) AS longest_run
+          FROM runs GROUP BY 1),
+        prof AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup
+          FROM rk GROUP BY 1)
+        SELECT prof.doc_id, n_chunks, n_dup,
+          COALESCE(longest_run, 0) AS longest_run,
+          (COALESCE(longest_run, 0) * 2 > n_chunks) AS boilerplate_flag
+        FROM prof LEFT JOIN longest ON longest.doc_id = prof.doc_id"""),
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .withColumn("t", split(lower(col("text")), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+            .as(Seq("pos", "fp")))
+        val rk = ch.withColumn("is_dup", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos")))
+            > 1)
+          .select(col("doc_id"), col("pos"), col("is_dup"))
+        val isl = rk.filter(col("is_dup"))
+          .withColumn("grp", col("pos") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        val longest = isl.groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("doc_id")).agg(max(col("run")).as("longest_run"))
+        rk.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+          .join(longest, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            (coalesce(col("longest_run"), lit(0L)) * 2 > col("n_chunks"))
+              .as("boilerplate_flag"))
       })
   )
 }

@@ -2063,6 +2063,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains(") Window"), "triage needs no window:\n" + p)
   }
 
+  test("q384: span runs form from two keyed windows (chunk-fp rank, " +
+      "per-doc islands) — no global window, no cartesian") {
+    val p = plan("q384_longest_dup_span")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val df = queries.Registry.byName("q384_longest_dup_span")
+      .run(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val globals = optimized.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .count { l =>
+        val head = l.substring(l.indexOf("windowspecdefinition(") + 21)
+          .takeWhile(_ != ',')
+        head.contains(" ASC") || head.contains(" DESC")
+      }
+    assert(globals == 0, s"every window must partition on fp or doc_id " +
+      s"($globals global):\n" + optimized)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

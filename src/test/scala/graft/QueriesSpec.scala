@@ -1194,4 +1194,33 @@ class QueriesSpec extends SparkSpec {
     assert(triage.values.map(_._5).filter(_ > 0).toSet.size >= 2,
       "fixture should trip more than one gate")
   }
+
+  test("q384_longest_dup_span matches a driver-side keep-first + " +
+      "gaps-and-islands reference") {
+    import org.apache.spark.sql.functions._
+    // reference: chunk every doc, mark keep-first dups in (doc, pos)
+    // order globally, then scan each doc's dup positions for the
+    // longest consecutive run
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val chunks = toks.grouped(10).map(_.mkString(" ")).toArray
+      val dup = chunks.map { c => val h = seen.contains(c); seen += c; h }
+      var longest = 0L; var run = 0L
+      dup.foreach { d => if (d) { run += 1; longest = math.max(longest, run) }
+        else run = 0 }
+      id -> (chunks.length.toLong, dup.count(identity).toLong, longest)
+    }.toMap
+    val got = Registry.byName("q384_longest_dup_span").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, v) =>
+      assert(v === ref(id), s"doc $id: got $v want ${ref(id)}") }
+    assert(ref.values.exists(_._3 >= 2),
+      "fixture must contain a multi-chunk duplicated span")
+  }
 }
