@@ -2404,6 +2404,84 @@ object Dedup {
             coalesce(col("longest_run"), lit(0L)).as("longest_run"),
             (coalesce(col("longest_run"), lit(0L)) * 2 > col("n_chunks"))
               .as("boilerplate_flag"))
+      }),
+
+    // ---- winnowing fingerprints (Schleimer et al. MOSS selection) ----------
+    // The position-anchored fingerprinting family MinHash/SimHash don't
+    // cover: over each doc's POSITIONAL 3-gram hash sequence, every
+    // w=4-wide window selects its minimum hash (rightmost on ties — the
+    // winnowing rule), giving ~2/(w+1) density with the GUARANTEE that
+    // any shared token run of length >= w + k - 1 = 7 shares at least
+    // one selected fingerprint — local, positional, and deterministic
+    // where MinHash is global and probabilistic. Output is the per-doc
+    // fingerprint profile (grams, selected prints, corpus-shared prints,
+    // selection density) — the copy-detection index a MOSS-style checker
+    // builds. 100 TB plan: window mins are row-local array ops (no
+    // explode of the w-grid on the Spark side); the only shuffles are
+    // the fingerprint df agg and its join back on the selected-print
+    // hash — both linear in selected prints (~n_grams/2.5).
+    QuerySpec(
+      "q385_winnowing_fingerprints",
+      Some(s"""WITH tk AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+        hsd AS (SELECT doc_id,
+            [${h64Duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+              for i in range(1, len(toks)-1)] AS hs
+          FROM tk WHERE len(toks) >= 3),
+        hm AS (SELECT doc_id, hs, len(hs) AS m FROM hsd),
+        js AS (SELECT doc_id, hs, m,
+            unnest(range(0, greatest(m - 4, 0) + 1)) AS j
+          FROM hm),
+        gi AS (SELECT doc_id, j,
+            unnest(range(j, least(j + 4, m))) AS i, hs
+          FROM js),
+        gh AS (SELECT doc_id, j, i, hs[CAST(i + 1 AS INT)] AS h FROM gi),
+        pick AS (SELECT doc_id, j, i, h, row_number()
+            OVER (PARTITION BY doc_id, j ORDER BY h, i DESC) AS rk
+          FROM gh),
+        sel AS (SELECT DISTINCT doc_id, h, i AS pos
+          FROM pick WHERE rk = 1),
+        dfh AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+          FROM sel GROUP BY 1),
+        prof AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+            CAST(SUM(CASE WHEN dfh.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared
+          FROM sel s JOIN dfh ON dfh.h = s.h GROUP BY 1)
+        SELECT hm.doc_id, CAST(m AS BIGINT) AS n_grams,
+          prof.n_selected, prof.n_shared,
+          (prof.n_selected * 1000000) // m AS density_ppm
+        FROM hm JOIN prof ON prof.doc_id = hm.doc_id"""),
+      (s, d) => {
+        val hsd = t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("hs", expr("transform(sequence(0, size(toks)-3), " +
+            s"""i -> ${h64Spark(
+              "concat_ws(' ', toks[i], toks[i+1], toks[i+2])")})"""))
+          .select(col("doc_id"), col("hs"),
+            size(col("hs")).cast("long").as("n_grams"))
+        // row-local winnowing: per window j the min (hash, -pos) struct
+        // — smallest hash, rightmost position on ties; distinct (h, pos)
+        // pairs are THE selected fingerprints
+        val sel = hsd.select(col("doc_id"), col("n_grams"), explode(expr(
+            """array_distinct(transform(
+               sequence(0, greatest(size(hs) - 4, 0)),
+               j -> array_min(transform(
+                 sequence(j, least(j + 3, size(hs) - 1)),
+                 i -> struct(element_at(hs, i + 1) AS h, -i AS ni)))))"""))
+            .as("s"))
+          .select(col("doc_id"), col("n_grams"), col("s.h").as("h"))
+        val dfh = sel.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+        sel.join(dfh, "h")
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_selected"),
+            col("n_shared"),
+            expr("n_selected * 1000000 div n_grams").as("density_ppm"))
       })
   )
 }

@@ -2082,6 +2082,17 @@ class PlanSpec extends SparkSpec {
       s"($globals global):\n" + optimized)
   }
 
+  test("q385: winnowing selection is row-local (no window, no explode " +
+      "of the w-grid) — the only shuffles are the fingerprint df agg " +
+      "and its equi join back") {
+    val p = plan("q385_winnowing_fingerprints")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(") Window"),
+      "window mins must be row-local array ops, not a Window node:\n" + p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

@@ -1223,4 +1223,45 @@ class QueriesSpec extends SparkSpec {
     assert(ref.values.exists(_._3 >= 2),
       "fixture must contain a multi-chunk duplicated span")
   }
+
+  test("q385_winnowing_fingerprints matches a driver-side winnowing " +
+      "reference (min-of-window, rightmost tie)") {
+    import org.apache.spark.sql.functions._
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val selected = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else {
+        val hs = (0 to toks.length - 3)
+          .map(i => h64(toks.slice(i, i + 3).mkString(" ")))
+        (0 to math.max(hs.length - 4, 0)).map { j =>
+          val win = j to math.min(j + 3, hs.length - 1)
+          val best = win.minBy(i => (hs(i), -i))
+          (id, hs(best), best)
+        }.distinct.map { case (d, h, _) => (d, h) }
+      }
+    }
+    val dfh = selected.map(_._2).distinct
+      .map(h => h -> selected.filter(_._2 == h).map(_._1).distinct.size)
+      .toMap
+    val ref = selected.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.length.toLong, rows.count(r => dfh(r._2) >= 2).toLong)
+    }
+    val got = Registry.byName("q385_winnowing_fingerprints")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, v) =>
+      assert(v === ref(id), s"doc $id: got $v want ${ref(id)}") }
+    assert(ref.values.exists(_._2 > 0),
+      "fixture must contain corpus-shared fingerprints")
+  }
 }
