@@ -2021,6 +2021,114 @@ object Similarity {
           .select(col("depth"), col("cell"), col("n_vecs"),
             expr("n_vecs * 1000000 div n_total").as("ppm"),
             (col("n_vecs") > CellOccupancy).as("over_cap"))
+      }),
+
+    // ---- MMR diverse top-k selection (Carbonell & Goldstein) ---------------
+    // The selection shape plain top-k (q45) can't express: each of the
+    // K=5 picks per query maximizes lambda*relevance − (1−lambda)*
+    // max-similarity-to-already-selected (lambda = 0.7) — the
+    // relevance/diversity tradeoff retrieval and data-selection
+    // pipelines use to avoid returning five near-copies. The greedy is
+    // inherently sequential in K, so it unrolls as K bounded stages
+    // (q48's bounded-round discipline): each stage joins the cached
+    // relevance frame with the <=(t−1)-row-per-query selected set ON
+    // q_id (equi), takes the per-query max-struct (score, then smallest
+    // vec_id), and appends. Determinism: relevance and pair cosines are
+    // the exact-grid qcosine doubles; 0.7/0.3 are the same IEEE doubles
+    // in both engines; ties break on vec_id. 100 TB plan: the corpus
+    // scan happens once (rel is cached); each stage shuffles only on
+    // q_id against a <=K-row-per-query set and aggregates partial+final
+    // — no all-pairs, no data-sized window.
+    QuerySpec(
+      "q386_mmr_select", {
+        val cos = (a: String, b: String) =>
+          s"""CAST(${qdotDuck(s"$a.qv", s"$b.qv", Dims)} AS DOUBLE)
+             / (sqrt(CAST($a.nsq AS DOUBLE)) * sqrt(CAST($b.nsq AS DOUBLE)))"""
+        val stages = (2 to 5).map { t =>
+          s"""ms_$t AS (SELECT r.q_id, r.vec_id, r.cq,
+              MAX(${cos("er", "es")}) AS ms
+            FROM rel r JOIN en er ON er.vec_id = r.vec_id
+            JOIN acc_${t - 1} p ON p.q_id = r.q_id
+            JOIN en es ON es.vec_id = p.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM acc_${t - 1} x
+              WHERE x.q_id = r.q_id AND x.neighbor_id = r.vec_id)
+            GROUP BY 1, 2, 3),
+          sel_$t AS (SELECT q_id, vec_id AS neighbor_id, relevance,
+              mmr_score, CAST($t AS INT) AS mmr_rank FROM (
+              SELECT q_id, vec_id, cq AS relevance,
+                CAST(0.7 AS DOUBLE) * cq - CAST(0.3 AS DOUBLE) * ms
+                  AS mmr_score,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY CAST(0.7 AS DOUBLE) * cq
+                    - CAST(0.3 AS DOUBLE) * ms DESC, vec_id) AS rk
+              FROM ms_$t) z WHERE rk = 1),
+          acc_$t AS (SELECT * FROM acc_${t - 1}
+            UNION ALL SELECT * FROM sel_$t)"""
+        }.mkString(",\n          ")
+        Some(s"""WITH $duckQuantCte,
+          qset AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq
+            FROM en WHERE vec_id < $NumQueries),
+          rel AS (SELECT q_id, en.vec_id,
+              CAST(${qdotDuck("q_qv", "en.qv", Dims)} AS DOUBLE)
+                / (sqrt(CAST(q_nsq AS DOUBLE))
+                  * sqrt(CAST(en.nsq AS DOUBLE))) AS cq
+            FROM qset, en WHERE en.vec_id <> q_id),
+          acc_1 AS (SELECT q_id, vec_id AS neighbor_id, cq AS relevance,
+              cq AS mmr_score, CAST(1 AS INT) AS mmr_rank FROM (
+              SELECT q_id, vec_id, cq, row_number() OVER (PARTITION BY q_id
+                ORDER BY cq DESC, vec_id) AS rk FROM rel) z WHERE rk = 1),
+          $stages
+          SELECT q_id AS query_id, mmr_rank, neighbor_id, relevance,
+            mmr_score
+          FROM acc_5""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val en = quantized(s, d, withSig = false)
+        val qs = en.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"))
+        val rel = en.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cq", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+          .select(col("q_id"), col("vec_id"), col("cq"), col("qv"),
+            col("nsq")).cache()
+        var all = rel.groupBy(col("q_id"))
+          .agg(max(struct(col("cq"), (-col("vec_id")).as("nid"))).as("m"))
+          .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
+            col("m.cq").as("relevance"), col("m.cq").as("mmr_score"),
+            lit(1).as("mmr_rank"))
+        // each stage's <=10-row pick is localCheckpoint'd (q261's
+        // per-step discipline) — stage t references the selected-so-far
+        // frame three times, so without the cut the logical plan grows
+        // ~3^K copies of stage 1 and re-executes them all
+        all = all.localCheckpoint()
+        for (t <- 2 to 5) {
+          val picked = all.select(col("q_id"), col("neighbor_id"))
+          val selv = picked
+            .join(rel.select(col("q_id"), col("vec_id").as("neighbor_id"),
+              col("qv").as("s_qv"), col("nsq").as("s_nsq")),
+              Seq("q_id", "neighbor_id"))
+            .select(col("q_id"), col("s_qv"), col("s_nsq"))
+          val top = rel
+            .join(picked.withColumnRenamed("neighbor_id", "vec_id"),
+              Seq("q_id", "vec_id"), "left_anti")
+            .join(selv, "q_id")
+            .withColumn("cs", expr("qcosine(qv, s_qv, nsq, s_nsq)"))
+            .groupBy(col("q_id"), col("vec_id"), col("cq"))
+            .agg(max(col("cs")).as("ms"))
+            .withColumn("score",
+              lit(0.7) * col("cq") - lit(0.3) * col("ms"))
+            .groupBy(col("q_id"))
+            .agg(max(struct(col("score"), (-col("vec_id")).as("nid"),
+              col("cq"))).as("m"))
+            .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
+              col("m.cq").as("relevance"), col("m.score").as("mmr_score"),
+              lit(t).as("mmr_rank"))
+          all = all.unionByName(top).localCheckpoint()
+        }
+        all.select(col("q_id").as("query_id"), col("mmr_rank"),
+          col("neighbor_id"), col("relevance"), col("mmr_score"))
       })
   )
 }

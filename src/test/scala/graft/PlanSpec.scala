@@ -2093,6 +2093,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("q386: the MMR greedy unrolls as K bounded stages — per-stage " +
+      "argmax is a max-struct aggregate (no window), and each stage is " +
+      "cut with localCheckpoint so the final plan is a bounded union " +
+      "of 10-row stage results") {
+    val p = plan("q386_mmr_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"),
+      "per-query argmax must be an aggregate, not a window:\n" + p)
+    // the stages are pre-executed behind localCheckpoint (the q261
+    // discipline — without the cut the plan held ~3^K copies of stage
+    // 1 and ran 23 s instead of 3.5 s), so the registry-visible plan
+    // must be exactly one materialized 50-row stage-union RDD — any
+    // reappearing join/agg would mean the cut regressed
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan ExistingRDD.*""")) == 1,
+      "expected the single checkpointed stage union:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q377: the predicate pushes through the Union into all three " +
       "format legs, and the parquet leg carries PushedFilters") {
     val p = plan("q377_federated_union_scan")

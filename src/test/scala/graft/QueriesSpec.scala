@@ -1264,4 +1264,60 @@ class QueriesSpec extends SparkSpec {
     assert(ref.values.exists(_._2 > 0),
       "fixture must contain corpus-shared fingerprints")
   }
+
+  test("q386_mmr_select matches a driver-side greedy MMR reference " +
+      "and is non-trivially diverse vs plain top-k") {
+    import org.apache.spark.sql.functions._
+    val en = queries.Similarity.quantSig(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("qv"), col("nsq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val byId = en.map(v => v._1 -> v).toMap
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)) = {
+      var dot = 0L; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      dot.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val ref = (0L until 10L).flatMap { q =>
+      val qv = byId(q)
+      val cands = en.filter(_._1 != q)
+      val cq = cands.map(c => c._1 -> cos(qv, c)).toMap
+      var picked = Vector.empty[(Long, Double)] // (id, score)
+      (1 to 5).foreach { t =>
+        val avail = cands.filter(c => !picked.exists(_._1 == c._1))
+        val scored = avail.map { c =>
+          val sc =
+            if (t == 1) cq(c._1)
+            else 0.7 * cq(c._1) -
+              0.3 * picked.map(p => cos(byId(p._1), c)).max
+          (c._1, sc)
+        }
+        val best = scored.minBy { case (id, sc) => (-sc, id) }
+        picked = picked :+ best
+      }
+      picked.zipWithIndex.map { case ((id, sc), i) =>
+        (q, i + 1) -> (id, cq(id), sc) }
+    }.toMap
+    val got = Registry.byName("q386_mmr_select").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(v._1 == ref(k)._1, s"$k: pick ${v._1} want ${ref(k)._1}")
+      assert(v._2 == ref(k)._2 && v._3 == ref(k)._3,
+        s"$k: scores must be bit-equal") }
+    // diversity must bite: for at least one query the MMR list differs
+    // from the pure-relevance top-5
+    val topk = (0L until 10L).exists { q =>
+      val mmr = (1 to 5).map(t => got((q, t))._1).toSet
+      val plain = ref.collect { case ((`q`, _), _) => () } // keep scoped
+      val byRel = en.filter(_._1 != q)
+        .map(c => c._1 -> cos(byId(q), c))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      mmr != byRel
+    }
+    assert(topk, "fixture should make MMR diverge from plain top-5 " +
+      "for at least one query")
+  }
 }
