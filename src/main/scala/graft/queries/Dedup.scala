@@ -270,6 +270,60 @@ object Dedup {
   // lets ScaleSpec count candidates at two corpus sizes and fail on any
   // silent all-pairs regression, without duplicating the logic here.
 
+  /** Winnowing fingerprint selection (q387's candidate space —
+    * Schleimer et al.): positional 3-gram hashes, every w=4 window
+    * selects its min hash (rightmost on ties) — the IDENTICAL selected
+    * set q219 computes via its closed-form window-min predicate
+    * (QueriesSpec proves both against one driver reference). Returns
+    * one row per selected (doc_id, h, pos) with the doc's gram count
+    * riding along. Row-local on the Spark side — selection is array
+    * math, no window node, no w-grid explode.
+    */
+  private[graft] def winnowedPrints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs", expr("transform(sequence(0, size(toks)-3), " +
+        s"""i -> ${h64Spark(
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2])")})"""))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        explode(expr(
+          """array_distinct(transform(
+             sequence(0, greatest(size(hs) - 4, 0)),
+             j -> array_min(transform(
+               sequence(j, least(j + 3, size(hs) - 1)),
+               i -> struct(element_at(hs, i + 1) AS h, -i AS ni)))))"""))
+          .as("sw"))
+      .select(col("doc_id"), col("n_grams"), col("sw.h").as("h"),
+        (-col("sw.ni")).as("pos"))
+
+  /** DuckDB mirror of [[winnowedPrints]] (explicit w-grid + rank —
+    * list-of-struct minima aren't portable): emits `hm(doc_id, hs, m)`
+    * and `sel(doc_id, h, pos)`.
+    */
+  private val winnowDuckCtes: String =
+    s"""tk AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents),
+      hsd AS (SELECT doc_id,
+          [${h64Duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+            for i in range(1, len(toks)-1)] AS hs
+        FROM tk WHERE len(toks) >= 3),
+      hm AS (SELECT doc_id, hs, len(hs) AS m FROM hsd),
+      js AS (SELECT doc_id, hs, m,
+          unnest(range(0, greatest(m - 4, 0) + 1)) AS j
+        FROM hm),
+      gi AS (SELECT doc_id, j,
+          unnest(range(j, least(j + 4, m))) AS i, hs
+        FROM js),
+      gh AS (SELECT doc_id, j, i, hs[CAST(i + 1 AS INT)] AS h FROM gi),
+      pick AS (SELECT doc_id, j, i, h, row_number()
+          OVER (PARTITION BY doc_id, j ORDER BY h, i DESC) AS rk
+        FROM gh),
+      sel AS (SELECT DISTINCT doc_id, h, i AS pos
+        FROM pick WHERE rk = 1)"""
+
   /** MinHash band-bucket candidate pairs (doc_a < doc_b). */
   private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
@@ -2406,82 +2460,64 @@ object Dedup {
               .as("boilerplate_flag"))
       }),
 
-    // ---- winnowing fingerprints (Schleimer et al. MOSS selection) ----------
-    // The position-anchored fingerprinting family MinHash/SimHash don't
-    // cover: over each doc's POSITIONAL 3-gram hash sequence, every
-    // w=4-wide window selects its minimum hash (rightmost on ties — the
-    // winnowing rule), giving ~2/(w+1) density with the GUARANTEE that
-    // any shared token run of length >= w + k - 1 = 7 shares at least
-    // one selected fingerprint — local, positional, and deterministic
-    // where MinHash is global and probabilistic. Output is the per-doc
-    // fingerprint profile (grams, selected prints, corpus-shared prints,
-    // selection density) — the copy-detection index a MOSS-style checker
-    // builds. 100 TB plan: window mins are row-local array ops (no
-    // explode of the w-grid on the Spark side); the only shuffles are
-    // the fingerprint df agg and its join back on the selected-print
-    // hash — both linear in selected prints (~n_grams/2.5).
+    // ---- winnowing copy pairs (the MOSS pair report) ------------------------
+    // q219 selects the winnowed fingerprints (per-doc profile); this is
+    // the report a MOSS-style checker actually SHOWS: for every doc
+    // pair sharing >= 2 selected prints, the shared-print count and the
+    // coverage of the smaller doc's print set (ppm). The distinction
+    // from q212's shared-span matrix is the CANDIDATE SPACE: q212 pair-
+    // joins the full chunk-fingerprint table, while this joins only the
+    // winnowed ~2/(w+1)-density prints — the provable-recall sparsifier
+    // (any shared >= 7-token run still yields a shared print), ~2.5x
+    // fewer join rows at identical contiguous-copy recall. Boilerplate
+    // prints shared by more docs than the df cap (q212's SpanDfCap
+    // discipline) are dropped BEFORE the pair join, so fan-out per
+    // print is bounded and the pair count stays linear in selected
+    // prints — never all-pairs.
     QuerySpec(
-      "q385_winnowing_fingerprints",
-      Some(s"""WITH tk AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS toks
-          FROM documents),
-        hsd AS (SELECT doc_id,
-            [${h64Duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
-              for i in range(1, len(toks)-1)] AS hs
-          FROM tk WHERE len(toks) >= 3),
-        hm AS (SELECT doc_id, hs, len(hs) AS m FROM hsd),
-        js AS (SELECT doc_id, hs, m,
-            unnest(range(0, greatest(m - 4, 0) + 1)) AS j
-          FROM hm),
-        gi AS (SELECT doc_id, j,
-            unnest(range(j, least(j + 4, m))) AS i, hs
-          FROM js),
-        gh AS (SELECT doc_id, j, i, hs[CAST(i + 1 AS INT)] AS h FROM gi),
-        pick AS (SELECT doc_id, j, i, h, row_number()
-            OVER (PARTITION BY doc_id, j ORDER BY h, i DESC) AS rk
-          FROM gh),
-        sel AS (SELECT DISTINCT doc_id, h, i AS pos
-          FROM pick WHERE rk = 1),
-        dfh AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
-          FROM sel GROUP BY 1),
-        prof AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
-            CAST(SUM(CASE WHEN dfh.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_shared
-          FROM sel s JOIN dfh ON dfh.h = s.h GROUP BY 1)
-        SELECT hm.doc_id, CAST(m AS BIGINT) AS n_grams,
-          prof.n_selected, prof.n_shared,
-          (prof.n_selected * 1000000) // m AS density_ppm
-        FROM hm JOIN prof ON prof.doc_id = hm.doc_id"""),
+      "q387_winnowing_pairs",
+      Some(s"""WITH $winnowDuckCtes,
+        sp AS (SELECT DISTINCT doc_id, h FROM sel),
+        dfh AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs
+          FROM sp GROUP BY 1),
+        keep AS (SELECT sp.doc_id, sp.h FROM sp
+          JOIN dfh ON dfh.h = sp.h
+          WHERE dfh.ndocs BETWEEN 2 AND $SpanDfCap),
+        np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_prints
+          FROM sp GROUP BY 1),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM keep a JOIN keep b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared,
+          (n_shared * 1000000) // least(x.n_prints, y.n_prints)
+            AS coverage_ppm
+        FROM pr JOIN np x ON x.doc_id = doc_a
+                JOIN np y ON y.doc_id = doc_b
+        WHERE n_shared >= 2"""),
       (s, d) => {
-        val hsd = t(s, d, "documents")
-          .select(col("doc_id"), col("text"))
-          .withColumn("toks", split(lower(col("text")), " "))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("hs", expr("transform(sequence(0, size(toks)-3), " +
-            s"""i -> ${h64Spark(
-              "concat_ws(' ', toks[i], toks[i+1], toks[i+2])")})"""))
-          .select(col("doc_id"), col("hs"),
-            size(col("hs")).cast("long").as("n_grams"))
-        // row-local winnowing: per window j the min (hash, -pos) struct
-        // — smallest hash, rightmost position on ties; distinct (h, pos)
-        // pairs are THE selected fingerprints
-        val sel = hsd.select(col("doc_id"), col("n_grams"), explode(expr(
-            """array_distinct(transform(
-               sequence(0, greatest(size(hs) - 4, 0)),
-               j -> array_min(transform(
-                 sequence(j, least(j + 3, size(hs) - 1)),
-                 i -> struct(element_at(hs, i + 1) AS h, -i AS ni)))))"""))
-            .as("s"))
-          .select(col("doc_id"), col("n_grams"), col("s.h").as("h"))
-        val dfh = sel.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("ndocs"))
-        sel.join(dfh, "h")
-          .groupBy(col("doc_id"), col("n_grams"))
-          .agg(count(lit(1)).as("n_selected"),
-            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
-          .select(col("doc_id"), col("n_grams"), col("n_selected"),
-            col("n_shared"),
-            expr("n_selected * 1000000 div n_grams").as("density_ppm"))
+        val sp = winnowedPrints(s, d)
+          .select(col("doc_id"), col("h")).distinct().cache()
+        val dfh = sp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+        val keep = sp.join(
+          dfh.filter(col("ndocs").between(2, SpanDfCap)).select(col("h")),
+          "h")
+        val np = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_prints"))
+        keep.as("a").join(keep.as("b"),
+            col("a.h") === col("b.h")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .join(np.select(col("doc_id").as("doc_a"),
+            col("n_prints").as("np_a")), "doc_a")
+          .join(np.select(col("doc_id").as("doc_b"),
+            col("n_prints").as("np_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            expr("n_shared * 1000000 div least(np_a, np_b)")
+              .as("coverage_ppm"))
       })
   )
 }

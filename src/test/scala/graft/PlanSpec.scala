@@ -2082,15 +2082,15 @@ class PlanSpec extends SparkSpec {
       s"($globals global):\n" + optimized)
   }
 
-  test("q385: winnowing selection is row-local (no window, no explode " +
-      "of the w-grid) — the only shuffles are the fingerprint df agg " +
-      "and its equi join back") {
-    val p = plan("q385_winnowing_fingerprints")
+  test("q387: the pair join runs over df-capped prints only (the cap " +
+      "filter precedes the self-join) — keyed joins, no cartesian, " +
+      "no window") {
+    val p = plan("q387_winnowing_pairs")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains(") Window"),
-      "window mins must be row-local array ops, not a Window node:\n" + p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
   }
 
   test("q386: the MMR greedy unrolls as K bounded stages — per-stage " +

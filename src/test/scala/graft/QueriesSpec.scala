@@ -1224,8 +1224,11 @@ class QueriesSpec extends SparkSpec {
       "fixture must contain a multi-chunk duplicated span")
   }
 
-  test("q385_winnowing_fingerprints matches a driver-side winnowing " +
-      "reference (min-of-window, rightmost tie)") {
+  /** Driver-side winnowing selection (q219/q387's reference): distinct
+    * (doc_id, hash) per selected (hash, pos) — min-of-window w=4,
+    * rightmost tie.
+    */
+  private def winnowRef(): Array[(Long, Long)] = {
     import org.apache.spark.sql.functions._
     def h64(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -1236,7 +1239,7 @@ class QueriesSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val selected = docs.flatMap { case (id, text) =>
+    docs.flatMap { case (id, text) =>
       val toks = text.toLowerCase.split(" ", -1)
       if (toks.length < 3) Seq.empty
       else {
@@ -1249,20 +1252,51 @@ class QueriesSpec extends SparkSpec {
         }.distinct.map { case (d, h, _) => (d, h) }
       }
     }
-    val dfh = selected.map(_._2).distinct
-      .map(h => h -> selected.filter(_._2 == h).map(_._1).distinct.size)
+  }
+
+  test("Dedup.winnowedPrints (q387's candidate space) selects the " +
+      "IDENTICAL set as q219's closed-form window-min predicate") {
+    import org.apache.spark.sql.functions._
+    // q219's per-doc (n_fp, fp_modsum) pins its selected multiset;
+    // the row-local array formulation must aggregate to the same
+    val q219 = Registry.byName("q219_winnowing").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4)))
       .toMap
-    val ref = selected.groupBy(_._1).map { case (id, rows) =>
-      id -> (rows.length.toLong, rows.count(r => dfh(r._2) >= 2).toLong)
+    val mine = queries.Dedup.winnowedPrints(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("h") % 1000000007L).as("fp_modsum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(mine.keySet === q219.keySet)
+    mine.foreach { case (id, v) =>
+      assert(v === q219(id), s"doc $id: array formulation $v " +
+        s"!= q219 closed form ${q219(id)}") }
+  }
+
+  test("q387_winnowing_pairs matches a driver-side df-capped pair " +
+      "reference") {
+    val sp = winnowRef().distinct // distinct (doc, h) print sets
+    val dfh = sp.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    val keep = sp.filter(p => dfh(p._2) >= 2 && dfh(p._2) <= 20)
+    val np = sp.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byH = keep.groupBy(_._2)
+    val allPairs: Seq[(Long, Long)] = byH.values.toSeq.flatMap { rows =>
+      val ids = rows.map(_._1).distinct.sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
     }
-    val got = Registry.byName("q385_winnowing_fingerprints")
-      .run(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(got.keySet === ref.keySet)
-    got.foreach { case (id, v) =>
-      assert(v === ref(id), s"doc $id: got $v want ${ref(id)}") }
-    assert(ref.values.exists(_._2 > 0),
-      "fixture must contain corpus-shared fingerprints")
+    val ref = allPairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2)
+      .map { case ((a, b), n) =>
+        ((a, b), (n, n * 1000000L / math.min(np(a), np(b)))) }
+      .toMap
+    val got = Registry.byName("q387_winnowing_pairs").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === ref,
+      s"only-got=${got.keySet -- ref.keySet} " +
+        s"only-ref=${ref.keySet -- got.keySet}")
+    assert(ref.nonEmpty, "fixture must contain winnowing copy pairs")
   }
 
   test("q386_mmr_select matches a driver-side greedy MMR reference " +
