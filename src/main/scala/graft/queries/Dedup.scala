@@ -569,7 +569,7 @@ object Dedup {
     * boilerplate, not derivation evidence, and are dropped before the
     * pair join (bounds fan-out per chunk).
     */
-  private val SpanDfCap = 20
+  private[graft] val SpanDfCap = 20
 
   /** q373 prefix-filter Jaccard threshold as an exact rational (7/10):
     * the prefix length n - ceil(t*n) + 1 stays pure integer math in both

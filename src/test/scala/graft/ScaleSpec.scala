@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, Similarity}
+import graft.queries.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Candidate-set sublinearity guard: the scale hazard in every near-dup
@@ -52,6 +52,47 @@ class ScaleSpec extends SparkSpec {
       assert(cand <= bound,
         s"candidates $cand exceed the occupancy-cap bound $bound")
       sim.unpersist()
+    }
+  }
+
+  test("q352/q378 media fingerprints: candidates bounded by " +
+      "cap·bands·assets/2 at both scales (the capped-linear law the " +
+      "100x probe measured)") {
+    // Media fingerprint spaces are low-entropy, so RAW growth between
+    // fixture sizes is super-linear by corpus geometry (SCALE.md) —
+    // the invariant that holds at ANY scale is the occupancy-cap
+    // bound: Σ_b n_b(n_b-1)/2 <= (cap/2)·bands·assets.
+    for (d <- Seq(small, large);
+         (nm, fp) <- Seq("image" -> Multimodal.imagePhash(spark, d),
+           "audio" -> Multimodal.audioFingerprint(spark, d))) {
+      val f = fp.cache()
+      val n = f.count().max(1L)
+      val cand = Multimodal.bandedCandidates(f).count()
+      val bound = (Multimodal.PhashBucketCap.toLong / 2) * 4 * n
+      info(f"$nm @$d: $cand candidates over $n assets " +
+        f"(${cand.toDouble / n}%.1f per asset, bound $bound)")
+      assert(cand <= bound,
+        s"$nm candidates $cand exceed the occupancy-cap bound $bound")
+      f.unpersist()
+    }
+  }
+
+  test("q387 winnowing pairs: pre-agg pair rows bounded by " +
+      "(dfCap/2)·selected prints at both scales") {
+    for (d <- Seq(small, large)) {
+      val sp = Dedup.winnowedPrints(spark, d)
+        .select(col("doc_id"), col("h")).distinct().cache()
+      val nPrints = sp.count().max(1L)
+      val pairRows = sp.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, Dedup.SpanDfCap))
+        .agg(sum(expr("n * (n - 1) div 2"))).first()
+      val rows = if (pairRows.isNullAt(0)) 0L else pairRows.getLong(0)
+      val bound = (Dedup.SpanDfCap.toLong / 2) * nPrints
+      info(s"winnowing pairs @$d: $rows pair rows over $nPrints prints " +
+        s"(bound $bound)")
+      assert(rows <= bound,
+        s"pair rows $rows exceed the df-cap bound $bound")
+      sp.unpersist()
     }
   }
 
