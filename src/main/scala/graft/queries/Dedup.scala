@@ -174,18 +174,35 @@ object Dedup {
     * closure's O(Σ component²). Expects `sym(u, v)` (symmetric edges) in
     * scope; emits `roots(doc_id, component)`.
     */
-  private def minLabelRootsDuck(rounds: Int): String = {
-    val chain = (1 to rounds).map { i =>
-      s"""l$i AS MATERIALIZED (SELECT x.u, MIN(x.l) AS l FROM (
-            SELECT u, l FROM l${i - 1}
+  private def minLabelRootsDuck(rounds: Int, p: String = ""): String = {
+    // one extra materialized round past `rounds` is a FIXPOINT GUARD
+    // (round-12 advice): the unrolled chain is exact only for component
+    // diameter <= rounds, and a future fixture with a longer verified
+    // near-dup chain would otherwise under-merge silently and fail the
+    // oracle compare with a confusing component diff. If the extra round
+    // still moves any label, the oracle itself errors with an explicit
+    // message instead. Cost: one O(|E|) round.
+    // `p` prefixes every CTE name (and the expected `{p}sym` edge input)
+    // so one oracle can run the chain over two graphs (q390 needs both
+    // the full and the old-only component labels).
+    val chain = (1 to rounds + 1).map { i =>
+      s"""${p}l$i AS MATERIALIZED (SELECT x.u, MIN(x.l) AS l FROM (
+            SELECT u, l FROM ${p}l${i - 1}
             UNION ALL
-            SELECT s.u, p.l FROM sym s JOIN l${i - 1} p ON p.u = s.v) x
+            SELECT s.u, p.l FROM ${p}sym s JOIN ${p}l${i - 1} p
+              ON p.u = s.v) x
           GROUP BY x.u)"""
     }.mkString(",\n          ")
-    s"""nodes AS (SELECT DISTINCT u FROM sym),
-          l0 AS (SELECT u, u AS l FROM nodes),
+    s"""${p}nodes AS (SELECT DISTINCT u FROM ${p}sym),
+          ${p}l0 AS (SELECT u, u AS l FROM ${p}nodes),
           $chain,
-          roots AS (SELECT u AS doc_id, l AS component FROM l$rounds)"""
+          ${p}conv AS (SELECT CAST(COUNT(*) AS BIGINT) AS moved
+            FROM ${p}l$rounds a JOIN ${p}l${rounds + 1} b
+            ON a.u = b.u AND a.l <> b.l),
+          ${p}roots AS (SELECT u AS doc_id,
+            CASE WHEN (SELECT moved FROM ${p}conv) = 0 THEN l
+              ELSE CAST(error('min-label chain not converged in $rounds rounds: component diameter exceeds the unroll')
+                AS BIGINT) END AS component FROM ${p}l$rounds)"""
   }
 
   /** The full MinHash candidate+pair CTE chain (shingles → minhashes →
@@ -541,7 +558,7 @@ object Dedup {
 
   // ---- exact-Jaccard verification of a candidate-pair frame ---------------
 
-  private def verifyJaccard(
+  private[graft] def verifyJaccard(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -577,6 +594,116 @@ object Dedup {
     */
   private val PfNum = 7
   private val PfDen = 10
+
+  // ---- q382 ladder stage chains (query body + ScaleProbe, one source) ----
+  // The composition is exactly where stage-to-stage survivor skew could
+  // bend a bounded candidate stage superlinear (round-12 verdict #4), so
+  // the probe must measure THE query's stages, not a re-derivation.
+
+  /** q382 stage-1 survivors: q40's normalized-fingerprint exact dedup,
+    * keep the min doc_id per fingerprint.
+    */
+  private[graft] def ladderS1(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(
+        md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), " "))), " ")))))
+      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
+  }
+
+  /** q382 stage-2 survivors: q49's keep-first chunk profile over stage-1
+    * survivors; a doc survives iff first-occurrence chunks are the
+    * majority (n_kept * 2 >= n_chunks).
+    */
+  private[graft] def ladderS2(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.join(ladderS1(s, d), "doc_id")
+      .withColumn("t", split(lower(col("text")), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+           i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
+        .as(Seq("pos", "fp")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .filter(col("n_kept") * 2 >= col("n_chunks"))
+      .select(col("doc_id"))
+  }
+
+  /** q382 stage-3 input: shingled stage-2 survivors (cached — candidate
+    * generation AND verify both consume it).
+    */
+  private[graft] def ladderSh3(s: SparkSession, d: String): DataFrame =
+    withShingles(t(s, d, "documents").select(col("doc_id"), col("text"))
+        .join(ladderS2(s, d), "doc_id"))
+      .select(col("doc_id"), col("shingles")).cache()
+
+  /** q382 stage-3 survivors: stage-2 minus the higher-id side of each
+    * verified (J >= 0.8) MinHash near-dup pair.
+    */
+  private[graft] def ladderS3(s: SparkSession, d: String,
+      sh3: DataFrame): DataFrame = {
+    val rm3 = verifyJaccard(sh3, minhashCandidates(sh3), 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    sh3.select(col("doc_id")).join(rm3, Seq("doc_id"), "left_anti")
+  }
+
+  /** q382 stage-4 input: 4-plane-celled quantized embeddings of stage-3
+    * survivors (vec_id is doc-aligned; unembedded docs pass stage 4 and
+    * simply don't appear here). Cached — both sides of the cell join.
+    */
+  private[graft] def ladderCells4(s: SparkSession, d: String,
+      s3: DataFrame): DataFrame =
+    Similarity.quantCell4(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      .join(s3.select(col("doc_id").as("vec_id")), "vec_id").cache()
+
+  /** q382 stage-4 candidate pairs (pre-cosine): the cell-bounded
+    * lower-id self-join — the frame the ScaleProbe row counts.
+    */
+  private[graft] def ladderPairs4(c4: DataFrame): DataFrame =
+    c4.select(col("vec_id").as("kept"), col("cell"),
+        col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+      .join(c4.select(col("vec_id"), col("cell").as("cell_b"),
+        col("qv").as("qv_b"), col("nsq").as("nsq_b")),
+        col("cell") === col("cell_b") && col("kept") < col("vec_id"))
+
+  /** Full-graph near-dup component labels over ALL docs (verified
+    * J >= 0.8 edges + bounded star rounds; singletons label themselves)
+    * — q389's label space, and the equality reference q390's
+    * incremental contraction is spec-checked against.
+    */
+  private[graft] def fullComponents(s: SparkSession, d: String,
+      sh: DataFrame): DataFrame = {
+    val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    t(s, d, "documents").select(col("doc_id"))
+      .join(connectedComponents(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** q387's distinct per-doc winnowed prints, cached — the pair
+    * candidates AND the per-doc print counts both consume it.
+    */
+  private[graft] def winnowedDocPrints(s: SparkSession,
+      d: String): DataFrame =
+    winnowedPrints(s, d).select(col("doc_id"), col("h")).distinct().cache()
+
+  /** q387's df-capped winnowing print pair frame (pre n_shared filter) —
+    * the ScaleProbe candidate row for the winnowing family. `sp` is
+    * [[winnowedDocPrints]].
+    */
+  private[graft] def winnowingPairCandidates(sp: DataFrame): DataFrame = {
+    val dfh = sp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val keep = sp.join(
+      dfh.filter(col("ndocs").between(2, SpanDfCap)).select(col("h")), "h")
+    keep.as("a").join(keep.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -2071,6 +2198,9 @@ object Dedup {
       }),
 
     // ---- the dedup LADDER capstone (FineWeb/RefinedWeb stage order) --------
+    // Stage survivor chains live in [[ladderS1]]/[[ladderS2]]/[[ladderSh3]]/
+    // [[ladderS3]]/[[ladderCells4]] (file-level, probe-shared) so the
+    // ScaleProbe candidate rows measure EXACTLY the query's stages.
     // Composes the four dedup families END-TO-END, each stage seeing only
     // the previous stage's survivors — the Penedo et al. pipeline order:
     //   1 exact    (q40):  drop any doc whose normalized fingerprint has a
@@ -2162,43 +2292,15 @@ object Dedup {
       (s, d) => {
         graft.expressions.GraftExtensions.ensureRegistered(s)
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        // stage 1 — exact: q40's normalized fingerprint, keep min id
-        val s1 = docs
-          .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(
-            md5(array_join(array_sort(array_distinct(
-              split(lower(col("text")), " "))), " ")))))
-          .filter(col("doc_id") === col("rep")).select(col("doc_id"))
-        // stage 2 — chunk: q49's keep-first profile over s1 survivors
-        val prof = docs.join(s1, "doc_id")
-          .withColumn("t", split(lower(col("text")), " "))
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
-               i -> md5(array_join(slice(t, i * 10 + 1, 10), ' ')))"""))
-            .as(Seq("pos", "fp")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
-        val s2 = prof.filter(col("n_kept") * 2 >= col("n_chunks"))
-          .select(col("doc_id"))
-        // stage 3 — minhash: q41's banded candidates + exact verify over
-        // s2 survivors; removed = the higher-id side of a verified pair
-        val sh3 = withShingles(docs.join(s2, "doc_id"))
-          .select(col("doc_id"), col("shingles")).cache()
-        val rm3 = verifyJaccard(sh3, minhashCandidates(sh3), 0.8)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val s3 = s2.join(rm3, Seq("doc_id"), "left_anti")
-        // stage 4 — semantic: q98's cell-bounded lower-id match over s3
-        // survivors' embeddings (vec_id is doc-aligned; unembedded pass)
-        val c4 = Similarity.quantCell4(
-            t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-          .join(s3.select(col("doc_id").as("vec_id")), "vec_id").cache()
-        val rm4 = c4.select(col("vec_id").as("kept"), col("cell"),
-            col("qv").as("qv_a"), col("nsq").as("nsq_a"))
-          .join(c4.select(col("vec_id"), col("cell").as("cell_b"),
-            col("qv").as("qv_b"), col("nsq").as("nsq_b")),
-            col("cell") === col("cell_b") && col("kept") < col("vec_id"))
+        // stages 1-4 — the file-level ladder chains (probe-shared):
+        // exact fingerprint, chunk keep-first, banded minhash + verify,
+        // cell-bounded semantic
+        val s1 = ladderS1(s, d)
+        val s2 = ladderS2(s, d)
+        val sh3 = ladderSh3(s, d)
+        val s3 = ladderS3(s, d, sh3)
+        val c4 = ladderCells4(s, d, s3)
+        val rm4 = ladderPairs4(c4)
           .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
             >= Similarity.SemThreshold)
           .select(col("vec_id").as("doc_id")).distinct()
@@ -2497,16 +2599,9 @@ object Dedup {
                 JOIN np y ON y.doc_id = doc_b
         WHERE n_shared >= 2"""),
       (s, d) => {
-        val sp = winnowedPrints(s, d)
-          .select(col("doc_id"), col("h")).distinct().cache()
-        val dfh = sp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-        val keep = sp.join(
-          dfh.filter(col("ndocs").between(2, SpanDfCap)).select(col("h")),
-          "h")
+        val sp = winnowedDocPrints(s, d)
         val np = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_prints"))
-        keep.as("a").join(keep.as("b"),
-            col("a.h") === col("b.h")
-              && col("a.doc_id") < col("b.doc_id"))
+        winnowingPairCandidates(sp)
           .groupBy(col("a.doc_id").as("doc_a"),
             col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
@@ -2518,7 +2613,179 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), col("n_shared"),
             expr("n_shared * 1000000 div least(np_a, np_b)")
               .as("coverage_ppm"))
-      })
+      }),
+
+    // ---- leakage-safe (component-consistent) train/eval split --------------
+    // The eval-integrity op every LLM data pipeline needs and naive
+    // hash splits get wrong: a per-DOC 80/20 hash split strands members
+    // of one near-dup cluster on BOTH sides — train/test leakage the
+    // deduped eval can't see. The fix is splitting at the COMPONENT
+    // grain (q48's verified near-dup components; singletons are their
+    // own component): side = hash(component) instead of hash(doc_id).
+    // Output is the per-doc audit: both assignments plus `naive_leak`
+    // (this doc's component straddles the naive split). Determinism:
+    // the 60-bit md5-prefix portable hash on the DECIMAL string of the
+    // label; min-label components are canonical in both engines.
+    // 100 TB plan: q48's bounded star rounds + two hash maps + windows
+    // that partition on component — no global window, no new joins
+    // beyond the component machinery.
+    QuerySpec(
+      "q389_component_split",
+      Some(s"""WITH $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          ${minLabelRootsDuck(12)},
+          lab AS (SELECT d.doc_id,
+              COALESCE(r.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+          sided AS (SELECT doc_id, component,
+              CASE WHEN (${h64Duck("CAST(component AS VARCHAR)")}) % 10 < 8
+                THEN 'train' ELSE 'eval' END AS comp_side,
+              CASE WHEN (${h64Duck("CAST(doc_id AS VARCHAR)")}) % 10 < 8
+                THEN 'train' ELSE 'eval' END AS naive_side
+            FROM lab)
+          SELECT doc_id, component,
+            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+              AS n_members,
+            comp_side, naive_side,
+            MIN(naive_side) OVER (PARTITION BY component)
+              <> MAX(naive_side) OVER (PARTITION BY component)
+              AS naive_leak
+          FROM sided"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val lab = fullComponents(s, d, sh)
+        val wC = Window.partitionBy(col("component"))
+        lab
+          .withColumn("comp_side",
+            when(expr(h64Spark("cast(component as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+          .withColumn("naive_side",
+            when(expr(h64Spark("cast(doc_id as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+          .withColumn("n_members", count(lit(1)).over(wC))
+          .withColumn("naive_leak",
+            min(col("naive_side")).over(wC) =!= max(col("naive_side"))
+              .over(wC))
+          .select(col("doc_id"), col("component"), col("n_members"),
+            col("comp_side"), col("naive_side"), col("naive_leak"))
+      }),
+
+    // ---- incremental component maintenance (daily-crawl merge) -------------
+    // The production form of q48 the ledger actually runs: yesterday's
+    // near-dup components are AT REST (the label ledger); today's batch
+    // (doc_id >= 250) arrives, and only NEW edges (new-new + new-old,
+    // via q324's batch-probed band join — old x old candidates never
+    // materialize) can change labels. The incremental rule is graph
+    // CONTRACTION: map every edge endpoint to its old component label
+    // (new docs label themselves), run the bounded star rounds on that
+    // label graph — vertices = only labels TOUCHED by new edges, orders
+    // of magnitude below the corpus — and splice the merged labels back.
+    // Correctness claim, oracle-checked: contraction + merge equals the
+    // full recompute over corpus+batch (min-label components compose:
+    // the min over merged old components IS the global min). Output per
+    // doc: final component + the merge audit (members, new members,
+    // distinct old components absorbed — n_old_components >= 2 is a
+    // batch-induced MERGE event). 100 TB plan: per day, the star rounds
+    // run on the contracted label graph (size ~ today's edge count),
+    // not the corpus graph; everything else is hash joins keyed on
+    // doc_id/label.
+    QuerySpec(
+      "q390_incremental_components",
+      Some(s"""WITH $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          ${minLabelRootsDuck(12)},
+          osym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              WHERE doc_a < 250 AND doc_b < 250
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified
+              WHERE doc_a < 250 AND doc_b < 250),
+          ${minLabelRootsDuck(12, "o")},
+          lab AS (SELECT d.doc_id,
+              COALESCE(r.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+          oldlab AS (SELECT d.doc_id,
+              COALESCE(orr.component, d.doc_id) AS label
+            FROM documents d LEFT JOIN oroots orr ON orr.doc_id = d.doc_id
+            WHERE d.doc_id < 250),
+          stats AS (SELECT l.component,
+              CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(CASE WHEN l.doc_id >= 250 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_members,
+              CAST(COUNT(DISTINCT ol.label) AS BIGINT) AS n_old_components
+            FROM lab l LEFT JOIN oldlab ol ON ol.doc_id = l.doc_id
+            GROUP BY 1)
+          SELECT l.doc_id, l.component, l.doc_id >= 250 AS is_new,
+            s.n_members, s.n_new_members, s.n_old_components
+          FROM lab l JOIN stats s ON s.component = l.component"""),
+      (s, d) => incrementalComponents(s, d, 250L))
   )
+
+  /** q390's contraction-and-merge, the batch/corpus boundary as a
+    * parameter (the fixture's 250 only exercises ATTACH events — new
+    * docs joining one old component; QueriesSpec picks a boundary that
+    * makes a new doc BRIDGE two old components and proves the merge
+    * path against the full recomputation).
+    */
+  private[graft] def incrementalComponents(s: SparkSession, d: String,
+      boundary: Long): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+      .cache()
+    // yesterday's ledger: components over the OLD subgraph only
+    val shOld = sh.filter(col("doc_id") < boundary)
+    val oldEdges = verifyJaccard(shOld, minhashCandidates(shOld), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val oldLab = t(s, d, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < boundary)
+      .join(connectedComponents(oldEdges), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("label"))
+    // today's NEW edges: band probe restricted to the batch (q324)
+    val mh = (0 until NumHashes).foldLeft(sh) { (df, k) =>
+      df.withColumn(s"mh$k", expr(minhashSpark(k)))
+    }
+    val bandKeys = (0 until Bands).map(j => expr(bandKeySpark(j)))
+    val bl = mh
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "bkey")
+    val candNew = bl.filter(col("doc_id") >= boundary).as("y")
+      .join(bl.as("x"),
+        col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val eNew = verifyJaccard(sh, candNew, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    // contraction: endpoints -> old labels (new docs label themselves)
+    val labAll = t(s, d, "documents").select(col("doc_id"))
+      .join(oldLab, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val contracted = eNew
+      .join(labAll.select(col("doc_id").as("doc_a"),
+        col("label").as("la")), "doc_a")
+      .join(labAll.select(col("doc_id").as("doc_b"),
+        col("label").as("lb")), "doc_b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+    val merged = connectedComponents(contracted)
+      .select(col("doc_id").as("label"), col("component").as("nl"))
+    val fin = labAll.join(merged, Seq("label"), "left")
+      .withColumn("component", coalesce(col("nl"), col("label")))
+      .withColumn("is_new", col("doc_id") >= boundary)
+    val stats = fin.groupBy(col("component").as("c"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_members"),
+        countDistinct(when(!col("is_new"), col("label")))
+          .as("n_old_components"))
+    fin.join(stats, col("component") === col("c"))
+      .select(col("doc_id"), col("component"), col("is_new"),
+        col("n_members"), col("n_new_members"), col("n_old_components"))
+  }
 }
 

@@ -42,6 +42,11 @@ object Similarity {
   /** q350: hardest negatives kept per anchor. */
   private val HardNegK = 3
 
+  /** q386 MMR selection depth — the oracle unrolls the same K stages.
+    * [[mmrSelect]] takes K as a parameter (ScaleSpec drives it at 20).
+    */
+  private[graft] val MmrK = 5
+
   /** q376: fixed audited-id range for the label-consensus sample. */
   private val ConsensusIds = 100
 
@@ -55,12 +60,22 @@ object Similarity {
     */
   private[graft] val SemThreshold = 0.4
 
-  /** 16 hyperplanes with integer weights in [-1000, 1000], fixed seed —
+  /** 48 hyperplanes with integer weights in [-1000, 1000], fixed seed —
     * the same constants are interpolated into both engines' SQL. Projection
     * of a quantized vector onto integer planes is exact long math
     * (|proj| <= 64 * 1e3 * 2e3 ≈ 1.3e8).
+    *
+    * Width history: 16 planes through round 12; widened to 48 (round-12
+    * verdict #1) so the occupancy-capped trie ([[trieLeaf]], q380,
+    * [[graft.streaming.SemDedupStream]]) can deepen with the corpus —
+    * key space 2^48 cells ≈ 9e15 vectors at cap 32, vs the old 2^16
+    * ceiling (~2M). The widening is BIT-STABLE for every existing
+    * consumer: planes are drawn row-by-row from one fixed-seed stream,
+    * so planes 0-15 are identical to the 16-plane era, and every pinned
+    * oracle space masks <= 16 low bits (`sig & 15` = the q98/q353/q354
+    * cell, 4-bit LSH bands, the adaptive k <= 16 cells at fixture SFs).
     */
-  private val Planes = 16
+  private[graft] val Planes = 48
   private val planes: Seq[Seq[Int]] = {
     val rng = new scala.util.Random(7)
     Seq.fill(Planes, Dims)(rng.nextInt(2001) - 1000)
@@ -332,7 +347,7 @@ object Similarity {
       .withColumn("cell", expr(cellExpr).cast("int"))
   }
 
-  /** Quantized projection WITH the full 16-plane signature, for an
+  /** Quantized projection WITH the full 48-plane signature, for an
     * arbitrary embeddings-shaped frame `(vec_id, embedding)` — the
     * frame-generic twin of [[quantized]]`(withSig = true)` (which is
     * pinned to the fixture table). `sig & 15 == quantCell4.cell` by
@@ -352,6 +367,13 @@ object Similarity {
     * levels (explode + (depth, cell)-keyed occupancy agg + join-back +
     * integer-encoded min) — no loop, no window over the corpus.
     */
+  /** (depth, cell) -> one long key: depth rides above the cell's 48 bits
+    * (enc <= 48 * 2^48 + 2^48 < 2^54). Shared with the streaming state
+    * key ([[graft.streaming.SemDedupStream]]) so the two encodings can't
+    * drift; 65536 (16-bit cells) until the round-13 width bump.
+    */
+  private[graft] val CellEncShift: Long = 1L << Planes
+
   private[graft] def trieLeaf(sg: DataFrame, cap: Int,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 4 && maxDepth <= Planes)
@@ -365,12 +387,12 @@ object Similarity {
     lv.join(occ, Seq("d", "cell"))
       .groupBy(col("vec_id"))
       .agg(min(when(col("n") <= cap,
-          col("d").cast("long") * 65536L + col("cell"))).as("enc"),
+          col("d").cast("long") * CellEncShift + col("cell"))).as("enc"),
         max(when(col("d") === maxDepth, col("cell"))).as("cellMax"))
       .select(col("vec_id"),
-        coalesce(expr("enc div 65536"), lit(maxDepth.toLong))
+        coalesce(expr(s"enc div ${CellEncShift}L"), lit(maxDepth.toLong))
           .cast("int").as("depth"),
-        coalesce(col("enc") % 65536L, col("cellMax")).as("cell"))
+        coalesce(col("enc") % CellEncShift, col("cellMax")).as("cell"))
   }
 
   /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
@@ -403,16 +425,18 @@ object Similarity {
     */
   private val CellOccupancy = 32
 
-  /** Quantized corpus with an adaptive sign-code cell: the 16-plane
+  /** Quantized corpus with an adaptive sign-code cell: the 48-plane
     * signature masked to k = bitlength(n / CellOccupancy) low planes,
-    * clamped to [1, 16].
+    * clamped to [1, Planes]. (The clamp tracked the signature width to
+    * 48 in round 13 — identical cells at every SF where n <= 2^16 * cap,
+    * i.e. all fixtures; the ceiling now binds at ~9e15 vectors.)
     */
   private def adaptiveCelled(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d, withSig = true)
     val n = base.agg(count(lit(1)).as("n_corpus"))
     base.crossJoin(broadcast(n))
       .withColumn("k",
-        greatest(lit(1), least(lit(16),
+        greatest(lit(1), least(lit(Planes),
           length(bin(expr(s"n_corpus div $CellOccupancy"))).cast("int"))))
       .withColumn("cell", expr("sig & (shiftleft(1L, k) - 1)"))
       .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
@@ -424,7 +448,7 @@ object Similarity {
   private val duckAdaptiveCells: String =
     s"""sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
        cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM en),
-       kp AS (SELECT GREATEST(1, LEAST(16,
+       kp AS (SELECT GREATEST(1, LEAST($Planes,
            length(to_base(n // $CellOccupancy, 2)))) AS k FROM cn),
        cells AS (SELECT vec_id, qv, nsq,
            sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
@@ -2030,21 +2054,23 @@ object Similarity {
     // relevance/diversity tradeoff retrieval and data-selection
     // pipelines use to avoid returning five near-copies. The greedy is
     // inherently sequential in K, so it unrolls as K bounded stages
-    // (q48's bounded-round discipline): each stage joins the cached
-    // relevance frame with the <=(t−1)-row-per-query selected set ON
-    // q_id (equi), takes the per-query max-struct (score, then smallest
-    // vec_id), and appends. Determinism: relevance and pair cosines are
+    // (q48's bounded-round discipline): each stage collapses the
+    // selected set to one <= K-element array per query, broadcasts it
+    // onto the cached relevance frame, computes max-sim-to-selected
+    // row-locally, and takes the per-query max-struct (score, then
+    // smallest vec_id). Determinism: relevance and pair cosines are
     // the exact-grid qcosine doubles; 0.7/0.3 are the same IEEE doubles
     // in both engines; ties break on vec_id. 100 TB plan: the corpus
-    // scan happens once (rel is cached); each stage shuffles only on
-    // q_id against a <=K-row-per-query set and aggregates partial+final
-    // — no all-pairs, no data-sized window.
+    // scan happens once (rel is cached); per stage only the <= nq*K
+    // selected rows and the argmax partials shuffle — no all-pairs, no
+    // data-sized window, no corpus-sized exchange (see [[mmrSelect]];
+    // ScaleSpec pins the shuffle-record bound at K = 20).
     QuerySpec(
       "q386_mmr_select", {
         val cos = (a: String, b: String) =>
           s"""CAST(${qdotDuck(s"$a.qv", s"$b.qv", Dims)} AS DOUBLE)
              / (sqrt(CAST($a.nsq AS DOUBLE)) * sqrt(CAST($b.nsq AS DOUBLE)))"""
-        val stages = (2 to 5).map { t =>
+        val stages = (2 to MmrK).map { t =>
           s"""ms_$t AS (SELECT r.q_id, r.vec_id, r.cq,
               MAX(${cos("er", "es")}) AS ms
             FROM rel r JOIN en er ON er.vec_id = r.vec_id
@@ -2080,56 +2106,127 @@ object Similarity {
           $stages
           SELECT q_id AS query_id, mmr_rank, neighbor_id, relevance,
             mmr_score
-          FROM acc_5""")
+          FROM acc_$MmrK""")
       },
+      (s, d) => mmrSelect(s, d, MmrK)),
+
+    // ---- semantic-trie capacity plan (occupancy sweep) ----------------------
+    // The index-planning readout the widened 48-plane signature unlocks
+    // (the q346/q351/q368 planning-family shape, for the q380 trie): per
+    // candidate depth 4..20 — PAST the old 16-plane ceiling — how many
+    // sign-prefix cells exist, how many are over the occupancy cap, how
+    // much vector mass sits in them, and the max occupancy. The planner
+    // reads off the maxDepth a corpus needs (first depth where over-cap
+    // mass is an acceptable audited remainder) and whether cap/width
+    // still bind at a target scale. One explode (17 levels per vector) +
+    // two keyed aggregates — no joins, no windows.
+    QuerySpec(
+      "q388_trie_capacity_plan",
+      Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, ($sigDuck) AS sig FROM en),
+          lv AS (SELECT vec_id, d,
+              sig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+            FROM sg, (SELECT unnest(range(4, 21)) AS d) z),
+          occ AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lv GROUP BY 1, 2)
+          SELECT CAST(d AS INT) AS depth,
+            CAST(COUNT(*) AS BIGINT) AS n_cells,
+            CAST(COALESCE(SUM(CASE WHEN n > $CellOccupancy THEN 1 END), 0)
+              AS BIGINT) AS over_cap_cells,
+            CAST(COALESCE(SUM(CASE WHEN n > $CellOccupancy THEN n END), 0)
+              AS BIGINT) AS over_cap_mass,
+            CAST(MAX(n) AS BIGINT) AS max_occupancy
+          FROM occ GROUP BY 1"""),
       (s, d) => {
         graft.expressions.GraftExtensions.ensureRegistered(s)
-        val en = quantized(s, d, withSig = false)
-        val qs = en.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-            col("nsq").as("q_nsq"))
-        val rel = en.crossJoin(broadcast(qs))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cq", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
-          .select(col("q_id"), col("vec_id"), col("cq"), col("qv"),
-            col("nsq")).cache()
-        var all = rel.groupBy(col("q_id"))
-          .agg(max(struct(col("cq"), (-col("vec_id")).as("nid"))).as("m"))
-          .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
-            col("m.cq").as("relevance"), col("m.cq").as("mmr_score"),
-            lit(1).as("mmr_rank"))
-        // each stage's <=10-row pick is localCheckpoint'd (q261's
-        // per-step discipline) — stage t references the selected-so-far
-        // frame three times, so without the cut the logical plan grows
-        // ~3^K copies of stage 1 and re-executes them all
-        all = all.localCheckpoint()
-        for (t <- 2 to 5) {
-          val picked = all.select(col("q_id"), col("neighbor_id"))
-          val selv = picked
-            .join(rel.select(col("q_id"), col("vec_id").as("neighbor_id"),
-              col("qv").as("s_qv"), col("nsq").as("s_nsq")),
-              Seq("q_id", "neighbor_id"))
-            .select(col("q_id"), col("s_qv"), col("s_nsq"))
-          val top = rel
-            .join(picked.withColumnRenamed("neighbor_id", "vec_id"),
-              Seq("q_id", "vec_id"), "left_anti")
-            .join(selv, "q_id")
-            .withColumn("cs", expr("qcosine(qv, s_qv, nsq, s_nsq)"))
-            .groupBy(col("q_id"), col("vec_id"), col("cq"))
-            .agg(max(col("cs")).as("ms"))
-            .withColumn("score",
-              lit(0.7) * col("cq") - lit(0.3) * col("ms"))
-            .groupBy(col("q_id"))
-            .agg(max(struct(col("score"), (-col("vec_id")).as("nid"),
-              col("cq"))).as("m"))
-            .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
-              col("m.cq").as("relevance"), col("m.score").as("mmr_score"),
-              lit(t).as("mmr_rank"))
-          all = all.unionByName(top).localCheckpoint()
-        }
-        all.select(col("q_id").as("query_id"), col("mmr_rank"),
-          col("neighbor_id"), col("relevance"), col("mmr_score"))
+        quantized(s, d, withSig = true)
+          .select(col("vec_id"), explode(expr(
+            """transform(sequence(4, 20), dd ->
+               struct(dd AS d, sig & (shiftleft(1L, dd) - 1) AS cell))"""))
+            .as("x"))
+          .select(col("x.d").as("d"), col("x.cell").as("cell"))
+          .groupBy(col("d"), col("cell")).agg(count(lit(1)).as("n"))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_cells"),
+            coalesce(sum(when(col("n") > CellOccupancy, 1L)), lit(0L))
+              .as("over_cap_cells"),
+            coalesce(sum(when(col("n") > CellOccupancy, col("n"))), lit(0L))
+              .as("over_cap_mass"),
+            max(col("n")).as("max_occupancy"))
+          .select(col("d").cast("int").as("depth"), col("n_cells"),
+            col("over_cap_cells"), col("over_cap_mass"),
+            col("max_occupancy"))
       })
   )
+
+  /** q386's greedy MMR unroll with K as a parameter (round-12 verdict
+    * #7 — serving-realistic K is 20-50, not 5). Per stage, NO
+    * corpus-sized shuffle: the selected set is collapsed to ONE
+    * <= K-element array per query (a <= nq*K-row aggregate), broadcast
+    * back onto the cached relevance frame, and the
+    * max-similarity-to-selected is row-local higher-order array math;
+    * the per-query argmax is a max-struct aggregate whose exchange
+    * carries only map-side partials (<= partitions x nq rows). Shuffle
+    * rows per stage are therefore O(nq * K + partitions * nq),
+    * independent of the corpus — ScaleSpec pins the whole-job shuffle
+    * record count at K = 20 well under the corpus size, the bound the
+    * round-12 shape (selected set joined as ROWS, with a corpus-sized
+    * (q_id, vec_id) group-max between the join and the argmax) would
+    * break at corpus x K. The per-stage localCheckpoint is q261's
+    * lineage discipline (the plan otherwise grows ~3^K copies of
+    * stage 1 and re-executes them all).
+    */
+  private[graft] def mmrSelect(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    val en = quantized(s, d, withSig = false)
+    val qs = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"))
+    val rel = en.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cq", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .select(col("q_id"), col("vec_id"), col("cq"), col("qv"),
+        col("nsq")).cache()
+    var all = rel.groupBy(col("q_id"))
+      .agg(max(struct(col("cq"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
+        col("m.cq").as("relevance"), col("m.cq").as("mmr_score"),
+        lit(1).as("mmr_rank"))
+    all = all.localCheckpoint()
+    for (t <- 2 to k) {
+      // explicit broadcast on every picked-set use: the <= nq*K-row
+      // frame comes off a localCheckpoint (unknown size stats), so the
+      // planner would otherwise SMJ-shuffle the corpus-sized rel here
+      val picked = all.select(col("q_id"), col("neighbor_id"))
+      // the selected set as ONE array per query: <= nq*(t-1) rows into
+      // the aggregate, nq rows out, broadcast onto the relevance frame
+      val selArr = rel
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("qv").as("s_qv"), col("nsq").as("s_nsq"))
+        .join(broadcast(picked), Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(collect_list(struct(col("s_qv"), col("s_nsq"))).as("sel"))
+      val top = rel
+        .join(broadcast(picked.withColumnRenamed("neighbor_id", "vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(selArr), "q_id")
+        // row-local max over the <= K selected vectors (same qcosine
+        // doubles, max is order-invariant — bit-equal to the row form)
+        .withColumn("ms", expr(
+          "array_max(transform(sel, e -> qcosine(qv, e.s_qv, nsq, e.s_nsq)))"))
+        .withColumn("score",
+          lit(0.7) * col("cq") - lit(0.3) * col("ms"))
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("score"), (-col("vec_id")).as("nid"),
+          col("cq"))).as("m"))
+        .select(col("q_id"), (-col("m.nid")).as("neighbor_id"),
+          col("m.cq").as("relevance"), col("m.score").as("mmr_score"),
+          lit(t).as("mmr_rank"))
+      all = all.unionByName(top).localCheckpoint()
+    }
+    all.select(col("q_id").as("query_id"), col("mmr_rank"),
+      col("neighbor_id"), col("relevance"), col("mmr_score"))
+  }
 }
 

@@ -42,9 +42,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   *
   * State discipline at 100 TB: the key space is the fixed 4 x 2^15 band
   * grid (no key-cardinality trap), state per key is <= cap entries of
-  * 16 bytes (media_id + fp) — the whole index is <= 4 x 32768 x cap
-  * entries ~ gigabytes at most, trivially partitioned by the state
-  * store; per trigger only the arriving assets' 4 band rows shuffle.
+  * 16 bytes (media_id + fp) — over-cap CORPUS buckets are truncated to
+  * cap at initial-state load (they are saturated from the first
+  * trigger, so the excess would be dead weight; round-12 advice) — the
+  * whole index is <= 4 x 32768 x cap entries ~ gigabytes at most,
+  * trivially partitioned by the state store; per trigger only the
+  * arriving assets' 4 band rows shuffle.
   */
 object MediaDedupStream {
 
@@ -84,10 +87,16 @@ object MediaDedupStream {
       threshold: Int,
       cap: Int = Multimodal.PhashBucketCap): Dataset[Match] = {
     import spark.implicits._
+    // over-cap corpus buckets are SATURATED from the first trigger —
+    // they never score or grow — so carrying more than `cap` members
+    // would be dead weight in keyed state forever; truncate to the cap
+    // (lowest media_ids, for determinism). Behavior is unchanged: the
+    // size >= cap branch below skips scoring and storing either way.
     val initial = banded(corpus).as[BandRow]
       .groupByKey(r => (r.band_j, r.band))
       .mapGroups((k, rows) =>
-        (k._1, k._2, rows.map(r => Entry(r.media_id, r.fp)).toList))
+        (k._1, k._2, rows.map(r => Entry(r.media_id, r.fp)).toList
+          .sortBy(_.media_id).take(cap)))
       .groupByKey(t => (t._1, t._2))
       .mapValues(_._3)
     banded(fps).as[BandRow]

@@ -18,65 +18,116 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * the q98 threshold are emitted as evidence rows; a vector is ADMITTED
   * iff it emits no match (the downstream anti-join).
   *
-  * State-key space (the round-11 scale fix): the fixed 4-plane cell had
-  * 16 keys — max 16-way state parallelism and per-key state of
-  * corpus/16, a 100 TB scale-killer the batch side (whose plane count
-  * scales with log(corpus)) did not have. The key is now the
-  * OCCUPANCY-CAPPED SIGN-PREFIX TRIE cell ([[Similarity.trieLeaf]] —
-  * q380's rule): corpus members sit in state at their trie LEAF key
-  * (first depth in [4, maxDepth] whose prefix-cell holds <= cap
-  * vectors), so key cardinality tracks corpus/cap and per-key state is
-  * <= cap (except over-cap depth-maxDepth cells, q380's audited
-  * remainder). An arriving vector is routed to ALL maxDepth-3 prefix
-  * keys on its own signature path — it meets the unique corpus leaf
-  * containing it (leaf cells partition the corpus, and at most one leaf
-  * cell is a prefix of any signature) — and is STORED at its
-  * depth-maxDepth key, where later arrivals sharing the full
-  * maxDepth-bit prefix find it. No state migration: corpus leaves are
-  * frozen at stream start; stream growth lands at the finest prefix.
+  * State-key space (the round-11 scale fix, widened in round 13): the
+  * key is the OCCUPANCY-CAPPED SIGN-PREFIX TRIE cell
+  * ([[Similarity.trieLeaf]] — q380's rule): corpus members sit in state
+  * at their trie LEAF key (first depth in [4, maxDepth] whose
+  * prefix-cell holds <= cap vectors), so key cardinality tracks
+  * corpus/cap and per-key corpus state is <= cap (except over-cap
+  * depth-maxDepth cells, q380's audited remainder). The signature is now
+  * 48 planes wide ([[Similarity.Planes]]), so maxDepth — and with it the
+  * key space — can deepen to 2^48 cells as the corpus grows; the default
+  * stays 12 (the q380 grain), but nothing in this operator caps it
+  * below the signature width. An arriving vector is routed to ALL
+  * maxDepth-3 prefix keys on its own signature path — it meets the
+  * unique corpus leaf containing it (leaf cells partition the corpus,
+  * and at most one leaf cell is a prefix of any signature).
+  *
+  * Stream-side storage (round-12 verdict #2 — the stream side previously
+  * stored every arrival at its depth-maxDepth key unboundedly): an
+  * arrival is stored at a key iff the key is a STORAGE cell — its corpus
+  * leaf (when one exists on its path) or its depth-maxDepth cell — AND
+  * that key currently holds fewer than `cap` stream-stored members. A
+  * storage cell holding `cap` stream members is SATURATED: later
+  * arrivals still VERIFY against everything in it but are not added
+  * (the [[MediaDedupStream]] online discipline — an append-mode stream
+  * cannot retract, so saturation is the online form of the batch
+  * occupancy cap). Consequences, both spec-pinned:
+  *  - per-key state is <= (corpus members) + cap stream entries, and a
+  *    state.update rewrites one O(cap) member list;
+  *  - per-arrival work is O(cap) however hot the stream prefix: the
+  *    path meets <= 1 corpus leaf (<= cap + cap entries) and 1
+  *    depth-maxDepth cell (<= cap stream entries + q380's audited
+  *    over-cap corpus remainder), never "all prior same-prefix
+  *    arrivals".
+  *
+  * Admission contract and its one asymmetry vs a batch re-run: BOTH
+  * candidate grains a batch pass over corpus+stream would use are
+  * verified — the corpus-leaf grain (storing arrivals at their corpus
+  * leaf closes the round-12 gap where two arrivals sharing only a
+  * shallow corpus leaf were never compared) and the full
+  * depth-maxDepth grain. What remains asymmetric is SATURATION: once a
+  * storage cell holds cap stream members, later same-cell arrival
+  * pairs are no longer verified against each other (each later arrival
+  * IS still verified against the cap stored exemplars plus the corpus
+  * members, so a hot near-dup cluster is still rejected by its
+  * exemplars). A batch re-run has no such cutoff. StreamingSpec
+  * quantifies the divergence on a deliberately hot prefix; under cap
+  * the match sets are spec-proven EQUAL to the batch recomputation.
+  * Arrivals in a region with no corpus leaf on their path store at
+  * their depth-maxDepth cell only, so stream-stream recall there is
+  * the full-prefix grain alone.
   *
   * Candidate semantics per evidence source:
   *  - stream-vs-corpus: candidates = members of the arrival's corpus
   *    trie leaf (a refinement of the 4-plane cell — `sig & 15` IS the
   *    q354 cell, see [[Similarity.quantSig]]);
-  *  - stream-vs-stream: candidates = earlier arrivals sharing the
-  *    depth-maxDepth prefix.
+  *  - stream-vs-stream: candidates = earlier arrivals stored in a
+  *    shared storage cell (corpus leaf or depth-maxDepth prefix),
+  *    subject to the saturation cutoff above.
   * With `maxDepth = 4` both collapse to the fixed 4-plane cell and the
-  * operator reproduces q354's admission decisions EXACTLY (the pinned
-  * oracle space) — StreamingSpec proves that leg bit-for-bit, plus the
-  * default trie mode against batch recomputations of the same rule.
+  * operator reproduces q354's admission decisions EXACTLY while cells
+  * stay under cap (StreamingSpec proves that leg bit-for-bit with an
+  * uncapped run), plus the default trie mode against batch
+  * recomputations of the same rule.
   *
   * Emission contract: one [[SemDedupStream.Match]] per verified
-  * (arriving vector, in-state member) pair, tagged with the state key it
-  * met at (depth, cell). Within a micro-batch, lower vec_id is "earlier"
-  * (the batch operator's ordering discipline); across micro-batches,
-  * arrival order decides — feed in id order for parity with q354.
+  * (arriving vector, in-state member, state key) triple — a pair whose
+  * shared corpus leaf is NOT its full maxDepth prefix can emit at both
+  * keys (identical cosine; downstream admission anti-joins on new_vec,
+  * so multiplicity is harmless and the key tag tells which grain
+  * matched). Within a micro-batch, lower vec_id is "earlier" (the batch
+  * operator's ordering discipline); across micro-batches, arrival order
+  * decides — feed in id order for parity with q354.
   *
   * State discipline at 100 TB: state is the semantic index itself — the
   * (leaf) → leaf-members table the batch pipeline keeps at rest,
   * partitioned by the state store on ~corpus/cap keys; per trigger only
   * the arriving vectors' maxDepth-3 routed rows shuffle, per-arrival
-  * verify cost is O(cap + same-prefix stream mass), and a state.update
-  * rewrites one <= cap-ish member list, never corpus/16. Quantized
-  * vectors ride along per member (needed for in-state verify) — 8 x dims
-  * bytes each, the same payload the batch verify join carries per
-  * candidate.
+  * verify cost is O(cap), and each arrival adds <= 2 state entries
+  * (its corpus-leaf cell and its depth-maxDepth cell) — never a
+  * per-arrival growth the trigger after it pays for. Quantized vectors
+  * ride along per member (needed for in-state verify) — 8 x dims bytes
+  * each, the same payload the batch verify join carries per candidate.
   */
 object SemDedupStream {
 
-  /** Occupancy cap per trie cell — q380's CellOccupancy knob. */
+  /** Occupancy cap per trie cell — q380's CellOccupancy knob. Also the
+    * per-key STREAM storage cap (saturation threshold).
+    */
   val DefaultCap = 32
 
   /** Finest sign-prefix depth — q380's depth ceiling. `maxDepth = 4`
-    * degenerates to the fixed 4-plane cell (exact q354 parity mode).
+    * degenerates to the fixed 4-plane cell (exact q354 parity mode);
+    * anything up to [[Similarity.Planes]] (48) is accepted.
     */
   val DefaultMaxDepth = 12
 
   /** One cell member held in state. */
   final case class Entry(vec_id: Long, qv: Array[Long], nsq: Long)
 
-  /** One routed row of an arriving vector (key = depth * 65536 + cell). */
-  final case class KeyRow(key: Int, vec_id: Long, qv: Array[Long],
+  /** Per-key state: the member list plus how many of them are
+    * STREAM-stored (`streamN`; the corpus prefix of the list never
+    * changes). `corpus` marks a corpus-leaf cell — the stream storage
+    * rule needs it, and it is immutable after the initial state load.
+    */
+  final case class CellState(members: List[Entry], corpus: Boolean,
+      streamN: Int)
+
+  /** One routed row of an arriving vector
+    * (key = depth * 2^48 + cell — [[Similarity.CellEncShift]]).
+    */
+  final case class KeyRow(key: Long, vec_id: Long, qv: Array[Long],
       nsq: Long)
 
   /** Verified match evidence: `new_vec` (the later arrival) matched
@@ -84,7 +135,7 @@ object SemDedupStream {
     * `cosine`.
     */
   final case class Match(new_vec: Long, matched_vec: Long, depth: Int,
-      cell: Int, cosine: Double)
+      cell: Long, cosine: Double)
 
   /** Raw arriving vector — the embeddings-table shape, typed for
     * MemoryStream feeding in tests and ingest adapters.
@@ -125,56 +176,63 @@ object SemDedupStream {
       cap: Int = DefaultCap,
       maxDepth: Int = DefaultMaxDepth): Dataset[Match] = {
     import spark.implicits._
+    val shift = Similarity.CellEncShift
     val sg = Similarity.quantSig(corpus)
     val leaves = Similarity.trieLeaf(
       sg.select(col("vec_id"), col("sig")), cap, maxDepth)
     val corpusIdx = sg.join(leaves, "vec_id")
-      .select((col("depth").cast("long") * 65536L + col("cell"))
-          .cast("int").as("key"),
+      .select((col("depth").cast("long") * shift + col("cell")).as("key"),
         col("vec_id"), col("qv"), col("nsq")).as[KeyRow]
     val initial = corpusIdx
       .groupByKey(_.key)
       .mapGroups((k, rows) =>
         (k, rows.map(r => Entry(r.vec_id, r.qv, r.nsq)).toList))
       .groupByKey(_._1)
-      .mapValues(_._2)
+      .mapValues(t => CellState(t._2, corpus = true, streamN = 0))
     // route each arrival to every prefix key on its own signature path
     val routed = Similarity.quantSig(vecs)
       .select(col("vec_id"), col("qv"), col("nsq"),
         explode(expr(
           s"""transform(sequence(4, $maxDepth), dd ->
-             cast(dd * 65536 + (sig & (shiftleft(1L, dd) - 1)) as int))"""))
+             cast(dd AS bigint) * ${shift}L
+               + (sig & (shiftleft(1L, dd) - 1)))"""))
           .as("key"))
       .select(col("key"), col("vec_id"), col("qv"), col("nsq")).as[KeyRow]
     routed
       .groupByKey(_.key)
-      .flatMapGroupsWithState[List[Entry], Match](
+      .flatMapGroupsWithState[CellState, Match](
         OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
-        (key: Int, rows: Iterator[KeyRow],
-            state: GroupState[List[Entry]]) =>
-          val depth = key / 65536
-          val cell = key % 65536
-          // arrivals are stored ONLY at their finest prefix key; at
-          // shallower keys they are probes against the frozen corpus
-          // leaves, so a same-trigger pair meets exactly once (at the
-          // shared depth-maxDepth key) and a cross-trigger pair exactly
-          // once (the earlier one's storage key).
-          val store = depth == maxDepth
+        (key: Long, rows: Iterator[KeyRow],
+            state: GroupState[CellState]) =>
+          val depth = (key / shift).toInt
+          val cell = key % shift
           // rows can be empty on the first trigger for index-only cells
           val arrived = rows.toSeq.sortBy(_.vec_id)
-          var members = state.getOption.getOrElse(Nil)
+          var st = state.getOption
+            .getOrElse(CellState(Nil, corpus = false, streamN = 0))
+          // STORAGE cells are the corpus leaves and the finest prefixes;
+          // intermediate prefix keys are probe-only (they would hold no
+          // corpus members and a batch pass has no grain there)
+          val storageCell = st.corpus || depth == maxDepth
           val out = Seq.newBuilder[Match]
+          var dirty = false
           arrived.foreach { r =>
-            members.foreach { e =>
+            st.members.foreach { e =>
               if (e.vec_id != r.vec_id) {
                 val c = cosine(r.qv, r.nsq, e.qv, e.nsq)
                 if (c >= threshold)
                   out += Match(r.vec_id, e.vec_id, depth, cell, c)
               }
             }
-            if (store) members = Entry(r.vec_id, r.qv, r.nsq) :: members
+            // saturation: a storage cell holding cap stream members
+            // stops growing (later arrivals verify only)
+            if (storageCell && st.streamN < cap) {
+              st = CellState(Entry(r.vec_id, r.qv, r.nsq) :: st.members,
+                st.corpus, st.streamN + 1)
+              dirty = true
+            }
           }
-          if (store && arrived.nonEmpty) state.update(members)
+          if (dirty) state.update(st)
           out.result().iterator
       }
   }

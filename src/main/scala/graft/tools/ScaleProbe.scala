@@ -90,12 +90,17 @@ object ScaleProbe {
       if (k == 0) docs
       else {
         val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        // n_chars must be the TRANSFORMED text's length (v4): the fixture
+        // invariant n_chars == length(text) is load-bearing for the media
+        // probes (grid dimensions derive from it), and the replica text is
+        // longer than the base's by the r{k}_ prefixes
+        val nt = regexp_replace(translate(col("text"), alpha, rot),
+          "(\\S+)", s"r${k}_$$1")
         docs.select(
           (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          regexp_replace(translate(col("text"), alpha, rot),
-            "(\\S+)", s"r${k}_$$1").as("text"),
+          nt.as("text"),
           col("lang"), col("source"),
-          length(col("text")).cast("bigint").as("n_chars"))
+          length(nt).cast("bigint").as("n_chars"))
       }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -128,10 +133,13 @@ object ScaleProbe {
 
   /** Upsample-dir provenance marker: bump TransformVersion whenever the
     * replica transform changes (v2 = negate-past-64 embeddings; v3 =
-    * per-replica letter rotation for media-byte decorrelation), so a dir
-    * built by an older transform is never silently reused.
+    * per-replica letter rotation for media-byte decorrelation; v4 =
+    * replica n_chars computed from the TRANSFORMED text, restoring the
+    * n_chars == length(text) fixture invariant the media mirrors derive
+    * grid dimensions from), so a dir built by an older transform is
+    * never silently reused.
     */
-  private val TransformVersion = 3
+  private val TransformVersion = 4
   private val MarkerName = "_GRAFT_UPSAMPLE.json"
   private def markerText(reps: Int): String =
     s"""{"reps":$reps,"transform_version":$TransformVersion}"""
@@ -239,6 +247,22 @@ object ScaleProbe {
       "q373_prefix_filter" -> (d =>
         Dedup.prefixCandidates(
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()),
+      // round-13 additions (round-12 verdict #4): the COMPOSED stages —
+      // q382's ladder feeds each candidate generator only the previous
+      // stage's survivors, so survivor skew could bend a bounded stage
+      // superlinear; these rows measure the stage-3 (minhash over s2)
+      // and stage-4 (cells over s3) candidate mass, plus q387's
+      // df-capped winnowing print pairs
+      "q382_ladder_s3_cand" -> (d =>
+        Dedup.minhashCandidates(Dedup.ladderSh3(spark, d)).count()),
+      "q382_ladder_s4_cand" -> (d => {
+        val sh3 = Dedup.ladderSh3(spark, d)
+        Dedup.ladderPairs4(Dedup.ladderCells4(spark, d,
+          Dedup.ladderS3(spark, d, sh3))).count()
+      }),
+      "q387_winnowing_pairs" -> (d =>
+        Dedup.winnowingPairCandidates(Dedup.winnowedDocPrints(spark, d))
           .count()))
     println(s"| query | cand@base | cand@${reps}x | growth | vs linear |")
     println("|---|---|---|---|---|")
@@ -332,6 +356,9 @@ object ScaleProbe {
       "q373_prefix_filter_join" -> (d =>
         Dedup.prefixCandidates(
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
+          .count()),
+      "q387_winnowing_pairs" -> (d =>
+        Dedup.winnowingPairCandidates(Dedup.winnowedDocPrints(spark, d))
           .count()))
 
     println("| query | cand@base | cand@10x | growth | " +
@@ -367,6 +394,33 @@ object ScaleProbe {
     println(f"| q98_semantic_dedup (4→7 planes) | $cB98 | $cU98 " +
       f"| ${cU98.toDouble / math.max(1, cB98)}%.1fx | $wB98%.2f | $wU98%.2f " +
       f"| per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
+
+    // q382's COMPOSED stages (round-12 verdict #4): the ladder feeds each
+    // candidate generator only the previous stage's survivors — measure
+    // the stage-3 (minhash over s2) and stage-4 (cells over s3)
+    // candidate mass at both sizes, with ONE wall for the whole ladder
+    // query (both rows run inside it).
+    val ladderCands: Seq[(String, String => Long)] = Seq(
+      "q382_ladder_s3_cand" -> (d =>
+        Dedup.minhashCandidates(Dedup.ladderSh3(spark, d)).count()),
+      "q382_ladder_s4_cand" -> (d => {
+        val sh3 = Dedup.ladderSh3(spark, d)
+        Dedup.ladderPairs4(Dedup.ladderCells4(spark, d,
+          Dedup.ladderS3(spark, d, sh3))).count()
+      }))
+    val qLadder = Registry.byName("q382_dedup_ladder")
+    val (_, lwB) = time(qLadder.run(spark, base).count())
+    spark.catalog.clearCache()
+    val (_, lwU) = time(qLadder.run(spark, out).count())
+    spark.catalog.clearCache()
+    ladderCands.foreach { case (name, cand) =>
+      val (cB, _) = time(cand(base))
+      spark.catalog.clearCache()
+      val (cU, _) = time(cand(out))
+      spark.catalog.clearCache()
+      println(f"| $name | $cB | $cU | ${cU.toDouble / math.max(1, cB)}%.1fx " +
+        f"| $lwB%.2f | $lwU%.2f | ${(lwU / reps) / lwB}%.2f |")
+    }
   }
 
   /** Iterative family at an arbitrary (large) replica factor — the

@@ -18,7 +18,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (bounded state probes), not the corpus behind the initial state.
   * Results are recorded in SCALE.md.
   *
-  * Usage: runMain graft.tools.StreamLatencyProbe [sfDir] [triggers]
+  * Round-13 extensions:
+  *  - per-trigger DURATION BREAKDOWN (addBatch = plan+execute,
+  *    stateCommit = sum of state-store commit times) so a latency tail
+  *    is attributable (round-12 verdict #5: the media leg's 860-4,600 ms
+  *    spread needed a cause);
+  *  - a LEG FILTER so one leg can run in a fresh JVM — the legs share
+  *    the JVM when run together, so a tail can be cross-leg memory
+  *    pressure rather than the operator;
+  *  - a `hotsem` leg (round-12 verdict #2's done-criterion): every
+  *    arrival shares ONE sign-prefix path — before the round-13
+  *    stream-side storage cap, per-trigger cost grew with the
+  *    accumulated same-prefix stream mass; with saturation it must stay
+  *    flat at O(cap) verify work per arrival.
+  *
+  * Usage: runMain graft.tools.StreamLatencyProbe [sfDir] [triggers] [legs]
+  *   legs: comma list of exact,minhash,semantic,media,hotsem (default all)
   */
 object StreamLatencyProbe {
 
@@ -29,17 +44,36 @@ object StreamLatencyProbe {
       val n = addBatch(i)
       q.processAllAvailable()
       val ms = (System.nanoTime() - t0) / 1e6
-      val stateRows = q.recentProgress
+      val progs = q.recentProgress
+      val stateRows = progs
         .flatMap(_.stateOperators.map(_.numRowsTotal))
         .foldLeft(0L)(math.max)
-      println(f"| $leg | $corpusRows | ${i + 1} | $n | $ms%.0f | $stateRows |")
+      // the trigger that processed this batch is the last DATA trigger
+      val last = progs.reverseIterator.find(_.numInputRows > 0)
+      val exec = last.map(_.durationMs.getOrDefault("triggerExecution", -1L))
+        .getOrElse(-1L)
+      val add = last.map(_.durationMs.getOrDefault("addBatch", -1L))
+        .getOrElse(-1L)
+      val commit = last.map(_.stateOperators.map(p =>
+          p.commitTimeMs + p.allUpdatesTimeMs + p.allRemovalsTimeMs).sum)
+        .getOrElse(-1L)
+      println(f"| $leg | $corpusRows | ${i + 1} | $n | $ms%.0f | $exec " +
+        f"| $add | $commit | $stateRows |")
     }
     q.stop()
+  }
+
+  private def header(): Unit = {
+    println("| leg | corpus_rows | trigger | batch_rows | latency_ms " +
+      "| exec_ms | addBatch_ms | stateCommit_ms | state_rows |")
+    println("|---|---|---|---|---|---|---|---|---|")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val triggers = if (args.length > 1) args(1).toInt else 10
+    val legs = (if (args.length > 2) args(2)
+      else "exact,minhash,semantic,media,hotsem").split(",").toSet
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -53,77 +87,112 @@ object StreamLatencyProbe {
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
 
-    println("| leg | corpus_rows | trigger | batch_rows | latency_ms " +
-      "| state_rows |")
-    println("|---|---|---|---|---|---|")
+    header()
 
     // doc legs: arrivals are the top 20% of ids, fed over `triggers`
     // batches; corpus sizes 40% and 80% of the id space
-    val docArrivals = docs.filter(col("doc_id") >= maxDoc * 4 / 5)
+    lazy val docArrivals = docs.filter(col("doc_id") >= maxDoc * 4 / 5)
       .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
-    val docBatches = docArrivals.grouped(
+    lazy val docBatches = docArrivals.grouped(
       math.max(1, (docArrivals.length + triggers - 1) / triggers)).toSeq
-    for (frac <- Seq(2, 4)) {
+    if (legs("exact") || legs("minhash")) for (frac <- Seq(2, 4)) {
       val corpus = docs.filter(col("doc_id") < maxDoc * frac / 5)
       val nCorpus = corpus.count()
 
-      val ledger = DedupStream.fingerprinted(corpus)
-        .select(col("fp")).distinct()
-      val memE = MemoryStream[DedupStream.RawDoc]
-      val qE = DedupStream.admitted(spark, memE.toDF(), ledger)
-        .writeStream.format("memory").queryName(s"lat_exact_$frac")
-        .outputMode("append").start()
-      drive(qE, docBatches.length,
-        i => { memE.addData(docBatches(i).toIndexedSeq: _*)
-          docBatches(i).length },
-        "exact", nCorpus)
+      if (legs("exact")) {
+        val ledger = DedupStream.fingerprinted(corpus)
+          .select(col("fp")).distinct()
+        val memE = MemoryStream[DedupStream.RawDoc]
+        val qE = DedupStream.admitted(spark, memE.toDF(), ledger)
+          .writeStream.format("memory").queryName(s"lat_exact_$frac")
+          .outputMode("append").start()
+        drive(qE, docBatches.length,
+          i => { memE.addData(docBatches(i).toIndexedSeq: _*)
+            docBatches(i).length },
+          "exact", nCorpus)
+      }
 
-      val memN = MemoryStream[DedupStream.RawDoc]
-      val qN = NearDupStream.matches(spark, memN.toDF(), corpus)
-        .writeStream.format("memory").queryName(s"lat_near_$frac")
-        .outputMode("append").start()
-      drive(qN, docBatches.length,
-        i => { memN.addData(docBatches(i).toIndexedSeq: _*)
-          docBatches(i).length },
-        "minhash", nCorpus)
+      if (legs("minhash")) {
+        val memN = MemoryStream[DedupStream.RawDoc]
+        val qN = NearDupStream.matches(spark, memN.toDF(), corpus)
+          .writeStream.format("memory").queryName(s"lat_near_$frac")
+          .outputMode("append").start()
+        drive(qN, docBatches.length,
+          i => { memN.addData(docBatches(i).toIndexedSeq: _*)
+            docBatches(i).length },
+          "minhash", nCorpus)
+      }
     }
 
     // semantic leg over embeddings
-    val vecArrivals = emb.filter(col("vec_id") >= maxVec * 4 / 5)
-      .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
-    val vecBatches = vecArrivals.grouped(
-      math.max(1, (vecArrivals.length + triggers - 1) / triggers)).toSeq
-    for (frac <- Seq(2, 4)) {
-      val corpus = emb.filter(col("vec_id") < maxVec * frac / 5)
+    if (legs("semantic")) {
+      val vecArrivals = emb.filter(col("vec_id") >= maxVec * 4 / 5)
+        .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
+      val vecBatches = vecArrivals.grouped(
+        math.max(1, (vecArrivals.length + triggers - 1) / triggers)).toSeq
+      for (frac <- Seq(2, 4)) {
+        val corpus = emb.filter(col("vec_id") < maxVec * frac / 5)
+        val nCorpus = corpus.count()
+        val memS = MemoryStream[SemDedupStream.RawVec]
+        val qS = SemDedupStream.matches(spark, memS.toDF(), corpus)
+          .writeStream.format("memory").queryName(s"lat_sem_$frac")
+          .outputMode("append").start()
+        drive(qS, vecBatches.length,
+          i => { memS.addData(vecBatches(i).toIndexedSeq: _*)
+            vecBatches(i).length },
+          "semantic", nCorpus)
+      }
+    }
+
+    // hot-prefix semantic leg: every arrival is a near-copy of ONE base
+    // vector (same quantized grid point, so one shared sign-prefix path
+    // and ONE storage cell). 20% of the id space arrives against the
+    // 40% corpus; before the stream-side cap, trigger t paid O(t x
+    // batch^2 / triggers) same-prefix verifies — now each arrival
+    // verifies against <= cap stored exemplars plus its corpus leaf.
+    if (legs("hotsem")) {
+      val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+      val nArr = (maxVec / 5).toInt
+      // the nudge vanishes under the 1000x quantization — every arrival
+      // lands on the SAME grid point (one path, one storage cell)
+      val hotArrivals = (0 until nArr).map { i =>
+        val v = base.clone(); v(0) = v(0) + i.toFloat * 1e-8f
+        SemDedupStream.RawVec(maxVec + i, v)
+      }
+      val hotBatches = hotArrivals.grouped(
+        math.max(1, (nArr + triggers - 1) / triggers)).toSeq
+      val corpus = emb.filter(col("vec_id") < maxVec * 2 / 5)
       val nCorpus = corpus.count()
-      val memS = MemoryStream[SemDedupStream.RawVec]
-      val qS = SemDedupStream.matches(spark, memS.toDF(), corpus)
-        .writeStream.format("memory").queryName(s"lat_sem_$frac")
+      val memH = MemoryStream[SemDedupStream.RawVec]
+      val qH = SemDedupStream.matches(spark, memH.toDF(), corpus)
+        .writeStream.format("memory").queryName("lat_hotsem")
         .outputMode("append").start()
-      drive(qS, vecBatches.length,
-        i => { memS.addData(vecBatches(i).toIndexedSeq: _*)
-          vecBatches(i).length },
-        "semantic", nCorpus)
+      drive(qH, hotBatches.length,
+        i => { memH.addData(hotBatches(i).toIndexedSeq: _*)
+          hotBatches(i).length },
+        "hotsem", nCorpus)
     }
 
     // media leg over the image fingerprints
-    val fps = Multimodal.imagePhash(spark, sfDir).cache()
-    val fpArrivals = fps.filter(col("media_id") >= maxDoc * 4 / 5)
-      .as[MediaDedupStream.RawFp].collect().sortBy(_.media_id)
-    val fpBatches = fpArrivals.grouped(
-      math.max(1, (fpArrivals.length + triggers - 1) / triggers)).toSeq
-    for (frac <- Seq(2, 4)) {
-      val corpus = fps.filter(col("media_id") < maxDoc * frac / 5)
-      val nCorpus = corpus.count()
-      val memM = MemoryStream[MediaDedupStream.RawFp]
-      val qM = MediaDedupStream.matches(spark, memM.toDF(), corpus,
-          Multimodal.PhashThreshold)
-        .writeStream.format("memory").queryName(s"lat_media_$frac")
-        .outputMode("append").start()
-      drive(qM, fpBatches.length,
-        i => { memM.addData(fpBatches(i).toIndexedSeq: _*)
-          fpBatches(i).length },
-        "media", nCorpus)
+    if (legs("media")) {
+      val fps = Multimodal.imagePhash(spark, sfDir).cache()
+      val fpArrivals = fps.filter(col("media_id") >= maxDoc * 4 / 5)
+        .as[MediaDedupStream.RawFp].collect().sortBy(_.media_id)
+      val fpBatches = fpArrivals.grouped(
+        math.max(1, (fpArrivals.length + triggers - 1) / triggers)).toSeq
+      for (frac <- Seq(2, 4)) {
+        val corpus = fps.filter(col("media_id") < maxDoc * frac / 5)
+        val nCorpus = corpus.count()
+        val memM = MemoryStream[MediaDedupStream.RawFp]
+        val qM = MediaDedupStream.matches(spark, memM.toDF(), corpus,
+            Multimodal.PhashThreshold)
+          .writeStream.format("memory").queryName(s"lat_media_$frac")
+          .outputMode("append").start()
+        drive(qM, fpBatches.length,
+          i => { memM.addData(fpBatches(i).toIndexedSeq: _*)
+            fpBatches(i).length },
+          "media", nCorpus)
+      }
     }
     spark.stop()
   }

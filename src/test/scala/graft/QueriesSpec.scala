@@ -1354,4 +1354,89 @@ class QueriesSpec extends SparkSpec {
     assert(topk, "fixture should make MMR diverge from plain top-5 " +
       "for at least one query")
   }
+
+  test("q389_component_split: sides are component-consistent, the leak " +
+      "flag is self-consistent, and the fixture exercises a real leak") {
+    val rows = Registry.byName("q389_component_split").run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getBoolean(5)))
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (c, ms) =>
+      assert(ms.map(_._4).distinct.length == 1,
+        s"component $c must sit on ONE side of the component split")
+      assert(ms.forall(_._3 == ms.length.toLong),
+        s"component $c n_members must equal the member count")
+      val leak = ms.map(_._5).distinct.length > 1
+      assert(ms.forall(_._6 == leak),
+        s"component $c naive_leak flag must match the recomputation")
+    }
+    // the POINT of the operator: the naive split actually leaks here
+    assert(rows.exists(_._6), "fixture must exercise a naive-split leak")
+    assert(rows.exists(r => !r._6 && r._3 > 1),
+      "fixture should also have an unleaked multi-doc component")
+  }
+
+  test("q390_incremental_components: contraction + merge equals the " +
+      "full batch recomputation, and a bridge boundary proves the " +
+      "merge path") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("q390_incremental_components")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // full recompute with the BATCH operator over ALL edges — the
+    // incremental path must land on identical labels
+    val sh = queries.Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), col("shingles")).cache()
+    val full = queries.Dedup.fullComponents(spark, sfDir, sh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === full.keySet)
+    got.foreach { case (doc, (comp, _, _, _, _)) =>
+      assert(comp == full(doc),
+        s"doc $doc: incremental label $comp != full recompute ${full(doc)}")
+    }
+    // the pinned 250 boundary exercises ATTACH events (new docs joining
+    // an old component) on this fixture
+    assert(got.values.exists(v => v._4 >= 1 && v._5 >= 1),
+      "the 250 boundary must exercise attach events")
+    assert(got.values.forall(v => v._5 >= 1L || v._4 == v._3),
+      "components with no old members must be all-new")
+    // MERGE path, hermetic: the sf fixtures' near-dup components are
+    // cliques (no cut vertices), so build the canonical bridge shape —
+    // old docs A(1), B(2) pairwise BELOW the 0.8 threshold, new doc
+    // C(10) >= 0.8-similar to both — and check the incremental operator
+    // merges A's and B's singleton components, landing on the full
+    // recomputation's labels
+    import spark.implicits._
+    val toks = (1 to 100).map(i => s"w$i")
+    val mkText = (ts: Seq[String]) => ts.mkString(" ")
+    // C = t1..t100; A = t1..t90 (J(A,C) = 88/98 ~ 0.898);
+    // B = t11..t100 (J(B,C) ~ 0.898); J(A,B) = 78/98 ~ 0.796 < 0.8
+    val bridgeDir = java.nio.file.Files
+      .createTempDirectory("graft_bridge").toString
+    Seq(
+      (1L, mkText(toks.take(90)), "en", "synth", 0L),
+      (2L, mkText(toks.drop(10)), "en", "synth", 0L),
+      (10L, mkText(toks), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$bridgeDir/documents.parquet")
+    val shB = queries.Dedup.shingled(spark, bridgeDir)
+      .select(col("doc_id"), col("shingles")).cache()
+    val fullB = queries.Dedup.fullComponents(spark, bridgeDir, shB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fullB == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
+      s"bridge fixture must form ONE full component, got $fullB")
+    val incB = queries.Dedup.incrementalComponents(spark, bridgeDir, 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap
+    incB.foreach { case (doc, (comp, _)) =>
+      assert(comp == fullB(doc),
+        s"bridge: doc $doc incremental $comp != full ${fullB(doc)}")
+    }
+    assert(incB(10L)._2 == 2L,
+      s"doc 10 must merge TWO old components, got ${incB(10L)._2}")
+  }
 }

@@ -173,4 +173,110 @@ class ScaleSpec extends SparkSpec {
       s"intra-cell pair growth ${growth}x over a 4x corpus is " +
         "super-linear — the adaptive prefix is not absorbing occupancy")
   }
+
+  test("trieLeaf deepens past the old 16-plane ceiling: leaf depth " +
+      "tracks log2(corpus/cap) at maxDepth = 48 (the round-13 widened " +
+      "signature)") {
+    import spark.implicits._
+    // Through round 12 the signature was 16 planes wide, so the
+    // occupancy-capped trie (q380 / SemDedupStream state keys) had a
+    // hard 2^16-cell ceiling (~2M vectors at cap 32). cap = 1 makes the
+    // SAME ceiling reachable with a test-sized corpus: median leaf
+    // depth ~ log2(n/cap) + 0.5, so 64k random vectors need depth ~17
+    // — representable only with the widened signature.
+    val rnd = new scala.util.Random(11)
+    val nLarge = 65536
+    val vecs = (0L until nLarge.toLong).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    def leavesOf(n: Int): Array[(Int, Long)] = {
+      val df = spark.createDataset(vecs.take(n))
+        .toDF("vec_id", "embedding")
+      Similarity.trieLeaf(
+          Similarity.quantSig(df).select(col("vec_id"), col("sig")),
+          cap = 1, maxDepth = 48)
+        .select(col("depth"), col("cell")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+    }
+    val smallL = leavesOf(nLarge / 4)
+    val largeL = leavesOf(nLarge)
+    def median(xs: Array[Int]): Int = xs.sorted.apply(xs.length / 2)
+    val medS = median(smallL.map(_._1))
+    val medL = median(largeL.map(_._1))
+    info(s"median leaf depth: $medS @16k -> $medL @64k " +
+      s"(keys ${smallL.distinct.length} -> ${largeL.distinct.length})")
+    // (a) the old ceiling is genuinely crossed: a large share of leaves
+    // sit past depth 16 (the exponential-occupancy model puts ~63% of
+    // 64k vectors at depth >= 17 with cap 1; assert a conservative 40%)
+    val past16 = largeL.count(_._1 >= 17)
+    assert(past16 >= (0.4 * nLarge).toInt,
+      s"only $past16 of $nLarge leaves past depth 16 — the widened " +
+        "signature is not deepening")
+    // (b) depth tracks log2(corpus/cap): a 4x corpus must shift the
+    // median by ~2 levels
+    assert(medL - medS >= 1 && medL - medS <= 3,
+      s"median depth must shift ~log2(4) = 2 levels: $medS -> $medL")
+    // (c) key cardinality tracks corpus/cap (cap = 1: ~one key per
+    // vector, modulo rare full-depth collisions)
+    assert(largeL.distinct.length >= nLarge / 2,
+      s"key cardinality ${largeL.distinct.length} must track n/cap")
+    val ratio = largeL.distinct.length.toDouble / smallL.distinct.length
+    assert(ratio >= 3.0 && ratio <= 5.0,
+      s"key cardinality must scale with the corpus (got ${ratio}x for 4x)")
+    // (d) the occupancy invariant holds at the new depths: every leaf
+    // shallower than maxDepth holds <= cap members
+    val overs = largeL.groupBy(identity).collect {
+      case ((d, c), v) if d < 48 && v.length > 1 => ((d, c), v.length)
+    }
+    assert(overs.isEmpty, s"sub-maxDepth leaves over cap=1: $overs")
+  }
+
+  test("q386 mmr at K = 20: whole-job shuffle records stay ~|queries|*K, " +
+      "far under the corpus-sized exchange a selected-set ROW join " +
+      "would pay per stage") {
+    // round-12 verdict #7: the MMR unroll was pinned at K = 5; at
+    // serving-realistic K the failure mode is a corpus x K shuffle (the
+    // round-12 shape group-maxed a corpus-sized (q_id, vec_id) frame
+    // every stage). The round-13 shape broadcasts the <= K-element
+    // selected ARRAY and computes max-sim row-locally, so only argmax
+    // partials and the <= nq*K selected rows ever shuffle.
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          written.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    val k = 20
+    spark.catalog.clearCache()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Similarity.mmrSelect(spark, large, k)
+      val rows = out.collect()
+      // give the async listener bus time to drain task-end events
+      Thread.sleep(3000)
+      val nq = rows.map(_.getLong(0)).distinct.length
+      assert(rows.length == nq * k, s"expected nq*K rows, got ${rows.length}")
+      assert(rows.map(_.getInt(1)).max == k, "mmr_rank must reach K")
+      // per query, K DISTINCT picks (the greedy never re-selects)
+      rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+        assert(rs.map(_.getLong(2)).distinct.length == k,
+          s"query $q must have K distinct picks")
+      }
+      val corpusRows = spark.read
+        .parquet(s"$large/embeddings.parquet").count()
+      val w = written.get()
+      info(s"shuffle records written at K=$k: $w " +
+        s"(corpus $corpusRows, corpus*K ${corpusRows * k})")
+      assert(w > 0, "listener must observe the job")
+      assert(w < corpusRows * k / 2,
+        s"shuffle records $w approach the corpus x K exchange " +
+          s"(${corpusRows * k}) — the selected set is being joined as " +
+          "rows again")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -759,8 +759,12 @@ class StreamingSpec extends SparkSpec {
       .as[SemDedupStream.RawVec].collect().sortBy(_.vec_id)
     val mem = MemoryStream[SemDedupStream.RawVec]
     // maxDepth = 4 degenerates the trie keying to the fixed 4-plane cell
-    // — the pinned q354 oracle space this leg proves bit-parity with
-    val q = SemDedupStream.matches(spark, mem.toDF(), corpus, maxDepth = 4)
+    // — the pinned q354 oracle space this leg proves bit-parity with.
+    // cap = MaxValue: parity is exact only below the stream saturation
+    // cap (the round-13 boundedness trade, quantified in its own test),
+    // and a modal 4-plane cell here can hold > DefaultCap arrivals.
+    val q = SemDedupStream.matches(spark, mem.toDF(), corpus,
+      maxDepth = 4, cap = Int.MaxValue)
       .writeStream.format("memory").queryName("t_semdedup")
       .outputMode("append").start()
     // several micro-batches, fed in id order (= the batch operator's
@@ -772,7 +776,7 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.table("t_semdedup").collect()
     assert(raw.forall(_.getInt(2) == 4), "parity mode must key at depth 4")
     val got = raw
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
 
     // leg 1 — corpus-sourced evidence aggregates to q354's decisions
     val corpusEv = got.filter(_._2 < 250).groupBy(_._1)
@@ -818,7 +822,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming semantic dedup (default trie mode): corpus evidence " +
       "equals the batch trie-leaf recomputation, stream-vs-stream " +
-      "evidence equals the batch same-12-bit-prefix recomputation") {
+      "evidence equals the batch same-12-bit-prefix ∪ same-corpus-leaf " +
+      "recomputation") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     graft.expressions.GraftExtensions.ensureRegistered(spark)
@@ -844,13 +849,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= 4 && t._3 <= 12))
 
     // state-row guard: keys = corpus trie leaves ∪ arrivals' depth-12
-    // prefixes (arrivals always store at the finest prefix) — an
+    // prefixes (arrivals store at the finest prefix, and their other
+    // storage cell — the corpus leaf — is already a corpus key) — an
     // independent recomputation of the state-key space
+    val shift = queries.Similarity.CellEncShift
     val corpusKeys = SemDedupStream.corpusLeaves(corpus)
-      .select((col("depth").cast("long") * 65536L + col("cell")).as("k"))
+      .select((col("depth").cast("long") * shift + col("cell")).as("k"))
       .collect().map(_.getLong(0)).toSet
     val arrivalKeys = queries.Similarity.quantSig(newDf)
-      .select(expr("12 * 65536 + (sig & 4095)").as("k"))
+      .select(expr(s"12 * ${shift}L + (sig & 4095)").as("k"))
       .collect().map(_.getLong(0)).toSet
     assert(stateRows == (corpusKeys ++ arrivalKeys).size.toLong,
       s"state rows $stateRows != expected key-space size " +
@@ -886,24 +893,104 @@ class StreamingSpec extends SparkSpec {
     assert(gotCorpus.nonEmpty, "fixture must exercise the corpus leg")
 
     // leg 2 — stream-vs-stream evidence = batch new x new pairs sharing
-    // the full depth-12 prefix (the storage-key rule)
+    // the full depth-12 prefix (the finest storage grain) ∪ pairs
+    // sharing a CORPUS LEAF cell (round-13: arrivals also store at
+    // their corpus leaf, closing the corpus-grain recall asymmetry).
+    // The equality claim needs every storage cell under the stream cap
+    // — assert that precondition explicitly.
     val nq = queries.Similarity.quantSig(newDf)
       .withColumn("p12", expr("sig & 4095")).cache()
+    val maxPer12 = nq.groupBy(col("p12")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxPer12 <= SemDedupStream.DefaultCap,
+      s"fixture must stay under the stream cap per depth-12 prefix " +
+        s"(got $maxPer12) for the under-cap equality claim")
     val a = nq.select(col("vec_id").as("m_id"), col("p12"),
       col("qv").as("qv_a"), col("nsq").as("nsq_a"))
     val b = nq.select(col("vec_id").as("n_id"), col("p12").as("p12_b"),
       col("qv").as("qv_b"), col("nsq").as("nsq_b"))
-    val expNn = a.join(b, col("p12") === col("p12_b")
+    val prefixPairs = a.join(b, col("p12") === col("p12_b")
         && col("m_id") < col("n_id"))
       .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
       .filter(col("c") >= queries.Similarity.SemThreshold)
       .select(col("n_id"), col("m_id"), col("c")).collect()
+    // corpus-leaf grain: each arrival has <= 1 corpus leaf on its path
+    // (leaf cells partition the corpus); pairs sharing that leaf
+    val leafCells = leaves.select(col("depth"), col("cell")).distinct()
+    val arrLeaf = arrPaths.join(leafCells, Seq("depth", "cell")).cache()
+    val maxPerLeaf = arrLeaf.groupBy(col("depth"), col("cell")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+    assert(maxPerLeaf <= SemDedupStream.DefaultCap,
+      s"fixture must stay under the stream cap per corpus leaf " +
+        s"(got $maxPerLeaf) for the under-cap equality claim")
+    val leafPairs = arrLeaf
+      .select(col("n_id").as("m_id"), col("depth"), col("cell"),
+        col("qv_b").as("qv_a"), col("nsq_b").as("nsq_a"))
+      .join(arrLeaf, Seq("depth", "cell"))
+      .filter(col("m_id") < col("n_id"))
+      .withColumn("c", expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)"))
+      .filter(col("c") >= queries.Similarity.SemThreshold)
+      .select(col("n_id"), col("m_id"), col("c")).collect()
+    val expNn = (prefixPairs ++ leafPairs)
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val gotNn = got.filter(_._2 >= 250).map(t => ((t._1, t._2), t._4)).toMap
     assert(gotNn.keySet === expNn.keySet,
-      "stream-vs-stream pair set must equal the same-prefix batch pairs")
+      "stream-vs-stream pair set must equal the same-prefix ∪ " +
+        "same-corpus-leaf batch pairs: " +
+        s"only-stream=${gotNn.keySet -- expNn.keySet} " +
+        s"only-batch=${expNn.keySet -- gotNn.keySet}")
     gotNn.foreach { case (k, c) =>
       assert(c === expNn(k), s"cosine for $k must be bit-equal") }
+  }
+
+  test("streaming semantic dedup saturation: a hot stream prefix stops " +
+      "growing state at cap — per-arrival work and per-key state stay " +
+      "bounded, later arrivals still verify against the cap exemplars") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    // 120 near-identical vectors (same base + tiny id-proportional nudge
+    // on one coordinate): all share every sign prefix, i.e. ONE hot
+    // depth-12 storage cell — the adversarial shape whose state grew
+    // with stream mass before round 13
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val hot = (1L to 120L).map { i =>
+      val v = base.clone(); v(0) = v(0) + i.toFloat * 1e-6f
+      SemDedupStream.RawVec(i, v)
+    }
+    val cap = 8
+    val mem = MemoryStream[SemDedupStream.RawVec]
+    val empty = spark.createDataset(Seq.empty[SemDedupStream.RawVec]).toDF()
+    val q = SemDedupStream.matches(spark, mem.toDF(), empty, cap = cap)
+      .writeStream.format("memory").queryName("t_sem_sat")
+      .outputMode("append").start()
+    hot.grouped(30).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    q.stop()
+    val got = spark.table("t_sem_sat").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sanity: the vectors are genuine near-dups (cosine ~1 >= threshold)
+    assert(got.nonEmpty, "hot fixture must produce matches")
+    // only the first `cap` arrivals are ever stored, so every match's
+    // earlier side is an exemplar — and every LATER arrival still emits
+    // exactly cap matches (the verify-only leg keeps working)
+    assert(got.forall(_._2 <= cap),
+      s"matched side must be one of the first $cap stored exemplars: " +
+        s"${got.filter(_._2 > cap).take(5).toSeq}")
+    val perArrival = got.groupBy(_._1).map { case (_, v) => v.length }
+    assert(perArrival.max <= cap,
+      s"per-arrival verify work must be <= cap, got ${perArrival.max}")
+    (cap + 1 to 120).foreach { i =>
+      assert(got.count(_._1 == i.toLong) == cap,
+        s"arrival $i must verify against exactly $cap exemplars")
+    }
+    // state: ONE hot storage cell holding cap members (the depth-12
+    // prefix; no corpus, so no leaf cells exist)
+    assert(stateRows == 1L,
+      s"hot prefix must occupy exactly one state key, got $stateRows")
   }
 
   test("streaming media near-dup: band-keyed state reproduces the batch " +
@@ -1018,6 +1105,119 @@ class StreamingSpec extends SparkSpec {
       s"exactly C(cap,2) pairs before saturation, got ${got.length}")
     assert(got.forall(t => t._1 <= cap && t._2 <= cap),
       "no pair may involve an arrival after the bucket saturated")
+  }
+
+  test("streaming media near-dup saturation divergence is quantified: " +
+      "the online stream dominates the batch retroactive drop on hot " +
+      "buckets, and its only misses are post-saturation pairs") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = 8
+    val threshold = queries.Multimodal.PhashThreshold // 10
+    // hot bucket: 24 assets sharing band 0 (low 15 bits zero), built as
+    // 12 near-dup pairs (3 flipped bits, one per other band, so a pair
+    // shares ONLY the hot band); plus an under-cap bucket (band 0 = 7)
+    // of 4 assets with one near-dup pair, where stream and batch agree
+    def hotFp(k: Long, even: Boolean): Long = {
+      val base = (((17 * k + 3) & 0x7fffL) << 15) |
+        (((23 * k + 5) & 0x7fffL) << 30) | (((29 * k + 7) & 0x7fffL) << 45)
+      if (even) base ^ (1L << 20) ^ (1L << 35) ^ (1L << 50) else base
+    }
+    val hot = (1L to 12L).flatMap(k => Seq(
+      MediaDedupStream.RawFp(2 * k - 1, hotFp(k, even = false)),
+      MediaDedupStream.RawFp(2 * k, hotFp(k, even = true))))
+    val cool = Seq(
+      MediaDedupStream.RawFp(101, 7L | (100L << 15) | (200L << 30)),
+      MediaDedupStream.RawFp(102,
+        7L | (100L << 15) | (200L << 30) ^ (1L << 16) ^ (1L << 31)),
+      MediaDedupStream.RawFp(103, 7L | (9000L << 15) | (11000L << 30)),
+      MediaDedupStream.RawFp(104,
+        7L | (9000L << 15) | (11000L << 30) ^ (1L << 17) ^ (1L << 32)))
+    val fps = (hot ++ cool).sortBy(_.media_id)
+
+    def bandsOf(fp: Long) = (0 to 3).map(j => (j, (fp >> (15 * j)) & 32767L))
+    type Pair = (Long, Long, Int, Boolean)
+    def pair(a: (Long, Long), b: (Long, Long)): Pair = {
+      val h = java.lang.Long.bitCount(a._2 ^ b._2)
+      (math.min(a._1, b._1), math.max(a._1, b._1), h, h <= threshold)
+    }
+    // batch rule (q352's retroactive drop): pairs from buckets whose
+    // FINAL occupancy is <= cap
+    def batchPairs(occCap: Int): Set[Pair] = fps
+      .flatMap(r => bandsOf(r.fp).map(b => b -> (r.media_id, r.fp)))
+      .groupBy(_._1).values.map(_.map(_._2))
+      .filter(_.size <= occCap)
+      .flatMap(ms => for (a <- ms; b <- ms if a._1 < b._1) yield pair(a, b))
+      .toSet
+    val batch = batchPairs(cap)
+    val groundTruth = batchPairs(Int.MaxValue)
+    // online rule replayed exactly: a bucket at cap stops scoring AND
+    // growing — the reference model for what the stream must emit
+    val onlineRef = {
+      val buckets = scala.collection.mutable.Map
+        .empty[(Int, Long), List[(Long, Long)]]
+      val out = Set.newBuilder[Pair]
+      fps.foreach { r =>
+        bandsOf(r.fp).foreach { b =>
+          val ms = buckets.getOrElse(b, Nil)
+          if (ms.size < cap) {
+            ms.foreach(e => out += pair(e, (r.media_id, r.fp)))
+            buckets(b) = (r.media_id, r.fp) :: ms
+          }
+        }
+      }
+      out.result()
+    }
+    val mem = MemoryStream[MediaDedupStream.RawFp]
+    val empty = spark.emptyDataset[MediaDedupStream.RawFp].toDF()
+    val q = MediaDedupStream
+      .matches(spark, mem.toDF(), empty, threshold, cap = cap)
+      .writeStream.format("memory").queryName("t_media_div")
+      .outputMode("append").start()
+    fps.grouped(5).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = spark.table("t_media_div").collect()
+      .map { r =>
+        val (n, m) = (r.getLong(0), r.getLong(1))
+        (math.min(n, m), math.max(n, m), r.getInt(3), r.getBoolean(4))
+      }.toSet
+    assert(stream === onlineRef, "stream must equal the online replay: " +
+      s"only-stream=${stream -- onlineRef} only-ref=${onlineRef -- stream}")
+    // divergence, quantified: the batch drop loses the WHOLE hot bucket;
+    // the online form keeps its first `cap` members as exemplars — so
+    // the stream's pair set strictly DOMINATES the batch's, and every
+    // stream miss vs ground truth is a post-saturation pair (its
+    // earlier member arrived after the bucket held cap members)
+    assert((batch -- stream).isEmpty,
+      s"batch must never find a pair the stream missed: ${batch -- stream}")
+    assert((stream -- batch).nonEmpty, "fixture must exercise divergence")
+    val missStream = groundTruth -- stream
+    val missBatch = groundTruth -- batch
+    assert(missStream.subsetOf(missBatch),
+      "stream recall must dominate batch recall under saturation")
+    assert(missStream.size < missBatch.size,
+      "fixture must show the strict recall win")
+    // a saturated bucket stops SCORING as well as growing (the work
+    // bound is "skip the bucket", not "verify against cap exemplars" —
+    // the SemDedupStream leg makes the other choice), so the stream's
+    // misses are exactly the pairs whose LATER member reached the hot
+    // bucket after it held cap members
+    assert(missStream.forall { case (_, b, _, _) => b > cap },
+      "stream misses must be post-saturation pairs only: " +
+        s"${missStream.filter(_._2 <= cap)}")
+    // the under-cap bucket agrees everywhere (the spec-pinned identity)
+    val coolGt = groundTruth.filter(_._1 >= 101)
+    assert(stream.filter(_._1 >= 101) === coolGt)
+    assert(batch.filter(_._1 >= 101) === coolGt)
+    // the measured trade at cap=8 on this fixture, recorded in SCALE.md:
+    // near-dup ground truth vs what each engine keeps
+    val gtNd = groundTruth.count(_._4)
+    info(s"near-dup recall on over-cap fixture: ground-truth $gtNd, " +
+      s"stream ${stream.count(_._4)} " +
+      s"(missed ${missStream.count(_._4)}), " +
+      s"batch ${batch.count(_._4)} (missed ${missBatch.count(_._4)})")
   }
 
   test("streaming semantic dedup state-key cardinality tracks corpus/cap " +
