@@ -651,15 +651,32 @@ object Dedup {
     sh3.select(col("doc_id")).join(rm3, Seq("doc_id"), "left_anti")
   }
 
-  /** q382 stage-4 input: 4-plane-celled quantized embeddings of stage-3
-    * survivors (vec_id is doc-aligned; unembedded docs pass stage 4 and
-    * simply don't appear here). Cached — both sides of the cell join.
+  /** q382 stage-4 input: ADAPTIVE-celled quantized embeddings of
+    * stage-3 survivors (vec_id is doc-aligned; unembedded docs pass
+    * stage 4 and simply don't appear here). The cell prefix length
+    * k = clamp(4..48, bitlength(survivors / 32)) tracks the SURVIVOR
+    * count (the q205 occupancy-targeting rule, floored at q98's
+    * pinned 4-plane grain so stage-4 candidates always REFINE the
+    * standalone q98 space) — the round-13 10x probe measured the
+    * previous fixed-16-cell grain at 98.7x candidate growth for 10x
+    * data (quadratic: survivors grow with the corpus, cells didn't).
+    * Cached — both sides of the cell join.
     */
   private[graft] def ladderCells4(s: SparkSession, d: String,
-      s3: DataFrame): DataFrame =
-    Similarity.quantCell4(
+      s3: DataFrame): DataFrame = {
+    val base = Similarity.quantSig(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-      .join(s3.select(col("doc_id").as("vec_id")), "vec_id").cache()
+      .join(s3.select(col("doc_id").as("vec_id")), "vec_id")
+    // the 1-row survivor count broadcasts as a bounded scalar NLJ —
+    // q380's n_total pattern, node-counted in PlanSpec
+    val n = base.agg(count(lit(1)).as("n_s4"))
+    base.crossJoin(broadcast(n))
+      .withColumn("k", greatest(lit(4), least(lit(Similarity.Planes),
+        length(bin(expr(s"n_s4 div ${Similarity.CellOccupancy}")))
+          .cast("int"))))
+      .select(col("vec_id"), col("qv"), col("nsq"),
+        expr("sig & (shiftleft(1L, k) - 1)").as("cell")).cache()
+  }
 
   /** q382 stage-4 candidate pairs (pre-cosine): the cell-bounded
     * lower-id self-join — the frame the ScaleProbe row counts.
@@ -2212,7 +2229,10 @@ object Dedup {
     //                      near-dup among stage-2 survivors;
     //   4 semantic (q98):  drop docs whose embedding has a lower-id
     //                      same-cell cosine >= threshold among stage-3
-    //                      survivors (docs without an embedding pass).
+    //                      survivors (docs without an embedding pass);
+    //                      the cell grain is ADAPTIVE to the survivor
+    //                      count (floored at q98's 4-plane space — see
+    //                      [[ladderCells4]]; round-13 probe fix).
     // Removal rule everywhere is "has a LOWER-ID match in the stage input"
     // — q98/q353's one-join discipline (no iterative keep-set: that is
     // q48/q128's component job). Output: one row per stage with the
@@ -2262,11 +2282,13 @@ object Dedup {
           ${verifyCteDuck(0.8)},
           s3 AS (SELECT s2.doc_id FROM s2 WHERE NOT EXISTS (
               SELECT 1 FROM verified v WHERE v.doc_b = s2.doc_id)),
-          ${Similarity.duckCells4Cte},
-          c4 AS (SELECT c.vec_id, c.qv, c.nsq, c.cell
-            FROM cells c JOIN s3 ON s3.doc_id = c.vec_id),
+          ${Similarity.duckQuantCte},
+          s3e AS (SELECT e.vec_id, e.qv, e.nsq
+            FROM en e JOIN s3 ON s3.doc_id = e.vec_id),
+          ${Similarity.duckAdaptiveCellsFrom("s3e", "g4", minK = 4)},
           rm4 AS (SELECT DISTINCT b.vec_id AS doc_id
-            FROM c4 a JOIN c4 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            FROM g4cells a JOIN g4cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE ${Similarity.semCosineDuck("a", "b")}
               >= ${Similarity.SemThreshold}),
           s4 AS (SELECT s3.doc_id FROM s3 WHERE NOT EXISTS (

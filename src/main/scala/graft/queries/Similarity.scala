@@ -116,7 +116,7 @@ object Similarity {
     (if (withSig) base.withColumn("sig", expr(sigSpark)) else base).cache()
   }
 
-  private val duckQuantCte =
+  private[graft] val duckQuantCte =
     s"""e AS (SELECT vec_id, ${qvecDuck("embedding", Dims)} AS qv
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${qnsqDuck("qv", Dims)} AS nsq FROM e)"""
@@ -395,6 +395,31 @@ object Similarity {
         coalesce(col("enc") % CellEncShift, col("cellMax")).as("cell"))
   }
 
+  /** DuckDB mirror of [[trieLeaf]] at the q380 grain (cap =
+    * CellOccupancy, maxDepth = 12), expecting `sg(vec_id, sig)` in
+    * scope; emits `leaf(vec_id, depth, cell)`. Shared by the q380 and
+    * q391 oracles so the leaf rule cannot drift between them. (The
+    * oracle keeps the 16-bit integer encoding — depth <= 12 cells fit;
+    * the Spark side's wider encoding is invisible in the (depth, cell)
+    * output.)
+    */
+  private def duckTrieLeafCte: String =
+    s"""lv AS (SELECT vec_id, d,
+          sig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+        FROM sg, (SELECT unnest(range(4, 13)) AS d) z),
+      occ AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lv GROUP BY 1, 2),
+      pick AS (SELECT lv.vec_id,
+          MIN(CASE WHEN occ.n <= $CellOccupancy
+            THEN lv.d * 65536 + lv.cell END) AS enc,
+          MAX(CASE WHEN lv.d = 12 THEN lv.cell END) AS cell12
+        FROM lv JOIN occ ON occ.d = lv.d AND occ.cell = lv.cell
+        GROUP BY 1),
+      leaf AS (SELECT vec_id,
+          CAST(COALESCE(enc // 65536, 12) AS INT) AS depth,
+          COALESCE(enc % 65536, cell12) AS cell
+        FROM pick)"""
+
   /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
     * an `nPlanes`-bit sign-code cell assignment. The cell count (2^nPlanes)
     * is the scale knob: at a fixed corpus-per-cell occupancy target the
@@ -423,7 +448,7 @@ object Similarity {
     * then grow LINEARLY with the corpus (occupancy² × cells ∝ n), not
     * quadratically as a fixed cell count would.
     */
-  private val CellOccupancy = 32
+  private[graft] val CellOccupancy = 32
 
   /** Quantized corpus with an adaptive sign-code cell: the 48-plane
     * signature masked to k = bitlength(n / CellOccupancy) low planes,
@@ -442,17 +467,28 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
   }
 
+  /** Adaptive-cell CTE chain over an arbitrary `(vec_id, qv, nsq)`
+    * relation `src` in scope — the sign-code prefix length k =
+    * clamp(minK..Planes, bitlength(count(src) / CellOccupancy)) is
+    * computed from THAT relation's count, so a stage running on a
+    * survivor subset (q382's ladder) adapts to ITS size, not the
+    * corpus'. `p` prefixes the CTE names; emits
+    * `{p}cells(vec_id, qv, nsq, cell)`.
+    */
+  private[graft] def duckAdaptiveCellsFrom(src: String, p: String = "",
+      minK: Int = 1): String =
+    s"""${p}sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM $src),
+       ${p}cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $src),
+       ${p}kp AS (SELECT GREATEST($minK, LEAST($Planes,
+           length(to_base(n // $CellOccupancy, 2)))) AS k FROM ${p}cn),
+       ${p}cells AS (SELECT vec_id, qv, nsq,
+           sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
+         FROM ${p}sg, ${p}kp)"""
+
   /** DuckDB CTE chain mirroring [[adaptiveCelled]] (expects the
     * quantized CTEs in scope; emits `cells(vec_id, qv, nsq, cell)`).
     */
-  private val duckAdaptiveCells: String =
-    s"""sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
-       cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM en),
-       kp AS (SELECT GREATEST(1, LEAST($Planes,
-           length(to_base(n // $CellOccupancy, 2)))) AS k FROM cn),
-       cells AS (SELECT vec_id, qv, nsq,
-           sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
-         FROM sg, kp)"""
+  private val duckAdaptiveCells: String = duckAdaptiveCellsFrom("en")
 
   /** IVF multi-probe candidates (q_id, vec_id, qv, nsq). */
   private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
@@ -2011,21 +2047,7 @@ object Similarity {
         val cap = CellOccupancy
         Some(s"""WITH $duckQuantCte,
           sg AS (SELECT vec_id, ($sigDuck) AS sig FROM en),
-          lv AS (SELECT vec_id, d,
-              sig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
-            FROM sg, (SELECT unnest(range(4, 13)) AS d) z),
-          occ AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS n
-            FROM lv GROUP BY 1, 2),
-          pick AS (SELECT lv.vec_id,
-              MIN(CASE WHEN occ.n <= $cap
-                THEN lv.d * 65536 + lv.cell END) AS enc,
-              MAX(CASE WHEN lv.d = 12 THEN lv.cell END) AS cell12
-            FROM lv JOIN occ ON occ.d = lv.d AND occ.cell = lv.cell
-            GROUP BY 1),
-          leaf AS (SELECT vec_id,
-              CAST(COALESCE(enc // 65536, 12) AS INT) AS depth,
-              COALESCE(enc % 65536, cell12) AS cell
-            FROM pick),
+          $duckTrieLeafCte,
           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM en)
           SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
             (CAST(COUNT(*) AS BIGINT) * 1000000) // n_total AS ppm,
@@ -2156,6 +2178,65 @@ object Similarity {
           .select(col("d").cast("int").as("depth"), col("n_cells"),
             col("over_cap_cells"), col("over_cap_mass"),
             col("max_occupancy"))
+      }),
+
+    // ---- semantic dedup at the trie-leaf grain ------------------------------
+    // The BATCH form of exactly the admission rule the streaming leg
+    // runs (SemDedupStream's stream-vs-corpus candidates): q98/q354
+    // dedup at the fixed 4-plane cell; this dedups at q380's
+    // occupancy-capped trie LEAF — the grain that keeps per-cell verify
+    // cost <= cap² however the corpus clusters (over-cap depth-12
+    // remainder cells stay in, as the audited remainder). Per vector:
+    // its leaf, the canonical lower-id match (min id, like q354), the
+    // match count, and the admission verdict. Oracle shares the leaf
+    // CTE with q380 and the cosine fragment with q98/q382 — one
+    // definition per rule across the whole semantic family.
+    // 100 TB plan: leaf assignment is the q380 agg-join-agg; the verify
+    // self-join keys on (depth, cell) with <= cap-bounded cells; the
+    // per-vector rollup is a partial+final agg on vec_id.
+    QuerySpec(
+      "q391_trie_semantic_dedup",
+      Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, ($sigDuck) AS sig FROM en),
+          $duckTrieLeafCte,
+          c AS (SELECT l.vec_id, l.depth, l.cell, e.qv, e.nsq
+            FROM leaf l JOIN en e ON e.vec_id = l.vec_id),
+          m AS (SELECT b.vec_id,
+              CAST(MIN(a.vec_id) AS BIGINT) AS dup_of,
+              CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM c a JOIN c b
+              ON a.depth = b.depth AND a.cell = b.cell
+              AND a.vec_id < b.vec_id
+            WHERE ${semCosineDuck("a", "b")} >= $SemThreshold
+            GROUP BY 1)
+          SELECT c.vec_id, c.depth, c.cell,
+            m.vec_id IS NULL AS admitted, m.dup_of,
+            COALESCE(m.n_matches, 0) AS n_matches
+          FROM c LEFT JOIN m ON m.vec_id = c.vec_id"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val sg = quantized(s, d, withSig = true)
+        val leaf = trieLeaf(sg.select(col("vec_id"), col("sig")),
+          CellOccupancy, maxDepth = 12)
+        val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
+          .join(leaf, "vec_id").cache()
+        val m = c.select(col("vec_id").as("kept"), col("depth"),
+            col("cell"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+          .join(c.select(col("vec_id"), col("depth").as("d_b"),
+            col("cell").as("cell_b"), col("qv").as("qv_b"),
+            col("nsq").as("nsq_b")),
+            col("depth") === col("d_b") && col("cell") === col("cell_b")
+              && col("kept") < col("vec_id"))
+          .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
+            >= SemThreshold)
+          .groupBy(col("vec_id"))
+          .agg(min(col("kept")).as("dup_of"),
+            count(lit(1)).as("n_matches"))
+        c.select(col("vec_id"), col("depth"), col("cell"))
+          .join(m, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("depth"), col("cell"),
+            col("dup_of").isNull.as("admitted"), col("dup_of"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       })
   )
 

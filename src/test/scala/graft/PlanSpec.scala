@@ -2028,11 +2028,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q382: the dedup ladder keeps every stage's standalone shape — " +
-      "all joins keyed (no cartesian/BNL), dedup windows partition on " +
-      "their fingerprint keys, only the 5-row stage lag is global") {
+      "all joins keyed (no cartesian; the only BNL is stage 4's 1-row " +
+      "survivor-count broadcast — q380's scalar pattern), dedup windows " +
+      "partition on their fingerprint keys, only the 5-row stage lag " +
+      "is global") {
     val p = plan("q382_dedup_ladder")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // stage 4's adaptive cell grain joins ONE broadcast 1-row scalar
+    // (the survivor count that sets k) — count node-detail headers,
+    // not the tree echo of the same cached node (q380's convention)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1, p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
     assert(p.contains("BroadcastHashJoin"),
       "survivor handoffs should broadcast the shrinking id sets:\n" + p)
