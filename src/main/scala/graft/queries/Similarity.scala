@@ -2237,6 +2237,130 @@ object Similarity {
           .select(col("vec_id"), col("depth"), col("cell"),
             col("dup_of").isNull.as("admitted"), col("dup_of"),
             coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      }),
+
+    // ---- trie-leaf ANN with measured recall ---------------------------------
+    // The serving question for the round-13 trie: q380's leaves are the
+    // dedup index — are they also a retrieval index? Each query probes
+    // TWO leaves (its own, and the leaf of its signature with the
+    // least-confident plane among 0..11 flipped — q47's multiprobe
+    // trick at the trie grain; leaf cells partition the corpus, so a
+    // probe path meets exactly one leaf), re-ranks the <= 2-cell
+    // candidate set exactly, and the query SELF-AUDITS recall against
+    // the exact top-5 (q322's close-the-loop discipline — an ANN
+    // without a measured recall is a guess). All-integer outputs +
+    // exact-grid cosines with vec_id tiebreaks keep both engines
+    // bit-equal. 100 TB plan: probes are two (depth, cell) key lookups
+    // per query; candidates <= 2 x (cap + audited remainder); only the
+    // self-audit's exact leg scans the corpus (it exists to MEASURE the
+    // index, not to serve).
+    QuerySpec(
+      "q392_trie_ann_recall", {
+        val cosQ = s"""CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+           / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))"""
+        val psList = (0 until 12).map(projDuck).mkString(", ")
+        Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+          $duckTrieLeafCte,
+          corpus AS (SELECT s.vec_id, l.depth, l.cell
+            FROM sg s JOIN leaf l ON l.vec_id = s.vec_id),
+          qraw AS (SELECT vec_id, qv, nsq, sig, [$psList] AS ps
+            FROM sg WHERE vec_id < $NumQueries),
+          qs AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, sig,
+              xor(sig, CAST(1 AS BIGINT)
+                << (list_position([abs(x) for x in ps],
+                    list_min([abs(x) for x in ps])) - 1)) AS sig2
+            FROM qraw),
+          probes AS (
+            SELECT DISTINCT q_id, d AS depth,
+              s & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+            FROM (SELECT q_id, sig AS s FROM qs
+                  UNION ALL SELECT q_id, sig2 FROM qs) z,
+                 (SELECT unnest(range(4, 13)) AS d) dd),
+          cand AS (SELECT DISTINCT p.q_id, c.vec_id
+            FROM probes p JOIN corpus c
+              ON c.depth = p.depth AND c.cell = p.cell
+            WHERE c.vec_id <> p.q_id),
+          scored AS (SELECT cand.q_id, cand.vec_id, $cosQ AS c
+            FROM cand JOIN en e ON e.vec_id = cand.vec_id
+                      JOIN qs q ON q.q_id = cand.q_id),
+          trietop AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY c DESC, vec_id) AS rk FROM scored) z
+            WHERE rk <= $K),
+          exacttop AS (SELECT q_id, vec_id FROM (
+              SELECT q.q_id, e.vec_id, row_number() OVER (
+                  PARTITION BY q.q_id ORDER BY $cosQ DESC, e.vec_id) AS rk
+              FROM qs q, en e WHERE e.vec_id <> q.q_id) z
+            WHERE rk <= $K),
+          hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM trietop t JOIN exacttop x
+              ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+            GROUP BY 1),
+          nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+            FROM cand GROUP BY 1)
+          SELECT q.q_id, COALESCE(nc.n_cand, 0) AS n_cand,
+            COALESCE(h.n_hit, 0) AS n_hit,
+            COALESCE(h.n_hit, 0) * 1000000 // $K AS recall_ppm
+          FROM qs q
+          LEFT JOIN nc ON nc.q_id = q.q_id
+          LEFT JOIN hits h ON h.q_id = q.q_id""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val sg = quantized(s, d, withSig = true)
+        val leaves = trieLeaf(sg.select(col("vec_id"), col("sig")),
+          CellOccupancy, maxDepth = 12)
+        val corpus = sg.select(col("vec_id")).join(leaves, "vec_id")
+        val pj = (0 until 12).map(j => expr(projSpark(j)).as(s"p$j"))
+        val qs = sg.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id") +: col("qv") +: col("nsq") +:
+            col("sig") +: pj: _*)
+          .withColumn("ap",
+            array((0 until 12).map(j => abs(col(s"p$j"))): _*))
+          .withColumn("minj",
+            (array_position(col("ap"), array_min(col("ap"))) - 1)
+              .cast("int"))
+          .withColumn("sig2", expr("sig ^ shiftleft(1L, minj)"))
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("nsq").as("q_nsq"), col("sig"), col("sig2")).cache()
+        def path(sigCol: String) = qs.select(col("q_id"), explode(expr(
+            s"""transform(sequence(4, 12), dd ->
+               struct(dd AS depth,
+                 $sigCol & (shiftleft(1L, dd) - 1) AS cell))""")).as("x"))
+          .select(col("q_id"), col("x.depth").as("depth"),
+            col("x.cell").as("cell"))
+        val probes = path("sig").unionByName(path("sig2")).distinct()
+        val cand = corpus.join(probes, Seq("depth", "cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id")).distinct()
+          .join(sg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+        val wQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        val trieTop = cand
+          .join(broadcast(qs.select(col("q_id"), col("q_qv"),
+            col("q_nsq"))), "q_id")
+          .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+          .withColumn("rk", row_number().over(wQ))
+          .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+        val exactTop = sg.select(col("vec_id"), col("qv"), col("nsq"))
+          .crossJoin(broadcast(qs.select(col("q_id"), col("q_qv"),
+            col("q_nsq"))))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+          .withColumn("rk", row_number().over(wQ))
+          .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+        val hits = trieTop.join(exactTop, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+        qs.select(col("q_id"))
+          .join(nc, Seq("q_id"), "left")
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            expr(s"coalesce(n_hit, 0L) * 1000000 div $K")
+              .as("recall_ppm"))
       })
   )
 

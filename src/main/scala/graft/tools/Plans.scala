@@ -343,9 +343,30 @@ object Plans {
     "q382_dedup_ladder" ->
       ("Four dedup stages composed survivor-to-survivor: fingerprint "
         + "shuffle, chunk-fp window, banded candidates + verify, "
-        + "cell-bounded pairs — handoffs are broadcast doc_id "
+        + "adaptive cell-bounded pairs (k from the survivor count — "
+        + "one broadcast 1-row scalar) — handoffs are broadcast doc_id "
         + "semi/anti joins; only the 5-row stage lag is a global "
-        + "window."))
+        + "window."),
+    "q386_mmr_select" ->
+      ("K bounded greedy stages: the selected set collapses to one "
+        + "<= K-element array per query (collect_list), broadcasts "
+        + "back onto the cached relevance frame, max-sim is row-local "
+        + "higher-order array math, argmax a max-struct partial+final "
+        + "agg — per stage only nq*K rows + partials shuffle, never "
+        + "the corpus; localCheckpoint cuts the stage lineage."),
+    "q390_incremental_components" ->
+      ("Contraction: new edges map endpoints to OLD component labels "
+        + "via two broadcast hash joins, then the bounded star rounds "
+        + "run on the contracted label graph (~today's edge count, "
+        + "not the corpus graph); label splice-back and the merge "
+        + "audit are hash joins + one partial+final agg on the "
+        + "component key."),
+    "q392_trie_ann_recall" ->
+      ("Each query explodes 9 prefix levels for two signatures "
+        + "(own + least-confident-plane flip), joins the leaf table "
+        + "on (depth, cell) — two key lookups per query; candidate "
+        + "re-rank and the exact self-audit leg are per-query "
+        + "windows over broadcast query sets (rank limit pushed)."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

@@ -134,7 +134,12 @@ class GuardSpec extends SparkSpec {
       // query set (media_id < 100, 34 queries — the q375/q376 audit
       // budget); structurally a Filter over the paired tower/embedding
       // join, which this sweep cannot prove bounded
-      "q381_crossmodal_recall")
+      "q381_crossmodal_recall",
+      // q392 probes trie leaves for the SAME fixed query set (vec_id <
+      // NumQueries = 10): both broadcast sides are the 10 probe vectors
+      // (candidate re-rank leg and the exact self-audit leg) —
+      // deployment constants, the q322/q351/q359 pattern
+      "q392_trie_ann_recall")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }
