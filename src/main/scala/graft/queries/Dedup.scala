@@ -2641,9 +2641,13 @@ object Dedup {
     // The eval-integrity op every LLM data pipeline needs and naive
     // hash splits get wrong: a per-DOC 80/20 hash split strands members
     // of one near-dup cluster on BOTH sides — train/test leakage the
-    // deduped eval can't see. The fix is splitting at the COMPONENT
-    // grain (q48's verified near-dup components; singletons are their
-    // own component): side = hash(component) instead of hash(doc_id).
+    // deduped eval can't see. q330 enforces this at the EXACT-dup grain
+    // (q40's fingerprint — transitive by construction, no closure
+    // needed, aggregate readout); this is the NEAR-dup form, where
+    // membership is NOT transitive per-pair so the split key must be
+    // the COMPONENT (q48's verified near-dup components; singletons
+    // are their own component), and the readout is the per-doc audit:
+    // side = hash(component) instead of hash(doc_id).
     // Output is the per-doc audit: both assignments plus `naive_leak`
     // (this doc's component straddles the naive split). Determinism:
     // the 60-bit md5-prefix portable hash on the DECIMAL string of the
