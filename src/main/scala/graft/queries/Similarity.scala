@@ -374,51 +374,113 @@ object Similarity {
     */
   private[graft] val CellEncShift: Long = 1L << Planes
 
-  private[graft] def trieLeaf(sg: DataFrame, cap: Int,
-      maxDepth: Int): DataFrame = {
-    require(maxDepth >= 4 && maxDepth <= Planes)
-    val lv = sg.select(col("vec_id"), explode(expr(
-        s"""transform(sequence(4, $maxDepth), dd ->
+  /** The pinned oracle grain: every fixture SF's corpus/cap bit-length
+    * lands at or below 12, so flooring the adaptive depth here keeps
+    * every pre-round-14 oracle's (depth, cell) output byte-identical.
+    */
+  private[graft] val TrieDepthFloor = 12
+
+  /** q388's planning readout as ONE deployed rule (round-13 verdict #1):
+    * the trie depth ceiling a corpus of `n` vectors needs at occupancy
+    * cap `cap` is bitlength(n / cap) — cells at that depth average ~cap
+    * occupancy — floored at [[TrieDepthFloor]] and capped at the
+    * signature width. This is [[Dedup.ladderCells4]]'s adaptive-k rule
+    * applied to the trie family: without it, past ~2^12 * cap vectors
+    * every deepest cell is over-cap "audited remainder" and the in-cell
+    * verify goes quadratic (the 2^16 ceiling round 12 removed, reborn
+    * one knob down). Mirrors length(bin(n div cap)) exactly (bin(0) =
+    * "0" has length 1 — invisible below the floor).
+    */
+  private[graft] def adaptiveTrieDepth(n: Long, cap: Int,
+      floor: Int = TrieDepthFloor): Int = {
+    val q = n / math.max(1, cap)
+    val bl = if (q <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.max(floor, math.min(Planes, bl))
+  }
+
+  /** [[trieLeaf]] body over a frame already carrying its depth ceiling
+    * as a `maxd` column (constant across rows) — the single definition
+    * the fixed-depth and adaptive-depth entry points share.
+    */
+  private def trieLeafCore(sgd: DataFrame, cap: Int): DataFrame = {
+    val lv = sgd.select(col("vec_id"), col("maxd"), explode(expr(
+        """transform(sequence(4, maxd), dd ->
            struct(dd AS d, sig & (shiftleft(1L, dd) - 1) AS cell))"""))
         .as("x"))
-      .select(col("vec_id"), col("x.d").as("d"), col("x.cell").as("cell"))
+      .select(col("vec_id"), col("maxd"), col("x.d").as("d"),
+        col("x.cell").as("cell"))
     val occ = lv.groupBy(col("d"), col("cell"))
       .agg(count(lit(1)).as("n"))
     lv.join(occ, Seq("d", "cell"))
       .groupBy(col("vec_id"))
       .agg(min(when(col("n") <= cap,
           col("d").cast("long") * CellEncShift + col("cell"))).as("enc"),
-        max(when(col("d") === maxDepth, col("cell"))).as("cellMax"))
+        max(when(col("d") === col("maxd"), col("cell"))).as("cellMax"),
+        first(col("maxd")).as("maxd"))
       .select(col("vec_id"),
-        coalesce(expr(s"enc div ${CellEncShift}L"), lit(maxDepth.toLong))
+        coalesce(expr(s"enc div ${CellEncShift}L"), col("maxd").cast("long"))
           .cast("int").as("depth"),
         coalesce(col("enc") % CellEncShift, col("cellMax")).as("cell"))
   }
 
-  /** DuckDB mirror of [[trieLeaf]] at the q380 grain (cap =
-    * CellOccupancy, maxDepth = 12), expecting `sg(vec_id, sig)` in
-    * scope; emits `leaf(vec_id, depth, cell)`. Shared by the q380 and
-    * q391 oracles so the leaf rule cannot drift between them. (The
-    * oracle keeps the 16-bit integer encoding — depth <= 12 cells fit;
-    * the Spark side's wider encoding is invisible in the (depth, cell)
-    * output.)
+  private[graft] def trieLeaf(sg: DataFrame, cap: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 4 && maxDepth <= Planes)
+    trieLeafCore(sg.withColumn("maxd", lit(maxDepth)), cap)
+  }
+
+  /** Adaptive-grain trie leaf — [[trieLeaf]] with the depth ceiling
+    * derived from THIS input's count by [[adaptiveTrieDepth]] (computed
+    * in-plan: the 1-row count broadcasts as a bounded scalar, q380's
+    * n_total pattern), so the deployed grain deepens with the corpus
+    * instead of pinning at 12. At every fixture SF the rule resolves to
+    * the floor, so the (depth, cell) output — and every oracle reading
+    * it — is unchanged; past ~2^12 * cap vectors the ceiling lifts and
+    * over-cap "audited remainder" mass stays bounded (ScaleSpec guards
+    * the fraction on growing synthetic corpora).
+    */
+  private[graft] def trieLeafAdaptive(sg: DataFrame, cap: Int,
+      floor: Int = TrieDepthFloor): DataFrame = {
+    val n = sg.agg(count(lit(1)).as("n_src"))
+    trieLeafCore(sg.crossJoin(broadcast(n))
+      .withColumn("maxd", greatest(lit(floor), least(lit(Planes),
+        length(bin(expr(s"n_src div ${math.max(1, cap)}"))).cast("int")))),
+      cap)
+  }
+
+  /** DuckDB mirror of [[trieLeafAdaptive]] at the q380 grain (cap =
+    * CellOccupancy), expecting `sg(vec_id, sig)` in scope; emits
+    * `leaf(vec_id, depth, cell)`. Shared by the q380/q391/q392/q394
+    * oracles so the leaf rule cannot drift between them. Round 14: the
+    * depth ceiling is the same adaptive clamp the Spark side computes
+    * (GREATEST(12, LEAST(48, bitlength(n / cap))) — identical to the
+    * floor at every fixture SF), and the integer min-encoding moved from
+    * 16-bit to the 48-bit [[CellEncShift]] so cells past depth 16 fit
+    * (enc < 2^54, inside BIGINT).
     */
   private def duckTrieLeafCte: String =
-    s"""lv AS (SELECT vec_id, d,
+    s"""tmd AS (SELECT GREATEST($TrieDepthFloor, LEAST($Planes,
+          length(to_base(COUNT(*) // $CellOccupancy, 2)))) AS maxd
+        FROM sg),
+      lvr AS (SELECT vec_id, sig,
+          unnest(range(4, maxd + 1)) AS d FROM sg, tmd),
+      lv AS (SELECT vec_id, CAST(d AS BIGINT) AS d,
           sig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
-        FROM sg, (SELECT unnest(range(4, 13)) AS d) z),
+        FROM lvr),
       occ AS (SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS n
         FROM lv GROUP BY 1, 2),
       pick AS (SELECT lv.vec_id,
           MIN(CASE WHEN occ.n <= $CellOccupancy
-            THEN lv.d * 65536 + lv.cell END) AS enc,
-          MAX(CASE WHEN lv.d = 12 THEN lv.cell END) AS cell12
-        FROM lv JOIN occ ON occ.d = lv.d AND occ.cell = lv.cell
+            THEN lv.d * (CAST(1 AS BIGINT) << $Planes) + lv.cell END)
+            AS enc,
+          MAX(CASE WHEN lv.d = tmd.maxd THEN lv.cell END) AS cellmx
+        FROM lv JOIN occ ON occ.d = lv.d AND occ.cell = lv.cell, tmd
         GROUP BY 1),
       leaf AS (SELECT vec_id,
-          CAST(COALESCE(enc // 65536, 12) AS INT) AS depth,
-          COALESCE(enc % 65536, cell12) AS cell
-        FROM pick)"""
+          CAST(COALESCE(enc // (CAST(1 AS BIGINT) << $Planes), maxd)
+            AS INT) AS depth,
+          COALESCE(enc % (CAST(1 AS BIGINT) << $Planes), cellmx) AS cell
+        FROM pick, tmd)"""
 
   /** Semantic-dedup candidate pairs (kept < vec_id, plus the vectors) from
     * an `nPlanes`-bit sign-code cell assignment. The cell count (2^nPlanes)
@@ -2032,11 +2094,14 @@ object Similarity {
     // "smallest depth whose prefix-cell occupancy <= cap" IS the
     // recursive split (a trie node is a leaf iff it is the first
     // at-or-under-cap prefix on its path), which makes it expressible
-    // as 9 bounded levels instead of a loop: explode depths 4..12,
-    // count (depth, cell) occupancy, pick each vector's first
-    // satisfying depth with an integer-encoded min (depth*2^16+cell —
-    // exact, both engines). Leaves still over cap at depth 12 carry
-    // over_cap=true (the knob: raise max depth). Output: one row per
+    // as maxd-3 bounded levels instead of a loop: explode depths
+    // 4..maxd, count (depth, cell) occupancy, pick each vector's first
+    // satisfying depth with an integer-encoded min (depth*2^48+cell —
+    // exact, both engines). Round 14: maxd is no longer pinned at 12 —
+    // it is clamp(12..48, bitlength(corpus/cap)) (q388's planning rule,
+    // computed in-plan on both engines), so leaves still over cap at
+    // the ceiling shrink to a bounded audited remainder as the corpus
+    // grows instead of absorbing it. Output: one row per
     // leaf with occupancy and corpus-ppm mass — the balance sheet an
     // IVF serving layer reads before choosing nprobe. 100 TB plan:
     // 9x-corpus level rows shuffle on (depth, cell); occupancy agg is
@@ -2057,9 +2122,10 @@ object Similarity {
       (s, d) => {
         val sg = quantized(s, d, withSig = true)
           .select(col("vec_id"), col("sig"))
-        // shared leaf rule — [[trieLeaf]] is also the streaming semantic
-        // dedup's corpus state-key space (SemDedupStream)
-        val leaf = trieLeaf(sg, CellOccupancy, maxDepth = 12)
+        // shared leaf rule — [[trieLeafAdaptive]] is also the streaming
+        // semantic dedup's corpus state-key space (SemDedupStream); the
+        // depth ceiling tracks corpus/cap (round-13 verdict #1)
+        val leaf = trieLeafAdaptive(sg, CellOccupancy)
         val tot = sg.agg(count(lit(1)).as("n_total"))
         leaf.groupBy(col("depth"), col("cell"))
           .agg(count(lit(1)).as("n_vecs"))
@@ -2185,8 +2251,11 @@ object Similarity {
     // runs (SemDedupStream's stream-vs-corpus candidates): q98/q354
     // dedup at the fixed 4-plane cell; this dedups at q380's
     // occupancy-capped trie LEAF — the grain that keeps per-cell verify
-    // cost <= cap² however the corpus clusters (over-cap depth-12
-    // remainder cells stay in, as the audited remainder). Per vector:
+    // cost <= cap² however the corpus clusters (over-cap ceiling-depth
+    // remainder cells stay in, as the audited remainder — and the
+    // ceiling itself tracks corpus/cap since round 14, so that
+    // remainder stays bounded instead of growing quadratic past
+    // 2^12 * cap vectors). Per vector:
     // its leaf, the canonical lower-id match (min id, like q354), the
     // match count, and the admission verdict. Oracle shares the leaf
     // CTE with q380 and the cosine fragment with q98/q382 — one
@@ -2216,8 +2285,8 @@ object Similarity {
       (s, d) => {
         graft.expressions.GraftExtensions.ensureRegistered(s)
         val sg = quantized(s, d, withSig = true)
-        val leaf = trieLeaf(sg.select(col("vec_id"), col("sig")),
-          CellOccupancy, maxDepth = 12)
+        val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
+          CellOccupancy)
         val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
           .join(leaf, "vec_id").cache()
         val m = c.select(col("vec_id").as("kept"), col("depth"),
@@ -2242,127 +2311,239 @@ object Similarity {
     // ---- trie-leaf ANN with measured recall ---------------------------------
     // The serving question for the round-13 trie: q380's leaves are the
     // dedup index — are they also a retrieval index? Each query probes
-    // TWO leaves (its own, and the leaf of its signature with the
-    // least-confident plane among 0..11 flipped — q47's multiprobe
-    // trick at the trie grain; leaf cells partition the corpus, so a
-    // probe path meets exactly one leaf), re-ranks the <= 2-cell
-    // candidate set exactly, and the query SELF-AUDITS recall against
-    // the exact top-5 (q322's close-the-loop discipline — an ANN
-    // without a measured recall is a guess). All-integer outputs +
-    // exact-grid cosines with vec_id tiebreaks keep both engines
-    // bit-equal. 100 TB plan: probes are two (depth, cell) key lookups
-    // per query; candidates <= 2 x (cap + audited remainder); only the
-    // self-audit's exact leg scans the corpus (it exists to MEASURE the
-    // index, not to serve).
+    // [[AnnProbeBudget]] leaves (its own, and budget-1 signatures with
+    // the least-confident planes among 0..maxd-1 flipped one at a time
+    // — q47's multiprobe trick at the trie grain; leaf cells partition
+    // the corpus, so a probe path meets exactly one leaf), re-ranks the
+    // bounded candidate set exactly, and the query SELF-AUDITS recall
+    // against the exact top-5 (q322's close-the-loop discipline — an
+    // ANN without a measured recall is a guess). Round 14: the probe
+    // machinery is budget-parameterized ([[trieAnnRecall]], shared with
+    // q394's planning sweep) and rides the ADAPTIVE depth ceiling, so
+    // flips come from all deployed planes, not a pinned 0..11.
+    // All-integer outputs + exact-grid cosines with vec_id tiebreaks
+    // keep both engines bit-equal. 100 TB plan: probes are `budget`
+    // (depth, cell) key lookups per query; candidates <= budget x
+    // (cap + audited remainder); only the self-audit's exact leg scans
+    // the corpus (it exists to MEASURE the index, not to serve).
     QuerySpec(
-      "q392_trie_ann_recall", {
-        val cosQ = s"""CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
-           / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))"""
-        val psList = (0 until 12).map(projDuck).mkString(", ")
-        Some(s"""WITH $duckQuantCte,
+      "q392_trie_ann_recall",
+      Some(s"""WITH $duckQuantCte,
           sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
           $duckTrieLeafCte,
-          corpus AS (SELECT s.vec_id, l.depth, l.cell
-            FROM sg s JOIN leaf l ON l.vec_id = s.vec_id),
-          qraw AS (SELECT vec_id, qv, nsq, sig, [$psList] AS ps
-            FROM sg WHERE vec_id < $NumQueries),
-          qs AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, sig,
-              xor(sig, CAST(1 AS BIGINT)
-                << (list_position([abs(x) for x in ps],
-                    list_min([abs(x) for x in ps])) - 1)) AS sig2
-            FROM qraw),
-          probes AS (
-            SELECT DISTINCT q_id, d AS depth,
-              s & ((CAST(1 AS BIGINT) << d) - 1) AS cell
-            FROM (SELECT q_id, sig AS s FROM qs
-                  UNION ALL SELECT q_id, sig2 FROM qs) z,
-                 (SELECT unnest(range(4, 13)) AS d) dd),
-          cand AS (SELECT DISTINCT p.q_id, c.vec_id
-            FROM probes p JOIN corpus c
-              ON c.depth = p.depth AND c.cell = p.cell
-            WHERE c.vec_id <> p.q_id),
-          scored AS (SELECT cand.q_id, cand.vec_id, $cosQ AS c
-            FROM cand JOIN en e ON e.vec_id = cand.vec_id
-                      JOIN qs q ON q.q_id = cand.q_id),
-          trietop AS (SELECT q_id, vec_id FROM (
-              SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-                ORDER BY c DESC, vec_id) AS rk FROM scored) z
-            WHERE rk <= $K),
-          exacttop AS (SELECT q_id, vec_id FROM (
-              SELECT q.q_id, e.vec_id, row_number() OVER (
-                  PARTITION BY q.q_id ORDER BY $cosQ DESC, e.vec_id) AS rk
-              FROM qs q, en e WHERE e.vec_id <> q.q_id) z
-            WHERE rk <= $K),
-          hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-            FROM trietop t JOIN exacttop x
-              ON x.q_id = t.q_id AND x.vec_id = t.vec_id
-            GROUP BY 1),
-          nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
-            FROM cand GROUP BY 1)
-          SELECT q.q_id, COALESCE(nc.n_cand, 0) AS n_cand,
-            COALESCE(h.n_hit, 0) AS n_hit,
-            COALESCE(h.n_hit, 0) * 1000000 // $K AS recall_ppm
-          FROM qs q
-          LEFT JOIN nc ON nc.q_id = q.q_id
-          LEFT JOIN hits h ON h.q_id = q.q_id""")
-      },
-      (s, d) => {
-        graft.expressions.GraftExtensions.ensureRegistered(s)
-        val sg = quantized(s, d, withSig = true)
-        val leaves = trieLeaf(sg.select(col("vec_id"), col("sig")),
-          CellOccupancy, maxDepth = 12)
-        val corpus = sg.select(col("vec_id")).join(leaves, "vec_id")
-        val pj = (0 until 12).map(j => expr(projSpark(j)).as(s"p$j"))
-        val qs = sg.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id") +: col("qv") +: col("nsq") +:
-            col("sig") +: pj: _*)
-          .withColumn("ap",
-            array((0 until 12).map(j => abs(col(s"p$j"))): _*))
-          .withColumn("minj",
-            (array_position(col("ap"), array_min(col("ap"))) - 1)
-              .cast("int"))
-          .withColumn("sig2", expr("sig ^ shiftleft(1L, minj)"))
-          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-            col("nsq").as("q_nsq"), col("sig"), col("sig2")).cache()
-        def path(sigCol: String) = qs.select(col("q_id"), explode(expr(
-            s"""transform(sequence(4, 12), dd ->
-               struct(dd AS depth,
-                 $sigCol & (shiftleft(1L, dd) - 1) AS cell))""")).as("x"))
-          .select(col("q_id"), col("x.depth").as("depth"),
-            col("x.cell").as("cell"))
-        val probes = path("sig").unionByName(path("sig2")).distinct()
-        val cand = corpus.join(probes, Seq("depth", "cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id")).distinct()
-          .join(sg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
-        val wQ = Window.partitionBy(col("q_id"))
-          .orderBy(col("c").desc, col("vec_id"))
-        val trieTop = cand
-          .join(broadcast(qs.select(col("q_id"), col("q_qv"),
-            col("q_nsq"))), "q_id")
-          .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
-          .withColumn("rk", row_number().over(wQ))
-          .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
-        val exactTop = sg.select(col("vec_id"), col("qv"), col("nsq"))
-          .crossJoin(broadcast(qs.select(col("q_id"), col("q_qv"),
-            col("q_nsq"))))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
-          .withColumn("rk", row_number().over(wQ))
-          .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
-        val hits = trieTop.join(exactTop, Seq("q_id", "vec_id"))
-          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-        val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-        qs.select(col("q_id"))
-          .join(nc, Seq("q_id"), "left")
-          .join(hits, Seq("q_id"), "left")
-          .select(col("q_id"),
-            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            expr(s"coalesce(n_hit, 0L) * 1000000 div $K")
-              .as("recall_ppm"))
-      })
+          ${duckTrieAnnCtes(Seq(AnnProbeBudget))}
+          SELECT q_id, n_cand, n_hit,
+            n_hit * 1000000 // $K AS recall_ppm
+          FROM grid"""),
+      (s, d) => trieAnnRecall(s, d, Seq(AnnProbeBudget))
+        .select(col("q_id"), col("n_cand"), col("n_hit"),
+          expr(s"n_hit * 1000000 div $K").as("recall_ppm"))),
+
+    // ---- trie-ANN probe-budget planning sweep -------------------------------
+    // q351's nprobe-planning discipline applied to the trie index
+    // (round-13 verdict #2): ONE recall number at one operating point is
+    // a guess about every other — this measures the recall/candidate
+    // trade across probe budgets 1/2/4/8 so a serving layer picks its
+    // budget from a table, not a hunch (ScaleProbe re-runs the same
+    // sweep on the 10x corpus, where leaves deepen — the
+    // recall-vs-corpus-growth axis). Per budget: total candidates,
+    // total exact-top-K hits, corpus-wide recall ppm, and the WORST
+    // query's recall ppm (a mean can hide a starved query). Integer
+    // outputs; both engines share the ranked-flip probe rule via the
+    // same CTE builder as q392.
+    QuerySpec(
+      "q394_trie_ann_probe_sweep",
+      Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+          $duckTrieLeafCte,
+          ${duckTrieAnnCtes(AnnSweepBudgets)}
+          SELECT probe_budget,
+            CAST(COUNT(*) AS BIGINT) AS n_queries,
+            CAST(SUM(n_cand) AS BIGINT) AS n_cand,
+            CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+            CAST(SUM(n_hit) * 1000000 // (COUNT(*) * $K) AS BIGINT)
+              AS recall_ppm,
+            CAST(MIN(n_hit * 1000000 // $K) AS BIGINT)
+              AS min_q_recall_ppm
+          FROM grid GROUP BY 1"""),
+      (s, d) => trieAnnRecall(s, d, AnnSweepBudgets)
+        .groupBy(col("probe_budget"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_cand")).as("n_cand"),
+          sum(col("n_hit")).as("n_hit"),
+          expr(s"sum(n_hit) * 1000000 div (count(1) * $K)")
+            .as("recall_ppm"),
+          min(expr(s"n_hit * 1000000 div $K")).as("min_q_recall_ppm")))
   )
+
+  /** q392's deployed probe budget (own leaf + one flip — the round-13
+    * operating point) and q394's planning sweep axis. `def`s, not
+    * `val`s: the `all` Seq above interpolates them during object init,
+    * before later vals would be assigned.
+    */
+  private[graft] def AnnProbeBudget = 2
+  private[graft] def AnnSweepBudgets = Seq(1, 2, 4, 8)
+
+  /** Budget-parameterized trie-ANN recall audit, shared by q392 (one
+    * budget) and q394 (the sweep) — and driven by ScaleProbe on the 10x
+    * corpus for the recall-vs-growth table. Probe rule: a query's probe
+    * signatures are its own, plus its signature with the rk-th
+    * least-confident plane flipped (rank = (|projection|, plane index)
+    * ascending over planes 0..maxd-1) for rk < budget — multiprobe in
+    * plane-confidence order, the q47 trick at the trie grain. maxd is
+    * the SAME adaptive ceiling the leaf index used
+    * ([[adaptiveTrieDepth]], computed in-plan from the corpus count),
+    * so probes deepen with the index. Output: one row per
+    * (probe_budget, q_id) with the candidate count and the
+    * exact-top-K hit count. 100 TB plan: ranking/flip frames are
+    * query-set-sized (broadcast); candidates are `budget` leaf lookups
+    * per query; the corpus-scanning exact leg exists only for the
+    * audit.
+    */
+  private[graft] def trieAnnRecall(s: SparkSession, d: String,
+      budgets: Seq[Int]): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    val sg = quantized(s, d, withSig = true)
+    val sgk = sg.select(col("vec_id"), col("sig"))
+    val leaves = trieLeafAdaptive(sgk, CellOccupancy)
+    val corpus = sg.select(col("vec_id")).join(leaves, "vec_id")
+    val n = sgk.agg(count(lit(1)).as("n_src"))
+    val apCols = (0 until Planes).map(j => expr(s"abs(${projSpark(j)})"))
+    val qs = sg.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(n))
+      .withColumn("maxd", greatest(lit(TrieDepthFloor), least(lit(Planes),
+        length(bin(expr(s"n_src div $CellOccupancy"))).cast("int"))))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"), col("sig"), col("maxd"),
+        array(apCols: _*).as("ap")).cache()
+    // flip candidates ranked by confidence: (|proj|, plane) ascending
+    // over the deployed planes — a query-set-sized frame
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("apv"), col("pos"))
+    val flips = qs.select(col("q_id"), col("sig"),
+        posexplode(expr("slice(ap, 1, maxd)")).as(Seq("pos", "apv")))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("q_id"), col("rk"),
+        expr("sig ^ shiftleft(1L, pos)").as("psig"))
+    val own = qs.select(col("q_id"), lit(0).as("rk"), col("sig").as("psig"))
+    val budgetDf = budgets.toDF("probe_budget")
+    val probeSigs = own.unionByName(flips)
+      .crossJoin(broadcast(budgetDf))
+      .filter(col("rk") < col("probe_budget"))
+      .join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id")
+    val probes = probeSigs.select(col("probe_budget"), col("q_id"),
+        explode(expr(
+          """transform(sequence(4, maxd), dd ->
+             struct(dd AS depth, psig & (shiftleft(1L, dd) - 1) AS cell))"""))
+          .as("x"))
+      .select(col("probe_budget"), col("q_id"),
+        col("x.depth").as("depth"), col("x.cell").as("cell"))
+      .distinct()
+    val cand = corpus.join(broadcast(probes), Seq("depth", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("probe_budget"), col("q_id"), col("vec_id")).distinct()
+      .join(sg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+      .cache()
+    val wB = Window.partitionBy(col("probe_budget"), col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val trieTop = cand
+      .join(broadcast(qs.select(col("q_id"), col("q_qv"), col("q_nsq"))),
+        "q_id")
+      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= K)
+      .select(col("probe_budget"), col("q_id"), col("vec_id"))
+    // the budget-independent exact leg — the audit's ground truth
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val exactTop = sg.select(col("vec_id"), col("qv"), col("nsq"))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("q_qv"),
+        col("q_nsq"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+    val hits = trieTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy(col("probe_budget"), col("q_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy(col("probe_budget"), col("q_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    qs.select(col("q_id")).crossJoin(broadcast(budgetDf))
+      .join(nc, Seq("probe_budget", "q_id"), "left")
+      .join(hits, Seq("probe_budget", "q_id"), "left")
+      .select(col("probe_budget"), col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** DuckDB mirror of [[trieAnnRecall]] — expects the quantized CTEs,
+    * `sg(vec_id, qv, nsq, sig)`, and [[duckTrieLeafCte]]'s `leaf`/`tmd`
+    * in scope; emits `grid(probe_budget, q_id, n_cand, n_hit)`. The
+    * same ranked-flip probe rule, the same adaptive ceiling, so q392
+    * and q394 cannot drift from their Spark twins or each other.
+    */
+  private def duckTrieAnnCtes(budgets: Seq[Int]): String = {
+    val cosQ = s"""CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+       / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))"""
+    val apList = (0 until Planes).map(p => s"abs(${projDuck(p)})")
+      .mkString(", ")
+    s"""corpus AS (SELECT s.vec_id, l.depth, l.cell
+        FROM sg s JOIN leaf l ON l.vec_id = s.vec_id),
+      qraw AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, sig,
+          [$apList] AS ap
+        FROM sg WHERE vec_id < $NumQueries),
+      ranked AS (SELECT q_id, sig, pos, ap[pos + 1] AS apv,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY ap[pos + 1], pos) AS rk
+        FROM qraw, tmd, (SELECT unnest(range(0, $Planes)) AS pos) z
+        WHERE pos < tmd.maxd),
+      sigs AS (SELECT q_id, 0 AS rk, sig AS psig FROM qraw
+        UNION ALL
+        SELECT q_id, rk, xor(sig, CAST(1 AS BIGINT) << pos) AS psig
+        FROM ranked),
+      bud AS (SELECT unnest([${budgets.mkString(", ")}])
+          AS probe_budget),
+      probes AS (SELECT DISTINCT probe_budget, q_id, d AS depth,
+          psig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+        FROM (SELECT b.probe_budget, s.q_id, s.psig,
+                unnest(range(4, tmd.maxd + 1)) AS d
+              FROM sigs s, bud b, tmd WHERE s.rk < b.probe_budget) y),
+      cand AS (SELECT DISTINCT p.probe_budget, p.q_id, c.vec_id
+        FROM probes p JOIN corpus c
+          ON c.depth = p.depth AND c.cell = p.cell
+        WHERE c.vec_id <> p.q_id),
+      scored AS (SELECT cand.probe_budget, cand.q_id, cand.vec_id,
+          $cosQ AS c
+        FROM cand JOIN en e ON e.vec_id = cand.vec_id
+                  JOIN qraw q ON q.q_id = cand.q_id),
+      trietop AS (SELECT probe_budget, q_id, vec_id FROM (
+          SELECT probe_budget, q_id, vec_id, row_number() OVER (
+              PARTITION BY probe_budget, q_id
+              ORDER BY c DESC, vec_id) AS rk FROM scored) z
+        WHERE rk <= $K),
+      exacttop AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id ORDER BY $cosQ DESC, e.vec_id) AS rk
+          FROM qraw q, en e WHERE e.vec_id <> q.q_id) z
+        WHERE rk <= $K),
+      hits AS (SELECT t.probe_budget, t.q_id,
+          CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM trietop t JOIN exacttop x
+          ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+        GROUP BY 1, 2),
+      nc AS (SELECT probe_budget, q_id,
+          CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY 1, 2),
+      gq AS (SELECT b.probe_budget, q.q_id FROM qraw q CROSS JOIN bud b),
+      grid AS (SELECT g.probe_budget, g.q_id,
+          COALESCE(nc.n_cand, 0) AS n_cand,
+          COALESCE(h.n_hit, 0) AS n_hit
+        FROM gq g
+        LEFT JOIN nc ON nc.probe_budget = g.probe_budget
+          AND nc.q_id = g.q_id
+        LEFT JOIN hits h ON h.probe_budget = g.probe_budget
+          AND h.q_id = g.q_id)"""
+  }
 
   /** q386's greedy MMR unroll with K as a parameter (round-12 verdict
     * #7 — serving-realistic K is 20-50, not 5). Per stage, NO

@@ -18,55 +18,65 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * the q98 threshold are emitted as evidence rows; a vector is ADMITTED
   * iff it emits no match (the downstream anti-join).
   *
-  * State-key space (the round-11 scale fix, widened in round 13): the
-  * key is the OCCUPANCY-CAPPED SIGN-PREFIX TRIE cell
-  * ([[Similarity.trieLeaf]] — q380's rule): corpus members sit in state
-  * at their trie LEAF key (first depth in [4, maxDepth] whose
-  * prefix-cell holds <= cap vectors), so key cardinality tracks
-  * corpus/cap and per-key corpus state is <= cap (except over-cap
-  * depth-maxDepth cells, q380's audited remainder). The signature is now
-  * 48 planes wide ([[Similarity.Planes]]), so maxDepth — and with it the
-  * key space — can deepen to 2^48 cells as the corpus grows; the default
-  * stays 12 (the q380 grain), but nothing in this operator caps it
-  * below the signature width. An arriving vector is routed to ALL
-  * maxDepth-3 prefix keys on its own signature path — it meets the
-  * unique corpus leaf containing it (leaf cells partition the corpus,
-  * and at most one leaf cell is a prefix of any signature).
+  * State-key space (the round-11 scale fix, widened in round 13,
+  * adaptive since round 14): the key is the OCCUPANCY-CAPPED
+  * SIGN-PREFIX TRIE cell ([[Similarity.trieLeaf]] — q380's rule):
+  * corpus members sit in state at their trie LEAF key (first depth in
+  * [4, maxDepth] whose prefix-cell holds <= cap vectors), so key
+  * cardinality tracks corpus/cap and per-key corpus state is <= cap
+  * (except over-cap depth-maxDepth cells, q380's audited remainder).
+  * The signature is 48 planes wide ([[Similarity.Planes]]) and the
+  * DEPLOYED maxDepth now tracks the corpus by default
+  * ([[AdaptiveDepth]] resolves to
+  * [[Similarity.adaptiveTrieDepth]](corpus count, cap) — q388's
+  * planning rule, floored at the q380 grain of 12), so past
+  * ~2^12 * cap corpus vectors the key space deepens instead of piling
+  * every deep cluster into over-cap depth-12 remainder. An arriving
+  * vector is routed to ALL maxDepth-3 prefix keys on its own signature
+  * path — it meets the unique corpus leaf containing it (leaf cells
+  * partition the corpus, and at most one leaf cell is a prefix of any
+  * signature).
   *
   * Stream-side storage (round-12 verdict #2 — the stream side previously
   * stored every arrival at its depth-maxDepth key unboundedly): an
   * arrival is stored at a key iff the key is a STORAGE cell — its corpus
   * leaf (when one exists on its path) or its depth-maxDepth cell — AND
-  * that key currently holds fewer than `cap` stream-stored members. A
-  * storage cell holding `cap` stream members is SATURATED: later
-  * arrivals still VERIFY against everything in it but are not added
-  * (the [[MediaDedupStream]] online discipline — an append-mode stream
-  * cannot retract, so saturation is the online form of the batch
-  * occupancy cap). Consequences, both spec-pinned:
-  *  - per-key state is <= (corpus members) + cap stream entries, and a
-  *    state.update rewrites one O(cap) member list;
-  *  - per-arrival work is O(cap) however hot the stream prefix: the
-  *    path meets <= 1 corpus leaf (<= cap + cap entries) and 1
-  *    depth-maxDepth cell (<= cap stream entries + q380's audited
-  *    over-cap corpus remainder), never "all prior same-prefix
-  *    arrivals".
+  * that key currently holds fewer than `streamCap` stream-stored
+  * members. A storage cell holding `streamCap` stream members is
+  * SATURATED: later arrivals still VERIFY against everything in it but
+  * are not added (the [[MediaDedupStream]] online discipline — an
+  * append-mode stream cannot retract, so saturation is the online form
+  * of the batch occupancy cap). `streamCap` defaults to `cap` but is an
+  * independent knob (round-13 ADVICE: the trie occupancy cap shapes the
+  * corpus index, the saturation threshold bounds stream state — a
+  * parity test can now uncap the stream side without reshaping corpus
+  * leaves). Consequences, both spec-pinned:
+  *  - per-key state is <= (corpus members) + streamCap stream entries,
+  *    and a state.update rewrites one O(streamCap) member list;
+  *  - per-arrival work is O(cap + streamCap) however hot the stream
+  *    prefix: the path meets <= 1 corpus leaf (<= cap corpus +
+  *    streamCap stream entries) and 1 depth-maxDepth cell
+  *    (<= streamCap stream entries + q380's audited over-cap corpus
+  *    remainder), never "all prior same-prefix arrivals".
   *
-  * Admission contract and its one asymmetry vs a batch re-run: BOTH
-  * candidate grains a batch pass over corpus+stream would use are
-  * verified — the corpus-leaf grain (storing arrivals at their corpus
-  * leaf closes the round-12 gap where two arrivals sharing only a
-  * shallow corpus leaf were never compared) and the full
-  * depth-maxDepth grain. What remains asymmetric is SATURATION: once a
-  * storage cell holds cap stream members, later same-cell arrival
-  * pairs are no longer verified against each other (each later arrival
-  * IS still verified against the cap stored exemplars plus the corpus
-  * members, so a hot near-dup cluster is still rejected by its
-  * exemplars). A batch re-run has no such cutoff. StreamingSpec
-  * quantifies the divergence on a deliberately hot prefix; under cap
-  * the match sets are spec-proven EQUAL to the batch recomputation.
-  * Arrivals in a region with no corpus leaf on their path store at
-  * their depth-maxDepth cell only, so stream-stream recall there is
-  * the full-prefix grain alone.
+  * Admission contract — TWO asymmetries vs a batch re-run over
+  * corpus+stream, both bounded and both quantified in StreamingSpec:
+  *  1. SATURATION: once a storage cell holds streamCap stream members,
+  *     later same-cell arrival pairs are no longer verified against
+  *     each other (each later arrival IS still verified against the
+  *     streamCap stored exemplars plus the corpus members, so a hot
+  *     near-dup cluster is still rejected by its exemplars). A batch
+  *     re-run has no such cutoff. Under cap the match sets are
+  *     spec-proven EQUAL to the batch recomputation; past cap the
+  *     missed-pair rate and the admission divergence are measured in
+  *     their own spec (the media leg's round-13 discipline).
+  *  2. CORPUS-FREE-REGION GRAIN: where no corpus leaf sits on an
+  *     arrival's path, the only storage cell is its depth-maxDepth
+  *     prefix, so stream-stream recall there is the full-prefix grain
+  *     alone — a batch re-run over corpus+stream would form leaves at
+  *     coarser depths in such regions and compare pairs the stream
+  *     never meets. Storing arrivals at their corpus leaf (round 13)
+  *     closed this gap only where a corpus leaf EXISTS on the path.
   *
   * Candidate semantics per evidence source:
   *  - stream-vs-corpus: candidates = members of the arrival's corpus
@@ -103,13 +113,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 object SemDedupStream {
 
   /** Occupancy cap per trie cell — q380's CellOccupancy knob. Also the
-    * per-key STREAM storage cap (saturation threshold).
+    * default per-key STREAM storage cap (saturation threshold) when
+    * `streamCap` is left at [[SameAsCap]].
     */
   val DefaultCap = 32
 
-  /** Finest sign-prefix depth — q380's depth ceiling. `maxDepth = 4`
-    * degenerates to the fixed 4-plane cell (exact q354 parity mode);
-    * anything up to [[Similarity.Planes]] (48) is accepted.
+  /** `streamCap` sentinel: saturate at the trie occupancy cap (the
+    * round-13 behavior). Pass an explicit value to tune the stream
+    * saturation threshold independently of corpus leaf shaping.
+    */
+  val SameAsCap: Int = -1
+
+  /** `maxDepth` sentinel (and the deployed default): resolve the depth
+    * ceiling from the CORPUS count at stream build —
+    * [[Similarity.adaptiveTrieDepth]](n, cap), q388's planning rule,
+    * floored at the q380 grain of 12 (every fixture corpus resolves to
+    * exactly 12, so pre-round-14 behavior is unchanged there). The one
+    * count(*) over the batch corpus frame is control-plane work at
+    * stream build, like the initial-state load itself.
+    */
+  val AdaptiveDepth: Int = -1
+
+  /** The q380 grain — the floor [[AdaptiveDepth]] resolves against, and
+    * a valid explicit `maxDepth` for callers pinning the legacy depth.
     */
   val DefaultMaxDepth = 12
 
@@ -117,8 +143,10 @@ object SemDedupStream {
   final case class Entry(vec_id: Long, qv: Array[Long], nsq: Long)
 
   /** Per-key state: the member list plus how many of them are
-    * STREAM-stored (`streamN`; the corpus prefix of the list never
-    * changes). `corpus` marks a corpus-leaf cell — the stream storage
+    * STREAM-stored (`streamN`). Stream entries PREPEND, so the corpus
+    * members loaded as initial state form the immutable TAIL of the
+    * list (the first `streamN` elements are stream-stored, newest
+    * first). `corpus` marks a corpus-leaf cell — the stream storage
     * rule needs it, and it is immutable after the initial state load.
     */
   final case class CellState(members: List[Entry], corpus: Boolean,
@@ -160,26 +188,41 @@ object SemDedupStream {
     * will run with: distinct (depth, cell) count IS the key cardinality,
     * and every depth < maxDepth leaf holds <= cap members.
     */
+  /** Resolve the [[AdaptiveDepth]] sentinel against the corpus count
+    * (one control-plane count at build time); explicit depths pass
+    * through.
+    */
+  private def resolveDepth(corpus: DataFrame, cap: Int,
+      maxDepth: Int): Int =
+    if (maxDepth == AdaptiveDepth)
+      Similarity.adaptiveTrieDepth(corpus.count(), cap)
+    else maxDepth
+
   def corpusLeaves(corpus: DataFrame, cap: Int = DefaultCap,
-      maxDepth: Int = DefaultMaxDepth): DataFrame =
+      maxDepth: Int = AdaptiveDepth): DataFrame =
     Similarity.trieLeaf(
       Similarity.quantSig(corpus).select(col("vec_id"), col("sig")),
-      cap, maxDepth)
+      cap, resolveDepth(corpus, cap, maxDepth))
 
   /** The streaming admission evidence: `vecs` is a streaming frame with
     * (vec_id, embedding); `corpus` a batch frame of the same shape (the
     * pre-existing corpus whose trie-leaf index becomes the initial
-    * state).
+    * state). `streamCap` ([[SameAsCap]] = follow `cap`) is the
+    * stream-side saturation threshold, independent of the trie
+    * occupancy cap.
     */
   def matches(spark: SparkSession, vecs: DataFrame, corpus: DataFrame,
       threshold: Double = Similarity.SemThreshold,
       cap: Int = DefaultCap,
-      maxDepth: Int = DefaultMaxDepth): Dataset[Match] = {
+      maxDepth: Int = AdaptiveDepth,
+      streamCap: Int = SameAsCap): Dataset[Match] = {
     import spark.implicits._
     val shift = Similarity.CellEncShift
+    val satCap = if (streamCap == SameAsCap) cap else streamCap
+    val depthCeil = resolveDepth(corpus, cap, maxDepth)
     val sg = Similarity.quantSig(corpus)
     val leaves = Similarity.trieLeaf(
-      sg.select(col("vec_id"), col("sig")), cap, maxDepth)
+      sg.select(col("vec_id"), col("sig")), cap, depthCeil)
     val corpusIdx = sg.join(leaves, "vec_id")
       .select((col("depth").cast("long") * shift + col("cell")).as("key"),
         col("vec_id"), col("qv"), col("nsq")).as[KeyRow]
@@ -193,7 +236,7 @@ object SemDedupStream {
     val routed = Similarity.quantSig(vecs)
       .select(col("vec_id"), col("qv"), col("nsq"),
         explode(expr(
-          s"""transform(sequence(4, $maxDepth), dd ->
+          s"""transform(sequence(4, $depthCeil), dd ->
              cast(dd AS bigint) * ${shift}L
                + (sig & (shiftleft(1L, dd) - 1)))"""))
           .as("key"))
@@ -213,7 +256,7 @@ object SemDedupStream {
           // STORAGE cells are the corpus leaves and the finest prefixes;
           // intermediate prefix keys are probe-only (they would hold no
           // corpus members and a batch pass has no grain there)
-          val storageCell = st.corpus || depth == maxDepth
+          val storageCell = st.corpus || depth == depthCeil
           val out = Seq.newBuilder[Match]
           var dirty = false
           arrived.foreach { r =>
@@ -224,9 +267,9 @@ object SemDedupStream {
                   out += Match(r.vec_id, e.vec_id, depth, cell, c)
               }
             }
-            // saturation: a storage cell holding cap stream members
-            // stops growing (later arrivals verify only)
-            if (storageCell && st.streamN < cap) {
+            // saturation: a storage cell holding streamCap stream
+            // members stops growing (later arrivals verify only)
+            if (storageCell && st.streamN < satCap) {
               st = CellState(Entry(r.vec_id, r.qv, r.nsq) :: st.members,
                 st.corpus, st.streamN + 1)
               dirty = true

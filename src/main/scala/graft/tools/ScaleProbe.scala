@@ -413,13 +413,42 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val (_, lwU) = time(qLadder.run(spark, out).count())
     spark.catalog.clearCache()
+    // whole-ladder wall gets its OWN row; the per-stage rows below print
+    // the walls of THEIR candidate measurement (the table header's
+    // wall/vs-linear columns must describe the row they sit on)
+    println(f"| q382_dedup_ladder (whole query) | - | - | - " +
+      f"| $lwB%.2f | $lwU%.2f | ${(lwU / reps) / lwB}%.2f |")
     ladderCands.foreach { case (name, cand) =>
-      val (cB, _) = time(cand(base))
+      val (cB, cwB) = time(cand(base))
       spark.catalog.clearCache()
-      val (cU, _) = time(cand(out))
+      val (cU, cwU) = time(cand(out))
       spark.catalog.clearCache()
       println(f"| $name | $cB | $cU | ${cU.toDouble / math.max(1, cB)}%.1fx " +
-        f"| $lwB%.2f | $lwU%.2f | ${(lwU / reps) / lwB}%.2f |")
+        f"| $cwB%.2f | $cwU%.2f | ${(cwU / reps) / cwB}%.2f |")
+    }
+
+    // round-14 (round-13 verdict #2): trie-ANN recall under corpus
+    // growth x probe budget — the q394 sweep re-run on the upsampled
+    // corpus, where leaves deepen (the adaptive ceiling lifts once the
+    // corpus passes 2^12 * cap). The serving trap this row exists to
+    // catch is recall silently decaying as the index grows; the base
+    // query set (vec_id < 10) persists at 10x, so the question is the
+    // 100 TB one: same queries, 10x corpus.
+    println()
+    println("| trie-ANN recall | probe_budget | n_cand | recall_ppm |")
+    println("|---|---|---|---|")
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val rows = Similarity.trieAnnRecall(spark, dir, Seq(1, 2, 4, 8))
+        .groupBy(col("probe_budget"))
+        .agg(sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq"))
+        .orderBy(col("probe_budget")).collect()
+      rows.foreach { r =>
+        // recall over the exact top-5 per query (q392's K)
+        println(s"| q394@$label | ${r.getInt(0)} | ${r.getLong(1)} | " +
+          s"${r.getLong(2) * 1000000 / (r.getLong(3) * 5)} |")
+      }
+      spark.catalog.clearCache()
     }
   }
 

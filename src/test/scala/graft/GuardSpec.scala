@@ -139,7 +139,12 @@ class GuardSpec extends SparkSpec {
       // NumQueries = 10): both broadcast sides are the 10 probe vectors
       // (candidate re-rank leg and the exact self-audit leg) —
       // deployment constants, the q322/q351/q359 pattern
-      "q392_trie_ann_recall")
+      "q392_trie_ann_recall",
+      // q394 is q392's probe-budget sweep over the same fixed query
+      // set: broadcast sides are the <= 4 x 10-row budget x query
+      // probe frames, the 4-row budget axis, and the 10 probe vectors
+      // — all deployment constants
+      "q394_trie_ann_probe_sweep")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

@@ -1439,4 +1439,33 @@ class QueriesSpec extends SparkSpec {
     assert(incB(10L)._2 == 2L,
       s"doc 10 must merge TWO old components, got ${incB(10L)._2}")
   }
+
+  test("q394_trie_ann_probe_sweep: candidate mass grows and recall is " +
+      "monotone non-decreasing in the probe budget (probe sets nest), " +
+      "and the deployed budget clears its recall floor") {
+    val rows = Registry.byName("q394_trie_ann_probe_sweep")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == queries.Similarity.AnnSweepBudgets,
+      s"sweep must cover the planning axis, got ${rows.map(_._1).toSeq}")
+    // budget b's probe set CONTAINS budget a < b's, so candidates and
+    // hits are non-decreasing by construction — a violated assert here
+    // means the ranked-flip rule broke, not noisy data
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2,
+          s"candidates must not shrink with budget: $a -> $b")
+        assert(b._3 >= a._3,
+          s"hits must not shrink with budget: $a -> $b")
+      case _ => ()
+    }
+    assert(rows.last._2 > rows.head._2,
+      "the sweep must actually widen the candidate set across budgets")
+    val deployed = rows
+      .find(_._1 == queries.Similarity.AnnProbeBudget).get
+    assert(deployed._4 >= 100000L,
+      s"deployed budget ${deployed._1} recall ${deployed._4} ppm fell " +
+        "below the documented 10% floor on the fixture corpus")
+  }
 }

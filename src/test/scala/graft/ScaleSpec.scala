@@ -230,6 +230,56 @@ class ScaleSpec extends SparkSpec {
     assert(overs.isEmpty, s"sub-maxDepth leaves over cap=1: $overs")
   }
 
+  test("trieLeafAdaptive (round-13 verdict #1): the deployed grain " +
+      "tracks corpus/cap, so over-cap audited-remainder mass stays a " +
+      "bounded fraction as the corpus grows — where the pinned-12 grain " +
+      "absorbs the growth as remainder") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val nLarge = 65536
+    val vecs = (0L until nLarge.toLong).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    // cap = 4 pushes the adaptive rule off the 12 floor at test sizes:
+    // bitlength(16k/4) = 13, bitlength(64k/4) = 15
+    val cap = 4
+    def remainder(n: Int, adaptive: Boolean): (Double, Int) = {
+      val df = spark.createDataset(vecs.take(n)).toDF("vec_id", "embedding")
+      val sg = Similarity.quantSig(df).select(col("vec_id"), col("sig"))
+      val leaves =
+        if (adaptive) Similarity.trieLeafAdaptive(sg, cap)
+        else Similarity.trieLeaf(sg, cap, maxDepth = 12)
+      val occ = leaves.groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("n")).cache()
+      val over = occ.filter(col("n") > cap)
+        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+      val maxDepth = occ.agg(max(col("depth"))).head.getInt(0)
+      occ.unpersist()
+      spark.catalog.clearCache()
+      (over.toDouble / n, maxDepth)
+    }
+    val (fracAdS, dS) = remainder(nLarge / 4, adaptive = true)
+    val (fracAdL, dL) = remainder(nLarge, adaptive = true)
+    val (fracPinL, _) = remainder(nLarge, adaptive = false)
+    info(f"over-cap mass fraction: adaptive $fracAdS%.3f@16k (depth $dS) " +
+      f"-> $fracAdL%.3f@64k (depth $dL); pinned-12 $fracPinL%.3f@64k")
+    // (a) the ceiling actually lifts with the corpus, by the planned rule
+    assert(dS == Similarity.adaptiveTrieDepth(nLarge / 4, cap),
+      s"16k ceiling $dS must equal the q388 planning rule")
+    assert(dL == Similarity.adaptiveTrieDepth(nLarge, cap),
+      s"64k ceiling $dL must equal the q388 planning rule")
+    // (b) BOUNDED: a 4x corpus may not grow the remainder fraction past
+    // noise (the rule keeps ceiling-cell occupancy ~cap at any n)
+    assert(fracAdL <= fracAdS * 1.5 + 0.05,
+      s"adaptive over-cap mass fraction grew $fracAdS -> $fracAdL " +
+        "under a 4x corpus — the grain is not absorbing growth")
+    // (c) the fix is load-bearing: the pinned grain's remainder at 64k
+    // dwarfs the adaptive one's (4096 depth-12 cells for 64k vectors
+    // at cap 4 leave ~all mass over cap)
+    assert(fracPinL >= 2 * fracAdL && fracPinL > 0.5,
+      s"pinned-12 remainder $fracPinL vs adaptive $fracAdL — fixture " +
+        "no longer demonstrates the ceiling this guard exists to catch")
+  }
+
   test("q386 mmr at K = 20: whole-job shuffle records stay ~|queries|*K, " +
       "far under the corpus-sized exchange a selected-set ROW join " +
       "would pay per stage") {

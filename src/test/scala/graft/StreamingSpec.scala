@@ -760,11 +760,13 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[SemDedupStream.RawVec]
     // maxDepth = 4 degenerates the trie keying to the fixed 4-plane cell
     // — the pinned q354 oracle space this leg proves bit-parity with.
-    // cap = MaxValue: parity is exact only below the stream saturation
-    // cap (the round-13 boundedness trade, quantified in its own test),
-    // and a modal 4-plane cell here can hold > DefaultCap arrivals.
+    // streamCap = MaxValue (round-14 knob split): parity is exact only
+    // below the stream saturation cap (the boundedness trade, quantified
+    // in its own test), and a modal 4-plane cell here can hold >
+    // DefaultCap arrivals — uncapping ONLY the stream side no longer
+    // touches corpus leaf shaping.
     val q = SemDedupStream.matches(spark, mem.toDF(), corpus,
-      maxDepth = 4, cap = Int.MaxValue)
+      maxDepth = 4, streamCap = Int.MaxValue)
       .writeStream.format("memory").queryName("t_semdedup")
       .outputMode("append").start()
     // several micro-batches, fed in id order (= the batch operator's
