@@ -81,6 +81,13 @@ object Similarity {
     Seq.fill(Planes, Dims)(rng.nextInt(2001) - 1000)
   }
 
+  /** Read-only plane access for specs that CONSTRUCT adversarial
+    * fixtures in signature space (StreamingSpec's saturation-divergence
+    * leg builds two clusters sharing a 12-plane prefix but nearly
+    * orthogonal in cosine).
+    */
+  private[graft] def planeWeights: Seq[Seq[Int]] = planes
+
   /** Exact integer projection of the quantized vector onto plane p. */
   private def projSpark(p: Int): String = {
     val w = planes(p).map(v => s"${v}L").mkString(", ")

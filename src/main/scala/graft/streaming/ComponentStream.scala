@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.queries.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode}
+
+/** Streaming incremental connected-component maintenance — q390's
+  * streaming twin (round-13 verdict #4), completing the incremental
+  * family: exact ([[DedupStream]]), near-dup ([[NearDupStream]]),
+  * semantic ([[SemDedupStream]]) and media ([[MediaDedupStream]])
+  * admission all have streaming legs; this is the leg that maintains the
+  * COMPONENT LABEL LEDGER those legs' match evidence feeds (reference:
+  * the idempotency ledgers in /root/reference/src/etl_pipeline.py:31-62
+  * record processed keys at rest; this is the graph-shaped ledger the
+  * near-dup family needs at rest).
+  *
+  * Input is a stream of VERIFIED edges (the `(doc_a, doc_b)` evidence
+  * rows [[NearDupStream]] emits, or any upstream verifier). Two stages,
+  * mirroring q390's contraction discipline per micro-batch:
+  *
+  *  1. LABEL LOOKUP in keyed state (`flatMapGroupsWithState` keyed by
+  *     doc_id; the corpus ledger is the initial state): each edge is
+  *     routed to BOTH endpoint keys; a key emits its endpoint's
+  *     FIRST-SIGHT label (corpus label, or self for a stream-discovered
+  *     doc, recorded into state on first contact). Per-trigger state
+  *     work therefore touches only the ARRIVING endpoints' keys — the
+  *     corpus ledger at rest is never scanned by a trigger, which is
+  *     what makes per-trigger cost track the batch, not the corpus
+  *     (StreamLatencyProbe `comp` leg).
+  *  2. CONTRACTION + REMAP in `foreachBatch`: the two half-edges pair
+  *     up (a batch-sized groupBy), first-sight labels resolve through
+  *     the CANONICAL REMAP (label -> current root; one lookup, no
+  *     chains — the map is re-rooted on every merge), distinct-label
+  *     edges contract onto the label graph, and
+  *     [[Dedup.connectedComponents]]' bounded star rounds run on THAT
+  *     graph — vertices are only the labels touched by this batch's
+  *     edges, q390's "size ~ today's edges, not the corpus". The merge
+  *     events re-root the remap (composition is remap-sized: it grows
+  *     with cumulative MERGES, never with the corpus).
+  *
+  * First-sight labels are immutable (state is written once per doc);
+  * all label motion lives in the remap, so resolving any doc is ONE
+  * coalesce(remap(first_sight), first_sight) — [[resolve]] applies it
+  * to a first-sight frame on demand (the daily materialization, q390's
+  * output grain), never per trigger.
+  *
+  * Equivalence (StreamingSpec, >= 3 micro-batches incl. a bridge
+  * merge): labels after any prefix of batches equal
+  * [[Dedup.connectedComponents]] over corpus edges + all streamed edges
+  * so far. The invariant is q390's oracle-checked claim run inductively:
+  * ledger labels are always the MIN doc_id of their component, and the
+  * min over merged components IS the global min, so contraction
+  * composes across batches.
+  *
+  * State discipline at 100 TB: keyed state is the doc -> first-sight
+  * label ledger itself (partitioned by the state store; per trigger
+  * only arriving endpoints shuffle); the remap is bounded by total
+  * merge events (<= total streamed edges, and each event shrinks the
+  * live label space) and is localCheckpoint'd per batch so its plan
+  * stays constant-size (q48's lineage discipline). The remap updates
+  * broadcast only batch-sized event frames.
+  */
+object ComponentStream {
+
+  /** One verified near-dup edge. */
+  final case class Edge(doc_a: Long, doc_b: Long)
+
+  /** Edge routed to one endpoint key. */
+  final case class EndKey(me: Long, doc_a: Long, doc_b: Long)
+
+  /** Stage-1 output: one endpoint of one edge with its first-sight
+    * label.
+    */
+  final case class LabeledEnd(doc_a: Long, doc_b: Long, me: Long,
+      label: Long)
+
+  /** One corpus ledger row (initial state). */
+  final case class Lab(doc_id: Long, label: Long)
+
+  /** Stage 1: per-endpoint first-sight label lookup in keyed state.
+    * `edges` is a streaming frame with (doc_a, doc_b); `ledger` the
+    * corpus label frame (doc_id, label) loaded as initial state.
+    */
+  def labeledEnds(spark: SparkSession, edges: DataFrame,
+      ledger: DataFrame): DataFrame = {
+    import spark.implicits._
+    val initial = ledger.select(col("doc_id"), col("label")).as[Lab]
+      .groupByKey(_.doc_id).mapValues(_.label)
+    edges.select(explode(array(
+        struct(col("doc_a").as("me"), col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("me"), col("doc_a"), col("doc_b"))))
+        .as("x"))
+      .select(col("x.me").as("me"), col("x.doc_a").as("doc_a"),
+        col("x.doc_b").as("doc_b")).as[EndKey]
+      .groupByKey(_.me)
+      .flatMapGroupsWithState[Long, LabeledEnd](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (me: Long, rows: Iterator[EndKey], state: GroupState[Long]) =>
+          // first sight of a stream-discovered doc labels itself; the
+          // label is immutable afterwards (merges live in the remap)
+          val label = state.getOption.getOrElse { state.update(me); me }
+          rows.map(r => LabeledEnd(r.doc_a, r.doc_b, me, label))
+      }.toDF()
+  }
+
+  /** The mutable remap + per-batch contraction step. One instance per
+    * running stream; `remap` is the canonical label -> root frame
+    * (empty at start — corpus labels are already component minimums).
+    */
+  final class Maintainer(spark: SparkSession) {
+    @volatile private var remapDf: DataFrame = {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("label", "canon").localCheckpoint(true)
+    }
+
+    /** Current canonical remap (label -> root), identity rows elided. */
+    def remap: DataFrame = remapDf
+
+    /** Resolve a first-sight frame (doc_id, label) to current
+      * components — the on-demand materialization, not per-trigger
+      * work.
+      */
+    def resolve(firstSight: DataFrame): DataFrame =
+      firstSight
+        .join(broadcast(remapDf), Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon"), col("label")).as("component"))
+
+    /** One micro-batch of stage-1 output: pair half-edges, resolve
+      * through the remap, contract, run star rounds on the label
+      * graph, re-root the remap with the merge events.
+      */
+    def onBatch(halfEdges: DataFrame): Unit = {
+      val paired = halfEdges
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(when(col("me") === col("doc_a"), col("label")))
+            .as("la0"),
+          max(when(col("me") === col("doc_b"), col("label"))).as("lb0"))
+      val rm = remapDf
+      val contracted = paired
+        .join(broadcast(rm.select(col("label").as("la0"),
+          col("canon").as("ca"))), Seq("la0"), "left")
+        .join(broadcast(rm.select(col("label").as("lb0"),
+          col("canon").as("cb"))), Seq("lb0"), "left")
+        .select(coalesce(col("ca"), col("la0")).as("doc_a"),
+          coalesce(col("cb"), col("lb0")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      if (!contracted.isEmpty) {
+        val events = Dedup.connectedComponents(contracted)
+          .filter(col("doc_id") =!= col("component"))
+          .select(col("doc_id").as("evl"), col("component").as("root"))
+        // re-root existing entries whose canon was merged, then add
+        // events for labels the remap didn't know — the remap stays
+        // CANONICAL (chain length one) after every batch
+        val rerooted = rm
+          .join(broadcast(events), col("canon") === col("evl"), "left")
+          .select(col("label"), coalesce(col("root"), col("canon"))
+            .as("canon"))
+        val added = events
+          .join(rm.select(col("label")), col("evl") === col("label"),
+            "left_anti")
+          .select(col("evl").as("label"), col("root").as("canon"))
+        remapDf = rerooted.unionByName(added)
+          .filter(col("label") =!= col("canon"))
+          .localCheckpoint(true)
+      }
+    }
+  }
+
+  /** Wire the full leg: stage-1 lookup on `edges` against `ledger`,
+    * stage-2 maintenance in foreachBatch. Returns the writer (caller
+    * starts it) and the maintainer whose [[Maintainer.resolve]] reads
+    * the ledger.
+    */
+  def maintain(spark: SparkSession, edges: DataFrame,
+      ledger: DataFrame): (DataStreamWriter[org.apache.spark.sql.Row],
+        Maintainer) = {
+    val m = new Maintainer(spark)
+    val w = labeledEnds(spark, edges, ledger)
+      .writeStream
+      .foreachBatch((b: DataFrame, _: Long) => m.onBatch(b))
+    (w, m)
+  }
+}

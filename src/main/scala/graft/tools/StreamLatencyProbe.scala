@@ -2,8 +2,8 @@ package graft.tools
 
 import graft.GraftSession
 import graft.queries.Multimodal
-import graft.streaming.{DedupStream, MediaDedupStream, NearDupStream,
-  SemDedupStream}
+import graft.streaming.{ComponentStream, DedupStream, MediaDedupStream,
+  NearDupStream, SemDedupStream}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -73,7 +73,7 @@ object StreamLatencyProbe {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val triggers = if (args.length > 1) args(1).toInt else 10
     val legs = (if (args.length > 2) args(2)
-      else "exact,minhash,semantic,media,hotsem").split(",").toSet
+      else "exact,minhash,semantic,media,hotsem,comp").split(",").toSet
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -171,6 +171,35 @@ object StreamLatencyProbe {
         i => { memH.addData(hotBatches(i).toIndexedSeq: _*)
           hotBatches(i).length },
         "hotsem", nCorpus)
+    }
+
+    // component-maintenance leg (round-13 verdict #4): the corpus label
+    // ledger sits in keyed state; each trigger feeds a FIXED number of
+    // random verified edges over the corpus id space. Per-trigger cost
+    // must track that fixed batch (label lookups on arriving endpoint
+    // keys + star rounds on the contracted batch-sized label graph),
+    // not the ledger size — the corpus axis (frac 2 vs 4) is the test.
+    if (legs("comp")) {
+      val nEdges = 400
+      for (frac <- Seq(2, 4)) {
+        val lim = maxDoc * frac / 5
+        val ledger = docs.filter(col("doc_id") < lim)
+          .select(col("doc_id"), col("doc_id").as("label"))
+        val nCorpus = ledger.count()
+        val rnd = new scala.util.Random(17)
+        val edgeBatches = (0 until triggers).map(_ =>
+          (0 until nEdges).map { _ =>
+            ComponentStream.Edge(math.abs(rnd.nextLong()) % lim,
+              math.abs(rnd.nextLong()) % lim)
+          })
+        val memC = MemoryStream[ComponentStream.Edge]
+        val (w, _) = ComponentStream.maintain(spark, memC.toDF(), ledger)
+        val qC = w.queryName(s"lat_comp_$frac").start()
+        drive(qC, triggers,
+          i => { memC.addData(edgeBatches(i).toIndexedSeq: _*)
+            edgeBatches(i).length },
+          "comp", nCorpus)
+      }
     }
 
     // media leg over the image fingerprints
