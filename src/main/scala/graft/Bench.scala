@@ -66,6 +66,35 @@ object Bench {
     (reported, retries, suspect)
   }
 
+  /** End-of-suite suspect re-adjudication (round-13 verdict #5): a
+    * suspect flag means a query's samples never corroborated mid-suite
+    * — in every adjudicated case so far (r10 q350, r13's six) a host
+    * contention window, not a regression, but a record that needs a
+    * judge to adjudicate it is weaker than one that doesn't. After the
+    * whole suite has run, the JVM is quiet (no accumulated cache/
+    * cleaner debris — the per-query clearCache and periodic GC already
+    * ran) and the contention window has usually passed, so: re-measure
+    * each suspect with two fresh samples behind an untimed full GC,
+    * adopt the minimum of all valid samples (min is the one estimator
+    * a stall can only leave alone or improve), and clear the flag iff
+    * the fresh samples corroborate each other (within 1.5x, measure()'s
+    * own bar) AND the adopted value sits back inside 3x of the
+    * committed prior when one exists. A flag that SURVIVES this pass
+    * reproduced on a quiet JVM — a real regression candidate the
+    * record must still surface.
+    */
+  private[graft] def readjudicate(reported: Double,
+      prior: Option[Double], once: () => Double,
+      gc: () => Unit): (Double, Int, Boolean) = {
+    gc()
+    val fresh = Seq(once(), once()).filter(_ > 0)
+    val adopted = (reported +: fresh).min
+    val corroborated = fresh.size >= 2 &&
+      fresh.max <= fresh.min * 1.5
+    val insidePrior = prior.forall(p => adopted <= 3.0 * p)
+    (adopted, 2, !(corroborated && insidePrior))
+  }
+
   /** Per-query priors from a previous run's full record (one JSON line
     * with `"queries":{"name":sec,...}` and a trailing `"sf":"...dir"`).
     * Priors anchor the sustained-stall guard, so a record measured at a
@@ -148,28 +177,30 @@ object Bench {
     // record flags them so a reader knows which numbers carry residual
     // stall uncertainty without rerunning the suite.
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        // No clearCache BETWEEN ITERS: cached derived frames (shingle hash
-        // sets, quantized vectors) are index builds legitimately amortized
-        // across a query's repeat runs.
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt // negative = failed, visible in output
-      }
+    def runOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // No clearCache BETWEEN ITERS: cached derived frames (shingle hash
+      // sets, quantized vectors) are index builds legitimately amortized
+      // across a query's repeat runs.
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) dt else -dt // negative = failed, visible in output
+    }
+    val results0 = selected.map { case (name, fn) =>
       // Slow queries get ONE warm re-run (min-of-2), never a lone sample:
       // a single cold measurement can absorb a one-off stall (a 23 s GC /
       // cleanup pause was observed landing on a 1.4 s query mid-suite)
       // and there is no second sample to out-vote it. The full sampling /
       // stall-rejection / prior-anchor policy lives in measure().
       val (reported, retries, suspect) =
-        measure(() => once(), iters, slowCutoff, priors.get(name),
-          () => System.gc())
+        measure(() => runOnce(name, fn), iters, slowCutoff,
+          priors.get(name), () => System.gc())
       stallRetries += retries
       if (suspect) suspects += name
       // Drop cached frames between QUERIES: CacheManager lookups compare
@@ -188,6 +219,30 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       name -> reported
+    }
+    // End-of-suite re-adjudication of the suspects (see readjudicate's
+    // header): fresh quiet-JVM samples either pull the value back and
+    // clear the flag, or reproduce the disagreement and keep it.
+    var readjRuns = 0
+    val patched = scala.collection.mutable.Map.empty[String, Double]
+    val residual = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (suspects.nonEmpty) {
+      val fnByName = selected.toMap
+      val rep0 = results0.toMap
+      suspects.foreach { name =>
+        val (adopted, runs, still) = readjudicate(rep0(name),
+          priors.get(name), () => runOnce(name, fnByName(name)),
+          () => System.gc())
+        readjRuns += runs
+        patched(name) = adopted
+        if (still) residual += name
+        spark.sqlContext.clearCache()
+      }
+      suspects.clear()
+      suspects ++= residual
+    }
+    val results = results0.map { case (n, v) =>
+      n -> patched.getOrElse(n, v)
     }
     // 3-decimal durations: ms resolution is all the comparison needs, and
     // it halves the line so the driver's stdout-tail capture (which
@@ -216,7 +271,7 @@ object Bench {
     val suspectJson =
       suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     def shortLine(kv: Seq[(String, Double)], omitted: Int): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"omitted":$omitted,"queries":${jmap(kv, f2)},"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"readjudicated":$readjRuns,"suspect":$suspectJson,"omitted":$omitted,"queries":${jmap(kv, f2)},"sf":"$sfLabel"}"""
     // Hard budget enforcement (round 6): the driver parses the last
     // parsable JSON line out of a ~2000-char stdout tail, and sbt appends
     // ~80 chars of its own AFTER our last line — with 150+ queries even
@@ -259,7 +314,7 @@ object Bench {
         s""""$f":{"n":${qs.size},"sec":${f3(qs.map(_._2).sum)}}"""
       }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"suspect":$suspectJson,"families":$families,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"iters":$iters,"stall_retries":$stallRetries,"readjudicated":$readjRuns,"suspect":$suspectJson,"families":$families,"queries":$qsFull,"sf":"$sfDir"}"""
     // The stdout line is the driver contract — emit it FIRST (so it exists
     // even if shutdown hangs), and never let the best-effort file persist
     // take the whole run down with it.

@@ -2748,7 +2748,103 @@ object Dedup {
           SELECT l.doc_id, l.component, l.doc_id >= 250 AS is_new,
             s.n_members, s.n_new_members, s.n_old_components
           FROM lab l JOIN stats s ON s.component = l.component"""),
-      (s, d) => incrementalComponents(s, d, 250L))
+      (s, d) => incrementalComponents(s, d, 250L)),
+
+    // ---- leakage-safe split MATERIALIZER (q389 -> the op a pipeline runs) --
+    // q389 AUDITS naive leakage; this emits the artifact a training
+    // pipeline actually consumes: per doc, its component, its
+    // component-hashed split (train 80 / eval 20 — closed by
+    // construction: split is a function of the component, so a cluster
+    // can never straddle it), whether the doc is the split's retained
+    // canonical representative (min doc_id per component — the dedup
+    // survivor that enters training), and whether the component hash
+    // MOVED it relative to the naive per-doc hash (q389's repaired
+    // leaks, reconciled row-for-row in QueriesSpec). Per-split columns
+    // carry the budget-discipline readout (q335's grain): doc count,
+    // duplicate mass retained-out (docs - components), and the
+    // representatives' whitespace-token mass as corpus ppm — the
+    // number a token-budget allocator needs from a split before
+    // training. 100 TB plan: components are q48's band-bounded edges +
+    // bounded star rounds; the split/rep/moved columns are component-
+    // partitioned windows and doc-keyed hash joins (no global window);
+    // the split rollup is a 2-group agg; the 1-row corpus token total
+    // broadcasts as a bounded scalar.
+    QuerySpec(
+      "q393_split_materialize", {
+        val hComp = h64Duck("CAST(component AS VARCHAR)")
+        val hDoc = h64Duck("CAST(doc_id AS VARCHAR)")
+        Some(s"""WITH $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          ${minLabelRootsDuck(12)},
+          lab AS (SELECT d.doc_id,
+              COALESCE(r.component, d.doc_id) AS component,
+              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+          sided AS (SELECT doc_id, component, n_tokens,
+              CASE WHEN ($hComp) % 10 < 8 THEN 'train' ELSE 'eval' END
+                AS split,
+              CASE WHEN ($hDoc) % 10 < 8 THEN 'train' ELSE 'eval' END
+                AS naive_side,
+              doc_id = MIN(doc_id) OVER (PARTITION BY component)
+                AS is_rep
+            FROM lab),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens
+            FROM sided),
+          st AS (SELECT split,
+              CAST(COUNT(*) AS BIGINT) AS split_docs,
+              CAST(COUNT(DISTINCT component) AS BIGINT) AS split_comps,
+              CAST(SUM(CASE WHEN is_rep THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS rep_tokens
+            FROM sided GROUP BY 1)
+          SELECT s.doc_id, s.component, s.split, s.is_rep,
+            s.naive_side <> s.split AS moved,
+            st.split_docs,
+            st.split_docs - st.split_comps AS split_dup_mass,
+            CAST(st.rep_tokens * 1000000 // tot.corpus_tokens AS BIGINT)
+              AS split_rep_token_ppm
+          FROM sided s JOIN st ON st.split = s.split, tot""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val lab = fullComponents(s, d, sh)
+          .join(t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+            "doc_id")
+        val wC = Window.partitionBy(col("component"))
+        val sided = lab
+          .withColumn("split",
+            when(expr(h64Spark("cast(component as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+          .withColumn("naive_side",
+            when(expr(h64Spark("cast(doc_id as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+          .withColumn("is_rep",
+            col("doc_id") === min(col("doc_id")).over(wC))
+          .cache()
+        val tot = sided.agg(sum(col("n_tokens")).as("corpus_tokens"))
+        val st = sided.groupBy(col("split"))
+          .agg(count(lit(1)).as("split_docs"),
+            countDistinct(col("component")).as("split_comps"),
+            sum(when(col("is_rep"), col("n_tokens")).otherwise(0L))
+              .as("rep_tokens"))
+          .crossJoin(broadcast(tot)) // 1-row corpus token total
+          .select(col("split"), col("split_docs"),
+            (col("split_docs") - col("split_comps"))
+              .as("split_dup_mass"),
+            expr("rep_tokens * 1000000 div corpus_tokens")
+              .as("split_rep_token_ppm"))
+        sided
+          .join(broadcast(st), "split") // 2-row split rollup
+          .select(col("doc_id"), col("component"), col("split"),
+            col("is_rep"),
+            (col("naive_side") =!= col("split")).as("moved"),
+            col("split_docs"), col("split_dup_mass"),
+            col("split_rep_token_ppm"))
+      })
   )
 
   /** q390's contraction-and-merge, the batch/corpus boundary as a

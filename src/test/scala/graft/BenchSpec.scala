@@ -128,4 +128,33 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.write(f, line.getBytes("UTF-8"))
     assert(Bench.loadPriors(f.toString, "sf0.1") === Map.empty)
   }
+
+  test("readjudicate clears a suspect whose quiet-JVM samples " +
+      "corroborate inside the prior anchor, adopting the minimum") {
+    // the r13 shape: a contention window inflated both mid-suite
+    // samples to ~13 s on a 0.75 s query; after the suite the host is
+    // quiet and fresh samples land at the true value
+    val (v, runs, still) = Bench.readjudicate(13.04, Some(0.75),
+      scripted(0.78, 0.81), noGc)
+    assert(v === 0.78 && runs === 2 && !still)
+  }
+
+  test("readjudicate keeps the flag when the disagreement reproduces " +
+      "on a quiet JVM (a real regression candidate)") {
+    val (v, _, still) = Bench.readjudicate(13.04, Some(0.75),
+      scripted(12.9, 13.1), noGc)
+    assert(v === 12.9 && still,
+      "a reproducing 17x must stay flagged, never silently adopted")
+  }
+
+  test("readjudicate keeps the flag when fresh samples disagree with " +
+      "each other, and ignores failed (negative) samples") {
+    val (v, _, still) = Bench.readjudicate(9.0, None,
+      scripted(1.0, 8.0), noGc)
+    assert(v === 1.0 && still, "uncorroborated fresh samples stay flagged")
+    val (v2, _, still2) = Bench.readjudicate(5.0, None,
+      scripted(-1.0, 4.0), noGc)
+    assert(v2 === 4.0 && still2,
+      "one failed sample leaves nothing to corroborate with")
+  }
 }

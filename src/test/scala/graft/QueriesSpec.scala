@@ -1440,6 +1440,50 @@ class QueriesSpec extends SparkSpec {
       s"doc 10 must merge TWO old components, got ${incB(10L)._2}")
   }
 
+  test("q393_split_materialize: splits are component-closed by " +
+      "construction, reps are unique per component, and the moved flag " +
+      "and split sides reconcile row-for-row with q389's audit") {
+    val mat = Registry.byName("q393_split_materialize")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    val audit = Registry.byName("q389_component_split")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3),
+        r.getString(4))).toMap // component, comp_side, naive_side
+    assert(mat.keySet == audit.keySet, "same doc universe as q389")
+    // reconciliation: split == q389's comp_side; moved == (naive_side
+    // differs); component labels identical
+    mat.foreach { case (doc, (comp, split, _, moved, _, _, _)) =>
+      val (aComp, aSide, aNaive) = audit(doc)
+      assert(comp == aComp, s"doc $doc component $comp != q389 $aComp")
+      assert(split == aSide, s"doc $doc split $split != q389 $aSide")
+      assert(moved == (aNaive != aSide), s"doc $doc moved flag")
+    }
+    // component-closed: every member of a component shares its split
+    mat.values.groupBy(_._1).foreach { case (comp, vs) =>
+      assert(vs.map(_._2).toSet.size == 1,
+        s"component $comp straddles splits")
+      assert(vs.count(_._3) == 1,
+        s"component $comp must retain exactly one representative")
+    }
+    // budget readout: both splits present, dup mass = docs - components,
+    // and rep token ppm sums below the corpus total (reps <= all docs)
+    val bySplit = mat.values.groupBy(_._2)
+    assert(bySplit.keySet == Set("train", "eval"))
+    bySplit.foreach { case (split, vs) =>
+      val (docs, dup, ppm) = (vs.head._5, vs.head._6, vs.head._7)
+      assert(docs == vs.size, s"$split doc count")
+      assert(dup == vs.size - vs.map(_._1).toSet.size, s"$split dup mass")
+      assert(ppm > 0 && ppm <= 1000000L, s"$split rep token ppm $ppm")
+    }
+    val totPpm = bySplit.values.map(_.head._7).sum
+    assert(totPpm <= 1000000L,
+      s"rep token ppm across splits must stay under the corpus total, " +
+        s"got $totPpm")
+  }
+
   test("q394_trie_ann_probe_sweep: candidate mass grows and recall is " +
       "monotone non-decreasing in the probe budget (probe sets nest), " +
       "and the deployed budget clears its recall floor") {
