@@ -115,6 +115,30 @@ object ComponentStream {
       Seq.empty[(Long, Long)].toDF("label", "canon").localCheckpoint(true)
     }
 
+    /** localCheckpoint, then REBUILD the frame from the checkpointed
+      * RDD so the carried Catalyst statistics are dropped.
+      * localCheckpoint truncates the LOGICAL plan but copies the child
+      * plan's stats into the new LogicalRDD, and join-size estimation
+      * MULTIPLIES child sizeInBytes — so a frame rebound across
+      * micro-batches compounds a BigInt whose bit-length grows
+      * geometrically with the trigger count (each trigger's remap plan
+      * joins the previous remap twice and feeds the star rounds).
+      * Measured before this reset: per-trigger rebuild wall flat
+      * ~0.3 s through trigger 7, then 3.7 → 59 → 374 s at triggers
+      * 8/9/10 with jstack pinning the stream execution thread inside
+      * BigInteger.multiplyToomCook3 during stats estimation — a
+      * DRIVER-side super-exponential on ~10^7-bit size estimates while
+      * rows (~2k) and the logical plan (1 node) stayed constant.
+      * createDataFrame(rdd, schema) yields a LogicalRDD with no origin
+      * stats (defaultSizeInBytes), so estimates are rebuilt from a
+      * 63-bit constant every trigger. StreamingSpec pins the remap's
+      * stats bit-length across batches.
+      */
+    private def checkpointFresh(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+
     /** Current canonical remap (label -> root), identity rows elided. */
     def remap: DataFrame = remapDf
 
@@ -148,9 +172,10 @@ object ComponentStream {
           coalesce(col("cb"), col("lb0")).as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
       if (!contracted.isEmpty) {
-        val events = Dedup.connectedComponents(contracted)
+        // materialized once — consumed twice below (re-root + add)
+        val events = checkpointFresh(Dedup.connectedComponents(contracted)
           .filter(col("doc_id") =!= col("component"))
-          .select(col("doc_id").as("evl"), col("component").as("root"))
+          .select(col("doc_id").as("evl"), col("component").as("root")))
         // re-root existing entries whose canon was merged, then add
         // events for labels the remap didn't know — the remap stays
         // CANONICAL (chain length one) after every batch
@@ -162,9 +187,8 @@ object ComponentStream {
           .join(rm.select(col("label")), col("evl") === col("label"),
             "left_anti")
           .select(col("evl").as("label"), col("root").as("canon"))
-        remapDf = rerooted.unionByName(added)
-          .filter(col("label") =!= col("canon"))
-          .localCheckpoint(true)
+        remapDf = checkpointFresh(rerooted.unionByName(added)
+          .filter(col("label") =!= col("canon")))
       }
     }
   }

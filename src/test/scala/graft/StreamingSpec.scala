@@ -1465,5 +1465,20 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(rm.map(_._2).toSet.intersect(rm.map(_._1).toSet).isEmpty,
       s"remap must be chain-free: ${rm.toSeq}")
+    // the remap's Catalyst size estimate must NOT compound across
+    // batches: localCheckpoint carries the child plan's stats into its
+    // LogicalRDD and join estimation multiplies sizeInBytes, so a
+    // rebound frame otherwise grows a BigInt whose bit-length explodes
+    // geometrically with the trigger count — measured pre-fix as
+    // 374 s of driver-side BigInteger.multiply on trigger 10 (the
+    // StreamLatencyProbe comp leg caught it; ComponentStream's
+    // checkpointFresh rebuilds the frame from the checkpointed RDD,
+    // dropping origin stats). 128 bits = plenty above defaultSizeInBytes
+    // (63 bits), far under one compounding step.
+    val bits = maint.remap.queryExecution.optimizedPlan
+      .stats.sizeInBytes.bitLength
+    assert(bits <= 128,
+      s"remap sizeInBytes must stay constant-size, got $bits bits — " +
+        "stats are compounding through the cross-batch rebind again")
   }
 }
