@@ -138,7 +138,7 @@ object Dedup {
   /** Same verify tail but ending as a CTE (`verified`), for oracles that
     * keep composing (q48's component closure).
     */
-  private def verifyCteDuck(threshold: Double): String =
+  private[graft] def verifyCteDuck(threshold: Double): String =
     s"""sized AS (SELECT doc_a, doc_b, sh_a, sh_b,
           len(sh_a) AS la, len(sh_b) AS lb FROM pairs
         WHERE least(len(sh_a), len(sh_b))
@@ -174,7 +174,7 @@ object Dedup {
     * closure's O(Σ component²). Expects `sym(u, v)` (symmetric edges) in
     * scope; emits `roots(doc_id, component)`.
     */
-  private def minLabelRootsDuck(rounds: Int, p: String = ""): String = {
+  private[graft] def minLabelRootsDuck(rounds: Int, p: String = ""): String = {
     // one extra materialized round past `rounds` is a FIXPOINT GUARD
     // (round-12 advice): the unrolled chain is exact only for component
     // diameter <= rounds, and a future fixture with a longer verified
@@ -232,7 +232,7 @@ object Dedup {
         $candWhere)"""
   }
 
-  private def minhashCteChain: String =
+  private[graft] def minhashCteChain: String =
     s"""$shingledDuckCte,
       ${minhashBandCandDuck()},
       pairs AS (SELECT doc_a, doc_b,

@@ -1277,6 +1277,85 @@ object Selection {
           .select(col("na_t").as("n_pos"), col("nb_t").as("n_neg"),
             (expr("(u2 * 1000000) div (2 * na_t * nb_t)").cast("double")
               / lit(1000000.0)).as("auc"))
+      }),
+
+    // ---- deterministic training-order (hash shuffle) audit ------------------
+    // A 100 TB training run cannot randomly shuffle its corpus; it
+    // ORDERS by a content-independent hash and writes S shards — the
+    // deterministic pseudo-shuffle (reproducible given the salt, no
+    // global sort of raw bytes, one exchange on the shard key). This op
+    // materializes that order's QUALITY readout: per shard, the doc and
+    // whitespace-token mass (balance — a skewed shard starves its data-
+    // parallel rank), the source run-length structure under the hash
+    // order (max consecutive same-source run and run count — hash order
+    // must destroy source clumping; a long run means a broken hash or a
+    // salt correlated with source), and the shard's token share in ppm
+    // (uniform target = 1e6/S). 100 TB plan: the hash is row-local, the
+    // audit is one (shard)-keyed exchange + per-shard window sorts —
+    // exactly the shard writer's own write order, so the audit is free
+    // where the data already flows.
+    QuerySpec(
+      "q396_shuffle_order_audit", {
+        val h = Portable.h64Duck("'sh:' || CAST(doc_id AS VARCHAR)")
+        Some(s"""WITH ord AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ($h) % 8 AS shard, ($h) AS h
+          FROM documents),
+        marks AS (SELECT shard, source, n_tokens, h, doc_id,
+            CASE WHEN source IS DISTINCT FROM lag(source) OVER w
+              THEN 1 ELSE 0 END AS chg
+          FROM ord WINDOW w AS (PARTITION BY shard
+            ORDER BY h, doc_id)),
+        runs AS (SELECT shard, source, n_tokens,
+            SUM(chg) OVER (PARTITION BY shard ORDER BY h, doc_id)
+              AS run_id
+          FROM marks),
+        rl AS (SELECT shard, run_id,
+            CAST(COUNT(*) AS BIGINT) AS run_len
+          FROM runs GROUP BY 1, 2),
+        sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM runs GROUP BY 1),
+        rs AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_runs,
+            CAST(MAX(run_len) AS BIGINT) AS max_run
+          FROM rl GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM sh)
+        SELECT sh.shard, sh.n_docs, sh.n_tokens, sh.n_sources,
+          rs.n_runs, rs.max_run,
+          sh.n_tokens * 1000000 // tot.t AS tok_share_ppm
+        FROM sh JOIN rs ON rs.shard = sh.shard, tot""")
+      },
+      (s, d) => {
+        val h = Portable.h64Spark("concat('sh:', cast(doc_id as string))")
+        val ord = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            (expr(h) % 8).as("shard"), expr(h).as("h"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        val runs = ord
+          .withColumn("chg",
+            when(lag(col("source"), 1).over(w).isNull
+              || lag(col("source"), 1).over(w) =!= col("source"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cache()
+        val rl = runs.groupBy(col("shard"), col("run_id"))
+          .agg(count(lit(1)).as("run_len"))
+        val sh = runs.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+        val rs = rl.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_runs"),
+            max(col("run_len")).as("max_run"))
+        val tot = sh.agg(sum(col("n_tokens")).as("t"))
+        sh.join(rs, "shard").crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("n_sources"), col("n_runs"), col("max_run"),
+            expr("n_tokens * 1000000 div t").as("tok_share_ppm"))
       })
   )
 }

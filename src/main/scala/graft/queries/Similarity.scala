@@ -2380,7 +2380,144 @@ object Similarity {
           sum(col("n_hit")).as("n_hit"),
           expr(s"sum(n_hit) * 1000000 div (count(1) * $K)")
             .as("recall_ppm"),
-          min(expr(s"n_hit * 1000000 div $K")).as("min_q_recall_ppm")))
+          min(expr(s"n_hit * 1000000 div $K")).as("min_q_recall_ppm"))),
+
+    // ---- quota-elastic trie-ANN serving -------------------------------------
+    // The fix for what q394's table shows: a FIXED budget starves
+    // queries whose probed leaves are shallow/small (the
+    // min_q_recall_ppm floor) and over-probes queries whose first leaf
+    // already carries the candidate mass. The serving rule probes in
+    // confidence-rank order until the cumulative distinct candidate
+    // count reaches [[AnnQuota]] (ceiling [[AnnElasticCeiling]]
+    // probes), so candidate WORK per query is normalized instead of
+    // probe COUNT. Output per query: probes actually spent, candidates
+    // verified, exact-top-K hits — recall at normalized cost, the
+    // honest serving readout. Closed-form in both engines (min
+    // first-reaching rank + one cumulative window pick the per-query
+    // probe prefix; no iteration).
+    QuerySpec(
+      "q395_trie_ann_elastic",
+      Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+          $duckTrieLeafCte,
+          ${duckTrieAnnElasticCtes(AnnQuota, AnnElasticCeiling)}
+          SELECT q_id, probes_used, n_cand, n_hit,
+            n_hit * 1000000 // $K AS recall_ppm
+          FROM grid"""),
+      (s, d) => trieAnnElastic(s, d, AnnQuota, AnnElasticCeiling)
+        .select(col("q_id"), col("probes_used"), col("n_cand"),
+          col("n_hit"),
+          expr(s"n_hit * 1000000 div $K").as("recall_ppm"))),
+
+    // ---- semantic leakage residual of the component split -------------------
+    // q393's split is closed under TEXTUAL near-dup (q48's verified
+    // MinHash components) — but eval contamination is not only textual:
+    // a paraphrase shares no shingles yet measures memorization all the
+    // same. This op measures the SEMANTIC residual: q391's trie-leaf
+    // near-dup pairs (same adaptive leaf, exact-grid cosine >= the
+    // SemDeDup threshold) whose endpoints landed on OPPOSITE sides of
+    // exactly q393's component-hash split. Output: one row per semantic
+    // pair with both sides and the leak flag, plus the corpus rollup
+    // (pair count, leaked count + ppm, distinct eval docs contaminated —
+    // the docs whose scores a trainer can no longer trust). The split
+    // rule and the pair rule are shared definitions (q393's hash,
+    // q391's leaf CTE), so this audit cannot drift from either parent.
+    // 100 TB plan: pairs are cell-bounded (cap² per leaf), sides are one
+    // component join — no new candidate generator, just the composition.
+    QuerySpec(
+      "q397_semantic_split_leak", {
+        val hComp = h64Duck("CAST(component AS VARCHAR)")
+        Some(s"""WITH $duckQuantCte,
+          sg AS (SELECT vec_id, ($sigDuck) AS sig FROM en),
+          $duckTrieLeafCte,
+          c AS (SELECT l.vec_id, l.depth, l.cell, e.qv, e.nsq
+            FROM leaf l JOIN en e ON e.vec_id = l.vec_id),
+          spairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM c a JOIN c b
+              ON a.depth = b.depth AND a.cell = b.cell
+              AND a.vec_id < b.vec_id
+            WHERE ${semCosineDuck("a", "b")} >= $SemThreshold),
+          ${Dedup.minhashCteChain},
+          ${Dedup.verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          ${Dedup.minLabelRootsDuck(12)},
+          sides AS (SELECT z.doc_id,
+              CASE WHEN ($hComp) % 10 < 8 THEN 'train' ELSE 'eval' END
+                AS side
+            FROM (SELECT d.doc_id,
+                COALESCE(r.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN roots r
+                ON r.doc_id = d.doc_id) z),
+          sided AS (SELECT p.doc_a, p.doc_b,
+              sa.side AS side_a, sb.side AS side_b,
+              sa.side <> sb.side AS is_leak
+            FROM spairs p JOIN sides sa ON sa.doc_id = p.doc_a
+                          JOIN sides sb ON sb.doc_id = p.doc_b),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sem_pairs,
+              CAST(COALESCE(SUM(CASE WHEN is_leak THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_leak_pairs
+            FROM sided),
+          ev AS (SELECT CAST(COUNT(DISTINCT CASE WHEN side_a = 'eval'
+                THEN doc_a ELSE doc_b END) AS BIGINT)
+              AS n_eval_docs_leaked
+            FROM sided WHERE is_leak)
+          SELECT s.doc_a, s.doc_b, s.side_a, s.side_b, s.is_leak,
+            agg.n_sem_pairs, agg.n_leak_pairs,
+            agg.n_leak_pairs * 1000000 // agg.n_sem_pairs AS leak_ppm,
+            ev.n_eval_docs_leaked
+          FROM sided s, agg, ev""")
+      },
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        // q391's semantic pair relation (same leaf, cosine >= threshold)
+        val sg = quantized(s, d, withSig = true)
+        val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
+          CellOccupancy)
+        val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
+          .join(leaf, "vec_id").cache()
+        val spairs = c.select(col("vec_id").as("doc_a"), col("depth"),
+            col("cell"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+          .join(c.select(col("vec_id").as("doc_b"),
+            col("depth").as("d_b"), col("cell").as("cell_b"),
+            col("qv").as("qv_b"), col("nsq").as("nsq_b")),
+            col("depth") === col("d_b") && col("cell") === col("cell_b")
+              && col("doc_a") < col("doc_b"))
+          .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
+            >= SemThreshold)
+          .select(col("doc_a"), col("doc_b"))
+        // q393's component-hash sides, verbatim
+        val sh = Dedup.shingled(s, d)
+          .select(col("doc_id"), col("shingles"))
+        val sides = Dedup.fullComponents(s, d, sh)
+          .withColumn("side",
+            when(expr(h64Spark("cast(component as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+          .select(col("doc_id"), col("side"))
+        val sided = spairs
+          .join(sides.select(col("doc_id").as("doc_a"),
+            col("side").as("side_a")), "doc_a")
+          .join(sides.select(col("doc_id").as("doc_b"),
+            col("side").as("side_b")), "doc_b")
+          .withColumn("is_leak", col("side_a") =!= col("side_b"))
+          .cache()
+        val agg = sided.agg(count(lit(1)).as("n_sem_pairs"),
+          coalesce(sum(when(col("is_leak"), 1L).otherwise(0L)), lit(0L))
+            .as("n_leak_pairs"))
+        val ev = sided.filter(col("is_leak"))
+          .select(when(col("side_a") === "eval", col("doc_a"))
+            .otherwise(col("doc_b")).as("doc"))
+          .agg(countDistinct(col("doc")).as("n_eval_docs_leaked"))
+        sided
+          .crossJoin(broadcast(agg))   // 1-row corpus rollup
+          .crossJoin(broadcast(ev))    // 1-row eval-doc rollup
+          .select(col("doc_a"), col("doc_b"), col("side_a"),
+            col("side_b"), col("is_leak"), col("n_sem_pairs"),
+            col("n_leak_pairs"),
+            expr("n_leak_pairs * 1000000 div n_sem_pairs")
+              .as("leak_ppm"),
+            col("n_eval_docs_leaked"))
+      })
   )
 
   /** q392's deployed probe budget (own leaf + one flip — the round-13
@@ -2390,6 +2527,13 @@ object Similarity {
     */
   private[graft] def AnnProbeBudget = 2
   private[graft] def AnnSweepBudgets = Seq(1, 2, 4, 8)
+
+  /** q395's candidate quota (the work target per query — one leaf's
+    * occupancy cap, plus headroom for the audit's K) and its probe
+    * ceiling (q394's largest swept budget).
+    */
+  private[graft] def AnnQuota = 48
+  private[graft] def AnnElasticCeiling = 8
 
   /** Budget-parameterized trie-ANN recall audit, shared by q392 (one
     * budget) and q394 (the sweep) — and driven by ScaleProbe on the 10x
@@ -2407,10 +2551,19 @@ object Similarity {
     * per query; the corpus-scanning exact leg exists only for the
     * audit.
     */
-  private[graft] def trieAnnRecall(s: SparkSession, d: String,
-      budgets: Seq[Int]): DataFrame = {
+  /** The frames every trie-ANN variant shares: the quantized corpus
+    * with signatures (`sg`), each vector's adaptive leaf (`corpus`),
+    * the broadcast query set with its plane-confidence array (`qs`),
+    * and the ranked probe signatures (`sigsRk`: one row per (q_id, rk)
+    * with rk = 0 the query's own signature, rk >= 1 the rk-th
+    * least-confident-plane flip). One definition, so q392/q394's fixed
+    * budgets and q395's elastic rule cannot drift on the probe rule.
+    */
+  private final case class AnnFrames(sg: DataFrame, corpus: DataFrame,
+      qs: DataFrame, sigsRk: DataFrame)
+
+  private def trieAnnFrames(s: SparkSession, d: String): AnnFrames = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
-    import s.implicits._
     val sg = quantized(s, d, withSig = true)
     val sgk = sg.select(col("vec_id"), col("sig"))
     val leaves = trieLeafAdaptive(sgk, CellOccupancy)
@@ -2433,11 +2586,37 @@ object Similarity {
       .select(col("q_id"), col("rk"),
         expr("sig ^ shiftleft(1L, pos)").as("psig"))
     val own = qs.select(col("q_id"), lit(0).as("rk"), col("sig").as("psig"))
+    AnnFrames(sg, corpus, qs,
+      own.unionByName(flips)
+        .join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id"))
+  }
+
+  /** The audit's budget-independent ground truth: exact top-[[K]] per
+    * query over the whole corpus (id-tiebroken exact-grid cosines).
+    */
+  private def exactTopK(sg: DataFrame, qs: DataFrame): DataFrame = {
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    sg.select(col("vec_id"), col("qv"), col("nsq"))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("q_qv"),
+        col("q_nsq"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+  }
+
+  private[graft] def trieAnnRecall(s: SparkSession, d: String,
+      budgets: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val fr = trieAnnFrames(s, d)
+    val sg = fr.sg
+    val corpus = fr.corpus
+    val qs = fr.qs
     val budgetDf = budgets.toDF("probe_budget")
-    val probeSigs = own.unionByName(flips)
+    val probeSigs = fr.sigsRk
       .crossJoin(broadcast(budgetDf))
       .filter(col("rk") < col("probe_budget"))
-      .join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id")
     val probes = probeSigs.select(col("probe_budget"), col("q_id"),
         explode(expr(
           """transform(sequence(4, maxd), dd ->
@@ -2461,15 +2640,7 @@ object Similarity {
       .filter(col("rk") <= K)
       .select(col("probe_budget"), col("q_id"), col("vec_id"))
     // the budget-independent exact leg — the audit's ground truth
-    val wQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("c").desc, col("vec_id"))
-    val exactTop = sg.select(col("vec_id"), col("qv"), col("nsq"))
-      .crossJoin(broadcast(qs.select(col("q_id"), col("q_qv"),
-        col("q_nsq"))))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
-      .withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+    val exactTop = exactTopK(sg, qs)
     val hits = trieTop.join(exactTop, Seq("q_id", "vec_id"))
       .groupBy(col("probe_budget"), col("q_id"))
       .agg(count(lit(1)).as("n_hit"))
@@ -2489,9 +2660,21 @@ object Similarity {
     * same ranked-flip probe rule, the same adaptive ceiling, so q392
     * and q394 cannot drift from their Spark twins or each other.
     */
-  private def duckTrieAnnCtes(budgets: Seq[Int]): String = {
-    val cosQ = s"""CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+  /** The exact-grid query/corpus cosine fragment every trie-ANN oracle
+    * shares (aliases `q` = qraw row, `e` = en row).
+    */
+  private def duckAnnCosQ: String =
+    s"""CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
        / (sqrt(CAST(q.q_nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))"""
+
+  /** The CTEs every trie-ANN oracle shares — the [[trieAnnFrames]] /
+    * [[exactTopK]] mirror: `corpus` (leaf per vector), `qraw` (query
+    * set + plane-confidence array), `ranked`/`sigs` (the ranked-flip
+    * probe signatures, rk = 0 the query's own), and `exacttop` (the
+    * audit ground truth). One definition, so q392/q394/q395 cannot
+    * drift on the probe rule.
+    */
+  private def duckAnnBaseCtes: String = {
     val apList = (0 until Planes).map(p => s"abs(${projDuck(p)})")
       .mkString(", ")
     s"""corpus AS (SELECT s.vec_id, l.depth, l.cell
@@ -2508,6 +2691,17 @@ object Similarity {
         UNION ALL
         SELECT q_id, rk, xor(sig, CAST(1 AS BIGINT) << pos) AS psig
         FROM ranked),
+      exacttop AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id ORDER BY $duckAnnCosQ DESC, e.vec_id)
+            AS rk
+          FROM qraw q, en e WHERE e.vec_id <> q.q_id) z
+        WHERE rk <= $K)"""
+  }
+
+  private def duckTrieAnnCtes(budgets: Seq[Int]): String = {
+    val cosQ = duckAnnCosQ
+    s"""$duckAnnBaseCtes,
       bud AS (SELECT unnest([${budgets.mkString(", ")}])
           AS probe_budget),
       probes AS (SELECT DISTINCT probe_budget, q_id, d AS depth,
@@ -2528,11 +2722,6 @@ object Similarity {
               PARTITION BY probe_budget, q_id
               ORDER BY c DESC, vec_id) AS rk FROM scored) z
         WHERE rk <= $K),
-      exacttop AS (SELECT q_id, vec_id FROM (
-          SELECT q.q_id, e.vec_id, row_number() OVER (
-              PARTITION BY q.q_id ORDER BY $cosQ DESC, e.vec_id) AS rk
-          FROM qraw q, en e WHERE e.vec_id <> q.q_id) z
-        WHERE rk <= $K),
       hits AS (SELECT t.probe_budget, t.q_id,
           CAST(COUNT(*) AS BIGINT) AS n_hit
         FROM trietop t JOIN exacttop x
@@ -2550,6 +2739,131 @@ object Similarity {
           AND nc.q_id = g.q_id
         LEFT JOIN hits h ON h.probe_budget = g.probe_budget
           AND h.q_id = g.q_id)"""
+  }
+
+  /** Quota-elastic trie-ANN (q395): q394's sweep shows a FIXED probe
+    * budget both starves some queries (the min_q_recall floor) and
+    * over-probes others — candidate mass per probe is the leaf
+    * occupancy, which varies per query. The serving rule that
+    * normalizes it: probe in confidence-rank order and STOP once the
+    * cumulative distinct candidate count reaches `quota` (or the
+    * `ceiling` probe budget is exhausted). Per (q_id, vec_id) the
+    * first rank that reaches it decides membership, so the chosen set
+    * is exactly "all candidates of the first r probes" for the
+    * per-query minimal r meeting the quota — deterministic, and
+    * mirrored closed-form in the oracle (no iteration: min-rank +
+    * one cumulative window decide r). 100 TB plan: rank/quota frames
+    * are query-set-sized; candidate cost per query is bounded by
+    * quota + one leaf's occupancy overshoot; only the audit's exact
+    * leg scans the corpus.
+    */
+  private[graft] def trieAnnElastic(s: SparkSession, d: String,
+      quota: Int, ceiling: Int): DataFrame = {
+    val fr = trieAnnFrames(s, d)
+    val sg = fr.sg
+    val corpus = fr.corpus
+    val qs = fr.qs
+    // probes kept rk-grained so the stop rule can pick a per-query
+    // prefix of the rank order
+    val probes = fr.sigsRk.filter(col("rk") < ceiling)
+      .select(col("q_id"), col("rk"), explode(expr(
+        """transform(sequence(4, maxd), dd ->
+           struct(dd AS depth, psig & (shiftleft(1L, dd) - 1) AS cell))"""))
+        .as("x"))
+      .select(col("q_id"), col("rk"),
+        col("x.depth").as("depth"), col("x.cell").as("cell"))
+      .distinct()
+    val firstRk = corpus.join(broadcast(probes), Seq("depth", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("rk")).as("frk"))
+      .cache()
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("frk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = firstRk.groupBy(col("q_id"), col("frk"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum", sum(col("n_new")).over(wC))
+    // rmet = first rank meeting the quota (null if never met — then all
+    // `ceiling` probes were spent and every candidate found is kept)
+    val chosen = cum.groupBy(col("q_id"))
+      .agg(min(when(col("cum") >= quota, col("frk"))).as("rmet"),
+        max(col("frk")).as("rmax"))
+    val candSet = firstRk.join(broadcast(chosen), "q_id")
+      .filter(col("frk") <= coalesce(col("rmet"), col("rmax")))
+      .select(col("q_id"), col("vec_id"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val top = candSet
+      .join(sg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+      .join(broadcast(qs.select(col("q_id"), col("q_qv"),
+        col("q_nsq"))), "q_id")
+      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+    val hits = top.join(exactTopK(sg, qs), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val nc = candSet.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    qs.select(col("q_id"))
+      .join(chosen, Seq("q_id"), "left")
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("rmet") + 1, lit(ceiling)).cast("long")
+          .as("probes_used"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** DuckDB mirror of [[trieAnnElastic]] — same scope expectations as
+    * [[duckTrieAnnCtes]]; emits `grid(q_id, probes_used, n_cand,
+    * n_hit)`. The stop rule is the same closed form: per-candidate
+    * first-reaching rank, one cumulative window, per-query minimal
+    * rank meeting the quota.
+    */
+  private def duckTrieAnnElasticCtes(quota: Int, ceiling: Int): String = {
+    val cosQ = duckAnnCosQ
+    s"""$duckAnnBaseCtes,
+      probesrk AS (SELECT DISTINCT q_id, rk, d AS depth,
+          psig & ((CAST(1 AS BIGINT) << d) - 1) AS cell
+        FROM (SELECT s.q_id, s.rk, s.psig,
+                unnest(range(4, tmd.maxd + 1)) AS d
+              FROM sigs s, tmd WHERE s.rk < $ceiling) y),
+      firstrk AS (SELECT p.q_id, c.vec_id, MIN(p.rk) AS frk
+        FROM probesrk p JOIN corpus c
+          ON c.depth = p.depth AND c.cell = p.cell
+        WHERE c.vec_id <> p.q_id GROUP BY 1, 2),
+      newat AS (SELECT q_id, frk, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstrk GROUP BY 1, 2),
+      cume AS (SELECT q_id, frk, SUM(n_new) OVER (PARTITION BY q_id
+          ORDER BY frk) AS cum FROM newat),
+      chosen AS (SELECT q_id,
+          MIN(CASE WHEN cum >= $quota THEN frk END) AS rmet,
+          MAX(frk) AS rmax
+        FROM cume GROUP BY 1),
+      candset AS (SELECT f.q_id, f.vec_id FROM firstrk f
+        JOIN chosen ch ON ch.q_id = f.q_id
+          AND f.frk <= COALESCE(ch.rmet, ch.rmax)),
+      scored AS (SELECT cs.q_id, cs.vec_id, $cosQ AS c
+        FROM candset cs JOIN en e ON e.vec_id = cs.vec_id
+             JOIN qraw q ON q.q_id = cs.q_id),
+      etop AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY c DESC, vec_id) AS rk FROM scored) z
+        WHERE rk <= $K),
+      hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM etop t JOIN exacttop x
+          ON x.q_id = t.q_id AND x.vec_id = t.vec_id GROUP BY 1),
+      nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM candset GROUP BY 1),
+      grid AS (SELECT q.q_id,
+          CAST(COALESCE(ch.rmet + 1, $ceiling) AS BIGINT)
+            AS probes_used,
+          COALESCE(nc.n_cand, 0) AS n_cand,
+          COALESCE(h.n_hit, 0) AS n_hit
+        FROM qraw q
+        LEFT JOIN chosen ch ON ch.q_id = q.q_id
+        LEFT JOIN nc ON nc.q_id = q.q_id
+        LEFT JOIN hits h ON h.q_id = q.q_id)"""
   }
 
   /** q386's greedy MMR unroll with K as a parameter (round-12 verdict

@@ -1512,4 +1512,118 @@ class QueriesSpec extends SparkSpec {
       s"deployed budget ${deployed._1} recall ${deployed._4} ppm fell " +
         "below the documented 10% floor on the fixture corpus")
   }
+
+  test("q395_trie_ann_elastic: the stop rule is exact — each query's " +
+      "candidate set equals the fixed sweep at budget = probes_used, " +
+      "probes_used is the minimal budget meeting the quota (or the " +
+      "ceiling when the quota is unreachable), and early stops imply " +
+      "the quota was met") {
+    val quota = queries.Similarity.AnnQuota
+    val ceiling = queries.Similarity.AnnElasticCeiling
+    val el = Registry.byName("q395_trie_ann_elastic")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // the rk-grained ground truth: the same probe rule at every fixed
+    // budget 1..ceiling
+    val sweep = queries.Similarity
+      .trieAnnRecall(spark, sfDir, 1 to ceiling)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3))).toMap
+    assert(el.nonEmpty)
+    el.foreach { case (q, (used, nc, nh)) =>
+      assert(used >= 1 && used <= ceiling, s"q $q probes_used $used")
+      // candidate set = the fixed sweep's at budget = probes_used
+      // (when the quota is never met, every found candidate is kept,
+      // which equals the ceiling budget's set)
+      val (ncAt, nhAt) = sweep((used.toInt, q))
+      assert(nc == ncAt,
+        s"q $q elastic n_cand $nc != sweep@$used $ncAt")
+      assert(nh == nhAt,
+        s"q $q elastic n_hit $nh != sweep@$used $nhAt")
+      // early stop only on a met quota
+      if (used < ceiling)
+        assert(nc >= quota,
+          s"q $q stopped at $used probes with only $nc < $quota cands")
+      // minimality: one probe fewer was under quota
+      if (used > 1)
+        assert(sweep((used.toInt - 1, q))._1 < quota,
+          s"q $q: budget ${used - 1} already met the quota")
+    }
+  }
+
+  test("q396_shuffle_order_audit: shard stats reconcile with a driver " +
+      "reference — doc/token totals, run structure under the hash " +
+      "order, and token shares that sum to ~1e6 ppm") {
+    import graft.functions.Portable
+    val rows = Registry.byName("q396_shuffle_order_audit")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // driver reference: same hash, same order, run-length scan
+    val h = Portable.h64Spark("concat('sh:', cast(doc_id as string))")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source",
+        "cast(size(split(text, ' ')) as long) as n_tokens",
+        s"$h as h").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val byShard = docs.groupBy { case (_, _, _, hv) => hv % 8 }
+    assert(rows.keySet == byShard.keySet.map(_.toLong),
+      "every non-empty shard must be reported")
+    byShard.foreach { case (shard, ds) =>
+      val (nd, nt, nsrc, nruns, maxRun, ppm) = rows(shard)
+      assert(nd == ds.length, s"shard $shard docs")
+      assert(nt == ds.map(_._3).sum, s"shard $shard tokens")
+      assert(nsrc == ds.map(_._2).distinct.length, s"shard $shard srcs")
+      // run structure under (h, doc_id) order
+      val ordered = ds.sortBy { case (id, _, _, hv) => (hv, id) }
+        .map(_._2)
+      val runLens = ordered.foldLeft(List.empty[(String, Long)]) {
+        case ((s, n) :: tl, src) if s == src => (s, n + 1) :: tl
+        case (acc, src) => (src, 1L) :: acc
+      }.map(_._2)
+      assert(nruns == runLens.length, s"shard $shard runs")
+      assert(maxRun == runLens.max, s"shard $shard max run")
+      assert(ppm == nt * 1000000L / docs.map(_._3).sum,
+        s"shard $shard token share")
+    }
+    // shares sum to 1e6 up to per-shard floor loss
+    val totPpm = rows.values.map(_._6).sum
+    assert(totPpm > 1000000L - 8 && totPpm <= 1000000L,
+      s"token shares must tile the corpus, got $totPpm ppm")
+  }
+
+  test("q397_semantic_split_leak: sides equal q393's split verbatim, " +
+      "every leaked pair straddles two DIFFERENT near-dup components " +
+      "(a same-component pair cannot leak under a component-keyed " +
+      "hash), and the rollup columns reconcile with the pair rows") {
+    val rows = Registry.byName("q397_semantic_split_leak")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    val mat = Registry.byName("q393_split_materialize")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.nonEmpty, "fixture must yield semantic pairs")
+    rows.foreach { case (a, b, sa, sb, leak, nPairs, nLeak, ppm, nEv) =>
+      assert(sa == mat(a)._2 && sb == mat(b)._2,
+        s"pair ($a,$b) sides must equal q393's split")
+      assert(leak == (sa != sb), s"pair ($a,$b) leak flag")
+      // a leak under the component-keyed hash requires the endpoints to
+      // sit in different components — the audit's whole point: these
+      // pairs are the SEMANTIC relation the textual component split
+      // cannot close over
+      if (leak) assert(mat(a)._1 != mat(b)._1,
+        s"leaked pair ($a,$b) inside one component ${mat(a)._1}")
+      assert(nPairs == rows.length && nLeak == rows.count(_._5)
+        && ppm == nLeak * 1000000L / nPairs,
+        s"rollup columns must reconcile: ($nPairs, $nLeak, $ppm)")
+      assert(nEv == rows.filter(_._5)
+        .map(p => if (p._3 == "eval") p._1 else p._2).distinct.length,
+        s"contaminated eval doc count $nEv")
+    }
+  }
 }
