@@ -2551,6 +2551,27 @@ object Similarity {
     * per query; the corpus-scanning exact leg exists only for the
     * audit.
     */
+  /** q391/q397's candidate relation — same-adaptive-leaf pairs BEFORE
+    * the cosine verify (the structural twin of q391's `m` join and
+    * q397's `spairs`, kept column-light for counting). Exposed for
+    * ScaleProbe's growth table: the adaptive grain bounds this at
+    * ~cap·n plus the audited remainder's in-cell pairs, and the 10x
+    * row is the empirical check.
+    */
+  private[graft] def trieLeafPairCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    val sg = quantized(s, d, withSig = true)
+    val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
+      CellOccupancy)
+    leaf.select(col("vec_id").as("kept"), col("depth"), col("cell"))
+      .join(leaf.select(col("vec_id"), col("depth").as("d_b"),
+        col("cell").as("cell_b")),
+        col("depth") === col("d_b") && col("cell") === col("cell_b")
+          && col("kept") < col("vec_id"))
+      .select(col("kept").as("doc_a"), col("vec_id").as("doc_b"))
+  }
+
   /** The frames every trie-ANN variant shares: the quantized corpus
     * with signatures (`sg`), each vector's adaptive leaf (`corpus`),
     * the broadcast query set with its plane-confidence array (`qs`),

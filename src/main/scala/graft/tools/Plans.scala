@@ -366,7 +366,21 @@ object Plans {
         + "(own + least-confident-plane flip), joins the leaf table "
         + "on (depth, cell) — two key lookups per query; candidate "
         + "re-rank and the exact self-audit leg are per-query "
-        + "windows over broadcast query sets (rank limit pushed)."))
+        + "windows over broadcast query sets (rank limit pushed)."),
+    "q395_trie_ann_elastic" ->
+      ("Quota-elastic stop rule with NO iteration: per-candidate "
+        + "first-reaching rank is one min-agg over the rk-grained "
+        + "leaf join, the cumulative window runs over a "
+        + "query-set-sized frame (per-q_id rank counts), and the "
+        + "chosen probe prefix joins back as a broadcast — candidate "
+        + "work per query bounded by quota + one leaf's overshoot."),
+    "q397_semantic_split_leak" ->
+      ("Cross-file composition: the trie-leaf self-join (cell-keyed, "
+        + "cap-bounded) supplies semantic pairs; q48's verified "
+        + "components supply sides via two hash joins on the pair "
+        + "endpoints; the corpus rollups are two broadcast 1-row "
+        + "frames — no new candidate generator, no corpus-sized "
+        + "exchange beyond the parents'."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

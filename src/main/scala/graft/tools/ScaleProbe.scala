@@ -248,6 +248,8 @@ object ScaleProbe {
         Dedup.prefixCandidates(
           Dedup.shingled(spark, d).select(col("doc_id"), col("shingles")))
           .count()),
+      "q391_trie_pairs" -> (d =>
+        Similarity.trieLeafPairCandidates(spark, d).count()),
       // round-13 additions (round-12 verdict #4): the COMPOSED stages —
       // q382's ladder feeds each candidate generator only the previous
       // stage's survivors, so survivor skew could bend a bounded stage
@@ -359,7 +361,14 @@ object ScaleProbe {
           .count()),
       "q387_winnowing_pairs" -> (d =>
         Dedup.winnowingPairCandidates(Dedup.winnowedDocPrints(spark, d))
-          .count()))
+          .count()),
+      // round 14: the adaptive-grain trie's pair mass (q391's in-cell
+      // verify set, q397's spairs) — the relation the round-13 verdict's
+      // task 1 re-bounded; the 10x row is the empirical check that the
+      // in-plan depth derivation keeps it near-linear on the REAL
+      // corpus, not just ScaleSpec's synthetic 16k/64k vectors
+      "q391_trie_semantic_dedup" -> (d =>
+        Similarity.trieLeafPairCandidates(spark, d).count()))
 
     println("| query | cand@base | cand@10x | growth | " +
       "wall@base s | wall@10x s | per-row drift |")
