@@ -459,6 +459,26 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
+
+    // q395's quota-elastic rule at both sizes (round 14): the question
+    // the fixed-budget sweep can't answer — does normalizing candidate
+    // WORK (probe until >= quota candidates) hold the recall/cost point
+    // as the corpus grows and leaves deepen? Row: mean probes spent,
+    // total candidates, corpus recall ppm.
+    println()
+    println("| elastic trie-ANN | mean_probes | n_cand | recall_ppm |")
+    println("|---|---|---|---|")
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val r = Similarity
+        .trieAnnElastic(spark, dir, Similarity.AnnQuota,
+          Similarity.AnnElasticCeiling)
+        .agg(sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q395@$label | ${r.getLong(0).toDouble / r.getLong(3)}%.1f " +
+        s"| ${r.getLong(1)} | ${r.getLong(2) * 1000000 / (r.getLong(3) * 5)} |")
+      spark.catalog.clearCache()
+    }
   }
 
   /** Iterative family at an arbitrary (large) replica factor — the
