@@ -1481,4 +1481,164 @@ class StreamingSpec extends SparkSpec {
       s"remap sizeInBytes must stay constant-size, got $bits bits — " +
         "stats are compounding through the cross-batch rebind again")
   }
+
+  test("ComponentStream epoch rotation (round-15): folding the remap " +
+      "into the ledger at the resolve boundary preserves labels across " +
+      "the epoch restart, and a zero-cap maintainer (remap joins " +
+      "DEMOTED to shuffle) stays batch-equivalent throughout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpusDocs = (1L to 6L).toSeq
+    val corpusEdges = Seq((1L, 2L))
+    val ledger = corpusDocs.toDF("doc_id")
+      .join(queries.Dedup.connectedComponents(
+        corpusEdges.toDF("doc_a", "doc_b")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("label"))
+    def recompute(edges: Seq[(Long, Long)], docs: Set[Long]) = {
+      val comp = queries.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.map(d => d -> comp.getOrElse(d, d)).toMap
+    }
+    // ---- epoch 1: cap 0 forces the shuffle join path for EVERY remap
+    // join from the first merge on — the demotion must be invisible to
+    // the labels (same scenario as the broadcast-path test above)
+    val e1 = Seq(
+      Seq(ComponentStream.Edge(3L, 4L)),
+      Seq(ComponentStream.Edge(5L, 2L), ComponentStream.Edge(7L, 8L)))
+    val mem1 = MemoryStream[ComponentStream.Edge]
+    val (w1, m1) = ComponentStream.maintain(spark, mem1.toDF(), ledger,
+      remapBroadcastCap = 0L)
+    val q1 = w1.queryName("t_comp_rotate_e1").start()
+    e1.foreach { b => mem1.addData(b.toIndexedSeq: _*)
+      q1.processAllAvailable() }
+    q1.stop()
+    val e1Edges = corpusEdges ++ e1.flatten.map(e => (e.doc_a, e.doc_b))
+    val e1Docs = corpusDocs.toSet ++
+      e1.flatten.flatMap(e => Seq(e.doc_a, e.doc_b))
+    val fs1 = ledger.unionByName(
+      e1Docs.diff(corpusDocs.toSet).toSeq.sorted.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("label")))
+    val got1 = m1.resolve(fs1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === recompute(e1Edges, e1Docs),
+      "shuffle-demoted remap joins must not change labels")
+    assert(m1.remapSize > 0, "epoch 1 must have accumulated merges")
+    // ---- ROTATE: fold the remap into the ledger, reset the epoch
+    val ledger2 = m1.rotate(fs1)
+    assert(m1.remapSize === 0L && m1.remap.isEmpty,
+      "rotation must reset the remap to empty")
+    val led2 = ledger2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(led2 === recompute(e1Edges, e1Docs),
+      "the rotated ledger must carry the resolved component minimums")
+    // ---- epoch 2 from the rotated ledger: the bridge merge {1,2,5}+
+    // {3,4} and a chain through a stream-discovered doc both land
+    val e2 = Seq(Seq(ComponentStream.Edge(4L, 2L),
+      ComponentStream.Edge(8L, 9L)))
+    val mem2 = MemoryStream[ComponentStream.Edge]
+    val (w2, m2) = ComponentStream.maintain(spark, mem2.toDF(), ledger2)
+    val q2 = w2.queryName("t_comp_rotate_e2").start()
+    e2.foreach { b => mem2.addData(b.toIndexedSeq: _*)
+      q2.processAllAvailable() }
+    q2.stop()
+    val allEdges = e1Edges ++ e2.flatten.map(e => (e.doc_a, e.doc_b))
+    val allDocs = e1Docs ++ e2.flatten.flatMap(e => Seq(e.doc_a, e.doc_b))
+    val fs2 = ledger2.unionByName(
+      allDocs.diff(e1Docs).toSeq.sorted.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("label")))
+    val got2 = m2.resolve(fs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === recompute(allEdges, allDocs),
+      "labels across the rotation boundary must equal the full batch " +
+        "recomputation over corpus + both epochs' edges")
+    // epoch 2's remap is bounded by ITS OWN merges (the bridge + the
+    // chain), not epoch 1's history — the rotation's entire point
+    assert(m2.remapSize <= e2.flatten.size,
+      s"epoch-2 remap (${m2.remapSize}) must be bounded by epoch-2 " +
+        s"merges (${e2.flatten.size}), not carry epoch-1 history")
+  }
+
+  test("streaming dedup DAG end-to-end (round-15): arrivals -> " +
+      "NearDupStream (bands + in-state verify) -> durable parquet edge " +
+      "handoff -> ComponentStream maintenance -> resolve() equals the " +
+      "full batch recomputation over corpus + all arrivals, after " +
+      "EVERY micro-batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .cache()
+    val corpus = all.filter(col("doc_id") < 250)
+    val arrivals = all.filter(col("doc_id") >= 250)
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    val corpusIds = corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // corpus at rest: verified near-dup components (q48's discipline)
+    def componentsOf(docs: org.apache.spark.sql.DataFrame) = {
+      val sh = queries.Dedup.withShingles(docs)
+        .select(col("doc_id"), col("shingles"))
+      queries.Dedup.connectedComponents(
+        queries.Dedup.verifyJaccard(sh,
+            queries.Dedup.minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val corpusComp = componentsOf(corpus)
+    val ledger = corpusIds.toSeq.sorted
+      .map(id => (id, corpusComp.getOrElse(id, id)))
+      .toDF("doc_id", "label")
+    // stage 1: band admission evidence, durably handed off as parquet
+    // (the production shape — two stateful operators cannot share one
+    // streaming query, and a file/Kafka handoff is exactly what a real
+    // pipeline puts between admission and graph maintenance)
+    val hand = java.nio.file.Files
+      .createTempDirectory("t_e2e_edges").toString
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("t_e2e_ck1").toString
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val q1 = NearDupStream.matches(spark, mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", hand).option("checkpointLocation", ck1)
+      .outputMode("append").start()
+    // stage 2: the edge stream feeds component maintenance against the
+    // corpus ledger
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("matched_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    val edges = spark.readStream.schema(edgeSchema).parquet(hand)
+      .select(col("new_doc").as("doc_a"), col("matched_doc").as("doc_b"))
+    val (w2, maint) = ComponentStream.maintain(spark, edges, ledger)
+    val q2 = w2.queryName("t_e2e_comp").start()
+    var seen = Vector.empty[DedupStream.RawDoc]
+    arrivals.grouped(math.max(1, arrivals.length / 3)).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      seen = seen ++ b
+      val fs = ledger.unionByName(
+        seen.map(_.doc_id).sorted.toDF("doc_id")
+          .select(col("doc_id"), col("doc_id").as("label")))
+      val got = maint.resolve(fs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val comp = componentsOf(corpus.unionByName(
+        seen.map(d => (d.doc_id, d.text, d.lang, d.n_chars))
+          .toDF("doc_id", "text", "lang", "n_chars")))
+      val expected = (corpusIds ++ seen.map(_.doc_id))
+        .map(d => d -> comp.getOrElse(d, d)).toMap
+      assert(got === expected,
+        s"composed-pipeline labels diverged after ${seen.size} arrivals")
+    }
+    q1.stop(); q2.stop()
+    assert(spark.read.parquet(hand).count() > 0,
+      "fixture must stream verified evidence through the handoff")
+  }
 }
