@@ -34,7 +34,12 @@ object Similarity {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   private val Dims = 64
-  private val K = 5
+
+  /** Top-k depth every recall readout divides by — package-visible so
+    * ScaleProbe's recall_ppm computations track a K change instead of
+    * duplicating the magic number (round-14 ADVICE).
+    */
+  private[graft] val K = 5
 
   /** Query set: a fixed small id range, so size is sf-independent. */
   private val NumQueries = 10
@@ -323,7 +328,7 @@ object Similarity {
         FROM (SELECT * FROM dsc ORDER BY cosine DESC, doc_id LIMIT $k) zz)"""
 
   /** Corpus with IVF cell + least-confident-plane assignments. */
-  private def celled(s: SparkSession, d: String): DataFrame =
+  private[graft] def celled(s: SparkSession, d: String): DataFrame =
     quantized(s, d, withSig = false)
       .select(col("vec_id"), col("qv"), col("nsq"),
         expr(projSpark(0)).as("p0"), expr(projSpark(1)).as("p1"),
@@ -2517,7 +2522,30 @@ object Similarity {
             expr("n_leak_pairs * 1000000 div n_sem_pairs")
               .as("leak_ppm"),
             col("n_eval_docs_leaked"))
-      })
+      }),
+
+    // ---- quota-elastic IVF serving (per-query adaptive nprobe) --------------
+    // q395 proves the quota-elastic stop rule on the TRIE index; the
+    // index that actually serves top-k is the IVF coarse quantizer
+    // (q47, with q351 planning its FIXED nprobe). This is the
+    // production read-path composition the round-14 verdict asked for:
+    // probe q351's confidence-ranked cell list per query until the
+    // distinct-candidate quota is met — dense-cell queries stop at 1
+    // probe, sparse-cell queries keep flipping planes, every query pays
+    // for the work it needs instead of the worst query's nprobe. See
+    // [[ivfElastic]] for the closed form and the 100 TB plan
+    // (cell-partitioned corpus => the probe join IS partition pruning).
+    QuerySpec(
+      "q398_ivf_nprobe_elastic",
+      Some(s"""WITH $duckQuantCte,
+          ${duckIvfElasticCtes(IvfQuota, IvfElasticCeiling)}
+          SELECT q_id, probes_used, n_cand, n_hit,
+            n_hit * 1000000 // $K AS recall_ppm
+          FROM grid"""),
+      (s, d) => ivfElastic(s, d, IvfQuota, IvfElasticCeiling)
+        .select(col("q_id"), col("probes_used"), col("n_cand"),
+          col("n_hit"),
+          expr(s"n_hit * 1000000 div $K").as("recall_ppm")))
   )
 
   /** q392's deployed probe budget (own leaf + one flip — the round-13
@@ -2534,6 +2562,171 @@ object Similarity {
     */
   private[graft] def AnnQuota = 48
   private[graft] def AnnElasticCeiling = 8
+
+  /** q398's probe ceiling on the IVF index: the own cell plus all four
+    * single-plane flips — q351's whole ranked probe list (rank 5 in
+    * q351 means "unreachable by single flips", so 5 IS the exhaustive
+    * single-flip budget).
+    */
+  private[graft] def IvfElasticCeiling = 5
+
+  /** q398's candidate quota — the RERANK budget per query, sized for
+    * the serving index (IVF cells hold corpus/16, far above the trie's
+    * occupancy cap, so [[AnnQuota]] would stop every query at one
+    * probe). 256 exact rerank ops per query is a deployment constant; a
+    * growing corpus then needs FEWER probes per query (cell occupancy
+    * rises past the quota), which is exactly the elastic property the
+    * ScaleProbe row demonstrates (5 probes at 500 vectors, ~3 at 2k,
+    * 1 at 20k).
+    */
+  private[graft] def IvfQuota = 256
+
+  /** Quota-elastic IVF serving (q398) — q395's stop rule composed with
+    * the index that actually SERVES top-k (q47's 16-cell coarse
+    * quantizer; q394's table pins the trie as a dedup index, not a
+    * serving one). Probe cells in q351's confidence-rank order (own
+    * cell, then single-plane flips by ascending |projection|) and STOP
+    * once the cumulative distinct candidate count reaches `quota` (or
+    * the single-flip neighborhood is exhausted at `ceiling`) — per-query
+    * adaptive nprobe, the production read path where a fixed nprobe
+    * either starves sparse-cell queries or over-scans dense ones.
+    * Closed-form in both engines: per-candidate first-reaching rank +
+    * one cumulative window pick the per-query probe prefix, no
+    * iteration. 100 TB plan: the corpus is written partitioned by cell,
+    * so the probe join IS partition pruning (~probes/16 of the data);
+    * rank/quota frames are query-set-sized broadcasts; only the audit's
+    * exact leg scans the corpus.
+    */
+  private[graft] def ivfElastic(s: SparkSession, d: String,
+      quota: Int, ceiling: Int): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    val c = celled(s, d).cache()
+    val qs = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"), col("cell"),
+        expr("""array_sort(array(
+          struct(abs(p0) AS a, 0 AS j), struct(abs(p1) AS a, 1 AS j),
+          struct(abs(p2) AS a, 2 AS j), struct(abs(p3) AS a, 3 AS j)))
+          """).as("ord"))
+      .withColumn("plist", expr(
+        "concat(array(cell), transform(ord, o -> cell ^ shiftleft(1, o.j)))"))
+    val probes = qs.select(col("q_id"), posexplode(col("plist")))
+      .select(col("q_id"), col("pos").as("rk"), col("col").as("cell"))
+      .filter(col("rk") < ceiling)
+    val firstRk = c.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("rk")).as("frk"))
+      .cache()
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("frk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = firstRk.groupBy(col("q_id"), col("frk"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum", sum(col("n_new")).over(wC))
+    val chosen = cum.groupBy(col("q_id"))
+      .agg(min(when(col("cum") >= quota, col("frk"))).as("rmet"),
+        max(col("frk")).as("rmax"))
+    val candSet = firstRk.join(broadcast(chosen), "q_id")
+      .filter(col("frk") <= coalesce(col("rmet"), col("rmax")))
+      .select(col("q_id"), col("vec_id"))
+    val qsB = qs.select(col("q_id"), col("q_qv"), col("q_nsq"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val top = candSet
+      .join(c.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+      .join(broadcast(qsB), "q_id")
+      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
+    val hits = top
+      .join(exactTopK(c.select(col("vec_id"), col("qv"), col("nsq")),
+        qsB), Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val nc = candSet.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    qs.select(col("q_id"))
+      .join(chosen, Seq("q_id"), "left")
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("rmet") + 1, lit(ceiling)).cast("long")
+          .as("probes_used"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** DuckDB mirror of [[ivfElastic]] — self-contained after the
+    * quantized CTEs; emits `grid(q_id, probes_used, n_cand, n_hit)`.
+    * Same ranked probe list as q351 (`pl`/`pls` machinery) and the same
+    * closed-form stop rule as q395's mirror.
+    */
+  private def duckIvfElasticCtes(quota: Int, ceiling: Int): String =
+    s"""pr AS (SELECT vec_id, qv, nsq,
+          ${projDuck(0)} AS p0, ${projDuck(1)} AS p1,
+          ${projDuck(2)} AS p2, ${projDuck(3)} AS p3
+        FROM en),
+      cells AS (SELECT vec_id, qv, nsq, p0, p1, p2, p3,
+          (CASE WHEN p0 >= 0 THEN 1 ELSE 0 END
+           + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN p2 >= 0 THEN 4 ELSE 0 END
+           + CASE WHEN p3 >= 0 THEN 8 ELSE 0 END) AS cell
+        FROM pr),
+      ql AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, cell,
+          list_sort([{'a': abs(p0), 'j': 0}, {'a': abs(p1), 'j': 1},
+            {'a': abs(p2), 'j': 2}, {'a': abs(p3), 'j': 3}]) AS ord
+        FROM cells WHERE vec_id < $NumQueries),
+      pls AS (SELECT q_id, q_qv, q_nsq,
+          list_concat([cell], [xor(cell, 1 << o.j) for o in ord])
+            AS plist
+        FROM ql),
+      prk AS (SELECT q_id, i - 1 AS rk, plist[i] AS cell
+        FROM pls, (SELECT unnest(range(1, $ceiling + 1)) AS i) z),
+      firstrk AS (SELECT p.q_id, c.vec_id, MIN(p.rk) AS frk
+        FROM prk p JOIN cells c ON c.cell = p.cell
+        WHERE c.vec_id <> p.q_id GROUP BY 1, 2),
+      newat AS (SELECT q_id, frk, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstrk GROUP BY 1, 2),
+      cume AS (SELECT q_id, frk, SUM(n_new) OVER (PARTITION BY q_id
+          ORDER BY frk) AS cum FROM newat),
+      chosen AS (SELECT q_id,
+          MIN(CASE WHEN cum >= $quota THEN frk END) AS rmet,
+          MAX(frk) AS rmax
+        FROM cume GROUP BY 1),
+      candset AS (SELECT f.q_id, f.vec_id FROM firstrk f
+        JOIN chosen ch ON ch.q_id = f.q_id
+          AND f.frk <= COALESCE(ch.rmet, ch.rmax)),
+      scored AS (SELECT cs.q_id, cs.vec_id,
+          CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+            / (sqrt(CAST(q.q_nsq AS DOUBLE))
+              * sqrt(CAST(e.nsq AS DOUBLE))) AS c
+        FROM candset cs JOIN en e ON e.vec_id = cs.vec_id
+             JOIN pls q ON q.q_id = cs.q_id),
+      etop AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY c DESC, vec_id) AS rk FROM scored) z
+        WHERE rk <= $K),
+      exacttop AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id ORDER BY
+                CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(q.q_nsq AS DOUBLE))
+                    * sqrt(CAST(e.nsq AS DOUBLE))) DESC, e.vec_id)
+            AS rk
+          FROM pls q, en e WHERE e.vec_id <> q.q_id) z
+        WHERE rk <= $K),
+      hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM etop t JOIN exacttop x
+          ON x.q_id = t.q_id AND x.vec_id = t.vec_id GROUP BY 1),
+      nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM candset GROUP BY 1),
+      grid AS (SELECT q.q_id,
+          CAST(COALESCE(ch.rmet + 1, $ceiling) AS BIGINT)
+            AS probes_used,
+          COALESCE(nc.n_cand, 0) AS n_cand,
+          COALESCE(h.n_hit, 0) AS n_hit
+        FROM pls q
+        LEFT JOIN chosen ch ON ch.q_id = q.q_id
+        LEFT JOIN nc ON nc.q_id = q.q_id
+        LEFT JOIN hits h ON h.q_id = q.q_id)"""
 
   /** Budget-parameterized trie-ANN recall audit, shared by q392 (one
     * budget) and q394 (the sweep) — and driven by ScaleProbe on the 10x

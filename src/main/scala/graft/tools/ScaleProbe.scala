@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.queries.{Dedup, Multimodal, Registry, Similarity}
+import graft.queries.{Dedup, Multimodal, Registry, Selection, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -368,7 +368,14 @@ object ScaleProbe {
       // in-plan depth derivation keeps it near-linear on the REAL
       // corpus, not just ScaleSpec's synthetic 16k/64k vectors
       "q391_trie_semantic_dedup" -> (d =>
-        Similarity.trieLeafPairCandidates(spark, d).count()))
+        Similarity.trieLeafPairCandidates(spark, d).count()),
+      // round 15: the block-decomposed order audit — the "candidate"
+      // mass is the (shard, block) CELL count, which must grow with the
+      // corpus (bounded rows per cell) now that the run-length scan is
+      // stitched at block grain instead of sorted per constant shard
+      "q396_shuffle_order_audit" -> (d =>
+        Selection.orderAuditFrame(spark, d)
+          .groupBy(col("shard"), col("g")).count().count()))
 
     println("| query | cand@base | cand@10x | growth | " +
       "wall@base s | wall@10x s | per-row drift |")
@@ -453,9 +460,9 @@ object ScaleProbe {
           count(lit(1)).as("nq"))
         .orderBy(col("probe_budget")).collect()
       rows.foreach { r =>
-        // recall over the exact top-5 per query (q392's K)
+        // recall over the exact top-K per query (q392's Similarity.K)
         println(s"| q394@$label | ${r.getInt(0)} | ${r.getLong(1)} | " +
-          s"${r.getLong(2) * 1000000 / (r.getLong(3) * 5)} |")
+          s"${r.getLong(2) * 1000000 / (r.getLong(3) * Similarity.K)} |")
       }
       spark.catalog.clearCache()
     }
@@ -476,7 +483,28 @@ object ScaleProbe {
           sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
           count(lit(1)).as("nq")).head()
       println(f"| q395@$label | ${r.getLong(0).toDouble / r.getLong(3)}%.1f " +
-        s"| ${r.getLong(1)} | ${r.getLong(2) * 1000000 / (r.getLong(3) * 5)} |")
+        s"| ${r.getLong(1)} | " +
+        s"${r.getLong(2) * 1000000 / (r.getLong(3) * Similarity.K)} |")
+      spark.catalog.clearCache()
+    }
+
+    // q398's quota-elastic IVF at both sizes (round 15): the SERVING
+    // index under the elastic rule, against q351's fixed-nprobe
+    // planning — the check that per-query adaptive nprobe holds recall
+    // while mean probes FALL as the corpus (and cell occupancy) grows.
+    println()
+    println("| elastic IVF | mean_probes | n_cand | recall_ppm |")
+    println("|---|---|---|---|")
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val r = Similarity
+        .ivfElastic(spark, dir, Similarity.IvfQuota,
+          Similarity.IvfElasticCeiling)
+        .agg(sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q398@$label | ${r.getLong(0).toDouble / r.getLong(3)}%.1f " +
+        s"| ${r.getLong(1)} | " +
+        s"${r.getLong(2) * 1000000 / (r.getLong(3) * Similarity.K)} |")
       spark.catalog.clearCache()
     }
   }

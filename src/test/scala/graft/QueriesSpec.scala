@@ -1551,6 +1551,87 @@ class QueriesSpec extends SparkSpec {
         assert(sweep((used.toInt - 1, q))._1 < quota,
           s"q $q: budget ${used - 1} already met the quota")
     }
+    // recall FLOOR at the deployed quota (round-14 verdict #4): the
+    // fixture measures 240,000 ppm (12/50 exact-top-5 hits) — the
+    // assert pins a regression floor under it, so a change that
+    // silently starves the elastic rule (probe-rank drift, quota
+    // misread, candidate leak) fails here instead of only in SCALE.md
+    val totHits = el.values.map(_._3).sum
+    val recallPpm = totHits * 1000000L / (el.size * 5L)
+    assert(recallPpm >= 200000L,
+      s"corpus recall at deployed quota fell to $recallPpm ppm " +
+        s"($totHits hits) — below the pinned sf0.001 floor")
+  }
+
+  test("q398_ivf_nprobe_elastic: probes_used and n_cand equal an " +
+      "independent driver replay of the ranked probe list + quota stop " +
+      "rule over collected cells, and hits are bounded by K and n_cand") {
+    val quota = queries.Similarity.IvfQuota
+    val ceiling = queries.Similarity.IvfElasticCeiling
+    val got = Registry.byName("q398_ivf_nprobe_elastic")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val cells = queries.Similarity.celled(spark, sfDir)
+      .select("vec_id", "cell", "p0", "p1", "p2", "p3").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val byId = cells.map { case (id, cell, ps) => id -> ((cell, ps)) }
+      .toMap
+    val occ = cells.groupBy(_._2)
+      .map { case (c, v) => c -> v.map(_._1).toSet }
+    val queryIds = cells.map(_._1).filter(_ < 10).sorted
+    assert(got.keySet === queryIds.toSet, "one row per query")
+    queryIds.foreach { q =>
+      val (cell, ps) = byId(q)
+      val plist = cell +: ps.zipWithIndex
+        .map { case (p, j) => (math.abs(p), j) }.sorted.map(_._2)
+        .map(j => cell ^ (1 << j))
+      val frk = scala.collection.mutable.Map.empty[Long, Int]
+      plist.take(ceiling).zipWithIndex.foreach { case (c, rk) =>
+        occ.getOrElse(c, Set.empty)
+          .foreach(v => if (v != q && !frk.contains(v)) frk(v) = rk)
+      }
+      val rmet = (0 until ceiling)
+        .find(r => frk.values.count(_ <= r) >= quota)
+      val expUsed = rmet.map(_ + 1).getOrElse(ceiling).toLong
+      val expCand = rmet.map(r => frk.values.count(_ <= r).toLong)
+        .getOrElse(frk.size.toLong)
+      val (used, nc, nh) = got(q)
+      assert(used === expUsed, s"q $q probes_used $used != $expUsed")
+      assert(nc === expCand, s"q $q n_cand $nc != $expCand")
+      assert(nh <= 5L && nh <= nc, s"q $q n_hit $nh out of bounds")
+    }
+  }
+
+  test("shardRunStats (q396 scale core): block-decomposed run stats " +
+      "equal a global per-shard scan — spanning chains through " +
+      "single-run interior blocks, bridged multi-run boundaries, and " +
+      "NULL-source runs (null-safe both within and across blocks)") {
+    import spark.implicits._
+    // (shard, g, h, doc_id, source); g monotone in h within a shard
+    val rows = Seq[(Long, Long, Long, Long, String)](
+      // shard 0 global order: x a | a a | a b | b  -> runs x1 a4 b2
+      //   chain 1: b0 tail 'a' -> single-run b1 -> b2 head 'a' (len 4)
+      //   chain 2: b2 tail 'b' -> b3 head 'b' (len 2, multi-run left end)
+      (0L, 0L, 1L, 1L, "x"), (0L, 0L, 2L, 2L, "a"),
+      (0L, 1L, 10L, 3L, "a"), (0L, 1L, 11L, 4L, "a"),
+      (0L, 2L, 20L, 5L, "a"), (0L, 2L, 21L, 6L, "b"),
+      (0L, 3L, 30L, 7L, "b"),
+      // shard 1: null null | null c | d -> runs null3 c1 d1 (a NULL
+      // tail must bridge a NULL head; c vs d must NOT bridge)
+      (1L, 0L, 1L, 10L, null), (1L, 0L, 2L, 11L, null),
+      (1L, 1L, 10L, 12L, null), (1L, 1L, 11L, 13L, "c"),
+      (1L, 2L, 20L, 14L, "d"),
+      // shard 2: one block, no boundaries: z z q -> runs z2 q1
+      (2L, 0L, 1L, 20L, "z"), (2L, 0L, 2L, 21L, "z"),
+      (2L, 0L, 3L, 22L, "q")
+    ).toDF("shard", "g", "h", "doc_id", "source")
+    val got = queries.Selection.shardRunStats(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(0L -> ((3L, 4L)), 1L -> ((3L, 3L)),
+      2L -> ((2L, 2L))),
+      s"block-decomposed run stats diverged from the global scan: $got")
   }
 
   test("q396_shuffle_order_audit: shard stats reconcile with a driver " +
