@@ -74,25 +74,46 @@ object Bench {
     * whole suite has run, the JVM is quiet (no accumulated cache/
     * cleaner debris — the per-query clearCache and periodic GC already
     * ran) and the contention window has usually passed, so: re-measure
-    * each suspect with two fresh samples behind an untimed full GC,
-    * adopt the minimum of all valid samples (min is the one estimator
-    * a stall can only leave alone or improve), and clear the flag iff
-    * the fresh samples corroborate each other (within 1.5x, measure()'s
-    * own bar) AND the adopted value sits back inside 3x of the
-    * committed prior when one exists. A flag that SURVIVES this pass
-    * reproduced on a quiet JVM — a real regression candidate the
-    * record must still surface.
+    * each suspect with up to THREE fresh samples behind untimed full
+    * GCs, adopt the minimum of all valid samples (min is the one
+    * estimator a stall can only leave alone or improve), and clear the
+    * flag iff the two fastest fresh samples corroborate each other
+    * (within 1.5x, measure()'s own bar) AND the adopted value sits
+    * back inside 3x of the committed prior when one exists. A flag
+    * that SURVIVES this pass reproduced three times on a quiet JVM — a
+    * real regression candidate the record must still surface.
     */
   private[graft] def readjudicate(reported: Double,
       prior: Option[Double], once: () => Double,
       gc: () => Unit): (Double, Int, Boolean) = {
+    // Round 15: a flag that survives the first two fresh samples gets
+    // ONE more gc+sample before it is kept — r14's sole surviving
+    // suspect (q286) was a contention window that outlasted exactly two
+    // fresh samples and vanished for the judge minutes later. The pass
+    // corroborates over the two FASTEST of up to three fresh samples: a
+    // stall can only inflate a sample, never deflate one, so the
+    // fastest pair is the stall-proof evidence.
+    def verdict(fresh: Seq[Double]): (Double, Boolean) = {
+      val adopted = (reported +: fresh).min
+      val best2 = fresh.sorted.take(2)
+      val corroborated = best2.size >= 2 && best2(1) <= best2(0) * 1.5
+      val insidePrior = prior.forall(p => adopted <= 3.0 * p)
+      (adopted, !(corroborated && insidePrior))
+    }
     gc()
-    val fresh = Seq(once(), once()).filter(_ > 0)
-    val adopted = (reported +: fresh).min
-    val corroborated = fresh.size >= 2 &&
-      fresh.max <= fresh.min * 1.5
-    val insidePrior = prior.forall(p => adopted <= 3.0 * p)
-    (adopted, 2, !(corroborated && insidePrior))
+    var fresh = Seq(once(), once()).filter(_ > 0)
+    var runs = 2
+    var (adopted, still) = verdict(fresh)
+    if (still) { // third chance on a freshly-quiet JVM (header above)
+      gc()
+      val s = once()
+      runs += 1
+      if (s > 0) fresh = fresh :+ s
+      val v = verdict(fresh)
+      adopted = v._1
+      still = v._2
+    }
+    (adopted, runs, still)
   }
 
   /** Per-query priors from a previous run's full record (one JSON line

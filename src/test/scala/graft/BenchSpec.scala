@@ -140,21 +140,40 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("readjudicate keeps the flag when the disagreement reproduces " +
-      "on a quiet JVM (a real regression candidate)") {
-    val (v, _, still) = Bench.readjudicate(13.04, Some(0.75),
+      "on a quiet JVM across all three samples (a real regression " +
+      "candidate)") {
+    val (v, runs, still) = Bench.readjudicate(13.04, Some(0.75),
       scripted(12.9, 13.1), noGc)
-    assert(v === 12.9 && still,
+    assert(v === 12.9 && runs === 3 && still,
       "a reproducing 17x must stay flagged, never silently adopted")
+  }
+
+  test("readjudicate's third sample rescues a suspect whose contention " +
+      "window outlasted the first fresh sample (the r14 q286 shape)") {
+    // mid-suite report 13 s, first fresh sample still inside the window
+    // (12.8 s), then the host quiets: the two FASTEST fresh samples
+    // corroborate at the true ~0.5 s value and the flag clears
+    val (v, runs, still) = Bench.readjudicate(13.0, Some(0.55),
+      scripted(12.8, 0.51, 0.53), noGc)
+    assert(v === 0.51 && runs === 3 && !still,
+      "fastest-pair corroboration must see through one stalled sample")
   }
 
   test("readjudicate keeps the flag when fresh samples disagree with " +
       "each other, and ignores failed (negative) samples") {
     val (v, _, still) = Bench.readjudicate(9.0, None,
-      scripted(1.0, 8.0), noGc)
+      scripted(1.0, 8.0, 7.9), noGc)
     assert(v === 1.0 && still, "uncorroborated fresh samples stay flagged")
+    // one failed sample, then the third corroborates the survivor: the
+    // round-15 extra sample turns a previously-doomed flag into evidence
     val (v2, _, still2) = Bench.readjudicate(5.0, None,
-      scripted(-1.0, 4.0), noGc)
-    assert(v2 === 4.0 && still2,
-      "one failed sample leaves nothing to corroborate with")
+      scripted(-1.0, 4.0, 4.1), noGc)
+    assert(v2 === 4.0 && !still2,
+      "the third sample must corroborate past one failed sample")
+    // all fresh samples failed: nothing to corroborate, flag stays
+    val (v3, _, still3) = Bench.readjudicate(5.0, None,
+      scripted(-1.0, -1.0, -1.0), noGc)
+    assert(v3 === 5.0 && still3,
+      "no valid fresh sample leaves nothing to corroborate with")
   }
 }
