@@ -380,7 +380,23 @@ object Plans {
         + "components supply sides via two hash joins on the pair "
         + "endpoints; the corpus rollups are two broadcast 1-row "
         + "frames — no new candidate generator, no corpus-sized "
-        + "exchange beyond the parents'."))
+        + "exchange beyond the parents'."),
+    "q396_shuffle_order_audit" ->
+      ("Round-15 block decomposition: local run windows partition by "
+        + "(shard, block) — ~8k-row hash-range cells — and the stitch "
+        + "window runs at BLOCK grain (2^blkbits rows per shard), "
+        + "with S and blkbits derived in-plan from one broadcast "
+        + "corpus count; no window partitions corpus-grain input by "
+        + "a bounded key (the round-14 weak shape, now also swept "
+        + "for by GuardSpec)."),
+    "q398_ivf_nprobe_elastic" ->
+      ("q395's closed-form stop rule on the 16-cell IVF index: the "
+        + "ranked probe list is a per-query array (broadcast), "
+        + "first-reaching rank is one min-agg over the cell-keyed "
+        + "probe join, the quota pick is a query-set-sized window, "
+        + "and only the audit's exact leg scans the corpus — at rest "
+        + "the corpus is cell-partitioned, so the probe join is "
+        + "partition pruning."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
