@@ -2844,6 +2844,99 @@ object Dedup {
             (col("naive_side") =!= col("split")).as("moved"),
             col("split_docs"), col("split_dup_mass"),
             col("split_rep_token_ppm"))
+      }),
+
+    // ---- split-side CHURN under incremental growth (round 15) --------------
+    // q393 materializes a component-hashed split; q390 shows batches
+    // MERGE components — and a merge can change a component's min
+    // label, so its hash, so its SIDE. This op audits exactly that
+    // churn: for every corpus doc, its side under yesterday's
+    // components (doc_id < 250, the q324/q390 batch convention) vs
+    // under today's (corpus + batch), rolled up per transition class.
+    // The classes a training owner reads: eval->train means docs that
+    // benchmarked PAST models are now trainable (past eval scores on
+    // them are dead — version the benchmark); train->eval wastes
+    // already-trained-on docs (they cannot re-enter eval unseen);
+    // 'arrived' rows are the batch's own assignment. Stability ppm per
+    // class is the SLO number (a split that churns percent-level per
+    // day needs label pinning, not re-hashing). Determinism: both
+    // labelings are min-label components; the side rule is q393's
+    // portable hash. 100 TB plan: ONE candidate/verify pass is shared
+    // by both labelings (old edges = verified pairs with both ends
+    // old — band keys are row-local, so the restriction equals
+    // re-running on the subset); the rollup is a 6-row group; in
+    // production the old labels come from q390's ledger at rest, no
+    // recompute.
+    QuerySpec(
+      "q399_split_churn",
+      Some(s"""WITH $minhashCteChain,
+          ${verifyCteDuck(0.8)},
+          sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+          ${minLabelRootsDuck(12)},
+          osym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              WHERE doc_a < 250 AND doc_b < 250
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified
+              WHERE doc_a < 250 AND doc_b < 250),
+          ${minLabelRootsDuck(12, "o")},
+          lab AS (SELECT d.doc_id,
+              COALESCE(r.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+          oldlab AS (SELECT d.doc_id,
+              COALESCE(orr.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN oroots orr ON orr.doc_id = d.doc_id
+            WHERE d.doc_id < 250),
+          sided AS (SELECT l.doc_id, l.component,
+              CASE WHEN ol.doc_id IS NULL THEN 'arrived'
+                WHEN (${h64Duck("CAST(ol.component AS VARCHAR)")}) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS old_side,
+              CASE WHEN (${h64Duck("CAST(l.component AS VARCHAR)")}) % 10 < 8
+                THEN 'train' ELSE 'eval' END AS new_side
+            FROM lab l LEFT JOIN oldlab ol ON ol.doc_id = l.doc_id),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM sided)
+          SELECT old_side, new_side,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+            old_side <> 'arrived' AND old_side <> new_side AS flipped,
+            CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT t FROM tot)
+              AS share_ppm
+          FROM sided GROUP BY 1, 2"""),
+      (s, d) => {
+        graft.expressions.GraftExtensions.ensureRegistered(s)
+        val sh = shingled(s, d).select(col("doc_id"), col("shingles"))
+          .cache()
+        val edges = verifyJaccard(sh, minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val newlab = docs
+          .join(connectedComponents(edges), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        val oldlab = docs.filter(col("doc_id") < 250)
+          .join(connectedComponents(edges
+            .filter(col("doc_a") < 250 && col("doc_b") < 250)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id"))
+              .as("old_component"))
+        val sided = newlab.join(oldlab, Seq("doc_id"), "left")
+          .withColumn("old_side",
+            when(col("old_component").isNull, "arrived")
+              .when(expr(h64Spark("cast(old_component as string)"))
+                % 10 < 8, "train").otherwise("eval"))
+          .withColumn("new_side",
+            when(expr(h64Spark("cast(component as string)")) % 10 < 8,
+              "train").otherwise("eval"))
+        val tot = sided.agg(count(lit(1)).as("t"))
+        sided.groupBy(col("old_side"), col("new_side"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("component")).as("n_components"))
+          .withColumn("flipped", col("old_side") =!= lit("arrived")
+            && col("old_side") =!= col("new_side"))
+          .crossJoin(broadcast(tot)) // 1-row corpus total
+          .select(col("old_side"), col("new_side"), col("n_docs"),
+            col("n_components"), col("flipped"),
+            expr("n_docs * 1000000 div t").as("share_ppm"))
       })
   )
 

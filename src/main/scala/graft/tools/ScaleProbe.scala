@@ -265,7 +265,16 @@ object ScaleProbe {
       }),
       "q387_winnowing_pairs" -> (d =>
         Dedup.winnowingPairCandidates(Dedup.winnowedDocPrints(spark, d))
-          .count()))
+          .count()),
+      // round 15: q396's (shard, block) cell count — the grain steps by
+      // powers of two (blkbits = bitlength(n / (8192*S))), so the 10x
+      // row plateaus at 16 cells (50k docs < the 131k first-doubling
+      // threshold); the third decade is where the decomposition
+      // actually engages and the rows-per-cell bound (<= 2*BlockRows)
+      // must hold by cells growing, not rows
+      "q396_order_cells" -> (d =>
+        Selection.orderAuditFrame(spark, d)
+          .groupBy(col("shard"), col("g")).count().count()))
     println(s"| query | cand@base | cand@${reps}x | growth | vs linear |")
     println("|---|---|---|---|---|")
     probes.foreach { case (name, cand) =>

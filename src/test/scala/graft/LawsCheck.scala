@@ -128,6 +128,35 @@ object LawsCheck extends Properties("graft.laws") {
         interleave(xa, ya) <= interleave(xb, yb)
     }
 
+  // q396's scale core: the block-decomposed run-length stitcher
+  // (per-cell local runs + bridged-boundary chains through single-run
+  // interior blocks) must equal a plain driver-side fold over the
+  // global (h, doc_id) order — for ARBITRARY shard/block/hash layouts
+  // and NULL-bearing source sequences, not just the fixture's. The
+  // block key derives from h (g = h div 8) so blocks are contiguous
+  // h-ranges, the contract the stitcher requires.
+  property("shardRunStats equals a driver-side global run fold") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 2L),
+        Gen.chooseNum(0L, 31L),
+        Gen.option(Gen.oneOf("a", "b", "c"))))) { xs =>
+      val rows = xs.zipWithIndex.map { case ((sh, h, src), i) =>
+        (sh, h / 8L, h, i.toLong, src.orNull)
+      }
+      val got = queries.Selection.shardRunStats(
+          rows.toDF("shard", "g", "h", "doc_id", "source"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val expected = rows.groupBy(_._1).map { case (sh, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._4)).map(_._5)
+        val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+          case ((s, n) :: tl, src) if s == src => (s, n + 1) :: tl
+          case (acc, src) => (src, 1L) :: acc
+        }.map(_._2)
+        sh -> ((runs.length.toLong, runs.max))
+      }
+      got == expected
+    }
+
   property("parquet round-trip preserves the row multiset") =
     Prop.forAll(rows) { xs =>
       val dir = java.nio.file.Files.createTempDirectory("laws-rt").toString

@@ -1563,6 +1563,40 @@ class QueriesSpec extends SparkSpec {
         s"($totHits hits) — below the pinned sf0.001 floor")
   }
 
+  test("q399_split_churn: classes partition the corpus, the arrived " +
+      "class is exactly the batch, flipped is derived correctly, and " +
+      "per-new-side doc counts reconcile with q393's materialized " +
+      "split") {
+    val rows = Registry.byName("q399_split_churn").run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.map(_._3).sum === docs.length.toLong,
+      "transition classes must partition the corpus")
+    assert(rows.filter(_._1 == "arrived").map(_._3).sum
+        === docs.count(_ >= 250L).toLong,
+      "the arrived class must be exactly the batch")
+    rows.foreach { case (o, n, _, _, f, _) =>
+      assert(f === (o != "arrived" && o != n),
+        s"flipped flag wrong for class ($o, $n)")
+    }
+    val ppm = rows.map(_._6).sum
+    assert(ppm > 1000000L - rows.length && ppm <= 1000000L,
+      s"class shares must tile the corpus, got $ppm ppm")
+    // the new-side marginal must equal q393's materialized split —
+    // churn is measured AGAINST the split artifact, so the two ops
+    // must agree on where every doc lands today
+    val bySide = Registry.byName("q393_split_materialize")
+      .run(spark, sfDir).collect()
+      .map(_.getString(2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val gotBySide = rows.groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    assert(gotBySide === bySide,
+      "per-new-side totals must reconcile with q393's split")
+  }
+
   test("q398_ivf_nprobe_elastic: probes_used and n_cand equal an " +
       "independent driver replay of the ranked probe list + quota stop " +
       "rule over collected cells, and hits are bounded by K and n_cand") {

@@ -64,6 +64,8 @@ def main() -> int:
          f"{total} checks ({tests} tests + {laws} laws)"),
         ("README.md", r"— \d+ pass,", f"— {nq} pass,"),
         ("README.md", r"\(\d+ queries\)", f"({nq} queries)"),
+        ("README.md", r"Selection \(\d+; ALL oracle-checked\)",
+         f"Selection ({nq}; ALL oracle-checked)"),
         ("COVERAGE.md",
          r"\(\d+ checks green: \d+ tests \+ \d+ laws\)",
          f"({total} checks green: {tests} tests + {laws} laws)"),
