@@ -20,3 +20,6 @@ echo "== gate 3: bench (sf0.1)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric.*}'
+
+echo "== snapshot: commit any refreshed records"
+bash tools/snapshot.sh
