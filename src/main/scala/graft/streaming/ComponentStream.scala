@@ -137,22 +137,52 @@ object ComponentStream {
     * (empty at start — corpus labels are already component minimums).
     * `remapBroadcastCap` is a test seam for [[remapSide]]'s demotion
     * threshold (production callers keep [[RemapBroadcastCap]]).
+    *
+    * DURABILITY (round-15): the keyed first-sight state survives a
+    * crash in the state store, but the remap lives in driver memory —
+    * so with `stateDir` set, every batch that changes the remap
+    * persists a snapshot (epoch-bounded rows, trivial to write) under
+    * `stateDir/remap_b<batchId>` plus a marker file naming the latest,
+    * and a new Maintainer RESTORES it on construction. Recovery is
+    * at-least-once-safe in both crash orders: if the crash landed
+    * after the snapshot, the replayed batch's contraction resolves
+    * both endpoints of every already-merged pair to the same root and
+    * contracts to empty (a no-op); if before, the replay re-derives
+    * the same deterministic merge events from the previous snapshot.
+    * StreamingSpec proves both the restore and the replay no-op.
     */
   final class Maintainer(spark: SparkSession,
-      remapBroadcastCap: Long = RemapBroadcastCap) {
+      remapBroadcastCap: Long = RemapBroadcastCap,
+      stateDir: Option[String] = None) {
 
     private def emptyRemap(): DataFrame = {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("label", "canon").localCheckpoint(true)
     }
 
-    @volatile private var remapDf: DataFrame = emptyRemap()
+    private def marker = stateDir.map(d =>
+      java.nio.file.Paths.get(d, "REMAP_LATEST"))
+
+    private def restored(): Option[DataFrame] =
+      marker.filter(java.nio.file.Files.exists(_)).map { m =>
+        val b = new String(java.nio.file.Files.readAllBytes(m),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        spark.read.parquet(s"${stateDir.get}/remap_b$b")
+      }
 
     /** Cumulative merge events this epoch — the remap's exact row
       * count, maintained on the already-materialized checkpoint (a
-      * count over in-memory partitions, no recompute).
+      * count over in-memory partitions, no recompute). Declared before
+      * `remapDf` so a restore can set it from the snapshot.
       */
     @volatile private var remapRows: Long = 0L
+
+    @volatile private var remapDf: DataFrame =
+      restored().map { df =>
+        val ck = checkpointFresh(df)
+        remapRows = ck.count()
+        ck
+      }.getOrElse(emptyRemap())
 
     /** localCheckpoint, then REBUILD the frame from the checkpointed
       * RDD so the carried Catalyst statistics are dropped.
@@ -221,14 +251,59 @@ object ComponentStream {
         .select(col("doc_id"), col("component").as("label")))
       remapDf = emptyRemap()
       remapRows = 0L
+      // the new epoch starts with an empty remap — drop the old
+      // epoch's snapshots so a restart cannot restore stale merges
+      for (d <- stateDir) {
+        marker.foreach(deleteRec)
+        val dir = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(dir)) {
+          val it = java.nio.file.Files.list(dir)
+            .filter(_.getFileName.toString.startsWith("remap_b"))
+          it.forEach(p => deleteRec(p))
+          it.close()
+        }
+      }
       folded
     }
 
+    private def deleteRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        s.close()
+      }
+
+    /** Persist the current remap as the batch's snapshot and move the
+      * marker atomically; the previous batch's snapshot is deleted
+      * after the marker flips (keep-latest discipline — the remap is
+      * cumulative, so only the newest snapshot is ever needed).
+      */
+    private def persist(batchId: Long): Unit =
+      for (d <- stateDir; m <- marker) {
+        val prev = if (java.nio.file.Files.exists(m))
+          Some(new String(java.nio.file.Files.readAllBytes(m),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+        else None
+        remapDf.write.mode("overwrite").parquet(s"$d/remap_b$batchId")
+        val tmp = java.nio.file.Paths.get(d, ".REMAP_LATEST.tmp")
+        java.nio.file.Files.createDirectories(tmp.getParent)
+        java.nio.file.Files.write(tmp, batchId.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, m,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        prev.filter(_ != batchId.toString).foreach(b =>
+          deleteRec(java.nio.file.Paths.get(d, s"remap_b$b")))
+      }
+
     /** One micro-batch of stage-1 output: pair half-edges, resolve
       * through the remap, contract, run star rounds on the label
-      * graph, re-root the remap with the merge events.
+      * graph, re-root the remap with the merge events. `batchId` keys
+      * the durable snapshot when `stateDir` is set (pass the
+      * foreachBatch id; the default skips persistence).
       */
-    def onBatch(halfEdges: DataFrame): Unit = {
+    def onBatch(halfEdges: DataFrame, batchId: Long = -1L): Unit = {
       val paired = halfEdges
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(max(when(col("me") === col("doc_a"), col("label")))
@@ -262,6 +337,7 @@ object ComponentStream {
         remapDf = checkpointFresh(rerooted.unionByName(added)
           .filter(col("label") =!= col("canon")))
         remapRows = remapDf.count()
+        if (batchId >= 0) persist(batchId)
       }
     }
   }
@@ -273,12 +349,13 @@ object ComponentStream {
     */
   def maintain(spark: SparkSession, edges: DataFrame,
       ledger: DataFrame,
-      remapBroadcastCap: Long = RemapBroadcastCap):
+      remapBroadcastCap: Long = RemapBroadcastCap,
+      stateDir: Option[String] = None):
       (DataStreamWriter[org.apache.spark.sql.Row], Maintainer) = {
-    val m = new Maintainer(spark, remapBroadcastCap)
+    val m = new Maintainer(spark, remapBroadcastCap, stateDir)
     val w = labeledEnds(spark, edges, ledger)
       .writeStream
-      .foreachBatch((b: DataFrame, _: Long) => m.onBatch(b))
+      .foreachBatch((b: DataFrame, id: Long) => m.onBatch(b, id))
     (w, m)
   }
 }

@@ -1560,6 +1560,76 @@ class StreamingSpec extends SparkSpec {
         s"merges (${e2.flatten.size}), not carry epoch-1 history")
   }
 
+  test("ComponentStream remap durability (round-15): a new Maintainer " +
+      "restores the snapshot a crash left behind, at-least-once REPLAY " +
+      "of the last batch is a no-op, crash-before-persist re-derives " +
+      "the same merges, and rotate() clears the snapshots") {
+    import spark.implicits._
+    // half-edge frames as stage 1 emits them: (doc_a, doc_b, me, label)
+    // with IMMUTABLE first-sight labels (ledger 1->1, 2->1, 3..6 self)
+    def he(rows: (Long, Long, Long, Long)*) =
+      rows.toDF("doc_a", "doc_b", "me", "label")
+    val b1 = he((3L, 4L, 3L, 3L), (3L, 4L, 4L, 4L))
+    val b2 = he((5L, 2L, 5L, 5L), (5L, 2L, 2L, 1L),
+      (4L, 2L, 4L, 4L), (4L, 2L, 2L, 1L))
+    val b3 = he((6L, 9L, 6L, 6L), (6L, 9L, 9L, 9L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("t_comp_dur").toString
+    val m1 = new ComponentStream.Maintainer(spark,
+      stateDir = Some(dir))
+    m1.onBatch(b1, 1L)
+    m1.onBatch(b2, 2L)
+    def rm(m: ComponentStream.Maintainer) = m.remap.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val afterB2 = rm(m1)
+    assert(afterB2 === Map(4L -> 1L, 3L -> 1L, 5L -> 1L),
+      s"batch-2 merges must chain 3,4,5 onto 1: $afterB2")
+    // keep a copy of the batch-2 snapshot for the crash-BEFORE-persist
+    // order below
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("t_comp_dur2").toString
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      val t = java.nio.file.Paths.get(dir2)
+        .resolve(java.nio.file.Paths.get(dir).relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    // CRASH after persist: a fresh Maintainer restores batch 2's remap
+    val m2 = new ComponentStream.Maintainer(spark,
+      stateDir = Some(dir))
+    assert(rm(m2) === afterB2 && m2.remapSize === 3L,
+      "restore must rebuild the snapshot remap exactly")
+    // at-least-once replay of the already-applied batch: contraction
+    // resolves both endpoints of every merged pair to the same root
+    // and the batch contracts to EMPTY — remap byte-identical
+    m2.onBatch(b2, 2L)
+    assert(rm(m2) === afterB2 && m2.remapSize === 3L,
+      "replaying an applied batch must be a no-op")
+    m2.onBatch(b3, 3L)
+    val afterB3 = rm(m2)
+    assert(afterB3 === afterB2 + (9L -> 6L), s"batch 3: $afterB3")
+    // CRASH before persist: a Maintainer restored from the batch-2
+    // snapshot re-derives batch 3's merges deterministically
+    val m3 = new ComponentStream.Maintainer(spark,
+      stateDir = Some(dir2))
+    m3.onBatch(b3, 3L)
+    assert(rm(m3) === afterB3,
+      "crash-before-persist replay must re-derive the same merges")
+    // rotation clears the durable snapshots: the next epoch's
+    // Maintainer on the same dir starts EMPTY
+    val ledger = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 6L), (9L, 9L)).toDF("doc_id", "label")
+    val folded = m2.rotate(ledger).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 6L, 9L -> 6L), s"rotated ledger: $folded")
+    val m4 = new ComponentStream.Maintainer(spark,
+      stateDir = Some(dir))
+    assert(m4.remapSize === 0L && m4.remap.isEmpty,
+      "a rotated state dir must not restore stale merges")
+  }
+
   test("streaming dedup DAG end-to-end (round-15): arrivals -> " +
       "NearDupStream (bands + in-state verify) -> durable parquet edge " +
       "handoff -> ComponentStream maintenance -> resolve() equals the " +
