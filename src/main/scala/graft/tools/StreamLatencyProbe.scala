@@ -194,7 +194,11 @@ object StreamLatencyProbe {
               math.abs(rnd.nextLong()) % lim)
           })
         val memC = MemoryStream[ComponentStream.Edge]
-        val (w, _) = ComponentStream.maintain(spark, memC.toDF(), ledger)
+        // stateDir on: the leg times the production path including the
+        // per-merging-batch durable remap snapshot (epoch-bounded write)
+        val (w, _) = ComponentStream.maintain(spark, memC.toDF(), ledger,
+          stateDir = Some(java.nio.file.Files
+            .createTempDirectory(s"lat_comp_state_$frac").toString))
         val qC = w.queryName(s"lat_comp_$frac").start()
         drive(qC, triggers,
           i => { memC.addData(edgeBatches(i).toIndexedSeq: _*)
