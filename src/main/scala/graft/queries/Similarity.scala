@@ -86,6 +86,28 @@ object Similarity {
     Seq.fill(Planes, Dims)(rng.nextInt(2001) - 1000)
   }
 
+  /** All 48 planes as ONE array-of-arrays SQL literal, for per-row
+    * plane loops written as a single `transform` lambda instead of 48
+    * separate projection expressions — the 48-expression form costs
+    * ~2 s of driver-side analysis + codegen PER RUN (measured on q400:
+    * 5.3 s -> the transform form's runtime), because each of the 48
+    * `aggregate(zip_with(...))` trees codegens its own block over a
+    * 64-literal array. Same exact integer math, loop-carried at
+    * runtime.
+    */
+  private lazy val planesMatrixSql: String =
+    planes.map(row => row.map(v => s"${v}L")
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** `abs(projection)` onto every plane as one array column (the
+    * confidence vector the ranked-flip probe rule sorts).
+    */
+  private def apArraySql: String =
+    s"""transform($planesMatrixSql, p ->
+        abs(aggregate(zip_with(qv, p, (e, w) -> e * w),
+          0L, (a, v) -> a + v)))"""
+
   /** Read-only plane access for specs that CONSTRUCT adversarial
     * fixtures in signature space (StreamingSpec's saturation-divergence
     * leg builds two clusters sharing a 12-plane prefix but nearly
@@ -2476,21 +2498,7 @@ object Similarity {
       (s, d) => {
         graft.expressions.GraftExtensions.ensureRegistered(s)
         // q391's semantic pair relation (same leaf, cosine >= threshold)
-        val sg = quantized(s, d, withSig = true)
-        val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
-          CellOccupancy)
-        val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
-          .join(leaf, "vec_id").cache()
-        val spairs = c.select(col("vec_id").as("doc_a"), col("depth"),
-            col("cell"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
-          .join(c.select(col("vec_id").as("doc_b"),
-            col("depth").as("d_b"), col("cell").as("cell_b"),
-            col("qv").as("qv_b"), col("nsq").as("nsq_b")),
-            col("depth") === col("d_b") && col("cell") === col("cell_b")
-              && col("doc_a") < col("doc_b"))
-          .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
-            >= SemThreshold)
-          .select(col("doc_a"), col("doc_b"))
+        val spairs = semLeafPairs(s, d)
         // q393's component-hash sides, verbatim
         val sh = Dedup.shingled(s, d)
           .select(col("doc_id"), col("shingles"))
@@ -2545,6 +2553,32 @@ object Similarity {
       (s, d) => ivfElastic(s, d, IvfQuota, IvfElasticCeiling)
         .select(col("q_id"), col("probes_used"), col("n_cand"),
           col("n_hit"),
+          expr(s"n_hit * 1000000 div $K").as("recall_ppm"))),
+
+    // ---- adaptive-grain elastic IVF serving (round-16, verdict #1) ----------
+    // q398's elastic stop rule on a coarse quantizer whose GRAIN TRACKS
+    // THE CORPUS: the cell count is no longer pinned at 16 —
+    // cells = 2^maxd with maxd = bitlength(n / occupancy-target), the
+    // q380/q391 adaptive-depth discipline applied to the SERVING index.
+    // SCALE.md's round-15 table showed the pinned grain's consequence
+    // (recall 380,000 -> 100,000 ppm at 10x, n_cand overshooting 3.4x
+    // because one 16th of a 10x corpus dwarfs the rerank quota); here
+    // occupancy stays ~flat in [quota/2, quota] at ANY corpus size, so
+    // the first probe lands ~quota candidates and recall holds (the
+    // ScaleProbe base/10x/100x rows are the evidence). At fixture SFs
+    // the rule resolves to the q47 floor (16 cells), so the oracle
+    // space is the familiar one. See [[ivfElasticAdaptive]] for the
+    // 100 TB plan.
+    QuerySpec(
+      "q400_ivf_adaptive_grain",
+      Some(s"""WITH $duckQuantCte,
+          ${duckIvfAdaptiveCtes(IvfQuota, IvfServeCeiling)}
+          SELECT q_id, n_cells, probes_used, n_cand, n_hit,
+            n_hit * 1000000 // $K AS recall_ppm
+          FROM grid"""),
+      (s, d) => ivfElasticAdaptive(s, d, IvfQuota, IvfServeCeiling)
+        .select(col("q_id"), col("n_cells"), col("probes_used"),
+          col("n_cand"), col("n_hit"),
           expr(s"n_hit * 1000000 div $K").as("recall_ppm")))
   )
 
@@ -2581,6 +2615,27 @@ object Similarity {
     */
   private[graft] def IvfQuota = 256
 
+  /** q400's occupancy target for the ADAPTIVE serving grain: cells =
+    * 2^bitlength(n / this), so mean cell occupancy stays inside
+    * (target/2, target] at any corpus size — sized to [[IvfQuota]] so
+    * the FIRST probe lands ~one rerank quota of candidates (the
+    * property the pinned 16-cell grid loses past ~4k vectors).
+    */
+  private[graft] def IvfServeOccupancy = 256
+
+  /** q400's depth floor — q47's pinned 4-plane/16-cell grain, so every
+    * fixture SF (where bitlength(n/256) <= 4) keeps the familiar
+    * oracle cell space and the adaptive rule only ever DEEPENS it.
+    */
+  private[graft] def IvfServeFloorDepth = 4
+
+  /** q400's probe ceiling: own cell + up to 7 single-plane flips. On
+    * the adaptive grid the flip neighborhood is maxd cells (maxd lifts
+    * with the corpus), so unlike q398's exhaustive 5 this is a BUDGET —
+    * the elastic rule stops far earlier whenever occupancy is healthy.
+    */
+  private[graft] def IvfServeCeiling = 8
+
   /** Quota-elastic IVF serving (q398) — q395's stop rule composed with
     * the index that actually SERVES top-k (q47's 16-cell coarse
     * quantizer; q394's table pins the trie as a dedup index, not a
@@ -2613,8 +2668,28 @@ object Similarity {
     val probes = qs.select(col("q_id"), posexplode(col("plist")))
       .select(col("q_id"), col("pos").as("rk"), col("col").as("cell"))
       .filter(col("rk") < ceiling)
-    val firstRk = c.select(col("vec_id"), col("cell"))
-      .join(broadcast(probes), Seq("cell"))
+    elasticStop(c.select(col("vec_id"), col("cell")),
+      c.select(col("vec_id"), col("qv"), col("nsq")),
+      qs.select(col("q_id"), col("q_qv"), col("q_nsq")),
+      probes, Seq("cell"), quota, ceiling)
+  }
+
+  /** The quota-elastic stop rule + exact-rerank recall audit, shared by
+    * q395 (trie), q398 (pinned IVF) and q400 (adaptive IVF) so the
+    * closed form cannot drift between indexes. `corpusCells` carries
+    * (vec_id, joinKeys...), `probes` (q_id, rk, joinKeys...); `scored`
+    * is the (vec_id, qv, nsq) rerank side and `qsB` the broadcastable
+    * (q_id, q_qv, q_nsq) query set. Per (q_id, vec_id) the FIRST rank
+    * reaching the candidate decides membership; one cumulative window
+    * picks the per-query minimal rank meeting `quota` — no iteration,
+    * mirrored closed-form in every oracle. Returns one row per query:
+    * (q_id, probes_used, n_cand, n_hit).
+    */
+  private def elasticStop(corpusCells: DataFrame, scored: DataFrame,
+      qsB: DataFrame, probes: DataFrame, joinKeys: Seq[String],
+      quota: Int, ceiling: Int): DataFrame = {
+    val firstRk = corpusCells
+      .join(broadcast(probes), joinKeys)
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id")).agg(min(col("rk")).as("frk"))
       .cache()
@@ -2629,21 +2704,19 @@ object Similarity {
     val candSet = firstRk.join(broadcast(chosen), "q_id")
       .filter(col("frk") <= coalesce(col("rmet"), col("rmax")))
       .select(col("q_id"), col("vec_id"))
-    val qsB = qs.select(col("q_id"), col("q_qv"), col("q_nsq"))
     val wB = Window.partitionBy(col("q_id"))
       .orderBy(col("c").desc, col("vec_id"))
     val top = candSet
-      .join(c.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+      .join(scored, "vec_id")
       .join(broadcast(qsB), "q_id")
       .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
       .withColumn("rk", row_number().over(wB))
       .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
     val hits = top
-      .join(exactTopK(c.select(col("vec_id"), col("qv"), col("nsq")),
-        qsB), Seq("q_id", "vec_id"))
+      .join(exactTopK(scored, qsB), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
     val nc = candSet.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-    qs.select(col("q_id"))
+    qsB.select(col("q_id"))
       .join(chosen, Seq("q_id"), "left")
       .join(nc, Seq("q_id"), "left")
       .join(hits, Seq("q_id"), "left")
@@ -2652,6 +2725,166 @@ object Similarity {
           .as("probes_used"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** The adaptive serving grid's frames (q400): the 48-plane signature
+    * corpus assigned to a FLAT grid of 2^maxd cells with
+    * maxd = clamp(bitlength(n / [[IvfServeOccupancy]]),
+    * [[IvfServeFloorDepth]], [[Planes]]) computed IN-PLAN from the
+    * corpus count (the [[trieLeafAdaptive]] broadcast-scalar pattern) —
+    * unlike the trie's occupancy-capped variable-depth leaves, every
+    * vector sits at the SAME depth, which is what a serving IVF wants
+    * (uniform probe semantics, partition-by-cell layout). `sigsRk` is
+    * the ranked probe list: rk 0 the query's own signature, rk >= 1 the
+    * rk-th least-confident-plane flip over the DEPLOYED planes
+    * (0..maxd-1) — q351's confidence order regenerated against the
+    * adaptive grid. 100 TB plan: at rest the corpus is WRITTEN
+    * partitioned by `cell` (cells ~ n/256 keeps partitions
+    * rerank-quota-sized), so the probe join IS partition pruning;
+    * n/probe/rank frames are 1-row/query-set-sized broadcasts; only
+    * the audit's exact leg scans the corpus.
+    */
+  private def ivfServeFrames(s: SparkSession, d: String): AnnFrames = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    // materialize the signature projection ONCE and cut its lineage:
+    // the 48-plane sig tree is ~3k literal nodes, and every downstream
+    // reuse of a cached-but-unbroken plan re-canonicalizes it (cache
+    // lookup) and re-analyzes it per join — measured as the dominant
+    // driver-side cost of the trie-ANN family. The rebuilt LogicalRDD
+    // (stats dropped — the ComponentStream discipline) is 1 node.
+    val ck = quantized(s, d, withSig = true).localCheckpoint(true)
+    val sg = s.createDataFrame(ck.rdd, ck.schema)
+    val n = sg.agg(count(lit(1)).as("n_src"))
+    val maxdCol = greatest(lit(IvfServeFloorDepth), least(lit(Planes),
+      length(bin(expr(s"n_src div $IvfServeOccupancy"))).cast("int")))
+    val corpus = sg.crossJoin(broadcast(n))
+      .withColumn("maxd", maxdCol)
+      .select(col("vec_id"),
+        expr("sig & (shiftleft(1L, maxd) - 1)").as("cell"))
+    val qs = sg.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(n))
+      .withColumn("maxd", maxdCol)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"), col("sig"), col("maxd"),
+        expr(apArraySql).as("ap")).cache()
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("apv"), col("pos"))
+    val flips = qs.select(col("q_id"), col("sig"),
+        posexplode(expr("slice(ap, 1, maxd)")).as(Seq("pos", "apv")))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("q_id"), col("rk"),
+        expr("sig ^ shiftleft(1L, pos)").as("psig"))
+    val own = qs.select(col("q_id"), lit(0).as("rk"), col("sig").as("psig"))
+    AnnFrames(sg, corpus, qs,
+      own.unionByName(flips)
+        .join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id"))
+  }
+
+  /** Quota-elastic serving on the ADAPTIVE grid (q400) — the
+    * round-15 verdict's top item: q398 proved the elastic stop rule
+    * but its quantizer was pinned at 16 cells, so recall decayed with
+    * corpus growth (SCALE.md). Here the grain tracks the corpus
+    * (cells ∝ n / occupancy-target) and the stop rule probes q351's
+    * confidence-ranked flip list against THAT grid — occupancy, and
+    * therefore the recall/cost point, stays ~flat at any scale
+    * (ScaleProbe's base/10x/100x rows). Output adds `n_cells`, the
+    * deployed grain, so the record shows the grid deepening.
+    */
+  private[graft] def ivfElasticAdaptive(s: SparkSession, d: String,
+      quota: Int, ceiling: Int): DataFrame = {
+    val fr = ivfServeFrames(s, d)
+    val probes = fr.sigsRk.filter(col("rk") < ceiling)
+      .select(col("q_id"), col("rk"),
+        expr("psig & (shiftleft(1L, maxd) - 1)").as("cell"))
+    elasticStop(fr.corpus,
+      fr.sg.select(col("vec_id"), col("qv"), col("nsq")),
+      fr.qs.select(col("q_id"), col("q_qv"), col("q_nsq")),
+      probes, Seq("cell"), quota, ceiling)
+      .join(broadcast(fr.qs.select(col("q_id"),
+        expr("shiftleft(1L, maxd)").as("n_cells"))), "q_id")
+      .select(col("q_id"), col("n_cells"), col("probes_used"),
+        col("n_cand"), col("n_hit"))
+  }
+
+  /** DuckDB mirror of [[ivfElasticAdaptive]] — self-contained after
+    * the quantized CTEs; emits `grid(q_id, n_cells, probes_used,
+    * n_cand, n_hit)`. The depth rule is the [[duckTrieLeafCte]] clamp
+    * at the serving floor/occupancy; the probe order and stop rule are
+    * the shared closed form.
+    */
+  private def duckIvfAdaptiveCtes(quota: Int, ceiling: Int): String = {
+    val apList = (0 until Planes).map(p => s"abs(${projDuck(p)})")
+      .mkString(", ")
+    s"""sgq AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
+      smd AS (SELECT GREATEST($IvfServeFloorDepth, LEAST($Planes,
+          length(to_base(COUNT(*) // $IvfServeOccupancy, 2)))) AS maxd
+        FROM en),
+      corpus AS (SELECT vec_id,
+          sig & ((CAST(1 AS BIGINT) << maxd) - 1) AS cell
+        FROM sgq, smd),
+      qraw AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, sig,
+          [$apList] AS ap
+        FROM sgq WHERE vec_id < $NumQueries),
+      ranked AS (SELECT q_id, sig, pos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY ap[pos + 1], pos) AS rk
+        FROM qraw, smd, (SELECT unnest(range(0, $Planes)) AS pos) z
+        WHERE pos < smd.maxd),
+      sigs AS (SELECT q_id, 0 AS rk, sig AS psig FROM qraw
+        UNION ALL
+        SELECT q_id, rk, xor(sig, CAST(1 AS BIGINT) << pos) AS psig
+        FROM ranked),
+      probesrk AS (SELECT q_id, rk,
+          psig & ((CAST(1 AS BIGINT) << maxd) - 1) AS cell
+        FROM sigs, smd WHERE rk < $ceiling),
+      firstrk AS (SELECT p.q_id, c.vec_id, MIN(p.rk) AS frk
+        FROM probesrk p JOIN corpus c ON c.cell = p.cell
+        WHERE c.vec_id <> p.q_id GROUP BY 1, 2),
+      newat AS (SELECT q_id, frk, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstrk GROUP BY 1, 2),
+      cume AS (SELECT q_id, frk, SUM(n_new) OVER (PARTITION BY q_id
+          ORDER BY frk) AS cum FROM newat),
+      chosen AS (SELECT q_id,
+          MIN(CASE WHEN cum >= $quota THEN frk END) AS rmet,
+          MAX(frk) AS rmax
+        FROM cume GROUP BY 1),
+      candset AS (SELECT f.q_id, f.vec_id FROM firstrk f
+        JOIN chosen ch ON ch.q_id = f.q_id
+          AND f.frk <= COALESCE(ch.rmet, ch.rmax)),
+      scored AS (SELECT cs.q_id, cs.vec_id,
+          CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+            / (sqrt(CAST(q.q_nsq AS DOUBLE))
+              * sqrt(CAST(e.nsq AS DOUBLE))) AS c
+        FROM candset cs JOIN en e ON e.vec_id = cs.vec_id
+             JOIN qraw q ON q.q_id = cs.q_id),
+      etop AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY c DESC, vec_id) AS rk FROM scored) z
+        WHERE rk <= $K),
+      exacttop AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id ORDER BY
+                CAST(${qdotDuck("q.q_qv", "e.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(q.q_nsq AS DOUBLE))
+                    * sqrt(CAST(e.nsq AS DOUBLE))) DESC, e.vec_id)
+            AS rk
+          FROM qraw q, en e WHERE e.vec_id <> q.q_id) z
+        WHERE rk <= $K),
+      hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM etop t JOIN exacttop x
+          ON x.q_id = t.q_id AND x.vec_id = t.vec_id GROUP BY 1),
+      nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM candset GROUP BY 1),
+      grid AS (SELECT q.q_id,
+          (CAST(1 AS BIGINT) << smd.maxd) AS n_cells,
+          CAST(COALESCE(ch.rmet + 1, $ceiling) AS BIGINT)
+            AS probes_used,
+          COALESCE(nc.n_cand, 0) AS n_cand,
+          COALESCE(h.n_hit, 0) AS n_hit
+        FROM qraw q
+        CROSS JOIN smd
+        LEFT JOIN chosen ch ON ch.q_id = q.q_id
+        LEFT JOIN nc ON nc.q_id = q.q_id
+        LEFT JOIN hits h ON h.q_id = q.q_id)"""
   }
 
   /** DuckDB mirror of [[ivfElastic]] — self-contained after the
@@ -2751,10 +2984,40 @@ object Similarity {
     * ~cap·n plus the audited remainder's in-cell pairs, and the 10x
     * row is the empirical check.
     */
+  /** q397's VERIFIED semantic pair relation (same adaptive leaf AND
+    * exact-grid cosine >= [[SemThreshold]]) — the q391 `m`-join with
+    * the verify applied, factored out so ScaleProbe's q397 stage
+    * profile (round-16 verdict #5) times exactly the relation the
+    * query composes.
+    */
+  private[graft] def semLeafPairs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    // lineage cut — see [[ivfServeFrames]] (the self-join below would
+    // otherwise canonicalize the 48-plane sig tree on BOTH sides)
+    val ck = quantized(s, d, withSig = true).localCheckpoint(true)
+    val sg = s.createDataFrame(ck.rdd, ck.schema)
+    val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
+      CellOccupancy)
+    val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
+      .join(leaf, "vec_id").cache()
+    c.select(col("vec_id").as("doc_a"), col("depth"),
+        col("cell"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
+      .join(c.select(col("vec_id").as("doc_b"),
+        col("depth").as("d_b"), col("cell").as("cell_b"),
+        col("qv").as("qv_b"), col("nsq").as("nsq_b")),
+        col("depth") === col("d_b") && col("cell") === col("cell_b")
+          && col("doc_a") < col("doc_b"))
+      .filter(expr("qcosine(qv_a, qv_b, nsq_a, nsq_b)")
+        >= SemThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private[graft] def trieLeafPairCandidates(s: SparkSession,
       d: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
-    val sg = quantized(s, d, withSig = true)
+    // lineage cut — see [[ivfServeFrames]]
+    val ck = quantized(s, d, withSig = true).localCheckpoint(true)
+    val sg = s.createDataFrame(ck.rdd, ck.schema)
     val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
       CellOccupancy)
     leaf.select(col("vec_id").as("kept"), col("depth"), col("cell"))
@@ -2778,19 +3041,22 @@ object Similarity {
 
   private def trieAnnFrames(s: SparkSession, d: String): AnnFrames = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
-    val sg = quantized(s, d, withSig = true)
+    // lineage cut — see [[ivfServeFrames]]: measured 5.3 -> 1.8 s there
+    // and q392/q394/q395 pay the same repeated-canonicalization tax on
+    // the 48-plane sig tree
+    val ck = quantized(s, d, withSig = true).localCheckpoint(true)
+    val sg = s.createDataFrame(ck.rdd, ck.schema)
     val sgk = sg.select(col("vec_id"), col("sig"))
     val leaves = trieLeafAdaptive(sgk, CellOccupancy)
     val corpus = sg.select(col("vec_id")).join(leaves, "vec_id")
     val n = sgk.agg(count(lit(1)).as("n_src"))
-    val apCols = (0 until Planes).map(j => expr(s"abs(${projSpark(j)})"))
     val qs = sg.filter(col("vec_id") < NumQueries)
       .crossJoin(broadcast(n))
       .withColumn("maxd", greatest(lit(TrieDepthFloor), least(lit(Planes),
         length(bin(expr(s"n_src div $CellOccupancy"))).cast("int"))))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nsq").as("q_nsq"), col("sig"), col("maxd"),
-        array(apCols: _*).as("ap")).cache()
+        expr(apArraySql).as("ap")).cache()
     // flip candidates ranked by confidence: (|proj|, plane) ascending
     // over the deployed planes — a query-set-sized frame
     val wR = Window.partitionBy(col("q_id")).orderBy(col("apv"), col("pos"))
@@ -2987,45 +3253,10 @@ object Similarity {
       .select(col("q_id"), col("rk"),
         col("x.depth").as("depth"), col("x.cell").as("cell"))
       .distinct()
-    val firstRk = corpus.join(broadcast(probes), Seq("depth", "cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(min(col("rk")).as("frk"))
-      .cache()
-    val wC = Window.partitionBy(col("q_id")).orderBy(col("frk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = firstRk.groupBy(col("q_id"), col("frk"))
-      .agg(count(lit(1)).as("n_new"))
-      .withColumn("cum", sum(col("n_new")).over(wC))
-    // rmet = first rank meeting the quota (null if never met — then all
-    // `ceiling` probes were spent and every candidate found is kept)
-    val chosen = cum.groupBy(col("q_id"))
-      .agg(min(when(col("cum") >= quota, col("frk"))).as("rmet"),
-        max(col("frk")).as("rmax"))
-    val candSet = firstRk.join(broadcast(chosen), "q_id")
-      .filter(col("frk") <= coalesce(col("rmet"), col("rmax")))
-      .select(col("q_id"), col("vec_id"))
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("c").desc, col("vec_id"))
-    val top = candSet
-      .join(sg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
-      .join(broadcast(qs.select(col("q_id"), col("q_qv"),
-        col("q_nsq"))), "q_id")
-      .withColumn("c", expr("qcosine(q_qv, qv, q_nsq, nsq)"))
-      .withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= K).select(col("q_id"), col("vec_id"))
-    val hits = top.join(exactTopK(sg, qs), Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    val nc = candSet.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-    qs.select(col("q_id"))
-      .join(chosen, Seq("q_id"), "left")
-      .join(nc, Seq("q_id"), "left")
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("rmet") + 1, lit(ceiling)).cast("long")
-          .as("probes_used"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    elasticStop(corpus,
+      sg.select(col("vec_id"), col("qv"), col("nsq")),
+      qs.select(col("q_id"), col("q_qv"), col("q_nsq")),
+      probes, Seq("depth", "cell"), quota, ceiling)
   }
 
   /** DuckDB mirror of [[trieAnnElastic]] — same scope expectations as

@@ -191,6 +191,12 @@ object ScaleProbe {
       runCandidate100(spark, base, reps, out)
       spark.stop(); return
     }
+    if (mode == "q397") {
+      // round-16 (round-15 verdict #5): attribute q397's 10x growth
+      // (8.9 s at 10x vs 5.7 s at sf0.1) per stage
+      runQ397Profile(spark, base, reps, out)
+      spark.stop(); return
+    }
     if (mode == "iterative100") {
       // round-10: the iterative members at the same third decade —
       // round-count invariance (components' star rounds, pagerank's
@@ -205,6 +211,44 @@ object ScaleProbe {
     if (mode != "iterative") runCandidateProbes(spark, base, reps, out)
     if (mode != "candidates") runIterativeProbes(spark, base, reps, out)
     spark.stop()
+  }
+
+  /** q397 stage attribution at base and the Nx corpus (round-16,
+    * round-15 verdict #5): the only new-family query whose 10x wall
+    * materially exceeded base (8.9 vs 5.7 s). Each row times ONE of
+    * the query's composed relations in isolation — the trie-leaf pair
+    * candidates (pre-verify), the cosine-verified semantic pairs, the
+    * MinHash-verified full component labels (the split-side input),
+    * and the whole query — so the superlinear leg is named by
+    * measurement, not attribution-by-vibes. Stages share accessors
+    * with the query body (semLeafPairs / trieLeafPairCandidates /
+    * fullComponents), so the probe measures THE query's stages.
+    */
+  private def runQ397Profile(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
+    val stages: Seq[(String, String => Long)] = Seq(
+      "s1_trie_pair_cand" -> (d =>
+        Similarity.trieLeafPairCandidates(spark, d).count()),
+      "s1v_sem_verified" -> (d =>
+        Similarity.semLeafPairs(spark, d).count()),
+      "s2_full_components" -> (d =>
+        Dedup.fullComponents(spark, d,
+          Dedup.shingled(spark, d)
+            .select(col("doc_id"), col("shingles"))).count()),
+      "s3_whole_q397" -> (d =>
+        Registry.byName("q397_semantic_split_leak").run(spark, d).count()))
+    println()
+    println(s"| q397 stage | rows@base | rows@${reps}x | wall@base s " +
+      s"| wall@${reps}x s | wall ratio |")
+    println("|---|---|---|---|---|---|")
+    stages.foreach { case (name, f) =>
+      val (rB, wB) = time(f(base))
+      spark.catalog.clearCache()
+      val (rU, wU) = time(f(out))
+      spark.catalog.clearCache()
+      println(f"| $name | $rB | $rU | $wB%.2f | $wU%.2f " +
+        f"| ${wU / wB}%.2f |")
+    }
   }
 
   /** Candidate-count growth at an arbitrary (large) replica factor —
@@ -341,6 +385,41 @@ object ScaleProbe {
     println(f"| q98_semantic_dedup (4→$planesUp planes) | $cB98 | $cU98 " +
       f"| $g98%.1fx | ${g98 / reps}%.2f | " +
       f"per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
+
+    // round-16 serving-recall decade row: the pinned 16-cell grid
+    // (q398) vs the adaptive grain (q400) at the Nx corpus — the
+    // round-15 verdict's 100x done-criterion. The exact-top-K audit leg
+    // scans the corpus once per index; everything else is
+    // query-set-bounded.
+    println()
+    println("| serving IVF recall | n_cells | mean_probes | n_cand " +
+      "| recall_ppm |")
+    println("|---|---|---|---|---|")
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val r98 = Similarity
+        .ivfElastic(spark, dir, Similarity.IvfQuota,
+          Similarity.IvfElasticCeiling)
+        .agg(sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q398@$label | 16 " +
+        f"| ${r98.getLong(0).toDouble / r98.getLong(3)}%.1f " +
+        s"| ${r98.getLong(1)} | " +
+        s"${r98.getLong(2) * 1000000 / (r98.getLong(3) * Similarity.K)} |")
+      spark.catalog.clearCache()
+      val r = Similarity
+        .ivfElasticAdaptive(spark, dir, Similarity.IvfQuota,
+          Similarity.IvfServeCeiling)
+        .agg(max(col("n_cells")).as("cells"),
+          sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q400@$label | ${r.getLong(0)} " +
+        f"| ${r.getLong(1).toDouble / r.getLong(4)}%.1f " +
+        s"| ${r.getLong(2)} | " +
+        s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
+      spark.catalog.clearCache()
+    }
   }
 
   private def runCandidateProbes(spark: SparkSession, base: String,
@@ -514,6 +593,30 @@ object ScaleProbe {
       println(f"| q398@$label | ${r.getLong(0).toDouble / r.getLong(3)}%.1f " +
         s"| ${r.getLong(1)} | " +
         s"${r.getLong(2) * 1000000 / (r.getLong(3) * Similarity.K)} |")
+      spark.catalog.clearCache()
+    }
+
+    // q400's ADAPTIVE serving grain at both sizes (round 16, the
+    // round-15 verdict's done-criterion): the deployed cell count
+    // tracks the corpus (2^bitlength(n/256)), so occupancy — and the
+    // recall/cost point — holds ~flat where q398's pinned 16-cell row
+    // above decays; mean probes must stay bounded, not collapse to a
+    // single over-full cell.
+    println()
+    println("| adaptive IVF | n_cells | mean_probes | n_cand | recall_ppm |")
+    println("|---|---|---|---|---|")
+    for ((dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+      val r = Similarity
+        .ivfElasticAdaptive(spark, dir, Similarity.IvfQuota,
+          Similarity.IvfServeCeiling)
+        .agg(max(col("n_cells")).as("cells"),
+          sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q400@$label | ${r.getLong(0)} " +
+        f"| ${r.getLong(1).toDouble / r.getLong(4)}%.1f " +
+        s"| ${r.getLong(2)} | " +
+        s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
       spark.catalog.clearCache()
     }
   }

@@ -280,6 +280,58 @@ class ScaleSpec extends SparkSpec {
         "no longer demonstrates the ceiling this guard exists to catch")
   }
 
+  test("q400 adaptive serving grain (round-16): the deployed cell count " +
+      "follows the planning rule at both corpus sizes, and the elastic " +
+      "rule keeps per-query candidate work quota-bounded as the grid " +
+      "deepens — the property the pinned 16-cell q398 grid loses") {
+    def stats(d: String): (Long, Double, Double, Long) = {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val r = Similarity.ivfElasticAdaptive(spark, d,
+          Similarity.IvfQuota, Similarity.IvfServeCeiling)
+        .agg(max(col("n_cells")).as("cells"),
+          avg(col("n_cand")).as("mc"), avg(col("probes_used")).as("mp"))
+        .head()
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), n)
+    }
+    // every fixture SF sits under 2^4 * 256 vectors (the floor), so the
+    // lift leg runs on a synthetic 8k corpus written fixture-shaped:
+    // bitlength(8192/256) = 6 -> 64 cells
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val synDir = java.nio.file.Files
+      .createTempDirectory("t_q400_syn").toString
+    (0L until 8192L).map(i =>
+        (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$synDir/embeddings.parquet")
+    val (cellsS, candS, probesS, nS) = stats(small)
+    val (cellsL, candL, probesL, nL) = stats(synDir)
+    info(f"grain: $cellsS cells / $candS%.0f cand / $probesS%.1f probes " +
+      f"@ $nS vecs -> $cellsL / $candL%.0f / $probesL%.1f @ $nL")
+    def planned(n: Long) = 1L << Similarity.adaptiveTrieDepth(
+      n, Similarity.IvfServeOccupancy, Similarity.IvfServeFloorDepth)
+    // (a) the deployed grain IS the planning rule, at both sizes
+    assert(cellsS == planned(nS), s"n_cells $cellsS != rule ${planned(nS)}")
+    assert(cellsL == planned(nL), s"n_cells $cellsL != rule ${planned(nL)}")
+    // (b) the 16x step must actually lift the grain off the floor —
+    // otherwise this guard is vacuous
+    assert(cellsL > cellsS,
+      s"8k corpus ($nL vecs) must deepen the grid past the floor ($cellsS)")
+    // (c) candidate work stays QUOTA-shaped at both sizes: at least the
+    // quota when the corpus affords it, and never more than a few
+    // cells' occupancy past it (q398's pinned grid overshoots its
+    // first probe ~4.6x at 10x and keeps growing; here occupancy is
+    // pinned to (target/2, target] so the overshoot is bounded)
+    assert(candL >= Similarity.IvfQuota,
+      f"mean candidates $candL%.0f fell under the rerank quota")
+    assert(candL <= 4.0 * Similarity.IvfQuota,
+      f"mean candidates $candL%.0f overshoot the quota >4x — the " +
+        "grain is not tracking the corpus")
+    // (d) probing stays bounded and non-degenerate
+    assert(probesL >= 1.0 && probesL <= Similarity.IvfServeCeiling)
+  }
+
   test("q386 mmr at K = 20: whole-job shuffle records stay ~|queries|*K, " +
       "far under the corpus-sized exchange a selected-set ROW join " +
       "would pay per stage") {
