@@ -163,6 +163,26 @@ object ComponentStream {
     private def marker = stateDir.map(d =>
       java.nio.file.Paths.get(d, "REMAP_LATEST"))
 
+    private def ledgerMarker = stateDir.map(d =>
+      java.nio.file.Paths.get(d, "LEDGER_LATEST"))
+
+    /** Epoch generation — continues from the durable ledger marker so a
+      * restarted driver's rotations keep numbering forward.
+      */
+    private var gen: Long = ledgerMarker
+      .filter(java.nio.file.Files.exists(_))
+      .map(m => new String(java.nio.file.Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      .getOrElse(0L)
+
+    /** Set by [[rotate]]: this maintainer's epoch is OVER. Any further
+      * [[onBatch]] (a stale foreachBatch the caller failed to stop
+      * before rotating) is rejected loudly instead of racing the
+      * rotation's snapshot deletes and rewriting the marker with
+      * pre-rotation merges (round-15 advice).
+      */
+    private var closed = false
+
     private def restored(): Option[DataFrame] =
       marker.filter(java.nio.file.Files.exists(_)).map { m =>
         val b = new String(java.nio.file.Files.readAllBytes(m),
@@ -245,13 +265,43 @@ object ComponentStream {
       * lifetime. The fold is materialized EAGERLY (checkpointFresh)
       * before the remap is cleared — the output must not lazily
       * reference the frame this call resets.
+      *
+      * DURABILITY ORDER (round-16, closing the round-15 advice): with
+      * `stateDir` set, the folded ledger is persisted
+      * (`ledger_g<gen>` + atomic `LEDGER_LATEST` marker) BEFORE the
+      * remap snapshots are deleted — a crash at ANY point leaves a
+      * recoverable pair: before the marker flip, the old (ledger?,
+      * remap) still compose to the current labels; after it, the new
+      * ledger is durable and any remap snapshot the crash left behind
+      * is PRE-rotation, whose keys were just folded away and so no
+      * longer appear as ledger labels — resolving the rotated ledger
+      * through it is a no-op (the remap is canonical: merged-away
+      * labels never appear as canons). [[ComponentStream.rotatedLedger]]
+      * reads the durable ledger back for the caller's epoch restart.
+      * This maintainer is CLOSED afterwards — a stale `onBatch` from a
+      * query the caller failed to stop throws instead of racing the
+      * deletes (the documented protocol, now enforced).
       */
-    def rotate(firstSight: DataFrame): DataFrame = {
+    def rotate(firstSight: DataFrame): DataFrame = synchronized {
       val folded = checkpointFresh(resolve(firstSight)
         .select(col("doc_id"), col("component").as("label")))
+      // 1. make the rotated ledger durable before anything is deleted
+      for (d <- stateDir; m <- ledgerMarker) {
+        folded.write.mode("overwrite").parquet(s"$d/ledger_g${gen + 1}")
+        val tmp = java.nio.file.Paths.get(d, ".LEDGER_LATEST.tmp")
+        java.nio.file.Files.createDirectories(tmp.getParent)
+        java.nio.file.Files.write(tmp, (gen + 1).toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, m,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (gen > 0) deleteRec(java.nio.file.Paths.get(d, s"ledger_g$gen"))
+      }
+      gen += 1
       remapDf = emptyRemap()
       remapRows = 0L
-      // the new epoch starts with an empty remap — drop the old
+      closed = true
+      // 2. the new epoch starts with an empty remap — drop the old
       // epoch's snapshots so a restart cannot restore stale merges
       for (d <- stateDir) {
         marker.foreach(deleteRec)
@@ -303,7 +353,11 @@ object ComponentStream {
       * the durable snapshot when `stateDir` is set (pass the
       * foreachBatch id; the default skips persistence).
       */
-    def onBatch(halfEdges: DataFrame, batchId: Long = -1L): Unit = {
+    def onBatch(halfEdges: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+      require(!closed, "epoch rotated — this Maintainer is closed; " +
+        "stop the old epoch's query before rotate() and restart " +
+        "maintain() with the rotated ledger")
       val paired = halfEdges
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(max(when(col("me") === col("doc_a"), col("label")))
@@ -339,6 +393,25 @@ object ComponentStream {
         remapRows = remapDf.count()
         if (batchId >= 0) persist(batchId)
       }
+    }
+  }
+
+  /** The durable rotated ledger [[Maintainer.rotate]] left in
+    * `stateDir`, if any — the initial-state ledger a caller recovering
+    * from a crash-after-rotate restarts the next epoch with (the
+    * round-15 advice's failure mode: rotate() committed, but the caller
+    * died before persisting the returned frame anywhere else; without
+    * this the epoch's entire merge history was already deleted from the
+    * remap snapshots).
+    */
+  def rotatedLedger(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val m = java.nio.file.Paths.get(stateDir, "LEDGER_LATEST")
+    if (!java.nio.file.Files.exists(m)) None
+    else {
+      val g = new String(java.nio.file.Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      Some(spark.read.parquet(s"$stateDir/ledger_g$g"))
     }
   }
 

@@ -73,7 +73,7 @@ object StreamLatencyProbe {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val triggers = if (args.length > 1) args(1).toInt else 10
     val legs = (if (args.length > 2) args(2)
-      else "exact,minhash,semantic,media,hotsem,comp,rotate,e2e")
+      else "exact,minhash,semantic,media,hotsem,comp,rotate,e2e,e2erotate")
       .split(",").toSet
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -252,6 +252,84 @@ object StreamLatencyProbe {
           f"| $ms%.0f | - | - | - | - |")
       }
       q1.stop(); q2.stop()
+    }
+
+    // composed DAG ACROSS A ROTATION (round-16, round-15 verdict #2's
+    // probe row): the e2e leg with the documented epoch protocol run
+    // mid-stream — half the arrival waves land in comp epoch 1, the
+    // comp query stops, rotate() folds the remap at the
+    // materialization grain, a FRESH comp query restarts over the same
+    // handoff with the rotated ledger (its first batch REPLAYS the
+    // old epoch's evidence — the production restart cost, printed as
+    // its own row; the rotated ledger makes it contract to no-ops),
+    // then the remaining waves land in epoch 2. The claim: e2 triggers
+    // cost ~the same as e1 triggers — rotation neither loses labels
+    // (StreamingSpec proves equivalence) nor changes the per-trigger
+    // cost shape.
+    if (legs("e2erotate")) {
+      val ledger = docs.filter(col("doc_id") < maxDoc * 2 / 5)
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val corpus = docs.filter(col("doc_id") < maxDoc * 2 / 5)
+      val nCorpus = corpus.count()
+      val hand = java.nio.file.Files
+        .createTempDirectory("lat_e2erot_edges").toString
+      val ck1 = java.nio.file.Files
+        .createTempDirectory("lat_e2erot_ck1").toString
+      val memE3 = MemoryStream[DedupStream.RawDoc]
+      val q1 = NearDupStream.matches(spark, memE3.toDF(), corpus)
+        .writeStream.format("parquet")
+        .option("path", hand).option("checkpointLocation", ck1)
+        .outputMode("append").start()
+      val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("matched_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
+      def edgeStream = spark.readStream.schema(edgeSchema).parquet(hand)
+        .select(col("new_doc").as("doc_a"),
+          col("matched_doc").as("doc_b"))
+      def trigger(q1r: org.apache.spark.sql.streaming.StreamingQuery,
+          q2r: org.apache.spark.sql.streaming.StreamingQuery,
+          i: Int, tag: String): Unit = {
+        val t0 = System.nanoTime()
+        memE3.addData(docBatches(i).toIndexedSeq: _*)
+        q1r.processAllAvailable()
+        q2r.processAllAvailable()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"| $tag | $nCorpus | ${i + 1} " +
+          f"| ${docBatches(i).length} | $ms%.0f | - | - | - | - |")
+      }
+      val (wA, mA) = ComponentStream.maintain(spark, edgeStream, ledger)
+      val qA = wA.queryName("lat_e2erot_comp_e1").start()
+      val half = math.max(1, docBatches.length / 2)
+      (0 until half).foreach(i => trigger(q1, qA, i, "e2erot(e1)"))
+      // the rotation boundary: stop / rotate / restart (fresh temp
+      // checkpoint — the restart's first batch replays the handoff)
+      qA.stop()
+      val seen = docArrivals.take(
+        (0 until half).map(docBatches(_).length).sum).map(_.doc_id)
+      var t0 = System.nanoTime()
+      val fs1 = ledger.unionByName(seen.toSeq.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("label")))
+      val ledgerB = mA.rotate(fs1)
+      println(f"| e2erot(rotate) | $nCorpus | - | 0 " +
+        f"| ${(System.nanoTime() - t0) / 1e6}%.0f | - | - | - | - |")
+      val (wB, mB) = ComponentStream.maintain(spark, edgeStream, ledgerB)
+      t0 = System.nanoTime()
+      val qB = wB.queryName("lat_e2erot_comp_e2").start()
+      qB.processAllAvailable()
+      println(f"| e2erot(replay) | $nCorpus | - | 0 " +
+        f"| ${(System.nanoTime() - t0) / 1e6}%.0f | - | - " +
+        f"| - | ${mB.remapSize} |")
+      (half until docBatches.length)
+        .foreach(i => trigger(q1, qB, i, "e2erot(e2)"))
+      println(f"| e2erot(end) | $nCorpus | - | 0 | 0 | - | - " +
+        f"| - | ${mB.remapSize} |")
+      q1.stop(); qB.stop()
     }
 
     // remap-growth / epoch-rotation leg (round-14 verdict #1): every

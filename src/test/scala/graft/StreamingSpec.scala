@@ -1628,6 +1628,24 @@ class StreamingSpec extends SparkSpec {
       stateDir = Some(dir))
     assert(m4.remapSize === 0L && m4.remap.isEmpty,
       "a rotated state dir must not restore stale merges")
+    // round-16 (round-15 advice): the rotated ledger is DURABLE in the
+    // state dir BEFORE the remap snapshots were deleted — a caller that
+    // crashed right after rotate() recovers the epoch's entire merge
+    // history from here instead of losing it
+    val recovered = ComponentStream.rotatedLedger(spark, dir)
+      .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(recovered === Some(folded),
+      "rotate() must persist the folded ledger durably before " +
+        "deleting the remap snapshots")
+    // ... and the rotated maintainer is CLOSED: a stale foreachBatch
+    // the caller failed to stop is rejected instead of racing the
+    // rotation's deletes and rewriting the marker with stale merges
+    val stale = intercept[IllegalArgumentException] { m2.onBatch(b3, 4L) }
+    assert(stale.getMessage.contains("rotated"),
+      s"post-rotation onBatch must be rejected loudly: $stale")
+    // a state dir with no rotation has no ledger to recover
+    assert(ComponentStream.rotatedLedger(spark, dir2).isEmpty,
+      "an unrotated state dir must not invent a ledger")
   }
 
   test("streaming dedup DAG end-to-end (round-15): arrivals -> " +
@@ -1710,5 +1728,105 @@ class StreamingSpec extends SparkSpec {
     q1.stop(); q2.stop()
     assert(spark.read.parquet(hand).count() > 0,
       "fixture must stream verified evidence through the handoff")
+  }
+
+  test("composed streaming DAG across a rotation boundary (round-16): " +
+      "NearDup -> handoff -> Component runs an arrival wave, the comp " +
+      "epoch rotates (stop / rotate / restart with the rotated ledger), " +
+      "a second wave lands in epoch 2, and composed labels still equal " +
+      "the full batch recomputation over corpus + all arrivals") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .cache()
+    val corpus = all.filter(col("doc_id") < 250)
+    val arrivals = all.filter(col("doc_id") >= 250)
+      .as[DedupStream.RawDoc].collect().sortBy(_.doc_id)
+    val corpusIds = corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    def componentsOf(docs: org.apache.spark.sql.DataFrame) = {
+      val sh = queries.Dedup.withShingles(docs)
+        .select(col("doc_id"), col("shingles"))
+      queries.Dedup.connectedComponents(
+        queries.Dedup.verifyJaccard(sh,
+            queries.Dedup.minhashCandidates(sh), 0.8)
+          .select(col("doc_a"), col("doc_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val corpusComp = componentsOf(corpus)
+    val ledger = corpusIds.toSeq.sorted
+      .map(id => (id, corpusComp.getOrElse(id, id)))
+      .toDF("doc_id", "label")
+    // stage 1 (admission) runs UNINTERRUPTED across the comp epoch
+    // boundary — only the graph-maintenance epoch rotates
+    val hand = java.nio.file.Files
+      .createTempDirectory("t_rot_e2e_edges").toString
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("t_rot_e2e_ck1").toString
+    val mem = MemoryStream[DedupStream.RawDoc]
+    val q1 = NearDupStream.matches(spark, mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", hand).option("checkpointLocation", ck1)
+      .outputMode("append").start()
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("matched_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    def edgeStream = spark.readStream.schema(edgeSchema).parquet(hand)
+      .select(col("new_doc").as("doc_a"), col("matched_doc").as("doc_b"))
+    val (wave1, wave2) = arrivals.splitAt(arrivals.length / 2)
+    // ---- epoch 1: wave 1 flows through the composed DAG
+    val (w2a, m1) = ComponentStream.maintain(spark, edgeStream, ledger)
+    val q2a = w2a.queryName("t_rot_e2e_comp_e1").start()
+    mem.addData(wave1.toIndexedSeq: _*)
+    q1.processAllAvailable(); q2a.processAllAvailable()
+    // ---- rotation boundary: the DOCUMENTED caller protocol, run by
+    // the composed pipeline — stop the epoch's query, rotate at the
+    // materialization grain, restart maintain() with the rotated ledger
+    q2a.stop()
+    val fs1 = ledger.unionByName(
+      wave1.map(_.doc_id).sorted.toSeq.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("label")))
+    val ledger2 = m1.rotate(fs1)
+    assert(m1.remapSize === 0L, "rotation must reset the epoch remap")
+    // ---- epoch 2: a FRESH comp query over the same handoff. Its
+    // temp checkpoint replays wave-1 evidence from offset zero — the
+    // rotated ledger already carries those merges, so the replay must
+    // contract to no-ops while wave 2's new evidence lands
+    val (w2b, m2) = ComponentStream.maintain(spark, edgeStream, ledger2)
+    val q2b = w2b.queryName("t_rot_e2e_comp_e2").start()
+    mem.addData(wave2.toIndexedSeq: _*)
+    q1.processAllAvailable(); q2b.processAllAvailable()
+    val fs2 = ledger2.unionByName(
+      wave2.map(_.doc_id).sorted.toSeq.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("label")))
+    val got = m2.resolve(fs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = componentsOf(corpus.unionByName(
+      arrivals.toSeq.map(d => (d.doc_id, d.text, d.lang, d.n_chars))
+        .toDF("doc_id", "text", "lang", "n_chars")))
+    val expected = (corpusIds ++ arrivals.map(_.doc_id))
+      .map(d => d -> comp.getOrElse(d, d)).toMap
+    assert(got === expected,
+      "composed labels across the rotation boundary must equal the " +
+        "full batch recomputation over corpus + both waves")
+    // the replay contributed NOTHING to epoch 2's remap: its rows are
+    // exactly the first-sight labels wave 2's evidence merged away
+    val fs2Lab = fs2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedLabels = fs2Lab.collect {
+      case (d, l) if expected(d) != l => l
+    }.toSet
+    assert(m2.remapSize === mergedLabels.size.toLong,
+      s"epoch-2 remap (${m2.remapSize}) must hold exactly wave 2's " +
+        s"merged-away labels (${mergedLabels.size}) — a replayed " +
+        "wave-1 edge that re-merges would inflate it")
+    q1.stop(); q2b.stop()
   }
 }
