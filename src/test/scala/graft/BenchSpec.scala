@@ -152,11 +152,37 @@ class BenchSpec extends AnyFunSuite {
       "window outlasted the first fresh sample (the r14 q286 shape)") {
     // mid-suite report 13 s, first fresh sample still inside the window
     // (12.8 s), then the host quiets: the two FASTEST fresh samples
-    // corroborate at the true ~0.5 s value and the flag clears
-    val (v, runs, still) = Bench.readjudicate(13.0, Some(0.55),
-      scripted(12.8, 0.51, 0.53), noGc)
-    assert(v === 0.51 && runs === 3 && !still,
+    // corroborate at the true ~1 s value and the flag clears (values sit
+    // above the round-16 absolute floor so the third-sample machinery —
+    // not the floor — is what clears it)
+    val (v, runs, still) = Bench.readjudicate(13.0, Some(1.1),
+      scripted(12.8, 1.01, 1.05), noGc)
+    assert(v === 1.01 && runs === 3 && !still,
       "fastest-pair corroboration must see through one stalled sample")
+  }
+
+  test("absolute suspicion floor (round-16): a sub-0.75 s adopted value " +
+      "never carries the suspect flag — at that scale the 3x relative " +
+      "bar is one GC pause (the r15 q183/q234 shape)") {
+    // measure(): samples disagree >3x and never corroborate, but the
+    // min is 0.17 s — flag suppressed, value still the stall-proof min
+    val (v, _, suspect) = Bench.measure(
+      scripted(0.17, 0.62, 0.6, 0.61, 0.63, 0.59),
+      iters, cutoff, prior = Some(0.17), noGc)
+    assert(v === 0.17 && !suspect,
+      "sub-floor disagreement must not flag")
+    // readjudicate(): fresh samples never corroborate but the adopted
+    // minimum sits under the floor — flag cleared
+    val (v2, _, still2) = Bench.readjudicate(0.62, Some(0.17),
+      scripted(0.2, 0.65, 0.66), noGc)
+    assert(v2 === 0.2 && !still2,
+      "sub-floor adopted value must clear the flag in readjudication")
+    // the floor is about SCALE, not leniency: the same shape at 10x the
+    // values keeps the flag
+    val (v3, _, still3) = Bench.readjudicate(6.2, Some(1.7),
+      scripted(2.0, 6.5, 6.6), noGc)
+    assert(v3 === 2.0 && still3,
+      "above the floor the uncorroborated shape must stay flagged")
   }
 
   test("readjudicate keeps the flag when fresh samples disagree with " +
