@@ -601,7 +601,13 @@ object Dedup {
   // the probe must measure THE query's stages, not a re-derivation.
 
   /** q382 stage-1 survivors: q40's normalized-fingerprint exact dedup,
-    * keep the min doc_id per fingerprint.
+    * keep the min doc_id per fingerprint. Cached (as are s2/s3): each
+    * stage frame is consumed TWICE downstream — as the survivor list
+    * the output ladder tags and as the next stage's input — so an
+    * uncached chain recomputes s1 ~4x (the whole-text window each
+    * time). The recompute was the suite's widest bench variance
+    * (round-15 verdict #6: 2.6–7.3 s across honest runs of identical
+    * code); one cached pass per stage pins the work.
     */
   private[graft] def ladderS1(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -610,6 +616,7 @@ object Dedup {
         md5(array_join(array_sort(array_distinct(
           split(lower(col("text")), " "))), " ")))))
       .filter(col("doc_id") === col("rep")).select(col("doc_id"))
+      .cache()
   }
 
   /** q382 stage-2 survivors: q49's keep-first chunk profile over stage-1
@@ -631,6 +638,7 @@ object Dedup {
         sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
       .filter(col("n_kept") * 2 >= col("n_chunks"))
       .select(col("doc_id"))
+      .cache() // consumed by the output ladder AND stage 3 (see s1)
   }
 
   /** q382 stage-3 input: shingled stage-2 survivors (cached — candidate
@@ -649,6 +657,7 @@ object Dedup {
     val rm3 = verifyJaccard(sh3, minhashCandidates(sh3), 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
     sh3.select(col("doc_id")).join(rm3, Seq("doc_id"), "left_anti")
+      .cache() // consumed by the output ladder AND stage 4 (see s1)
   }
 
   /** q382 stage-4 input: ADAPTIVE-celled quantized embeddings of
