@@ -2617,11 +2617,13 @@ object Similarity {
 
   /** q400's occupancy target for the ADAPTIVE serving grain: cells =
     * 2^bitlength(n / this), so mean cell occupancy stays inside
-    * (target/2, target] at any corpus size — sized to [[IvfQuota]] so
-    * the FIRST probe lands ~one rerank quota of candidates (the
-    * property the pinned 16-cell grid loses past ~4k vectors).
+    * (target/2, target] at any corpus size. 64 (= quota/4) is the
+    * tuned point from ScaleProbe's `servetune` sweep (SCALE.md,
+    * round 16): the quota then buys ~4-7 multi-probe cells per query
+    * instead of stopping on the first over-full one, which is where
+    * the recall lives.
     */
-  private[graft] def IvfServeOccupancy = 256
+  private[graft] def IvfServeOccupancy = 64
 
   /** q400's depth floor — q47's pinned 4-plane/16-cell grain, so every
     * fixture SF (where bitlength(n/256) <= 4) keeps the familiar
@@ -2629,12 +2631,21 @@ object Similarity {
     */
   private[graft] def IvfServeFloorDepth = 4
 
-  /** q400's probe ceiling: own cell + up to 7 single-plane flips. On
-    * the adaptive grid the flip neighborhood is maxd cells (maxd lifts
-    * with the corpus), so unlike q398's exhaustive 5 this is a BUDGET —
-    * the elastic rule stops far earlier whenever occupancy is healthy.
+  /** q400's probe ceiling: the own cell + up to ceiling-1 perturbation
+    * cells in multi-probe score order. A BUDGET, not an exhaustive
+    * list — the elastic rule stops far earlier whenever occupancy is
+    * healthy. 16 is the tuned point from ScaleProbe's `servetune`
+    * sweep (SCALE.md, round 16).
     */
-  private[graft] def IvfServeCeiling = 8
+  private[graft] def IvfServeCeiling = 16
+
+  /** How many of the query's least-confident planes the multi-probe
+    * rule may flip in combination (subset space 2^this per query — a
+    * query-set-sized broadcast). 6 covers neighbors differing in up to
+    * 6 of the low-|projection| signs, the regime serving-cosine
+    * neighbors actually occupy on a deepened grid.
+    */
+  private[graft] def IvfPerturbPlanes = 6
 
   /** Quota-elastic IVF serving (q398) — q395's stop rule composed with
     * the index that actually SERVES top-k (q47's 16-cell coarse
@@ -2744,7 +2755,8 @@ object Similarity {
     * n/probe/rank frames are 1-row/query-set-sized broadcasts; only
     * the audit's exact leg scans the corpus.
     */
-  private def ivfServeFrames(s: SparkSession, d: String): AnnFrames = {
+  private def ivfServeFrames(s: SparkSession, d: String,
+      occupancy: Int = IvfServeOccupancy): AnnFrames = {
     graft.expressions.GraftExtensions.ensureRegistered(s)
     // materialize the signature projection ONCE and cut its lineage:
     // the 48-plane sig tree is ~3k literal nodes, and every downstream
@@ -2756,7 +2768,7 @@ object Similarity {
     val sg = s.createDataFrame(ck.rdd, ck.schema)
     val n = sg.agg(count(lit(1)).as("n_src"))
     val maxdCol = greatest(lit(IvfServeFloorDepth), least(lit(Planes),
-      length(bin(expr(s"n_src div $IvfServeOccupancy"))).cast("int")))
+      length(bin(expr(s"n_src div $occupancy"))).cast("int")))
     val corpus = sg.crossJoin(broadcast(n))
       .withColumn("maxd", maxdCol)
       .select(col("vec_id"),
@@ -2767,16 +2779,36 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nsq").as("q_nsq"), col("sig"), col("maxd"),
         expr(apArraySql).as("ap")).cache()
-    val wR = Window.partitionBy(col("q_id")).orderBy(col("apv"), col("pos"))
-    val flips = qs.select(col("q_id"), col("sig"),
-        posexplode(expr("slice(ap, 1, maxd)")).as(Seq("pos", "apv")))
-      .withColumn("rk", row_number().over(wR))
-      .select(col("q_id"), col("rk"),
-        expr("sig ^ shiftleft(1L, pos)").as("psig"))
-    val own = qs.select(col("q_id"), lit(0).as("rk"), col("sig").as("psig"))
+    // MULTI-PROBE perturbation SETS, not single flips (Lv et al. 2007,
+    // "Multi-Probe LSH"): a true neighbor at serving cosine differs
+    // from the query in ~(1 - cos⁻¹-agreement) × maxd sign bits, so on
+    // a deepened grid single flips miss most neighbors (measured:
+    // recall 380,000 -> 20,000 ppm at 10x under the single-flip rule).
+    // Probe cells are the query's cell XOR a SUBSET of its
+    // [[IvfPerturbPlanes]] least-confident planes, ranked by the sum
+    // of flipped |projection| (the subset most plausibly wrong first);
+    // rank 0 is the empty subset = the own cell. The subset frame is
+    // query-set-sized (2^m rows/query, m <= 6) — a broadcast.
+    val subs = qs.select(col("q_id"), col("sig"), col("maxd"),
+        expr(s"""slice(array_sort(transform(sequence(0, maxd - 1),
+          j -> struct(ap[j] AS a, j AS p))), 1,
+          least(maxd, $IvfPerturbPlanes))""").as("ordm"))
+      .withColumn("m", expr("size(ordm)"))
+      .select(col("q_id"), col("sig"), col("ordm"), col("m"),
+        explode(expr("sequence(0L, shiftleft(1L, m) - 1)")).as("sub"))
+      .withColumn("score", expr(
+        """aggregate(sequence(0, m - 1), 0L, (acc, i) ->
+           acc + IF((sub >> i) & 1 = 1, ordm[i].a, 0L))"""))
+      .withColumn("mask", expr(
+        """aggregate(sequence(0, m - 1), 0L, (acc, i) ->
+           acc + IF((sub >> i) & 1 = 1, shiftleft(1L, ordm[i].p), 0L))"""))
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(col("score"), col("sub"))
+    val sigsRk = subs
+      .withColumn("rk", row_number().over(wR) - 1)
+      .select(col("q_id"), col("rk"), expr("sig ^ mask").as("psig"))
     AnnFrames(sg, corpus, qs,
-      own.unionByName(flips)
-        .join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id"))
+      sigsRk.join(broadcast(qs.select(col("q_id"), col("maxd"))), "q_id"))
   }
 
   /** Quota-elastic serving on the ADAPTIVE grid (q400) — the
@@ -2790,8 +2822,9 @@ object Similarity {
     * deployed grain, so the record shows the grid deepening.
     */
   private[graft] def ivfElasticAdaptive(s: SparkSession, d: String,
-      quota: Int, ceiling: Int): DataFrame = {
-    val fr = ivfServeFrames(s, d)
+      quota: Int, ceiling: Int,
+      occupancy: Int = IvfServeOccupancy): DataFrame = {
+    val fr = ivfServeFrames(s, d, occupancy)
     val probes = fr.sigsRk.filter(col("rk") < ceiling)
       .select(col("q_id"), col("rk"),
         expr("psig & (shiftleft(1L, maxd) - 1)").as("cell"))
@@ -2811,12 +2844,13 @@ object Similarity {
     * at the serving floor/occupancy; the probe order and stop rule are
     * the shared closed form.
     */
-  private def duckIvfAdaptiveCtes(quota: Int, ceiling: Int): String = {
+  private def duckIvfAdaptiveCtes(quota: Int, ceiling: Int,
+      occupancy: Int = IvfServeOccupancy): String = {
     val apList = (0 until Planes).map(p => s"abs(${projDuck(p)})")
       .mkString(", ")
     s"""sgq AS (SELECT vec_id, qv, nsq, ($sigDuck) AS sig FROM en),
       smd AS (SELECT GREATEST($IvfServeFloorDepth, LEAST($Planes,
-          length(to_base(COUNT(*) // $IvfServeOccupancy, 2)))) AS maxd
+          length(to_base(COUNT(*) // $occupancy, 2)))) AS maxd
         FROM en),
       corpus AS (SELECT vec_id,
           sig & ((CAST(1 AS BIGINT) << maxd) - 1) AS cell
@@ -2824,15 +2858,27 @@ object Similarity {
       qraw AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq, sig,
           [$apList] AS ap
         FROM sgq WHERE vec_id < $NumQueries),
-      ranked AS (SELECT q_id, sig, pos,
-          row_number() OVER (PARTITION BY q_id
-            ORDER BY ap[pos + 1], pos) AS rk
-        FROM qraw, smd, (SELECT unnest(range(0, $Planes)) AS pos) z
-        WHERE pos < smd.maxd),
-      sigs AS (SELECT q_id, 0 AS rk, sig AS psig FROM qraw
-        UNION ALL
-        SELECT q_id, rk, xor(sig, CAST(1 AS BIGINT) << pos) AS psig
-        FROM ranked),
+      ordm AS (SELECT q_id, sig,
+          list_slice(list_sort([{'a': ap[j + 1], 'p': j}
+              for j in range(0, maxd)]),
+            1, LEAST(maxd, $IvfPerturbPlanes)) AS om
+        FROM qraw, smd),
+      subs AS (SELECT q_id, sig, om, len(om) AS m,
+          unnest(range(0, 1 << len(om))) AS sub
+        FROM ordm),
+      pert AS (SELECT q_id, sig, sub,
+          list_sum([CASE WHEN (sub >> i) & 1 = 1
+              THEN om[i + 1].a ELSE 0 END
+            for i in range(0, m)]) AS score,
+          list_sum([CASE WHEN (sub >> i) & 1 = 1
+              THEN (CAST(1 AS BIGINT) << om[i + 1].p) ELSE 0 END
+            for i in range(0, m)]) AS mask
+        FROM subs),
+      sigs AS (SELECT q_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY score, sub) - 1
+            AS rk,
+          xor(sig, mask) AS psig
+        FROM pert),
       probesrk AS (SELECT q_id, rk,
           psig & ((CAST(1 AS BIGINT) << maxd) - 1) AS cell
         FROM sigs, smd WHERE rk < $ceiling),

@@ -191,6 +191,95 @@ object ScaleProbe {
       runCandidate100(spark, base, reps, out)
       spark.stop(); return
     }
+    if (mode == "servetune") {
+      // round-16: the q400 operating-point sweep — occupancy target x
+      // probe ceiling at base and Nx, quota fixed at the rerank budget.
+      // The planning table behind the deployed IvfServeOccupancy /
+      // IvfServeCeiling constants (SCALE.md).
+      println()
+      println(s"| occupancy | ceiling | corpus | n_cells | mean_probes " +
+        "| n_cand | recall_ppm |")
+      println("|---|---|---|---|---|---|---|")
+      for (occ <- Seq(64, 128, 256); ceil <- Seq(8, 16, 32);
+           (dir, label) <- Seq(base -> "base", out -> s"${reps}x")) {
+        val r = Similarity
+          .ivfElasticAdaptive(spark, dir, Similarity.IvfQuota, ceil, occ)
+          .agg(max(col("n_cells")).as("cells"),
+            sum(col("probes_used")).as("pu"),
+            sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+            count(lit(1)).as("nq")).head()
+        println(f"| $occ | $ceil | $label | ${r.getLong(0)} " +
+          f"| ${r.getLong(1).toDouble / r.getLong(4)}%.1f " +
+          s"| ${r.getLong(2)} | " +
+          s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (mode == "serveiso") {
+      runServingRecall(spark, base, reps, out)
+      spark.stop(); return
+    }
+    if (mode == "servecluster") {
+      // round-16: the serving-recall demonstration the isotropic
+      // upsample CANNOT show. The fixture's replica transform scrambles
+      // cross-replica neighborhoods by design (see "Upsampling method"),
+      // so at 10x the exact top-5 are maxima of pure noise — LSH theory
+      // (query cost ~ n^rho at fixed recall) says NO sublinear index
+      // holds recall there at constant work. Real embedding corpora are
+      // CLUSTERED; this mode builds deterministic clustered corpora
+      // (n/20 clusters of 20 members, queries = members of the first
+      // 10 clusters) at base n and Nx and measures the pinned 16-cell
+      // grid (q398's rule) against the adaptive multi-probe grain
+      // (q400) — the claim: both hold recall, but the pinned grid's
+      // n_cand grows ~linearly with the corpus while the adaptive
+      // grain holds BOTH axes ~flat.
+      def clustered(n: Int, dir: String): Unit = {
+        val rnd = new scala.util.Random(41)
+        val nClusters = n / 20
+        val centers = Array.fill(nClusters, 64)(rnd.nextFloat() * 2 - 1)
+        // round-robin membership: vec_id < 10 lands in clusters 0..9,
+        // so the fixed query set spans 10 distinct clusters and each
+        // query's exact top-5 are its 19 cluster siblings
+        val rows = (0 until n).map { id =>
+          val c = centers(id % nClusters)
+          (id.toLong,
+            c.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.15f))
+        }
+        import spark.implicits._
+        rows.toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      val nBase = 2000
+      println()
+      println("| index | corpus | n_cells | mean_probes | n_cand " +
+        "| recall_ppm |")
+      println("|---|---|---|---|---|---|")
+      for (mult <- Seq(1, reps)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"serveclu_$mult").toString
+        clustered(nBase * mult, dir)
+        val r98 = Similarity.ivfElastic(spark, dir, Similarity.IvfQuota,
+            Similarity.IvfElasticCeiling)
+          .agg(sum(col("probes_used")), sum(col("n_cand")),
+            sum(col("n_hit")), count(lit(1))).head()
+        println(f"| q398 pinned | ${mult}x | 16 " +
+          f"| ${r98.getLong(0).toDouble / r98.getLong(3)}%.1f " +
+          s"| ${r98.getLong(1)} | " +
+          s"${r98.getLong(2) * 1000000 / (r98.getLong(3) * Similarity.K)} |")
+        spark.catalog.clearCache()
+        val r = Similarity.ivfElasticAdaptive(spark, dir,
+            Similarity.IvfQuota, Similarity.IvfServeCeiling)
+          .agg(max(col("n_cells")), sum(col("probes_used")),
+            sum(col("n_cand")), sum(col("n_hit")), count(lit(1))).head()
+        println(f"| q400 adaptive | ${mult}x | ${r.getLong(0)} " +
+          f"| ${r.getLong(1).toDouble / r.getLong(4)}%.1f " +
+          s"| ${r.getLong(2)} | " +
+          s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (mode == "q397") {
       // round-16 (round-15 verdict #5): attribute q397's 10x growth
       // (8.9 s at 10x vs 5.7 s at sf0.1) per stage
@@ -386,11 +475,18 @@ object ScaleProbe {
       f"| $g98%.1fx | ${g98 / reps}%.2f | " +
       f"per-vec ${cB98.toDouble / nB}%.1f → ${cU98.toDouble / nU}%.1f |")
 
-    // round-16 serving-recall decade row: the pinned 16-cell grid
-    // (q398) vs the adaptive grain (q400) at the Nx corpus — the
-    // round-15 verdict's 100x done-criterion. The exact-top-K audit leg
-    // scans the corpus once per index; everything else is
-    // query-set-bounded.
+    runServingRecall(spark, base, reps, out)
+  }
+
+  /** The isotropic serving-recall table: pinned 16-cell grid (q398) vs
+    * adaptive multi-probe grain (q400) at base and Nx — the honest
+    * NEGATIVE half of the round-16 serving story (constant-work recall
+    * decays on neighborhood-scrambled isotropic data for ANY sublinear
+    * index; the clustered mode shows the positive half). Shared by
+    * runCandidate100 and the `serveiso` mode.
+    */
+  private def runServingRecall(spark: SparkSession, base: String,
+      reps: Int, out: String): Unit = {
     println()
     println("| serving IVF recall | n_cells | mean_probes | n_cand " +
       "| recall_ppm |")

@@ -294,9 +294,9 @@ class ScaleSpec extends SparkSpec {
       spark.catalog.clearCache()
       (r.getLong(0), r.getDouble(1), r.getDouble(2), n)
     }
-    // every fixture SF sits under 2^4 * 256 vectors (the floor), so the
-    // lift leg runs on a synthetic 8k corpus written fixture-shaped:
-    // bitlength(8192/256) = 6 -> 64 cells
+    // sf0.001 sits under 2^4 * 64 vectors (the floor); the lift leg
+    // runs on a synthetic 8k corpus written fixture-shaped:
+    // bitlength(8192/64) = 8 -> 256 cells
     import spark.implicits._
     val rnd = new scala.util.Random(29)
     val synDir = java.nio.file.Files

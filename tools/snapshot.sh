@@ -10,11 +10,13 @@
 # single multi-pathspec add aborts wholesale on the first non-matching
 # pathspec, and masking that error silently reproduced the exact
 # uncommitted-records drift this script exists to fix). `ls` pre-checks
-# existence; nothing is error-masked.
+# existence; nothing is error-masked. COPYCHECK.json is NOT staged: it
+# is gitignored (driver-owned), and under `set -e` an add of an ignored
+# path aborts the script with everything staged but nothing committed —
+# the round-16 failure mode.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-for spec in 'BENCH_*.json' 'CORRECTNESS_*.json' 'LEAKCHECK.json' \
-    'COPYCHECK.json'; do
+for spec in 'BENCH_*.json' 'CORRECTNESS_*.json' 'LEAKCHECK.json'; do
   if compgen -G "$spec" > /dev/null; then
     git add -A -- "$spec"
   fi
