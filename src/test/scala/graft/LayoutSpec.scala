@@ -38,6 +38,54 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("serving corpus written partitioned by cell: a probe-cell read " +
+      "prunes partitions at the SOURCE — the q400/q401 100 TB read " +
+      "path, where the probe join IS partition pruning") {
+    // Lay the corpus out at rest the way the serving-IVF plan states:
+    // one parquet partition per coarse cell. A top-nprobe read must
+    // then touch ONLY the probed cells' files — proven on the scan
+    // node's partition count, not just the plan string.
+    val dir = java.nio.file.Files
+      .createTempDirectory("t_cell_layout").toString
+    import spark.implicits._
+    val cells = 16
+    (0L until 4096L).map(i => (i, (i % cells).toInt))
+      .toDF("vec_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probed = Seq(3, 5, 11)
+    val rd = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val scan = rd.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in the plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the cell predicate must reach the scan as a PARTITION filter:\n" +
+        scan.toString)
+    // behavioral proof: the scan materializes only the probed cells'
+    // partition directories (execute THIS scan instance so its metrics
+    // are the ones populated — count() would build a fresh plan tree)
+    val scanned =
+      if (scan.supportsColumnar)
+        scan.executeColumnar().map(_.numRows().toLong).sum().toLong
+      else scan.execute().count()
+    assert(scanned == probed.size * (4096L / cells))
+    assert(scan.metrics("numPartitions").value == probed.size.toLong,
+      s"scan read ${scan.metrics("numPartitions").value} partitions, " +
+        s"expected ${probed.size} — pruning failed")
+    assert(rd.count() == probed.size * (4096L / cells))
+    // and the data-skipping direction too: a non-partition predicate
+    // must NOT appear in partitionFilters (it belongs to dataFilters)
+    val mixed = spark.read.parquet(dir)
+      .filter(col("cell") === 3 && col("vec_id") < 100L)
+    val mscan = mixed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(mscan.dataFilters.exists(_.toString.contains("vec_id")),
+      "row predicate must stay a data filter (pushed to parquet)")
+  }
+
   test("sortWithinPartitions orders locally without a shuffle") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .repartition(4, col("l_returnflag"))

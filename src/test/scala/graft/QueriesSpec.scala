@@ -1638,6 +1638,72 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q401_ivf_centroid_serve: every column equals an independent " +
+      "driver replay of the deterministic trainer (strided seeds, one " +
+      "exact-integer Lloyd step, truncating-div means) plus the " +
+      "quota-elastic stop rule") {
+    val quota = queries.Similarity.IvfQuota
+    val ceiling = queries.Similarity.IvfCentroidCeiling
+    val got = Registry.byName("q401_ivf_centroid_serve")
+      .run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val vecs = queries.Similarity.celled(spark, sfDir)
+      .select("vec_id", "qv", "nsq").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val n = vecs.length.toLong
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val k = math.max(16L, 1L << ((bl + 1) / 2))
+    val stride = math.max(1L, n / k)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map(_ * _).sum
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val seeds = vecs.toSeq
+      .filter(v => v._1 % stride == 0 && v._1 / stride < k)
+      .map(v => (v._1 / stride, v._2, v._3))
+    def argmin(qv: Array[Long], nsq: Long,
+        cents: Seq[(Long, Array[Long], Long)]): Long =
+      cents.map { case (cid, cqv, cnsq) =>
+        (nsq - 2 * dot(qv, cqv) + cnsq, cid) }.min._2
+    val a1 = vecs.map(v => v._1 -> argmin(v._2, v._3, seeds)).toMap
+    // one Lloyd step: truncating-div component means on the int grid
+    // (Scala Long `/` truncates toward zero, same as Spark `div` and
+    // DuckDB `//` — the three-way agreement the query depends on)
+    val cent = a1.toSeq.groupBy(_._2).toSeq.map { case (cid, members) =>
+      val qvs = members.map(m => byId(m._1)._2)
+      val m = qvs.length.toLong
+      val cqv = Array.tabulate(64)(j => qvs.map(_(j)).sum / m)
+      (cid, cqv, cqv.map(x => x * x).sum)
+    }.sortBy(_._1)
+    val assign = vecs.map(v => v._1 -> argmin(v._2, v._3, cent)).toMap
+    val occ = assign.toSeq.groupBy(_._2)
+      .map { case (c, v) => c -> v.map(_._1).toSet }
+    val queryIds = vecs.map(_._1).filter(_ < 10).sorted
+    assert(got.keySet === queryIds.toSet, "one row per query")
+    queryIds.foreach { q =>
+      val (qv, nsq) = (byId(q)._2, byId(q)._3)
+      val plist = cent.map { case (cid, cqv, cnsq) =>
+        (nsq - 2 * dot(qv, cqv) + cnsq, cid) }.sorted
+        .take(ceiling).map(_._2)
+      val frk = scala.collection.mutable.Map.empty[Long, Int]
+      plist.zipWithIndex.foreach { case (c, rk) =>
+        occ.getOrElse(c, Set.empty)
+          .foreach(v => if (v != q && !frk.contains(v)) frk(v) = rk)
+      }
+      val rmet = (0 until ceiling)
+        .find(r => frk.values.count(_ <= r) >= quota)
+      val expUsed = rmet.map(_ + 1).getOrElse(ceiling).toLong
+      val expCand = rmet.map(r => frk.values.count(_ <= r).toLong)
+        .getOrElse(frk.size.toLong)
+      val (cells, used, nc, nh) = got(q)
+      assert(cells === k, s"q $q n_cells $cells != $k")
+      assert(used === expUsed, s"q $q probes_used $used != $expUsed")
+      assert(nc === expCand, s"q $q n_cand $nc != $expCand")
+      assert(nh <= 5L && nh <= nc, s"q $q n_hit $nh out of bounds")
+    }
+  }
+
   test("shardRunStats (q396 scale core): block-decomposed run stats " +
       "equal a global per-shard scan — spanning chains through " +
       "single-run interior blocks, bridged multi-run boundaries, and " +

@@ -332,6 +332,54 @@ class ScaleSpec extends SparkSpec {
     assert(probesL >= 1.0 && probesL <= Similarity.IvfServeCeiling)
   }
 
+  test("q401 centroid serving grain (round-16): k follows the sqrt-n " +
+      "sizing rule at both corpus sizes, probes stay bounded, and the " +
+      "learned cells actually spread the corpus (no Voronoi collapse " +
+      "on fixture-shaped data)") {
+    def stats(d: String): (Long, Double, Double, Long) = {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val r = Similarity.ivfCentroidServe(spark, d,
+          Similarity.IvfQuota, Similarity.IvfCentroidCeiling)
+        .agg(max(col("n_cells")).as("cells"),
+          avg(col("n_cand")).as("mc"), avg(col("probes_used")).as("mp"))
+        .head()
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), n)
+    }
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val synDir = java.nio.file.Files
+      .createTempDirectory("t_q401_syn").toString
+    (0L until 8192L).map(i =>
+        (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$synDir/embeddings.parquet")
+    val (cellsS, candS, probesS, nS) = stats(small)
+    val (cellsL, candL, probesL, nL) = stats(synDir)
+    info(f"grain: $cellsS cells / $candS%.0f cand / $probesS%.1f probes " +
+      f"@ $nS vecs -> $cellsL / $candL%.0f / $probesL%.1f @ $nL")
+    def planned(n: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      math.max(16L, 1L << ((bl + 1) / 2))
+    }
+    // (a) the deployed k IS the sqrt-n sizing rule, at both sizes
+    assert(cellsS == planned(nS), s"k $cellsS != rule ${planned(nS)}")
+    assert(cellsL == planned(nL), s"k $cellsL != rule ${planned(nL)}")
+    // (b) the 16x step lifts k off the floor (non-vacuous)
+    assert(cellsL > cellsS,
+      s"8k corpus ($nL vecs) must deepen k past the fixture's ($cellsS)")
+    // (c) no Voronoi collapse on fixture-shaped data: the candidate set
+    // a query pays must stay within a few cells' MEAN occupancy of the
+    // quota (the 100x isotropic table shows what collapse looks like —
+    // one cell holding 17% of the corpus)
+    val meanOcc = nL.toDouble / cellsL
+    assert(candL <= Similarity.IvfQuota + 4.0 * meanOcc,
+      f"mean candidates $candL%.0f vs occupancy $meanOcc%.0f — the " +
+        "learned cells collapsed")
+    // (d) probing bounded and non-degenerate
+    assert(probesL >= 1.0 && probesL <= Similarity.IvfCentroidCeiling)
+  }
+
   test("q386 mmr at K = 20: whole-job shuffle records stay ~|queries|*K, " +
       "far under the corpus-sized exchange a selected-set ROW join " +
       "would pay per stage") {
