@@ -47,6 +47,15 @@ object GraftSession {
       // proves the injection with thresholds lowered.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // Round-16 note: a 64 KB AQE coalescing floor
+      // (spark.sql.adaptive.coalescePartitions.minPartitionSize) was
+      // measured here and REJECTED: it widened the few expression-dense
+      // small-shuffle stages (-1 s on the heavy dedup queries) but taxed
+      // the long tail of tiny-shuffle queries with 32x task launches
+      // (+60 s suite-wide, e.g. q143 1.5->3.7 s). Parallelism for the
+      // expression-dense scans comes from Tables.widen instead, which
+      // targets exactly the two CPU-dense fixtures and is a no-op at
+      // cluster scale.
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // The events fixture stores INT64 TIMESTAMP(NANOS) which Spark's

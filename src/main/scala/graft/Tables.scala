@@ -19,8 +19,34 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Tables whose rows carry high CPU cost per byte downstream (text
+    * tokenization + md5 shingling; embedding quantization + plane
+    * projections). Their fixture files are single-row-group parquet, so
+    * the scan plans ONE task and every derived pipeline — including
+    * frames cached off it, which inherit the partitioning — runs
+    * single-threaded while the other cores idle (measured: the 5k-doc
+    * shingle build is a ~900 ms 1-task stage; 16 minhash transforms off
+    * the cached shingles another ~450 ms 1-task, per join side).
+    */
+  private val cpuDense = Set("documents", "embeddings")
+
+  /** Scale-adaptive parallelism floor (guide §2.5/§6): when a scan plans
+    * fewer partitions than the session's parallelism, fan it out before
+    * the expression-dense work; when the scan is already wide (any real
+    * corpus at cluster scale — thousands of splits), this is a no-op, so
+    * nothing is re-shuffled at 100 TB. Row-to-partition assignment is
+    * deterministic (sort-before-repartition is on by default) and every
+    * query is partition-order-independent by design, so results are
+    * unchanged.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(sfDir, name))
+    val df0 = spark.read.parquet(path(sfDir, name))
+    val df = if (cpuDense(name)) widen(df0) else df0
     // events.ts is parquet INT64 TIMESTAMP(NANOS): illegal for Spark's
     // reader, so it arrives as a long (spark.sql.legacy.parquet.nanosAsLong)
     // and is converted here to TIMESTAMP_NTZ — the type every other fixture

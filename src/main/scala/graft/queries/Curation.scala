@@ -599,17 +599,14 @@ object Curation {
               AND a.l_partkey < b.l_partkey)
         SELECT part_a, part_b, COUNT(*) AS n_orders
         FROM p GROUP BY part_a, part_b HAVING COUNT(*) >= 2"""),
-      (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-          .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-            Seq("l_orderkey"))
-          .filter(col("part_a") < col("part_b"))
-          .groupBy(col("part_a"), col("part_b"))
-          .agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 2)
-      }),
+      (s, d) =>
+        // pair build via the shared basket fan-out (Baskets.pairCounts):
+        // 2 exchanges + no join vs the old 3-exchange self-join — same
+        // (pa, pb, count) multiset, see Baskets' header
+        Baskets.pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+          .select(col("pa").as("part_a"), col("pb").as("part_b"),
+            col("w").as("n_orders"))
+          .filter(col("n_orders") >= 2)),
 
     // ---- incremental aggregate maintenance (materialized-view merge) -------
     // The IVM primitive behind every "refresh the summary table without
@@ -693,14 +690,10 @@ object Curation {
           JOIN deg d ON d.part = p.part""")
       },
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            Seq("l_orderkey"))
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
+        // pair build via the shared basket fan-out — see Baskets' header
+        val pairs = Baskets
+          .pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+          .filter(col("w") >= 2)
         val e = pairs.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
           .cache()
@@ -1307,19 +1300,16 @@ object Curation {
         SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_parts
         FROM l3 GROUP BY 1"""),
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pe = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            Seq("l_orderkey"))
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= LpMinSupport)
+        // pair build via the shared basket fan-out — see Baskets' header
+        val pe = Baskets
+          .pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+          .filter(col("w") >= LpMinSupport)
         val e = pe.select(col("pa").as("s"), col("pb").as("t"))
           .unionAll(pe.select(col("pb").as("s"), col("pa").as("t")))
           .cache() // reused every round
         var labels = e.select(col("s").as("v")).distinct()
           .withColumn("lbl", col("v"))
+          .localCheckpoint(true)
         for (_ <- 1 to LpRounds) {
           val nbMin = e.join(labels
               .select(col("v").as("tv"), col("lbl").as("nlbl")),
@@ -1327,6 +1317,13 @@ object Curation {
             .groupBy(col("s")).agg(min(col("nlbl")).as("nmin"))
           labels = labels.join(nbMin, col("v") === col("s"))
             .select(col("v"), least(col("lbl"), col("nmin")).as("lbl"))
+            // each round references `labels` TWICE (neighbor side + the
+            // outer join), so without a per-round lineage cut the plan
+            // tree — and its EXECUTION, since Spark does not share
+            // common subtrees across join sides — doubles per round
+            // (2^rounds copies of the base subtree). Node-grain eager
+            // checkpoint, the q48/q261 discipline.
+            .localCheckpoint(true)
         }
         labels.groupBy(col("lbl").as("cluster"))
           .agg(count(lit(1)).as("n_parts"))
@@ -1360,17 +1357,19 @@ object Curation {
         SELECT pa, pb, c AS n_cooc, na, nb, jaccard FROM j
         ORDER BY jaccard DESC, pa, pb LIMIT 20"""),
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-        val pr = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
-            Seq("l_orderkey"))
-          .filter(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
-        pr.join(cnt.select(col("l_partkey").as("ka"), col("n").as("na")),
+        // ONE cached basket aggregation feeds both the pair counts and
+        // the per-part order counts (the old shape re-derived each from
+        // its own scan+exchange of the distinct projection) — see
+        // Baskets' header
+        val bk = Baskets
+          .baskets(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+          .cache()
+        val cnt = Baskets.itemCounts(bk)
+        val pr = Baskets.pairCountsFrom(bk)
+          .select(col("pa"), col("pb"), col("w").as("c"))
+        pr.join(cnt.select(col("p").as("ka"), col("n").as("na")),
             col("ka") === col("pa"))
-          .join(cnt.select(col("l_partkey").as("kb"), col("n").as("nb")),
+          .join(cnt.select(col("p").as("kb"), col("n").as("nb")),
             col("kb") === col("pb"))
           .select(col("pa"), col("pb"), col("c").as("n_cooc"), col("na"),
             col("nb"),

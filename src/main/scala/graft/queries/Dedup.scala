@@ -350,6 +350,13 @@ object Dedup {
     val bl = mh
       .select(col("doc_id"), posexplode(array(bandKeys: _*)))
       .toDF("doc_id", "band", "bkey")
+      // EAGER materialization: both self-join sides below otherwise
+      // recompute the 16 minhash passes + band md5s from the shingle
+      // table — the family's dominant warm-path CPU, paid twice per run
+      // in every minhash query (measured: two ~4-6 s task-time copies of
+      // this subtree in q128/q390). The checkpointed frame is 4 rows/doc
+      // (band keys only), far smaller than the shingle sets.
+      .localCheckpoint(true)
     bl.as("x").join(bl.as("y"),
         col("x.band") === col("y.band")
           && col("x.bkey") === col("y.bkey")
@@ -1794,7 +1801,14 @@ object Dedup {
           .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
         val histBg = bg.select(bucketed(bg).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-          .cache() // <=20 rows; every layout's weighted sum re-reads it
+          // <=20 rows; every layout's weighted sum re-reads it. EAGER
+          // (not cache): the 5 layouts x 4 scalar frames below are all
+          // broadcast builds, and 20 concurrent builds racing an
+          // unmaterialized cache each re-execute the full stratum
+          // pipeline (measured: q346 2.4 -> 8.2 s when an eager action
+          // upstream shifted the race timing; eager-materializing both
+          // histograms removes the race class entirely).
+          .localCheckpoint(true)
         val cu = minhashCandidates(sh).unionByName(ngramCandidates(sh))
           .distinct()
         val hi = cu
@@ -1808,7 +1822,7 @@ object Dedup {
           .filter(col("j") >= 0.8)
         val histHi = hi.select(bucketed(hi).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-          .cache() // <=4 rows (buckets 16..19)
+          .localCheckpoint(true) // <=4 rows (buckets 16..19); see histBg
         val tbg = histBg.agg(sum(col("n")).as("tnbg"))
         val thi = histHi.agg(coalesce(sum(col("n")), lit(0L)).as("tnhi"))
         BandLayouts.map { case (bb, rr) =>
@@ -1940,6 +1954,16 @@ object Dedup {
           .join(xa, "doc_a").join(xb, "doc_b")
           .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
           .select(col("doc_a"), col("doc_b")).cache()
+        // ONE materialization action fills all three verdict-set caches
+        // before the nine 1-row scalar counts below (all broadcast
+        // builds) read them: a union's children each execute exactly
+        // once and CONCURRENTLY, so this keeps the three pipelines
+        // overlapped while removing the broadcast-build cache race that
+        // otherwise re-runs each family's candidate+verify pipeline
+        // several times (the q346/q397 race class; eager per-frame
+        // checkpoints were measured SLOWER here — they serialize three
+        // pipelines a union overlaps).
+        mh.unionByName(ng).unionByName(sv).count()
         def cnt(df: DataFrame, nm: String): DataFrame =
           df.agg(count(lit(1)).as(nm))
         def rowOf(fa: String, da: DataFrame,

@@ -34,18 +34,13 @@ object Mining {
           FROM pr GROUP BY 1, 2) z
         WHERE w >= 2)"""
 
-  private def supportEdges(s: SparkSession, d: String): DataFrame = {
-    val io = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    io.select(col("o"), col("p").as("pa"))
-      .join(io.select(col("o"), col("p").as("pb")), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("w"))
+  private def supportEdges(s: SparkSession, d: String): DataFrame =
+    // pair build via the shared basket fan-out (Baskets.pairCounts):
+    // 2 exchanges + no join vs the old 3-exchange self-join; identical
+    // (pa, pb, w) multiset, so the EdgeSql oracle twin is untouched
+    Baskets.pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
       .filter(col("w") >= 2)
       .select(col("pa"), col("pb"))
-  }
 
   /** Peel rounds pinned in BOTH engines (the oracle unrolls exactly this
     * many CTE stages; the Spark loop early-exits only when a round is a
@@ -668,26 +663,40 @@ object Mining {
       (s, d) => {
         val ed = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct().cache() // the bipartite edge list, reused 5x
+          .distinct()
+        // Two in-memory HASH-BUCKETED views of the bipartite edge list,
+        // one per join key (guide §2.4 "two operations keyed the same
+        // way share one exchange"): the old single cache was re-EXCHANGED
+        // on every half-step's join (4 full edge-list shuffles per run,
+        // measured as the dominant stages); with the partitioning cached,
+        // each half-step shuffles only the node-grain score frame, and
+        // a1's groupBy(p) rides edP's partitioning exchange-free.
+        val edP = ed.repartition(col("p")).cache()
+        val edO = ed.repartition(col("o")).cache()
         def norm(df: DataFrame, key: String): DataFrame = {
-          val m = df.agg(max(col("s")).as("m"))
-          df.crossJoin(broadcast(m)) // 1-row max
+          // Materialize the half-step aggregate ONCE before the
+          // max-divide: the 1-row max is a broadcast build, and a
+          // broadcast future over an unmaterialized frame races the main
+          // branch into recomputing the whole join+agg subtree (measured:
+          // every half-step's heavy stage ran twice). The eager
+          // node-grain checkpoint is also the per-half-step lineage cut
+          // the old shape took after the divide (re-analysis of the
+          // compounded plan measured 19 s -> ~2 s when it was added).
+          val base = df.localCheckpoint(true)
+          val m = base.agg(max(col("s")).as("m"))
+          base.crossJoin(broadcast(m)) // 1-row max
             .select(col(key), (col("s") / col("m")).as("sn"))
-            // truncate lineage per half-step: four chained score-join
-            // stages otherwise compound into one deep plan whose
-            // re-analysis dominates wall clock (measured 19 s -> ~2 s);
-            // each checkpointed frame is node-grain, not edge-grain
-            .localCheckpoint(true)
         }
-        def half(prev: DataFrame, from: String, key: String): DataFrame =
-          norm(ed.join(prev, Seq(from))
+        def half(prev: DataFrame, edge: DataFrame, from: String,
+            key: String): DataFrame =
+          norm(edge.join(prev, Seq(from))
             .groupBy(col(key)).agg(Exact.dsum(col("sn")).as("s")), key)
-        val a1 = norm(ed.groupBy(col("p"))
+        val a1 = norm(edP.groupBy(col("p"))
           .agg(count(lit(1)).cast("double").as("s")), "p")
-        val h2 = half(a1, "p", "o")
-        val a2 = half(h2, "o", "p")
-        val h3 = half(a2, "p", "o")
-        val a3 = half(h3, "o", "p")
+        val h2 = half(a1, edP, "p", "o")
+        val a2 = half(h2, edO, "o", "p")
+        val h3 = half(a2, edP, "p", "o")
+        val a3 = half(h3, edO, "o", "p")
         a3.orderBy(col("sn").desc, col("p")).limit(10)
           .select(col("p").as("part"), round(col("sn"), 6).as("authority"))
       }),

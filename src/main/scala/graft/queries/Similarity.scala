@@ -2499,9 +2499,12 @@ object Similarity {
         graft.expressions.GraftExtensions.ensureRegistered(s)
         // q391's semantic pair relation (same leaf, cosine >= threshold)
         val spairs = semLeafPairs(s, d)
-        // q393's component-hash sides, verbatim
+        // q393's component-hash sides, verbatim. Cached: the band join
+        // and both verify sides consume it (every OTHER caller of
+        // fullComponents caches its sh; this one ran the 1-task
+        // shingle+md5 chain up to 3x per run without it).
         val sh = Dedup.shingled(s, d)
-          .select(col("doc_id"), col("shingles"))
+          .select(col("doc_id"), col("shingles")).cache()
         val sides = Dedup.fullComponents(s, d, sh)
           .withColumn("side",
             when(expr(h64Spark("cast(component as string)")) % 10 < 8,
@@ -2513,7 +2516,14 @@ object Similarity {
           .join(sides.select(col("doc_id").as("doc_b"),
             col("side").as("side_b")), "doc_b")
           .withColumn("is_leak", col("side_a") =!= col("side_b"))
-          .cache()
+          // EAGER materialization, not cache(): the two 1-row rollups
+          // below are broadcast builds, and broadcast futures over an
+          // unmaterialized cache race the main scan into computing this
+          // whole pair+components pipeline 2-3x per run (measured: the
+          // pair-verify stage ran twice, 10.6 s + 4.1 s of task time).
+          // A cache() can't help across runs either — the lineage holds
+          // a per-run checkpointed RDD, so it never canonical-matches.
+          .localCheckpoint(true)
         val agg = sided.agg(count(lit(1)).as("n_sem_pairs"),
           coalesce(sum(when(col("is_leak"), 1L).otherwise(0L)), lit(0L))
             .as("n_leak_pairs"))
@@ -3256,8 +3266,12 @@ object Similarity {
     val sg = s.createDataFrame(ck.rdd, ck.schema)
     val leaf = trieLeafAdaptive(sg.select(col("vec_id"), col("sig")),
       CellOccupancy)
+    // EAGER materialization, not cache(): both self-join sides below
+    // race an unmaterialized cache into computing the quant+leaf subtree
+    // twice, and the checkpointed-RDD lineage means a cache() never
+    // canonical-matches across runs anyway (see q397's `sided`).
     val c = sg.select(col("vec_id"), col("qv"), col("nsq"))
-      .join(leaf, "vec_id").cache()
+      .join(leaf, "vec_id").localCheckpoint(true)
     c.select(col("vec_id").as("doc_a"), col("depth"),
         col("cell"), col("qv").as("qv_a"), col("nsq").as("nsq_a"))
       .join(c.select(col("vec_id").as("doc_b"),
